@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local pre-flight mirror of the driver's t2 compare (SURVEY.md §5.1).
+
+Usage: oracle_check.py <sfDir> <verifyOutDir>
+
+For each query dir under <verifyOutDir>: load the Spark-written parquet,
+run the query's oracle SQL (from oracle_sql.json) in DuckDB over views named
+per table, sort columns by name, stringify every cell, compare row-for-row.
+DEV TOOL ONLY — the shipped Scala library has no Python dependency.
+"""
+import json
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation supplier customer part orders lineitem events documents embeddings".split()
+
+
+def cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = 0
+    import os
+    declared = sorted(d for d in os.listdir(out_dir)
+                      if os.path.isdir(os.path.join(out_dir, d)))
+    for name in declared:
+        if name not in oracles:
+            tbl = pq.read_table(f"{out_dir}/{name}")
+            print(f"  {name}: NO-ORACLE ({tbl.num_rows} rows)")
+            continue
+        try:
+            spark_df = pq.read_table(f"{out_dir}/{name}").to_pandas()
+            duck_df = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        sc = sorted(spark_df.columns)
+        dc = sorted(duck_df.columns)
+        if sc != dc:
+            print(f"FAIL {name}: columns spark={sc} duck={dc}")
+            n_fail += 1
+            continue
+        a = spark_df[sc].astype(object).values.tolist()
+        b = duck_df[dc].astype(object).values.tolist()
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (ra, rb) in enumerate(zip(a, b)):
+            ra = [cell(x) for x in ra]
+            rb = [cell(x) for x in rb]
+            if ra != rb:
+                bad = (i, ra, rb)
+                break
+        if bad:
+            i, ra, rb = bad
+            print(f"FAIL {name}: row {i}\n  spark={ra}\n  duck ={rb}  (cols {sc})")
+            n_fail += 1
+        else:
+            print(f"  {name}: OK ({len(a)} rows)")
+            n_pass += 1
+    missing = sorted(set(oracles) - set(declared))
+    if missing:
+        print(f"WARN: oracle entries with no result dir (query threw?): {missing}")
+        n_fail += len(missing)
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` holds one named entry per implemented operator from SURVEY.md
+  * §2; `oracleSql` holds the DuckDB-runnable ANSI SQL equivalent for every
+  * oracle-matched query (names and output column names match exactly —
+  * the driver's compare sorts columns by name before hashing).
+  */
 object SparkEntry {
+
+  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (ops.Relational.queries, ops.Relational.oracle),
+      (ops.Aggregations.queries, ops.Aggregations.oracle)
+    )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ops.Aggregations.qAggGroup(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    modules.map(_._2).reduce(_ ++ _)
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Central fixture readers for the driver-generated parquet tables
+  * (`/root/repo/TESTDATA.md`, schemas in `/root/repo/FIXTURES.md`).
+  *
+  * Scale notes (100 TB design): each reader is a plain columnar parquet scan,
+  * so Catalyst's data-source pushdown (filters + column pruning) applies
+  * unchanged; on a real lake these would be partitioned by date
+  * (orders/lineitem/events) so partition pruning kicks in. Nothing here is
+  * collected to the driver.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "supplier", "customer", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one fixture table.
+    *
+    * `events.ts` is parquet `TIMESTAMP(NANOS,false)`, which Spark's reader
+    * rejects (`PARQUET_TYPE_ILLEGAL`) unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true`. We set it at runtime (this
+    * works on an already-built session) so the driver-created session in
+    * Verify/Bench works too. `ts` then surfaces as LongType nanos; we expose
+    * a derived µs timestamp column `t` via integer division (never `/1000` +
+    * cast — double rounding can shift the value by 1µs).
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}
+
+/** Shared helpers enforcing the determinism discipline (SURVEY.md §2.0):
+  * decimal-cast before aggregation (exact, order-independent), pin output
+  * scales on both engine and oracle side, and emit decimals as strings so
+  * the hash compare never sees engine-specific decimal widths.
+  */
+object Dsl {
+  import org.apache.spark.sql.Column
+
+  /** Cast to an exact decimal before any SUM/AVG — double sums are
+    * order-dependent and would flake the hash compare. */
+  def dec(c: Column, p: Int = 18, s: Int = 2): Column = c.cast(DecimalType(p, s))
+
+  /** Pin scale, then render as string (matches oracle-side
+    * `CAST(CAST(x AS DECIMAL(38,s)) AS VARCHAR)`). */
+  def decStr(c: Column, s: Int = 2): Column =
+    c.cast(DecimalType(38, s)).cast(StringType)
+}

@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.Dsl._
+
+/** Aggregations (SURVEY.md §2.D): grouped/global aggregates, distincts,
+  * rollup/cube/grouping sets, array aggregation.
+  *
+  * Scale notes: every groupBy here compiles to partial (map-side) + final
+  * HashAggregate, so the shuffle carries pre-combined rows, not raw input —
+  * the plan that survives a 100× scale-up. Decimal sums are exact and
+  * order-independent, so AQE can re-plan partitions freely without changing
+  * results.
+  */
+object Aggregations {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_global" -> qAggGlobal,
+    "q_agg_group" -> qAggGroup,
+    "q_agg_having" -> qAggHaving,
+    "q_agg_distinct" -> qAggDistinct,
+    "q_agg_multi_distinct" -> qAggMultiDistinct,
+    "q_agg_approx_distinct" -> qAggApproxDistinct,
+    "q_agg_rollup" -> qAggRollup,
+    "q_agg_cube" -> qAggCube,
+    "q_agg_grouping_sets" -> qAggGroupingSets,
+    "q_agg_collect" -> qAggCollect,
+    "q_agg_stats" -> qAggStats
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_global" ->
+      """SELECT CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+                strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+                strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship,
+                count(*) AS cnt
+         FROM lineitem""",
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_base,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc,
+                count(*) AS cnt
+         FROM lineitem
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_having" ->
+      """SELECT o_custkey, count(*) AS cnt,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total
+         FROM orders GROUP BY o_custkey HAVING count(*) > 12
+         ORDER BY o_custkey""",
+    "q_agg_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS uv, count(*) AS pv
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_agg_multi_distinct" ->
+      """SELECT l_returnflag,
+                COUNT(DISTINCT l_partkey) AS dparts,
+                COUNT(DISTINCT l_suppkey) AS dsupps,
+                count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_rollup" ->
+      """SELECT coalesce(r_name,'ALL') AS rname, coalesce(n_name,'ALL') AS nname,
+                CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n,
+                count(*) AS cnt
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY rname, nname, g_r, g_n""",
+    "q_agg_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS st, coalesce(o_orderpriority,'ALL') AS pri,
+                CAST(GROUPING(o_orderstatus) AS INT) AS g_s, CAST(GROUPING(o_orderpriority) AS INT) AS g_p,
+                count(*) AS cnt,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY st, pri, g_s, g_p""",
+    "q_agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS st, coalesce(o_orderpriority,'ALL') AS pri,
+                count(*) AS cnt
+         FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY st, pri""",
+    "q_agg_collect" ->
+      """SELECT l_orderkey,
+                array_to_string(list_sort(list(l_linenumber)), ',') AS lines
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""
+  )
+
+  private def qAggGlobal(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      decStr(sum(dec(col("l_quantity"), 12, 2))).as("sum_qty"),
+      date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_ship"),
+      date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_ship"),
+      count(lit(1)).as("cnt"))
+
+  /** Flagship (also SparkEntry.entry): TPC-H-Q1-style grouped aggregation,
+    * partial+final hash agg over 2 low-cardinality keys. */
+  def qAggGroup(s: SparkSession, d: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(4, 2))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decStr(sum(dec(col("l_quantity"), 12, 2))).as("sum_qty"),
+        decStr(sum(dec(col("l_extendedprice"), 12, 2))).as("sum_base"),
+        decStr(sum(dec(col("l_extendedprice"), 12, 2) * (one - dec(col("l_discount"), 4, 2))), 4).as("sum_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private def qAggHaving(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        decStr(sum(dec(col("o_totalprice"), 12, 2))).as("total"))
+      .filter(col("cnt") > 12)
+      .orderBy("o_custkey")
+
+  private def qAggDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("uv"), count(lit(1)).as("pv"))
+      .orderBy("event_type")
+
+  private def qAggMultiDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("dparts"),
+        countDistinct(col("l_suppkey")).as("dsupps"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** HLL++ approximate distinct (the genre's bloom-filter UV at scale).
+    * No oracle — sketch estimates are algorithm-specific; the internal test
+    * asserts |approx − exact| / exact < 5 %. */
+  private def qAggApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_uv"))
+      .orderBy("event_type")
+
+  private def customerGeo(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+
+  private def qAggRollup(s: SparkSession, d: String): DataFrame =
+    customerGeo(s, d)
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        grouping(col("r_name")).cast(IntegerType).as("g_r"),
+        grouping(col("n_name")).cast(IntegerType).as("g_n"),
+        count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("rname"),
+        coalesce(col("n_name"), lit("ALL")).as("nname"),
+        col("g_r"), col("g_n"), col("cnt"))
+      .orderBy("rname", "nname", "g_r", "g_n")
+
+  private def qAggCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast(IntegerType).as("g_s"),
+        grouping(col("o_orderpriority")).cast(IntegerType).as("g_p"),
+        count(lit(1)).as("cnt"),
+        decStr(sum(dec(col("o_totalprice"), 12, 2))).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("g_s"), col("g_p"), col("cnt"), col("total"))
+      .orderBy("st", "pri", "g_s", "g_p")
+
+  /** Entry point 2 (SQL text): GROUPING SETS is most natural in SQL; both
+    * entry points converge on the same logical plan (SURVEY.md §3.3). */
+  private def qAggGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT coalesce(o_orderstatus,'ALL') AS st, coalesce(o_orderpriority,'ALL') AS pri,
+                count(*) AS cnt
+         FROM orders_gs GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY st, pri""")
+  }
+
+  /** Array aggregation, emitted as a sorted joined string so the compare
+    * never sees engine-specific array rendering. */
+  private def qAggCollect(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(array_join(
+        transform(sort_array(collect_list(col("l_linenumber"))), x => x.cast(StringType)),
+        ",").as("lines"))
+      .orderBy("l_orderkey")
+
+  /** Sample stddev/variance — no oracle (Welford vs naive + libm drift,
+    * SURVEY.md §2.0.7); property-tested internally instead. */
+  private def qAggStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        stddev_samp(col("l_quantity")).as("sd_qty"),
+        var_samp(col("l_quantity")).as("var_qty"))
+      .orderBy("l_returnflag")
+}
