@@ -14,7 +14,9 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (ops.Relational.queries, ops.Relational.oracle),
-      (ops.Aggregations.queries, ops.Aggregations.oracle)
+      (ops.Aggregations.queries, ops.Aggregations.oracle),
+      (ops.Joins.queries, ops.Joins.oracle),
+      (ops.Windows.queries, ops.Windows.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

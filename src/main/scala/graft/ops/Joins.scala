@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Dsl._
+
+/** Joins (SURVEY.md §2.C): the genre's dim-lookup joins, order-wide
+  * interval joins and temporal (as-of) joins, re-expressed Spark-first.
+  *
+  * Scale notes: dimension joins broadcast the small side explicitly
+  * (`broadcast()`), so no shuffle of the fact table happens; equi-joins
+  * shuffle on their keys and are AQE-eligible (skew split, runtime
+  * broadcast). The as-of join is a bounded range join + per-key top-1 —
+  * at 100 TB this partitions by the equi key (custkey) so the quadratic
+  * term is bounded per key, never global.
+  */
+object Joins {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner" -> qJoinInner,
+    "q_join_broadcast" -> qJoinBroadcast,
+    "q_join_left" -> qJoinLeft,
+    "q_join_full" -> qJoinFull,
+    "q_join_semi" -> qJoinSemi,
+    "q_join_anti" -> qJoinAnti,
+    "q_join_cross" -> qJoinCross,
+    "q_join_theta" -> qJoinTheta,
+    "q_join_asof" -> qJoinAsof,
+    "q_join_interval" -> qJoinInterval
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey LIMIT 1000""",
+    "q_join_broadcast" ->
+      """SELECT r_name, count(*) AS cnt
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_join_full" ->
+      """SELECT coalesce(cnk, snk) AS nk,
+                coalesce(ncust, -1) AS ncust, coalesce(nsupp, -1) AS nsupp
+         FROM (SELECT c_nationkey AS cnk, count(*) AS ncust FROM customer
+               WHERE c_acctbal > 9900 GROUP BY c_nationkey) cc
+         FULL JOIN (SELECT s_nationkey AS snk, count(*) AS nsupp FROM supplier
+               WHERE s_acctbal > 9000 GROUP BY s_nationkey) ss
+         ON cnk = snk
+         ORDER BY nk""",
+    "q_join_semi" ->
+      """SELECT c_custkey FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_join_anti" ->
+      """SELECT p_partkey FROM part
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+         ORDER BY p_partkey""",
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name""",
+    "q_join_theta" ->
+      """SELECT a.l_orderkey, count(*) AS pairs
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+         GROUP BY a.l_orderkey ORDER BY a.l_orderkey""",
+    "q_join_asof" ->
+      """SELECT o_orderkey, prev_ok FROM (
+           SELECT a.o_orderkey, b.o_orderkey AS prev_ok,
+                  row_number() OVER (PARTITION BY a.o_orderkey
+                                     ORDER BY b.o_orderdate DESC, b.o_orderkey DESC) AS rn
+           FROM orders a LEFT JOIN orders b
+             ON a.o_custkey = b.o_custkey
+            AND (b.o_orderdate < a.o_orderdate
+                 OR (b.o_orderdate = a.o_orderdate AND b.o_orderkey < a.o_orderkey)))
+         WHERE rn = 1 ORDER BY o_orderkey""",
+    "q_join_interval" ->
+      """SELECT a.user_id, count(*) AS cnt
+         FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events) a
+         JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events) b
+           ON a.user_id = b.user_id AND b.t > a.t AND b.t <= a.t + INTERVAL 1 HOUR
+         GROUP BY a.user_id ORDER BY a.user_id"""
+  )
+
+  private def qJoinInner(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name")
+      .orderBy("o_orderkey")
+      .limit(1000)
+
+  /** Dim-lookup join (genre: async HBase lookup + Redis cache) → Spark
+    * broadcast hash join: the two dims ship to every task; the customer
+    * table never shuffles. */
+  private def qJoinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("r_name")
+
+  private def qJoinLeft(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  private def qJoinFull(s: SparkSession, d: String): DataFrame = {
+    val cc = Tables.customer(s, d).filter(col("c_acctbal") > 9900)
+      .groupBy(col("c_nationkey").as("cnk")).agg(count(lit(1)).as("ncust"))
+    val ss = Tables.supplier(s, d).filter(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("snk")).agg(count(lit(1)).as("nsupp"))
+    cc.join(ss, col("cnk") === col("snk"), "full")
+      .select(
+        coalesce(col("cnk"), col("snk")).as("nk"),
+        coalesce(col("ncust"), lit(-1L)).as("ncust"),
+        coalesce(col("nsupp"), lit(-1L)).as("nsupp"))
+      .orderBy("nk")
+  }
+
+  private def qJoinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  private def qJoinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_anti")
+      .select("p_partkey")
+      .orderBy("p_partkey")
+
+  private def qJoinCross(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+
+  /** Non-equi (theta) self-join: pairs of lines within an order. The equi
+    * part (l_orderkey) carries the shuffle; the `<` predicate is evaluated
+    * post-match, so work stays bounded per order key at any scale. */
+  private def qJoinTheta(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber").as("ln_a"))
+    val b = Tables.lineitem(s, d).select(col("l_orderkey").as("ok_b"), col("l_linenumber").as("ln_b"))
+    a.join(b, col("l_orderkey") === col("ok_b") && col("ln_a") < col("ln_b"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("pairs"))
+      .orderBy("l_orderkey")
+  }
+
+  /** As-of join (genre: Flink temporal table join): for each order, the
+    * latest strictly-earlier order of the same customer, deterministic
+    * tiebreak on orderkey. Spark has no native ASOF — composed as a
+    * key-bounded range join + per-row top-1 (row_number). */
+  private def qJoinAsof(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val b = Tables.orders(s, d).select(
+      col("o_orderkey").as("b_ok"), col("o_custkey").as("b_ck"),
+      col("o_orderdate").as("b_od"))
+    val joined = a.join(b,
+      col("o_custkey") === col("b_ck") &&
+        (col("b_od") < col("o_orderdate") ||
+          (col("b_od") === col("o_orderdate") && col("b_ok") < col("o_orderkey"))),
+      "left")
+    val w = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("b_od").desc, col("b_ok").desc)
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderkey"), col("b_ok").as("prev_ok"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Interval join (genre: Flink intervalJoin order⋈detail ±15 min):
+    * batch analog over events — same-user event pairs within 1 hour.
+    * The streaming form (two watermarked streams, time-bound join
+    * condition) shares this predicate; see streaming.StreamOps. */
+  private def qJoinInterval(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("t"))
+    val b = ev.select(col("user_id").as("uid_b"), col("t").as("t_b"))
+    ev.join(b,
+      col("user_id") === col("uid_b") &&
+        col("t_b") > col("t") &&
+        col("t_b") <= col("t") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("user_id")
+  }
+}

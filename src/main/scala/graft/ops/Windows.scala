@@ -1,0 +1,243 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.Dsl._
+
+/** Window functions (SURVEY.md §2.E) plus sorts/limits (§2.F) and set
+  * operations (§2.G).
+  *
+  * Determinism: rank/dense_rank windows may order by non-unique values
+  * (ties get equal ranks — value-deterministic); row_number/ntile windows
+  * always carry a unique tiebreak column. Final ORDER BY is total.
+  *
+  * Scale notes: window partitions are per-nation/per-customer — bounded
+  * cardinality per key, so a single partition never exceeds executor
+  * memory at 100 TB. The one global window (q_sort_multi's output order)
+  * is a sort, which Spark range-partitions — no single-task bottleneck.
+  */
+object Windows {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rank" -> qWinRank,
+    "q_win_topk" -> qWinTopk,
+    "q_win_lag" -> qWinLag,
+    "q_win_running" -> qWinRunning,
+    "q_win_moving" -> qWinMoving,
+    "q_win_range" -> qWinRange,
+    "q_win_ntile" -> qWinNtile,
+    "q_win_first_last" -> qWinFirstLast,
+    "q_sort_multi" -> qSortMulti,
+    "q_topk_global" -> qTopkGlobal,
+    "q_set_union_all" -> qSetUnionAll,
+    "q_set_union" -> qSetUnion,
+    "q_set_intersect" -> qSetIntersect,
+    "q_set_except" -> qSetExcept
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT c_custkey, c_nationkey,
+                rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+                dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk,
+                row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+         FROM customer ORDER BY c_nationkey, rn""",
+    "q_win_topk" ->
+      """SELECT c_nationkey, rn, c_custkey FROM (
+           SELECT c_nationkey, c_custkey,
+                  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+           FROM customer)
+         WHERE rn <= 3 ORDER BY c_nationkey, rn""",
+    "q_win_lag" ->
+      """SELECT o_custkey, o_orderkey, prev_ok,
+                date_diff('day', CAST(prev_d AS DATE), CAST(o_orderdate AS DATE)) AS gap_days
+         FROM (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+                  lag(o_orderkey) OVER w AS prev_ok,
+                  lag(o_orderdate) OVER w AS prev_d
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+         ORDER BY o_custkey, o_orderkey""",
+    "q_win_running" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DECIMAL(38,2)) AS VARCHAR) AS cum
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_win_moving" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                     AS DECIMAL(38,2)) AS VARCHAR) AS mov3
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_win_range" ->
+      """SELECT o_orderstatus AS st, o_orderkey, cents,
+                count(*) OVER (PARTITION BY o_orderstatus ORDER BY cents
+                               RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) AS cnt_in_range
+         FROM (SELECT o_orderstatus, o_orderkey,
+                      CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+               FROM orders)
+         ORDER BY o_orderkey""",
+    "q_win_ntile" ->
+      """SELECT c_custkey, c_mktsegment AS seg,
+                ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS tile
+         FROM customer ORDER BY c_custkey""",
+    "q_win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+                first_value(o_orderkey) OVER w AS first_ok,
+                last_value(o_orderkey) OVER w AS last_ok
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_sort_multi" ->
+      """SELECT c_custkey, nullif(c_mktsegment,'BUILDING') AS seg FROM customer
+         ORDER BY seg DESC NULLS LAST, c_custkey""",
+    "q_topk_global" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_set_union_all" ->
+      """SELECT user_id, count(*) AS cnt FROM (
+           SELECT user_id FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id FROM events WHERE event_type = 'view')
+         GROUP BY user_id ORDER BY user_id""",
+    "q_set_union" ->
+      """SELECT nk FROM (
+           SELECT c_nationkey AS nk FROM customer
+           UNION
+           SELECT s_nationkey AS nk FROM supplier)
+         ORDER BY nk""",
+    "q_set_intersect" ->
+      """SELECT partkey FROM (
+           SELECT p_partkey AS partkey FROM part
+           INTERSECT
+           SELECT l_partkey AS partkey FROM lineitem)
+         ORDER BY partkey""",
+    "q_set_except" ->
+      """SELECT partkey FROM (
+           SELECT p_partkey AS partkey FROM part
+           EXCEPT
+           SELECT l_partkey AS partkey FROM lineitem)
+         ORDER BY partkey"""
+  )
+
+  private def qWinRank(s: SparkSession, d: String): DataFrame = {
+    val wTies = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc)
+    val wUniq = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d).select(
+      col("c_custkey"), col("c_nationkey"),
+      rank().over(wTies).as("rnk"),
+      dense_rank().over(wTies).as("drnk"),
+      row_number().over(wUniq).as("rn"))
+      .orderBy("c_nationkey", "rn")
+  }
+
+  /** The Flink ADS Top-N idiom: row_number over a keyed window, keep <= 3. */
+  private def qWinTopk(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_custkey"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .select("c_nationkey", "rn", "c_custkey")
+      .orderBy("c_nationkey", "rn")
+  }
+
+  private def ordersWindow = Window
+    .partitionBy(col("o_custkey"))
+    .orderBy(col("o_orderdate"), col("o_orderkey"))
+
+  private def qWinLag(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      lag(col("o_orderkey"), 1).over(ordersWindow).as("prev_ok"),
+      datediff(col("o_orderdate").cast(DateType),
+        lag(col("o_orderdate"), 1).over(ordersWindow).cast(DateType)).as("gap_days"))
+      .orderBy("o_custkey", "o_orderkey")
+
+  private def qWinRunning(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      decStr(sum(dec(col("o_totalprice"), 12, 2))
+        .over(ordersWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow))).as("cum"))
+      .orderBy("o_custkey", "o_orderkey")
+
+  private def qWinMoving(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      decStr(sum(dec(col("o_totalprice"), 12, 2))
+        .over(ordersWindow.rowsBetween(-2, Window.currentRow))).as("mov3"))
+      .orderBy("o_custkey", "o_orderkey")
+
+  /** RANGE frame over an exact integer key (cents) — value-bounded window;
+    * doubles are never used as frame boundaries (peer/boundary arithmetic
+    * must be exact on both engines). */
+  private def qWinRange(s: SparkSession, d: String): DataFrame = {
+    val cents = (dec(col("o_totalprice"), 12, 2) * 100).cast(LongType)
+    val w = Window.partitionBy(col("st")).orderBy(col("cents")).rangeBetween(-100000L, 0L)
+    Tables.orders(s, d)
+      .select(col("o_orderstatus").as("st"), col("o_orderkey"), cents.as("cents"))
+      .withColumn("cnt_in_range", count(lit(1)).over(w))
+      .orderBy("o_orderkey")
+  }
+
+  private def qWinNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"), ntile(4).over(w).as("tile"))
+      .orderBy("c_custkey")
+  }
+
+  /** first/last_value with the frame written out explicitly — default
+    * frames differ between engines (SURVEY.md §2.E). */
+  private def qWinFirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = ordersWindow.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      first(col("o_orderkey")).over(w).as("first_ok"),
+      last(col("o_orderkey")).over(w).as("last_ok"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private def qSortMulti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"), nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+      .orderBy(col("seg").desc_nulls_last, col("c_custkey"))
+
+  /** Global top-k compiles to TakeOrderedAndProject — per-partition heaps,
+    * no global sort. */
+  private def qTopkGlobal(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  private def qSetUnionAll(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .unionByName(ev.filter(col("event_type") === "view").select("user_id"))
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .orderBy("user_id")
+  }
+
+  private def qSetUnion(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+      .union(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+      .distinct()
+      .orderBy("nk")
+
+  private def qSetIntersect(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(col("p_partkey").as("partkey"))
+      .intersect(Tables.lineitem(s, d).select(col("l_partkey").as("partkey")))
+      .orderBy("partkey")
+
+  private def qSetExcept(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(col("p_partkey").as("partkey"))
+      .except(Tables.lineitem(s, d).select(col("l_partkey").as("partkey")))
+      .orderBy("partkey")
+}
