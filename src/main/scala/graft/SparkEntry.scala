@@ -16,7 +16,9 @@ object SparkEntry {
       (ops.Relational.queries, ops.Relational.oracle),
       (ops.Aggregations.queries, ops.Aggregations.oracle),
       (ops.Joins.queries, ops.Joins.oracle),
-      (ops.Windows.queries, ops.Windows.oracle)
+      (ops.Windows.queries, ops.Windows.oracle),
+      (ops.ScalarFuncs.queries, ops.ScalarFuncs.oracle),
+      (ops.Udfs.queries, ops.Udfs.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
