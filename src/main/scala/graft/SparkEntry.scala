@@ -18,7 +18,8 @@ object SparkEntry {
       (ops.Joins.queries, ops.Joins.oracle),
       (ops.Windows.queries, ops.Windows.oracle),
       (ops.ScalarFuncs.queries, ops.ScalarFuncs.oracle),
-      (ops.Udfs.queries, ops.Udfs.oracle)
+      (ops.Udfs.queries, ops.Udfs.oracle),
+      (ops.StreamingAnalogs.queries, ops.StreamingAnalogs.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

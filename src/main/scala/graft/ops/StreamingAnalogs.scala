@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.Dsl._
+import graft.streaming.StreamOps
+
+/** Declared batch analogs of the streaming operators (SURVEY.md §2.I).
+  * Each query applies the SAME transformation the streaming form uses
+  * (graft.streaming.StreamOps), so the DuckDB oracle certifies the
+  * streaming logic too; StreamBatchEquivSuite closes the loop by replaying
+  * events through MemoryStream.
+  */
+object StreamingAnalogs {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumble" -> qStreamTumble,
+    "q_stream_slide" -> qStreamSlide,
+    "q_stream_session" -> qStreamSession,
+    "q_stream_dedup" -> qStreamDedup,
+    "q_stream_late" -> qStreamLate,
+    "q_stream_stateful" -> qStreamStateful,
+    "q_stream_interval_join" -> qStreamIntervalJoin
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumble" ->
+      """SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+                event_type, count(*) AS cnt,
+                CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_stream_slide" ->
+      """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 - g.k) * 21600000000 AS ws,
+                event_type, count(*) AS cnt
+         FROM events, (SELECT unnest([0,1,2,3]) AS k) g
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+         m AS (SELECT user_id, t,
+                      CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                                >= INTERVAL 30 MINUTE
+                           OR lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                           THEN 1 ELSE 0 END AS brk
+               FROM e),
+         sid AS (SELECT user_id,
+                        SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+                 FROM m),
+         per AS (SELECT user_id, sess, count(*) AS len FROM sid GROUP BY user_id, sess)
+         SELECT user_id, count(*) AS n_sessions, max(len) AS max_len, CAST(SUM(len) AS BIGINT) AS n_events
+         FROM per GROUP BY user_id ORDER BY user_id""",
+    "q_stream_dedup" ->
+      """SELECT user_id, event_type, MIN(event_id) AS first_id
+         FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""",
+    "q_stream_late" ->
+      """SELECT user_id, count(*) AS n_late FROM (
+           SELECT user_id,
+                  MAX(ts) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm,
+                  ts
+           FROM events)
+         WHERE wm - ts > INTERVAL 10 MINUTE
+         GROUP BY user_id ORDER BY user_id""",
+    "q_stream_stateful" ->
+      """SELECT user_id, count(*) AS n_purch,
+                CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY user_id ORDER BY user_id""",
+    "q_stream_interval_join" ->
+      """SELECT a.user_id, count(*) AS cnt
+         FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type = 'click') a
+         JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type = 'purchase') b
+           ON a.user_id = b.user_id AND b.t > a.t AND b.t <= a.t + INTERVAL 1 HOUR
+         GROUP BY a.user_id ORDER BY a.user_id"""
+  )
+
+  private def qStreamTumble(s: SparkSession, d: String): DataFrame =
+    StreamOps.tumblingDaily(Tables.events(s, d))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("cnt"),
+        decStr(col("sum_value")).as("sum_value"))
+      .orderBy("day", "event_type")
+
+  /** Window starts are emitted as epoch micros (exact integers); the oracle
+    * reproduces Spark's epoch-aligned `floor(t/slide)` window assignment. */
+  private def qStreamSlide(s: SparkSession, d: String): DataFrame =
+    StreamOps.slidingDaily(Tables.events(s, d))
+      .select(unix_micros(col("w.start")).as("ws"), col("event_type"), col("cnt"))
+      .orderBy("ws", "event_type")
+
+  private def qStreamSession(s: SparkSession, d: String): DataFrame =
+    StreamOps.sessionPerUser(Tables.events(s, d))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("len")).as("max_len"),
+        sum(col("len")).cast(LongType).as("n_events"))
+      .orderBy("user_id")
+
+  private def qStreamDedup(s: SparkSession, d: String): DataFrame =
+    StreamOps.dedupFirst(Tables.events(s, d))
+      .orderBy("user_id", "event_type")
+
+  /** Watermark / late-data analog: running max event time over ARRIVAL
+    * order (event_id) minus 10 min is the watermark; events below it are
+    * late. Pure int64-nanosecond arithmetic — no timestamp conversion.
+    * (The real watermark op is exercised in the streaming suite; this
+    * batch analog uses a global running window, fine at fixture scale.) */
+  private def qStreamLate(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("event_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("wm", max(col("ts")).over(w))
+      .filter(col("wm") - col("ts") > 600000000000L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_late"))
+      .orderBy("user_id")
+  }
+
+  private def qStreamStateful(s: SparkSession, d: String): DataFrame =
+    StreamOps.purchaseTotalsBatch(Tables.events(s, d))
+      .orderBy("user_id")
+
+  private def qStreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    StreamOps.clickToPurchase(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("user_id")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.Dsl._
+
+/** Streaming operators (SURVEY.md §2.I) — the heart of the reference genre
+  * (Flink real-time DWS layer), mapped to Structured Streaming.
+  *
+  * Design rule (SURVEY.md §7.1): each op is ONE transformation applied to
+  * either a batch or a streaming DataFrame. The declared queries in
+  * ops.StreamingAnalogs run these transforms on the batch events table
+  * (Structured Streaming's incremental semantics are defined to converge
+  * to the batch answer); StreamBatchEquivSuite replays the same events
+  * through MemoryStream and asserts stream result == batch result.
+  *
+  * Scale notes: all stateful ops key their state by (window × type) or
+  * user — state size is bounded by key cardinality, not stream length;
+  * watermarks bound out-of-order buffering so state is evicted at 100 TB
+  * stream scale. Aggregations are partial-agg friendly (counts, decimal
+  * sums).
+  */
+object StreamOps {
+
+  /** Tumbling 1-day event-time window per event type (genre: DWS daily
+    * PV/amount rollup). */
+  def tumblingDaily(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("t"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("value"), 18, 2)).as("sum_value"))
+
+  /** Sliding (hopping) 1-day window advancing every 6 hours — each event
+    * lands in exactly 4 windows. */
+  def slidingDaily(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("t"), "1 day", "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Session windows with a 30-minute gap per user (genre: user session
+    * cut). A gap of exactly 30 minutes CLOSES the session. */
+  def sessionPerUser(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("t"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("len"))
+
+  /** Streaming dedup (genre: keyed-state first-visit filter). The declared
+    * batch analog pins keep-FIRST semantics via min(event_id); the
+    * streaming form is dropDuplicates on the key columns. */
+  def dedupFirst(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_id"))
+
+  def dedupStreaming(ev: DataFrame): DataFrame =
+    ev.dropDuplicates(Seq("user_id", "event_type"))
+
+  /** Typed state for the per-user running purchase total
+    * (genre: KeyedProcessFunction with ValueState). Money is tracked in
+    * integer cents — exact and merge-order independent. */
+  case class EvRow(event_id: Long, user_id: Long, event_type: String, valueCents: Long, t: Timestamp)
+  case class UserPurchaseTotal(user_id: Long, n_purch: Long, cents: Long)
+
+  /** Streaming form of the stateful op: flatMapGroupsWithState emitting the
+    * updated per-user total on every purchase (OutputMode.Update). */
+  def statefulPurchaseTotals(ev: Dataset[EvRow]): Dataset[UserPurchaseTotal] = {
+    import ev.sparkSession.implicits._
+    ev.filter(_.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[EvRow], state: GroupState[UserPurchaseTotal]) => {
+          val prev = state.getOption.getOrElse(UserPurchaseTotal(uid, 0L, 0L))
+          var n = prev.n_purch
+          var cents = prev.cents
+          rows.foreach { r => n += 1; cents += r.valueCents }
+          val next = UserPurchaseTotal(uid, n, cents)
+          state.update(next)
+          Iterator(next)
+        })
+  }
+
+  /** Batch analog of the stateful op: the final per-user state equals the
+    * grouped aggregate (exactly-once contract). */
+  def purchaseTotalsBatch(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_purch"),
+        sum((dec(col("value"), 18, 2) * 100).cast(LongType)).cast(LongType).as("cents"))
+
+  /** Stream-stream interval join: click → purchase of the same user within
+    * the following hour (genre: Flink intervalJoin ±15 min). In streaming
+    * form both sides carry watermarks and the time bound lets state age
+    * out. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val a = clicks.select(col("user_id"), col("t").as("t_click"))
+    val b = purchases.select(col("user_id").as("uid_b"), col("t").as("t_purch"))
+    a.join(b,
+      col("user_id") === col("uid_b") &&
+        col("t_purch") > col("t_click") &&
+        col("t_purch") <= col("t_click") + expr("INTERVAL 1 HOUR"))
+  }
+
+  /** Attach a 10-minute watermark — the streaming entry point used by the
+    * equivalence suite. */
+  def withWm(ev: DataFrame): DataFrame = ev.withWatermark("t", "10 minutes")
+}
