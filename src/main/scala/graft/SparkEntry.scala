@@ -19,7 +19,9 @@ object SparkEntry {
       (ops.Windows.queries, ops.Windows.oracle),
       (ops.ScalarFuncs.queries, ops.ScalarFuncs.oracle),
       (ops.Udfs.queries, ops.Udfs.oracle),
-      (ops.StreamingAnalogs.queries, ops.StreamingAnalogs.oracle)
+      (ops.StreamingAnalogs.queries, ops.StreamingAnalogs.oracle),
+      (ops.Dedup.queries, ops.Dedup.oracle),
+      (ops.TextSim.queries, ops.TextSim.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus deduplication operators (SURVEY.md §2.J; north star: LLM
+  * training-data pipeline at 100 TB).
+  *
+  * Four tiers, as a real pipeline would stage them:
+  *  - exact (content-hash groupBy) — one shuffle on the hash;
+  *  - exact n-gram Jaccard (shingle inverted-index self-join) — the
+  *    ground-truth near-dup definition;
+  *  - MinHash+LSH (signature → banding → bucket join → exact verify) —
+  *    the 100 TB path: candidate generation touches only band-bucket
+  *    collisions, never all O(n²) pairs, and the exact-verify step makes
+  *    its output IDENTICAL to the ground truth (same oracle);
+  *  - SimHash (64-bit sketch, banked hamming join) — constant-size
+  *    signature per doc; no oracle (hash internals aren't SQL-portable),
+  *    covered by unit tests on the planted near-dup pairs.
+  */
+object Dedup {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_near" -> qDedupNear,
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_simhash" -> qDedupSimhash
+  )
+
+  /** Shared oracle for near / minhash: exact word-3-shingle Jaccard >= 0.8
+    * pairs with integer-only outputs (inter, union sizes). */
+  private val nearOracle =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM tok),
+       sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM pos),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id)
+       SELECT d1, d2, inter, (x.n + y.n - inter) AS unionsz
+       FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+       WHERE inter * 10 >= 8 * (x.n + y.n - inter)
+       ORDER BY d1, d2"""
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT lang, COUNT(DISTINCT text) AS n_distinct, count(*) AS n_docs
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_dedup_near" -> nearOracle,
+    "q_dedup_minhash" -> nearOracle
+  )
+
+  /** Distinct word-k-shingles per doc: (doc_id, s). The inverted-index key
+    * for all Jaccard work. */
+  def shingles(docs: DataFrame, k: Int = 3): DataFrame =
+    docs
+      .withColumn("tok", split(col("text"), " "))
+      .withColumn("sh", when(size(col("tok")) >= k,
+        expr(s"transform(sequence(1, size(tok) - ${k - 1}), i -> concat_ws(' ', slice(tok, i, $k)))"))
+        .otherwise(array()))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .distinct()
+
+  /** Exact Jaccard >= 0.8 pairs from a shingle table, optionally restricted
+    * to a candidate pair set (the LSH path). Integer-only filter:
+    * inter*10 >= 8*union — no float division anywhere. */
+  def jaccardPairs(sh: DataFrame, candidates: Option[DataFrame] = None): DataFrame = {
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = candidates match {
+      case None =>
+        val a = sh.select(col("doc_id").as("d1"), col("s"))
+        val b = sh.select(col("doc_id").as("d2"), col("s"))
+        a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+      case Some(cand) =>
+        cand
+          .join(sh.select(col("doc_id").as("d1"), col("s")), Seq("d1"))
+          .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    }
+    inter
+      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .withColumn("unionsz", col("n1") + col("n2") - col("inter"))
+      .filter(col("inter") * 10 >= col("unionsz") * 8)
+      .select(col("d1"), col("d2"), col("inter"), col("unionsz"))
+  }
+
+  /** Stage 1 of any corpus pipeline: exact dedup via content hash. The
+    * sha2-256 groupBy is what runs at 100 TB (shuffle on 32-byte keys, not
+    * document bodies); the oracle states the same result via distinct text. */
+  private def qDedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(sha2(col("text"), 256)).as("n_distinct"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  /** Ground-truth near-dup: full shingle inverted-index self-join.
+    * Quadratic only in docs sharing a shingle — bounded by shingle-key
+    * cardinality, not corpus size. */
+  private def qDedupNear(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(shingles(Tables.documents(s, d)))
+      .orderBy("d1", "d2")
+
+  /** MinHash(32) + LSH banding (16 bands × 2 rows) + exact verify.
+    * Candidate recall for J >= 0.8 is 1-(1-J²)¹⁶ ≈ 1-4e-8; the exact-verify
+    * pass then reproduces the ground-truth output bit-for-bit, so this
+    * shares `nearOracle`. At 100 TB the band-bucket join is the only
+    * shuffle that matters and it carries (doc_id, 16-byte sig) rows only. */
+  private def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(Tables.documents(s, d))
+    val minhashAggs = (0 until 32).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(minhashAggs.head, minhashAggs.tail: _*)
+    val bandCols = (0 until 16).map { b =>
+      struct(lit(b).as("band"), concat_ws("_", col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bsig"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+    val candidates = buckets.select(col("doc_id").as("d1"), col("band"), col("bsig"))
+      .join(buckets.select(col("doc_id").as("d2"), col("band"), col("bsig")), Seq("band", "bsig"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+    jaccardPairs(sh, Some(candidates)).orderBy("d1", "d2")
+  }
+
+  /** SimHash-64 over shingles: per-bit ±1 vote, banked hamming-distance
+    * candidate join (4 banks × 16 bits — any pair within hamming distance 3
+    * shares at least one bank), exact bit_count verify <= 12.
+    * No oracle: xxhash64 isn't reproducible in the oracle engine; unit
+    * tests pin behavior on the planted near-dups. */
+  private def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(Tables.documents(s, d)).withColumn("h", xxhash64(col("s")))
+    val bitAggs = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
+    }
+    val votes = sh.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val simhash: Column = (0 until 64)
+      .map(j => when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val sigs = votes.select(col("doc_id"), simhash.as("sig"))
+    val bankCols = (0 until 4).map { b =>
+      struct(lit(b).as("bank"), shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bv"))
+    }
+    val banked = sigs.select(col("doc_id"), col("sig"), explode(array(bankCols: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.bank").as("bank"), col("bk.bv").as("bv"))
+    banked.select(col("doc_id").as("d1"), col("sig").as("sig1"), col("bank"), col("bv"))
+      .join(banked.select(col("doc_id").as("d2"), col("sig").as("sig2"), col("bank"), col("bv")), Seq("bank", "bv"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), expr("bit_count(sig1 ^ sig2)").as("hd"))
+      .distinct()
+      .filter(col("hd") <= 12)
+      .orderBy("d1", "d2")
+  }
+}

@@ -1,0 +1,304 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Similarity search + text analysis (SURVEY.md §2.J; north star: LLM
+  * training-data pipeline).
+  *
+  * The dot-product kernel is pure built-ins (`zip_with` + `aggregate`,
+  * codegen'd; floats widened to double BEFORE multiply so both engines
+  * accumulate identical doubles in identical order).
+  *
+  * Scale notes: brute-force kNN broadcasts the (small) probe set against
+  * the partitioned base — no shuffle of the base table. The IVF variant is
+  * the 100 TB path: vectors are bucketed by nearest coarse centroid at
+  * write time, probes scan only nprobe buckets (partition pruning for
+  * vectors).
+  */
+object TextSim {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_knn" -> qSimKnn,
+    "q_sim_label" -> qSimLabel,
+    "q_sim_ivf" -> qSimIvf,
+    "q_dedup_embed" -> qDedupEmbed,
+    "q_text_stats" -> qTextStats,
+    "q_text_ngram" -> qTextNgram,
+    "q_text_langid" -> qTextLangid,
+    "q_text_quality" -> qTextQuality,
+    "q_text_fingerprint" -> qTextFingerprint,
+    "q_multimodal_meta" -> qMultimodalMeta
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_knn" ->
+      """SELECT qid, rnk, nid FROM (
+           SELECT a.vec_id AS qid, b.vec_id AS nid,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+                             b.vec_id) AS rnk
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           WHERE a.vec_id < 10)
+         WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "q_sim_label" ->
+      """WITH nn AS (
+           SELECT qid, nid FROM (
+             SELECT a.vec_id AS qid, b.vec_id AS nid,
+                    row_number() OVER (PARTITION BY a.vec_id
+                      ORDER BY list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+                               b.vec_id) AS rnk
+             FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+             WHERE a.vec_id < 100)
+           WHERE rnk <= 5),
+         sc AS (SELECT nn.qid, e.label, count(*) AS c
+                FROM nn JOIN embeddings e ON nn.nid = e.vec_id GROUP BY nn.qid, e.label),
+         pr AS (SELECT qid, label AS pred FROM (
+                  SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY c DESC, label) AS r
+                  FROM sc) WHERE r = 1)
+         SELECT e.label, count(*) AS n_total,
+                CAST(count(*) FILTER (pr.pred = e.label) AS BIGINT) AS n_correct
+         FROM embeddings e JOIN pr ON e.vec_id = pr.qid
+         GROUP BY e.label ORDER BY e.label""",
+    "q_dedup_embed" ->
+      """SELECT a.vec_id AS v1, b.vec_id AS v2
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+         ORDER BY v1, v2""",
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
+                COUNT(DISTINCT source) AS n_sources,
+                CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_text_ngram" ->
+      """SELECT bigram, count(*) AS cnt FROM (
+           SELECT w[i] || ' ' || w[i+1] AS bigram
+           FROM (SELECT w, unnest(generate_series(1, len(w)-1)) AS i
+                 FROM (SELECT string_split(text, ' ') AS w FROM documents)))
+         GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""",
+    "q_text_langid" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents),
+         prof AS (SELECT plang, tok FROM (
+                    SELECT lang AS plang, tok, row_number() OVER (
+                      PARTITION BY lang ORDER BY count(*) DESC, tok) AS r
+                    FROM toks GROUP BY lang, tok) WHERE r <= 5),
+         sc AS (SELECT t.doc_id, p.plang, count(*) AS score
+                FROM toks t JOIN prof p ON t.tok = p.tok GROUP BY t.doc_id, p.plang),
+         pr AS (SELECT doc_id, plang AS pred FROM (
+                  SELECT doc_id, plang, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, plang) AS r FROM sc)
+                WHERE r = 1)
+         SELECT d.lang, coalesce(pr.pred, 'und') AS pred, count(*) AS cnt
+         FROM documents d LEFT JOIN pr ON d.doc_id = pr.doc_id
+         GROUP BY d.lang, pred ORDER BY d.lang, pred""",
+    "q_text_quality" ->
+      """SELECT doc_id, n_chars, length(text) AS text_len, len(string_split(text,' ')) AS n_tokens,
+                ((length(text) - len(string_split(text,' ')) + 1) * 100) // len(string_split(text,' ')) AS avg_tok_len_x100,
+                len(list_filter(string_split(text,' '), x -> x = 'the' OR x = 'a')) * 1000
+                  // len(string_split(text,' ')) AS stop_ratio_x1000,
+                CASE WHEN n_chars < 100 THEN 1 ELSE 0 END AS short_flag
+         FROM documents ORDER BY doc_id""",
+    "q_text_fingerprint" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         sh AS (SELECT doc_id, i,
+                       md5(w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]) AS h
+                FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) AS i FROM tok)),
+         fp0 AS (SELECT doc_id, i,
+                        min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                        count(*) OVER (PARTITION BY doc_id) AS nsh
+                 FROM sh),
+         fps AS (SELECT DISTINCT doc_id, fp FROM fp0 WHERE i <= nsh - 3)
+         SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp
+         FROM fps GROUP BY doc_id ORDER BY doc_id""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS nbytes, md5(text) AS digest
+         FROM documents ORDER BY doc_id"""
+  )
+
+  /** Exact double dot product via built-ins; floats are widened BEFORE the
+    * multiply and accumulated left-to-right — bit-identical to the oracle's
+    * list_inner_product over DOUBLE[]. */
+  private val dotExpr =
+    expr("aggregate(zip_with(qe, ne, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+
+  /** Brute-force top-k cosine (unit-norm vectors ⇒ dot = cosine): broadcast
+    * probes × partitioned base, per-probe top-k via row_number. */
+  def knn(probes: DataFrame, base: DataFrame, k: Int): DataFrame = {
+    val a = probes.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val b = base.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    broadcast(a).join(b, col("qid") =!= col("nid"))
+      .withColumn("dot", dotExpr)
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))))
+      .filter(col("rnk") <= k)
+  }
+
+  private def qSimKnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    knn(emb.filter(col("vec_id") < 10), emb, 5)
+      .select("qid", "rnk", "nid")
+      .orderBy("qid", "rnk")
+  }
+
+  /** kNN classification: majority label of the 5 nearest neighbors vs the
+    * vector's own label, per label. */
+  private def qSimLabel(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val nn = knn(emb.filter(col("vec_id") < 100), emb, 5).select("qid", "nid")
+    val sc = nn.join(emb.select(col("vec_id").as("nid"), col("label")), Seq("nid"))
+      .groupBy(col("qid"), col("label")).agg(count(lit(1)).as("c"))
+    val pr = sc
+      .withColumn("r", row_number().over(Window.partitionBy(col("qid")).orderBy(col("c").desc, col("label"))))
+      .filter(col("r") === 1)
+      .select(col("qid"), col("label").as("pred"))
+    emb.select(col("vec_id").as("qid"), col("label")).join(pr, Seq("qid"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).cast(LongType).as("n_correct"))
+      .orderBy("label")
+  }
+
+  /** IVF-style approximate kNN — the scale path. Coarse quantizer: the 16
+    * lowest-id vectors stand in for k-means centroids (deterministic);
+    * every base vector is assigned to its nearest centroid (its "cell"),
+    * probes search only their nprobe=4 closest cells. No oracle (approximate
+    * by design); KnnSuite asserts recall >= 0.8 vs exact. */
+  private def qSimIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    def nearestCells(vecs: DataFrame, n: Int): DataFrame =
+      vecs.select(col("vec_id").as("vid"), col("embedding").as("qe"))
+        .crossJoin(broadcast(cents.withColumnRenamed("ce", "ne")))
+        .withColumn("dot", dotExpr)
+        .withColumn("r", row_number().over(Window.partitionBy(col("vid")).orderBy(col("dot").desc, col("cid"))))
+        .filter(col("r") <= n)
+        .select(col("vid"), col("cid"))
+    val cells = nearestCells(emb, 1).select(col("vid").as("nid"), col("cid"))
+    val probeCells = nearestCells(emb.filter(col("vec_id") < 10), 4)
+      .select(col("vid").as("qid"), col("cid"))
+    val cand = probeCells.join(cells, Seq("cid")).filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    cand
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe")), Seq("qid"))
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
+      .withColumn("dot", dotExpr)
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))))
+      .filter(col("rnk") <= 5)
+      .select("qid", "rnk", "nid")
+      .orderBy("qid", "rnk")
+  }
+
+  /** Embedding-cosine near-dup pairs (threshold 0.4 — fixture vectors are
+    * spread, max pairwise cosine ≈ 0.6). Ints-only output. */
+  private def qDedupEmbed(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val a = emb.select(col("vec_id").as("v1"), col("embedding").as("qe"))
+    val b = emb.select(col("vec_id").as("v2"), col("embedding").as("ne"))
+    a.join(b, col("v1") < col("v2"))
+      .withColumn("dot", dotExpr)
+      .filter(col("dot") >= 0.4)
+      .select("v1", "v2")
+      .orderBy("v1", "v2")
+  }
+
+  private def qTextStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("chars"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(size(split(col("text"), " "))).cast(LongType).as("n_tokens"))
+      .orderBy("lang")
+
+  private def qTextNgram(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("tok", split(col("text"), " "))
+      .filter(size(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tok) - 1), i -> concat(element_at(tok, i), ' ', element_at(tok, i + 1)))"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(20)
+
+  /** Language-ID by n-gram (here unigram) frequency profiles: each lang's
+    * top-5 tokens form its profile; a doc's predicted lang is the profile
+    * matching the most token occurrences (integer scores, lang-asc
+    * tiebreak). Output is the lang × pred confusion matrix. */
+  private def qTextLangid(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val prof = toks.groupBy(col("lang").as("plang"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("r", row_number().over(Window.partitionBy(col("plang")).orderBy(col("cnt").desc, col("tok"))))
+      .filter(col("r") <= 5)
+      .select(col("plang"), col("tok"))
+    val sc = toks.join(prof, Seq("tok")).groupBy(col("doc_id"), col("plang"))
+      .agg(count(lit(1)).as("score"))
+    val pr = sc
+      .withColumn("r", row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("plang"))))
+      .filter(col("r") === 1)
+      .select(col("doc_id"), col("plang").as("pred"))
+    docs.join(pr, Seq("doc_id"), "left")
+      .select(col("lang"), coalesce(col("pred"), lit("und")).as("pred"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "pred")
+  }
+
+  /** Quality scoring with integer-ratio outputs (×100/×1000 fixed-point —
+    * no float division crosses the oracle boundary). */
+  private def qTextQuality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("text_len", length(col("text")).cast(LongType))
+      .select(
+        col("doc_id"), col("n_chars"), col("text_len"), col("n_tokens"),
+        expr("(text_len - n_tokens + 1) * 100 DIV n_tokens").as("avg_tok_len_x100"),
+        expr("size(filter(split(text, ' '), x -> x = 'the' OR x = 'a')) * 1000 DIV n_tokens")
+          .cast(LongType).as("stop_ratio_x1000"),
+        when(col("n_chars") < 100, 1).otherwise(0).as("short_flag"))
+      .orderBy("doc_id")
+
+  /** Winnowing fingerprints (rolling document signature): md5 over word
+    * 5-grams, min-hash per sliding window of 4 — the classic local
+    * fingerprinting scheme for plagiarism/near-dup detection. md5 is
+    * computed identically by both engines, so fully oracle-checkable. */
+  private def qTextFingerprint(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .withColumn("tok", split(col("text"), " "))
+      .filter(size(col("tok")) >= 5)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(tok) - 4), i -> md5(concat_ws(' ', slice(tok, i, 5))))")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "h")
+    val wMin = Window.partitionBy(col("doc_id")).orderBy(col("i")).rowsBetween(0, 3)
+    val wAll = Window.partitionBy(col("doc_id"))
+    sh
+      .withColumn("fp", min(col("h")).over(wMin))
+      .withColumn("nsh", count(lit(1)).over(wAll))
+      .filter(col("i") <= col("nsh") - 4)
+      .select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal plumbing, metadata leg: opaque payloads as binary + typed
+    * metadata (byte length, content digest). The decode/resize stages live
+    * in graft.multimodal (stubbed codecs, real Spark plumbing). */
+  private def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("payload", col("text").cast(BinaryType))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).cast(LongType).as("nbytes"),
+        md5(col("payload")).as("digest"))
+      .orderBy("doc_id")
+}
