@@ -111,8 +111,11 @@ object Dedup {
     * shares `nearOracle`. At 100 TB the band-bucket join is the only
     * shuffle that matters and it carries (doc_id, 16-byte sig) rows only. */
   private def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(Tables.documents(s, d))
-    val minhashAggs = (0 until 32).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    // One string hash per shingle; the 32-member hash family re-hashes that
+    // 8-byte value with per-member seeds — 32× fewer string hashes, and no
+    // wrapping arithmetic (ANSI mode forbids long overflow).
+    val sh = shingles(Tables.documents(s, d)).withColumn("h0", xxhash64(col("s")))
+    val minhashAggs = (0 until 32).map(i => min(xxhash64(lit(i), col("h0"))).as(s"h$i"))
     val sig = sh.groupBy(col("doc_id")).agg(minhashAggs.head, minhashAggs.tail: _*)
     val bandCols = (0 until 16).map { b =>
       struct(lit(b).as("band"), concat_ws("_", col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bsig"))

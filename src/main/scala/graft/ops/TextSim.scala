@@ -119,11 +119,17 @@ object TextSim {
          FROM documents ORDER BY doc_id"""
   )
 
-  /** Exact double dot product via built-ins; floats are widened BEFORE the
-    * multiply and accumulated left-to-right — bit-identical to the oracle's
-    * list_inner_product over DOUBLE[]. */
-  private val dotExpr =
-    expr("aggregate(zip_with(qe, ne, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+  /** Exact double dot product: floats widened BEFORE the multiply,
+    * accumulated left-to-right — bit-identical to the oracle's
+    * list_inner_product over DOUBLE[]. Uses the native codegen'd
+    * DotProductD expression (graft.expr); the equivalent built-in
+    * composition (`aggregate(zip_with(...))`, same bits, ~10× slower
+    * interpreted lambdas) is kept under test as the semantic spec. */
+  private def dotExpr = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.expr.DotProductD(
+      Bridge.expression(col("qe")), Bridge.expression(col("ne"))))
+  }
 
   /** Brute-force top-k cosine (unit-norm vectors ⇒ dot = cosine): broadcast
     * probes × partitioned base, per-probe top-k via row_number. */
