@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support (SURVEY.md §2.J north star): images/audio/
+  * video ride through the engine as opaque `binary` payloads with a typed
+  * metadata struct; decode / feature-extract / resize / frame-sample run
+  * as partition-local batch transforms.
+  *
+  * The Spark-side plumbing here — schema, encoders, mapPartitions batch
+  * shape, partition sizing — is real and tested. The codec calls are
+  * STUBS (deterministic fakes): this offline environment has no image/
+  * audio libraries, so `decodeDims`/`resize`/`frameSample` derive their
+  * outputs from payload bytes instead of actually decoding. A deployment
+  * swaps the stub bodies for javax.imageio / ffmpeg / soundfile calls;
+  * nothing else changes.
+  *
+  * Scale notes: payloads never pass through a shuffle — all transforms are
+  * narrow (mapPartitions); metadata extraction projects away the payload
+  * before any wide op. At 100 TB the media table is stored with payloads
+  * in their own parquet column (column pruning skips them unless needed)
+  * and partitioned so one task holds O(100) payloads, not O(rows).
+  */
+object Multimodal {
+
+  /** Media table schema: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)
+  ))
+
+  case class MediaRow(media_id: Long, mime: String, payload: Array[Byte])
+  case class MediaMeta(media_id: Long, mime: String, nbytes: Long,
+                       width: Int, height: Int, digest: String)
+
+  /** STUB codec: derive (width, height) deterministically from the payload
+    * header bytes. Real impl: javax.imageio.ImageIO.read / ffprobe. */
+  def decodeDims(payload: Array[Byte]): (Int, Int) = {
+    val w = 16 + (if (payload.length > 0) (payload(0) & 0x7f) else 0)
+    val h = 16 + (if (payload.length > 1) (payload(1) & 0x7f) else 0)
+    (w, h)
+  }
+
+  /** STUB codec: "resize" = deterministic byte subsampling to the target
+    * pixel budget. Real impl: bilinear/Lanczos resample of decoded pixels. */
+  def resize(payload: Array[Byte], maxBytes: Int): Array[Byte] =
+    if (payload.length <= maxBytes) payload
+    else {
+      val step = math.max(1, payload.length / maxBytes)
+      payload.indices.collect { case i if i % step == 0 => payload(i) }.take(maxBytes).toArray
+    }
+
+  /** STUB codec: sample n evenly-spaced "frames" (fixed-width byte windows).
+    * Real impl: ffmpeg keyframe extraction. */
+  def frameSample(payload: Array[Byte], n: Int, frameBytes: Int = 16): Seq[Array[Byte]] = {
+    if (payload.isEmpty || n <= 0) Seq.empty
+    else (0 until n).map { k =>
+      val start = ((payload.length.toLong * k) / n).toInt
+      payload.slice(start, math.min(start + frameBytes, payload.length))
+    }
+  }
+
+  private def sha256Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(bytes).map("%02x".format(_)).mkString
+
+  /** Metadata extraction: partition-local batch transform (the Scala analog
+    * of a pandas-batch UDF) — one codec context per partition, payload
+    * dropped from the output row. */
+  def extractMeta(ds: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition setup would initialize the real codec here, once
+      rows.map { r =>
+        val (w, h) = decodeDims(r.payload)
+        MediaMeta(r.media_id, r.mime, r.payload.length.toLong, w, h, sha256Hex(r.payload))
+      }
+    }
+  }
+
+  /** Frame sampling as a generator: one output row per sampled frame. */
+  def sampleFrames(ds: Dataset[MediaRow], n: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.flatMap(r => frameSample(r.payload, n).zipWithIndex.map {
+      case (f, i) => (r.media_id, i, f)
+    }).toDF("media_id", "frame_no", "frame")
+  }
+
+  /** Build a synthetic media table from any string column — the test
+    * harness for the plumbing (fixtures ship no binary payloads). */
+  def syntheticMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("application/x-fake").as("mime"),
+      col("text").cast(BinaryType).as("payload"))
+      .as[MediaRow]
+  }
+}

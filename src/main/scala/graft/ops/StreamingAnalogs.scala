@@ -41,7 +41,7 @@ object StreamingAnalogs {
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events),
          m AS (SELECT user_id, t,
                       CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
-                                >= INTERVAL 30 MINUTE
+                                > INTERVAL 30 MINUTE
                            OR lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
                            THEN 1 ELSE 0 END AS brk
                FROM e),

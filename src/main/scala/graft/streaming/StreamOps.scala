@@ -39,7 +39,9 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"))
 
   /** Session windows with a 30-minute gap per user (genre: user session
-    * cut). A gap of exactly 30 minutes CLOSES the session. */
+    * cut). Boundary semantics (pinned by unit test): a gap of EXACTLY the
+    * timeout still merges; only a strictly greater gap starts a new
+    * session. */
   def sessionPerUser(ev: DataFrame): DataFrame =
     ev.groupBy(session_window(col("t"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("len"))

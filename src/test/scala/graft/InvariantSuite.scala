@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Prop, Test => SCTest}
+import graft.multimodal.Multimodal
+import graft.ops.{Dedup, TextSim}
+
+/** Dataset-level invariants (SURVEY.md §5.3) plus ScalaCheck properties on
+  * the pure kernels. */
+class InvariantSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def check(p: Prop): Unit =
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), p).passed)
+
+  test("tumbling windows partition events: window counts sum to total") {
+    val total = Tables.events(spark, sf0001).count()
+    val winSum = streaming.StreamOps.tumblingDaily(Tables.events(spark, sf0001))
+      .agg(sum("cnt")).as[Long].head()
+    assert(winSum == total)
+  }
+
+  test("sliding 1d/6h windows assign each event exactly 4 windows") {
+    val total = Tables.events(spark, sf0001).count()
+    val winSum = streaming.StreamOps.slidingDaily(Tables.events(spark, sf0001))
+      .agg(sum("cnt")).as[Long].head()
+    assert(winSum == 4 * total)
+  }
+
+  test("session windows partition events per user") {
+    val total = Tables.events(spark, sf0001).count()
+    val sessSum = streaming.StreamOps.sessionPerUser(Tables.events(spark, sf0001))
+      .agg(sum("len")).as[Long].head()
+    assert(sessSum == total)
+  }
+
+  test("topk(3) per nation is a subset of topk(5)") {
+    def topk(k: Int) = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(spark, sf0001)
+        .select(col("c_custkey"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= k).select("c_custkey").as[Long].collect().toSet
+    }
+    assert(topk(3).subsetOf(topk(5)))
+  }
+
+  test("dedup is idempotent") {
+    val once = Tables.documents(spark, sf0001).dropDuplicates("text")
+    val twice = once.dropDuplicates("text")
+    assert(once.count() == twice.count())
+  }
+
+  test("union-all count additivity") {
+    val ev = Tables.events(spark, sf0001)
+    val a = ev.filter(col("event_type") === "click")
+    val b = ev.filter(col("event_type") === "view")
+    assert(a.unionByName(b).count() == a.count() + b.count())
+  }
+
+  test("minhash-LSH candidates + exact verify reproduce the exact near-dup pairs") {
+    val near = SparkEntry.queries("q_dedup_near")(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val lsh = SparkEntry.queries("q_dedup_minhash")(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(near == lsh)
+    assert(near.nonEmpty) // fixtures plant near-dup pairs
+  }
+
+  test("simhash candidates cover the planted high-similarity pairs") {
+    val near = SparkEntry.queries("q_dedup_near")(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect()
+      .filter(p => p._3 * 10 >= 9 * p._4).map(p => (p._1, p._2)).toSet // J >= 0.9
+    val sim = SparkEntry.queries("q_dedup_simhash")(spark, sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val covered = near.count(sim.contains)
+    assert(near.isEmpty || covered.toDouble / near.size >= 0.5,
+      s"simhash covered $covered of ${near.size} planted pairs")
+  }
+
+  test("IVF kNN recall >= 0.6 vs exact kNN") {
+    val exact = SparkEntry.queries("q_sim_knn")(spark, sf0001)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = SparkEntry.queries("q_sim_ivf")(spark, sf0001)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall")
+  }
+
+  test("multimodal: metadata extraction preserves ids, sizes and digests") {
+    val docs = Tables.documents(spark, sf0001)
+    val media = Multimodal.syntheticMedia(spark, docs)
+    val meta = Multimodal.extractMeta(media)
+    assert(meta.count() == docs.count())
+    // nbytes == octet_length(text) (ASCII fixture text)
+    val viaSql = docs.select(col("doc_id"), octet_length(col("text")).cast("long").as("nbytes"))
+      .as[(Long, Long)].collect().toMap
+    val viaMeta = meta.select(col("media_id"), col("nbytes")).as[(Long, Long)].collect().toMap
+    assert(viaSql == viaMeta)
+    // digest matches Spark's builtin sha2 over the same bytes
+    val sqlDigest = docs.select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("d"))
+      .as[(Long, String)].collect().toMap
+    val metaDigest = meta.select(col("media_id"), col("digest")).as[(Long, String)].collect().toMap
+    assert(sqlDigest == metaDigest)
+  }
+
+  test("multimodal frame sampling emits n frames per payload") {
+    val docs = Tables.documents(spark, sf0001).limit(20)
+    val frames = Multimodal.sampleFrames(Multimodal.syntheticMedia(spark, docs), 4)
+    val counts = frames.groupBy("media_id").count().select("count").as[Long].collect()
+    assert(counts.forall(_ == 4))
+  }
+
+  test("pure kernels: resize/frameSample/decodeDims properties") {
+    check(Prop.forAll { (bytes: Array[Byte]) =>
+      val r = Multimodal.resize(bytes, 32)
+      r.length <= 32 || bytes.length <= 32
+    })
+    check(Prop.forAll { (bytes: Array[Byte]) =>
+      bytes.isEmpty || Multimodal.frameSample(bytes, 3).size == 3
+    })
+    check(Prop.forAll { (bytes: Array[Byte]) =>
+      val (w1, h1) = Multimodal.decodeDims(bytes)
+      val (w2, h2) = Multimodal.decodeDims(bytes)
+      w1 == w2 && h1 == h2 && w1 >= 16 && h1 >= 16
+    })
+  }
+
+  test("jaccard reference property: engine matches a pure-Scala computation") {
+    def shingleSet(text: String): Set[String] =
+      text.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val texts = Seq(
+      "a b c d e f g h" -> "a b c d e f g x",
+      "p q r s t u" -> "p q r s t u",
+      "m n o p" -> "x y z w"
+    )
+    texts.zipWithIndex.foreach { case ((t1, t2), i) =>
+      val s1 = shingleSet(t1); val s2 = shingleSet(t2)
+      val inter = (s1 & s2).size; val union = (s1 | s2).size
+      val docs = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+      val got = Dedup.jaccardPairs(Dedup.shingles(docs))
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val expected =
+        if (inter * 10 >= 8 * union) Seq((1L, 2L, inter.toLong, union.toLong)) else Seq.empty
+      assert(got == expected, s"case $i")
+    }
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import graft.expr.DotProductD
+import graft.ops.Dedup
+import graft.streaming.StreamOps
+
+/** Per-operator unit tests on tiny literal inputs with hand-computed
+  * expected outputs (SURVEY.md §5.2), pinning the edge semantics the
+  * oracle can't isolate. */
+class OperatorUnitSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("session_window gap boundary: exactly 30 min merges, 30 min + 1µs splits") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:30:00")),        // exactly 30:00 after #1 → SAME session
+      (1L, ts("2024-01-01 11:00:00.000001")), // 30:00.000001 after #2 → NEW session
+      (2L, ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "t")
+    val sessions = StreamOps.sessionPerUser(ev)
+      .select("user_id", "len").as[(Long, Long)].collect().sorted
+    assert(sessions.toSeq == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("dedupFirst keeps the minimum event_id per (user, type)") {
+    val ev = Seq(
+      (5L, 1L, "click"), (3L, 1L, "click"), (9L, 1L, "view"), (7L, 2L, "click")
+    ).toDF("event_id", "user_id", "event_type")
+    val got = StreamOps.dedupFirst(ev)
+      .select("user_id", "event_type", "first_id")
+      .as[(Long, String, Long)].collect().sorted
+    assert(got.toSeq == Seq((1L, "click", 3L), (1L, "view", 9L), (2L, "click", 7L)))
+  }
+
+  test("jaccardPairs: hand-computed intersection/union and threshold") {
+    // doc1: tokens a b c d e → shingles {abc, bcd, cde}  (3)
+    // doc2: a b c d e f     → shingles {abc, bcd, cde, def} (4)
+    // doc3: x y z w         → shingles {xyz, yzw} (2), disjoint
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e f"), (3L, "x y z w")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(Dedup.shingles(docs))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // J(1,2) = 3/4 = 0.75 < 0.8 → excluded; no other overlaps
+    assert(pairs.isEmpty)
+    // with threshold J >= 0.75 the pair would qualify: check the raw counts
+    val docs2 = Seq((1L, "a b c d e f"), (2L, "a b c d e f g")).toDF("doc_id", "text")
+    val p2 = Dedup.jaccardPairs(Dedup.shingles(docs2))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc1: 4 shingles, doc2: 5; inter = 4; union = 5; J = 0.8 → included
+    assert(p2 == Seq((1L, 2L, 4L, 5L)))
+  }
+
+  test("shingles: documents shorter than k words produce no shingles") {
+    val docs = Seq((1L, "a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs).as[(Long, String)].collect().toSeq
+    assert(sh == Seq((2L, "a b c")))
+  }
+
+  test("DotProductD matches the built-in zip_with/aggregate composition bit-for-bit") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "qe", "ne")
+    val native = Bridge.column(DotProductD(Bridge.expression(col("qe")), Bridge.expression(col("ne"))))
+    val builtin = expr(
+      "aggregate(zip_with(qe, ne, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+    val diffs = df.select(col("id"), native.as("a"), builtin.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diffs == 0)
+  }
+
+  test("DotProductD: empty arrays give 0.0, mismatched lengths use the shorter") {
+    val df = Seq(
+      (1L, Array.empty[Float], Array.empty[Float]),
+      (2L, Array(1f, 2f, 3f), Array(2f))
+    ).toDF("id", "qe", "ne")
+    val native = Bridge.column(DotProductD(Bridge.expression(col("qe")), Bridge.expression(col("ne"))))
+    val got = df.select(col("id"), native.as("d")).as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0 && got(2L) == 2.0)
+  }
+
+  test("dot_product_d is SQL-callable after registration") {
+    Bridge.registerFunction(spark, "dot_product_d",
+      exprs => DotProductD(exprs(0), exprs(1)))
+    Seq((Array(1f, 2f), Array(3f, 4f))).toDF("a", "b").createOrReplaceTempView("vecs")
+    val r = spark.sql("SELECT dot_product_d(a, b) AS d FROM vecs").as[Double].head()
+    assert(r == 11.0)
+  }
+
+  test("approx_count_distinct within 5% of exact on events") {
+    val ev = Tables.events(spark, sf0001)
+    val exact = ev.select(countDistinct(col("user_id"))).as[Long].head()
+    val approx = ev.select(approx_count_distinct(col("user_id"), 0.02)).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+
+  test("stddev/var agree with hand-computed two-pass values on a small set") {
+    val df = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0).toDF("x")
+    val (sd, vr) = df.select(stddev_samp(col("x")), var_samp(col("x")))
+      .as[(Double, Double)].head()
+    assert(math.abs(vr - 32.0 / 7.0) < 1e-12)
+    assert(math.abs(sd - math.sqrt(32.0 / 7.0)) < 1e-12)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan assertions (SURVEY.md §4): the declarative plans must
+  * actually produce the scale-ready physical shapes — pushdown into the
+  * parquet scan, broadcast for dim joins, TakeOrderedAndProject for global
+  * top-k, whole-stage codegen around the native dot product.
+  */
+class PlanSuite extends SparkSuite {
+
+  private def planOf(name: String, materialize: Boolean = false): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf0001)
+    if (materialize) df.collect() // finalize AQE so codegen stages are visible
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("filter predicates are pushed into the parquet scan") {
+    val p = planOf("q_scan_pushdown")
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("l_shipdate") && p.contains("l_quantity"))
+  }
+
+  test("column pruning: projection-only scan reads only the three columns") {
+    val p = planOf("q_scan_project")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_extendedprice") && !p.contains("l_discount"))
+  }
+
+  test("dim-lookup join broadcasts the small side") {
+    val p = planOf("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject (no full sort)") {
+    val p = planOf("q_topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("semi/anti joins compile to semi/anti hash joins") {
+    assert(planOf("q_join_semi").contains("LeftSemi"))
+    assert(planOf("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("native dot product runs inside whole-stage codegen") {
+    val p = planOf("q_sim_knn", materialize = true)
+    // '*(n)' prefixes mark WholeStageCodegen stages in the plan string —
+    // the Project evaluating dot_product_d must carry one.
+    val inCodegen = "\\*\\(\\d+\\) Project \\[.*dot_product_d".r
+    assert(inCodegen.findFirstIn(p).isDefined, p.take(2000))
+  }
+
+  test("grouped aggregation uses two-phase hash aggregation") {
+    val p = planOf("q_agg_group")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_"), "expected map-side partial aggregation")
+  }
+}

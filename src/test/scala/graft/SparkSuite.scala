@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (mirrors the driver's Verify
+  * session: local[4], 4 shuffle partitions, UTC). */
+trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf0001 = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = {
+    // session is shared across suites in one JVM — do not stop it here
+    super.afterAll()
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+case class Ev(event_id: Long, user_id: Long, event_type: String, value: Double, t: Timestamp)
+
+/** Stream-batch equivalence (SURVEY.md §5.4): replay the fixture events
+  * through MemoryStream in chunks, run the SAME StreamOps transformation,
+  * and assert the drained stream result equals the batch result —
+  * Structured Streaming's incremental execution is defined to converge to
+  * the batch answer on the same data.
+  */
+class StreamBatchEquivSuite extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val batchEvents: DataFrame =
+    Tables.events(spark, sf0001).select("event_id", "user_id", "event_type", "value", "t").cache()
+
+  /** Rows in event-time order (no late data vs any watermark). */
+  private lazy val rowsByTime: Seq[Ev] =
+    batchEvents.orderBy("t", "event_id").as[Ev].collect().toSeq
+
+  /** Rows in arrival order (event_id) — contains out-of-order event times. */
+  private lazy val rowsByArrival: Seq[Ev] =
+    batchEvents.orderBy("event_id").as[Ev].collect().toSeq
+
+  private def chunks(rows: Seq[Ev]): Seq[Seq[Ev]] = {
+    val n = rows.size
+    Seq(rows.slice(0, n / 4), rows.slice(n / 4, (3 * n) / 5), rows.slice((3 * n) / 5, n))
+  }
+
+  private def runStream(rows: Seq[Ev], name: String, mode: String)
+                       (transform: DataFrame => DataFrame): DataFrame = {
+    val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+    val q = transform(ms.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      chunks(rows).foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling daily counts: stream (complete mode) == batch") {
+    val got = runStream(rowsByTime, "t_tumble", "complete")(StreamOps.tumblingDaily)
+      .select(col("w.start").cast("long").as("ws"), col("event_type"), col("cnt"),
+        col("sum_value").cast("string").as("sv"))
+      .as[(Long, String, Long, String)].collect().toSet
+    val want = StreamOps.tumblingDaily(batchEvents)
+      .select(col("w.start").cast("long").as("ws"), col("event_type"), col("cnt"),
+        col("sum_value").cast("string").as("sv"))
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(got == want)
+  }
+
+  test("streaming dropDuplicates == batch keep-first dedup (arrival-order replay)") {
+    val got = runStream(rowsByArrival, "t_dedup", "append")(StreamOps.dedupStreaming)
+      .select("user_id", "event_type", "event_id")
+      .as[(Long, String, Long)].collect().toSet
+    val want = StreamOps.dedupFirst(batchEvents)
+      .select(col("user_id"), col("event_type"), col("first_id"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("flatMapGroupsWithState running purchase totals: final state == batch aggregate") {
+    val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+    val typed = ms.toDS().map(e => StreamOps.EvRow(
+      e.event_id, e.user_id, e.event_type,
+      math.round(e.value * 100), e.t))
+    val q = StreamOps.statefulPurchaseTotals(typed)
+      .writeStream.format("memory").queryName("t_state").outputMode("update").start()
+    try {
+      chunks(rowsByArrival).foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    // last update per user = the row with the maximal n_purch (monotone)
+    val got = spark.table("t_state")
+      .groupBy("user_id").agg(max(struct(col("n_purch"), col("cents"))).as("s"))
+      .select(col("user_id"), col("s.n_purch"), col("s.cents"))
+      .as[(Long, Long, Long)].collect().toSet
+    val want = StreamOps.purchaseTotalsBatch(batchEvents)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("stream-stream interval join == batch interval join") {
+    val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+    val df = ms.toDF()
+    val clicks = StreamOps.withWm(df.filter(col("event_type") === "click"))
+    val purchases = StreamOps.withWm(df.filter(col("event_type") === "purchase"))
+    val q = StreamOps.clickToPurchase(clicks, purchases)
+      .writeStream.format("memory").queryName("t_ivj").outputMode("append").start()
+    try {
+      chunks(rowsByTime).foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("t_ivj").count()
+    val want = StreamOps.clickToPurchase(
+      batchEvents.filter(col("event_type") === "click"),
+      batchEvents.filter(col("event_type") === "purchase")).count()
+    assert(got == want)
+  }
+
+  test("session windows with watermark: closed sessions == batch sessions") {
+    val maxT = rowsByTime.last.t.getTime
+    val sentinel = Ev(-1L, -1L, "sentinel", 0.0, new Timestamp(maxT + 86400L * 1000 * 40))
+    val got = runStream(rowsByTime :+ sentinel, "t_sess", "append") { df =>
+      StreamOps.sessionPerUser(StreamOps.withWm(df))
+    }
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("len"))
+      .as[(Long, Long)].collect().groupBy(identity).view.mapValues(_.size).toMap
+    val want = StreamOps.sessionPerUser(batchEvents)
+      .select(col("user_id"), col("len"))
+      .as[(Long, Long)].collect().groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == want)
+  }
+
+  test("late data beyond the watermark is dropped, never duplicated") {
+    val maxT = rowsByArrival.map(_.t.getTime).max
+    val sentinel = Ev(-1L, -1L, "sentinel", 0.0, new Timestamp(maxT + 86400L * 1000 * 40))
+    val got = runStream(rowsByArrival :+ sentinel, "t_late", "append") { df =>
+      StreamOps.tumblingDaily(StreamOps.withWm(df))
+    }
+      .filter(col("event_type") =!= "sentinel")
+      .agg(coalesce(sum("cnt"), lit(0L))).as[Long].head()
+    val total = batchEvents.count()
+    assert(got <= total)
+  }
+}
