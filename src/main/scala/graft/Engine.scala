@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graft.Bridge
+import graft.expr.{DotProductD, RewriteDotProduct}
+
+/** Per-session engine initialization (idempotent): installs the graft
+  * optimizer rules and SQL-callable native functions on an EXISTING
+  * session — required because the driver builds the SparkSession itself
+  * (Verify.scala), so build-time SparkSessionExtensions are not an option.
+  */
+object Engine {
+  def init(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteDotProduct
+    }
+    Bridge.registerFunction(spark, "dot_product_d",
+      exprs => DotProductD(exprs.head, exprs(1)))
+  }
+}

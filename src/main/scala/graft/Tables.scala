@@ -28,7 +28,8 @@ object Tables {
     * a derived µs timestamp column `t` via integer division (never `/1000` +
     * cast — double rounding can shift the value by 1µs).
     */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    Engine.init(spark)
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/events.parquet")
@@ -36,6 +37,7 @@ object Tables {
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
+  }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")

@@ -33,13 +33,21 @@ case class DotProductD(left: Expression, right: Expression)
 
   override def prettyName: String = "dot_product_d"
 
+  // Null semantics mirror the built-in composition exactly (so the
+  // RewriteDotProduct rule is semantics-preserving): zip_with pads unequal
+  // lengths with null and a null product nullifies the whole sum, so
+  // unequal lengths or any null element yield NULL.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0d
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -52,10 +60,15 @@ case class DotProductD(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -23,7 +23,8 @@ object StreamingAnalogs {
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_late" -> qStreamLate,
     "q_stream_stateful" -> qStreamStateful,
-    "q_stream_interval_join" -> qStreamIntervalJoin
+    "q_stream_interval_join" -> qStreamIntervalJoin,
+    "q_cdc_compact" -> qCdcCompact
   )
 
   val oracle: Map[String, String] = Map(
@@ -73,7 +74,21 @@ object StreamingAnalogs {
          FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type = 'click') a
          JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type = 'purchase') b
            ON a.user_id = b.user_id AND b.t > a.t AND b.t <= a.t + INTERVAL 1 HOUR
-         GROUP BY a.user_id ORDER BY a.user_id"""
+         GROUP BY a.user_id ORDER BY a.user_id""",
+    "q_cdc_compact" ->
+      """WITH chg AS (
+           SELECT o_orderkey AS k, 1 AS version, 'I' AS op,
+                  CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders
+           UNION ALL
+           SELECT o_orderkey, 2, 'U', CAST(o_totalprice AS DECIMAL(12,2)) + 1000
+           FROM orders WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderkey, 3, 'D', NULL FROM orders WHERE o_orderkey % 7 = 0),
+         last AS (SELECT k, version, op, price,
+                         row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+                  FROM chg)
+         SELECT k, version, CAST(CAST(price AS DECIMAL(38,2)) AS VARCHAR) AS price
+         FROM last WHERE rn = 1 AND op <> 'D' ORDER BY k"""
   )
 
   private def qStreamTumble(s: SparkSession, d: String): DataFrame =
@@ -122,6 +137,27 @@ object StreamingAnalogs {
   private def qStreamStateful(s: SparkSession, d: String): DataFrame =
     StreamOps.purchaseTotalsBatch(Tables.events(s, d))
       .orderBy("user_id")
+
+  /** CDC ingestion model (genre: MySQL binlog → Kafka → upsert): a
+    * changelog of (key, version, op, cols) rows compacted latest-wins,
+    * deletes dropped — the batch form of the streaming foreachBatch
+    * idempotent-upsert sink. The changelog is manufactured from orders
+    * (no CDC source exists in this environment). */
+  private def qCdcCompact(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val price = dec(col("o_totalprice"), 12, 2)
+    val ins = o.select(col("o_orderkey").as("k"), lit(1).as("version"), lit("I").as("op"), price.as("price"))
+    val upd = o.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey").as("k"), lit(2).as("version"), lit("U").as("op"), (price + 1000).as("price"))
+    val del = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("k"), lit(3).as("version"), lit("D").as("op"),
+        lit(null).cast(DecimalType(13, 2)).as("price"))
+    ins.unionByName(upd).unionByName(del)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("k")).orderBy(col("version").desc)))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("k"), col("version"), decStr(col("price")).as("price"))
+      .orderBy("k")
+  }
 
   private def qStreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)

@@ -31,8 +31,13 @@ object TextSim {
     "q_text_langid" -> qTextLangid,
     "q_text_quality" -> qTextQuality,
     "q_text_fingerprint" -> qTextFingerprint,
+    "q_text_sentiment" -> qTextSentiment,
     "q_multimodal_meta" -> qMultimodalMeta
   )
+
+  /** Tiny deterministic sentiment lexicon over the fixture vocabulary. */
+  val sentimentLexicon: Seq[(String, Int)] =
+    Seq("fast" -> 2, "big" -> 1, "slow" -> -2, "small" -> -1, "dup" -> -1)
 
   val oracle: Map[String, String] = Map(
     "q_sim_knn" ->
@@ -114,6 +119,20 @@ object TextSim {
          fps AS (SELECT DISTINCT doc_id, fp FROM fp0 WHERE i <= nsh - 3)
          SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp
          FROM fps GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_sentiment" ->
+      """SELECT doc_id,
+                CAST(SUM(CASE tok WHEN 'fast' THEN 2 WHEN 'big' THEN 1
+                                  WHEN 'slow' THEN -2 WHEN 'small' THEN -1
+                                  WHEN 'dup' THEN -1 ELSE 0 END) AS BIGINT) AS score,
+                CASE WHEN SUM(CASE tok WHEN 'fast' THEN 2 WHEN 'big' THEN 1
+                                       WHEN 'slow' THEN -2 WHEN 'small' THEN -1
+                                       WHEN 'dup' THEN -1 ELSE 0 END) > 0 THEN 'pos'
+                     WHEN SUM(CASE tok WHEN 'fast' THEN 2 WHEN 'big' THEN 1
+                                       WHEN 'slow' THEN -2 WHEN 'small' THEN -1
+                                       WHEN 'dup' THEN -1 ELSE 0 END) < 0 THEN 'neg'
+                     ELSE 'neu' END AS sentiment
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS nbytes, md5(text) AS digest
          FROM documents ORDER BY doc_id"""
@@ -293,6 +312,21 @@ object TextSim {
       .select(col("doc_id"), col("fp")).distinct()
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Lexicon-based sentiment scoring (genre: review scoring) — integer
+    * token-weight sums, lang-portable CASE form on both sides. */
+  private def qTextSentiment(s: SparkSession, d: String): DataFrame = {
+    val weight = sentimentLexicon.foldLeft(when(lit(false), 0)) {
+      case (acc, (w, v)) => acc.when(col("tok") === w, v)
+    }.otherwise(0)
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(weight).cast(LongType).as("score"))
+      .withColumn("sentiment",
+        when(col("score") > 0, "pos").when(col("score") < 0, "neg").otherwise("neu"))
       .orderBy("doc_id")
   }
 

@@ -77,14 +77,41 @@ class OperatorUnitSuite extends SparkSuite {
     assert(diffs == 0)
   }
 
-  test("DotProductD: empty arrays give 0.0, mismatched lengths use the shorter") {
+  test("DotProductD: empty arrays give 0.0; unequal lengths give NULL (zip_with padding)") {
     val df = Seq(
       (1L, Array.empty[Float], Array.empty[Float]),
       (2L, Array(1f, 2f, 3f), Array(2f))
     ).toDF("id", "qe", "ne")
     val native = Bridge.column(DotProductD(Bridge.expression(col("qe")), Bridge.expression(col("ne"))))
-    val got = df.select(col("id"), native.as("d")).as[(Long, Double)].collect().toMap
-    assert(got(1L) == 0.0 && got(2L) == 2.0)
+    val got = df.select(col("id"), native.as("d")).as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(0.0) && got(2L).isEmpty)
+  }
+
+  test("RewriteDotProduct: builtin aggregate(zip_with(...)) compiles to the native kernel") {
+    Engine.init(spark)
+    val emb = Tables.embeddings(spark, sf0001).limit(5)
+    val df = emb.select(col("vec_id").as("a"), col("embedding").as("x"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("y")))
+      .select(expr(
+        "aggregate(zip_with(x, y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 0D, (acc, v) -> acc + v)").as("d"))
+    assert(df.queryExecution.optimizedPlan.toString().contains("dot_product_d"))
+    // and the rewrite preserves values
+    assert(df.agg(sum("d")).as[Double].head() != 0.0)
+  }
+
+  test("map functions over from_json props agree with get_json_object") {
+    import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+    val ev = Tables.events(spark, sf0001).limit(50)
+      .select(col("event_id"), col("props")).cache()
+    val m = ev.select(col("event_id"),
+      from_json(col("props"), MapType(StringType, IntegerType)).as("m"))
+    val keys = m.select(explode(map_keys(col("m")))).distinct().as[String].collect().toSeq
+    assert(keys == Seq("k"))
+    val viaMap = m.select(col("event_id"), element_at(col("m"), "k"))
+      .as[(Long, Int)].collect().toMap
+    val viaJson = ev.select(col("event_id"), get_json_object(col("props"), "$.k").cast("int"))
+      .as[(Long, Int)].collect().toMap
+    assert(viaMap == viaJson)
   }
 
   test("dot_product_d is SQL-callable after registration") {
