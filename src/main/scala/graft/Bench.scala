@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT/codegen/classloading + parquet footers, so the
+    // timed loop measures query cost, not first-touch overhead
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

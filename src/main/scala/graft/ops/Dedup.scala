@@ -102,7 +102,9 @@ object Dedup {
     * Quadratic only in docs sharing a shingle — bounded by shingle-key
     * cardinality, not corpus size. */
   private def qDedupNear(s: SparkSession, d: String): DataFrame =
-    jaccardPairs(shingles(Tables.documents(s, d)))
+    // persist: the shingle table feeds both join sides and the size
+    // aggregate — without it the tokenize+distinct subtree runs 3x
+    jaccardPairs(shingles(Tables.documents(s, d)).persist())
       .orderBy("d1", "d2")
 
   /** MinHash(32) + LSH banding (16 bands × 2 rows) + exact verify.
@@ -114,7 +116,7 @@ object Dedup {
     // One string hash per shingle; the 32-member hash family re-hashes that
     // 8-byte value with per-member seeds — 32× fewer string hashes, and no
     // wrapping arithmetic (ANSI mode forbids long overflow).
-    val sh = shingles(Tables.documents(s, d)).withColumn("h0", xxhash64(col("s")))
+    val sh = shingles(Tables.documents(s, d)).withColumn("h0", xxhash64(col("s"))).persist()
     val minhashAggs = (0 until 32).map(i => min(xxhash64(lit(i), col("h0"))).as(s"h$i"))
     val sig = sh.groupBy(col("doc_id")).agg(minhashAggs.head, minhashAggs.tail: _*)
     val bandCols = (0 until 16).map { b =>
@@ -144,7 +146,10 @@ object Dedup {
     val simhash: Column = (0 until 64)
       .map(j => when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
-    val sigs = votes.select(col("doc_id"), simhash.as("sig"))
+    // persist the tiny per-doc signature table — both sides of the banked
+    // self-join derive from it, and without caching the 64-aggregate vote
+    // pass over all shingles would run twice
+    val sigs = votes.select(col("doc_id"), simhash.as("sig")).persist()
     val bankCols = (0 until 4).map { b =>
       struct(lit(b).as("bank"), shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bv"))
     }

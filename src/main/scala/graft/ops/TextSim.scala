@@ -303,12 +303,14 @@ object TextSim {
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(1, size(tok) - 4), i -> md5(concat_ws(' ', slice(tok, i, 5))))")))
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "h")
-    val wMin = Window.partitionBy(col("doc_id")).orderBy(col("i")).rowsBetween(0, 3)
-    val wAll = Window.partitionBy(col("doc_id"))
+    // One window pass: min over [i, i+3] is a valid winnowing window only
+    // where a shingle exists at i+3 — guard with lead(h, 3) instead of a
+    // second count-over-partition window.
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     sh
-      .withColumn("fp", min(col("h")).over(wMin))
-      .withColumn("nsh", count(lit(1)).over(wAll))
-      .filter(col("i") <= col("nsh") - 4)
+      .withColumn("fp", min(col("h")).over(wOrd.rowsBetween(0, 3)))
+      .withColumn("guard", lead(col("h"), 3).over(wOrd))
+      .filter(col("guard").isNotNull)
       .select(col("doc_id"), col("fp")).distinct()
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp"))

@@ -119,6 +119,43 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(got == want)
   }
 
+  test("stream-static join enriches a stream with a broadcast dim table") {
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+    val q = ms.toDF().join(dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("t_dimjoin").outputMode("append").start()
+    try {
+      chunks(rowsByArrival).foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("t_dimjoin").groupBy("tier").count()
+      .as[(String, Long)].collect().toMap
+    val want = batchEvents.join(dim, Seq("user_id")).groupBy("tier").count()
+      .as[(String, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("foreachBatch idempotent upsert sink: replays do not duplicate state") {
+    val store = scala.collection.concurrent.TrieMap.empty[(Long, String), Long]
+    val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+    val q = StreamOps.dedupFirst(ms.toDF())
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // idempotent upsert keyed on (user, type): same batch applied twice
+        // converges to the same store state (exactly-once sink contract)
+        val rows = batch.select("user_id", "event_type", "first_id")
+          .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+        rows.foreach { case (k, v) => store.put(k, v) }
+        rows.foreach { case (k, v) => store.put(k, v) } // simulate replay
+        ()
+      }.start()
+    try {
+      chunks(rowsByArrival).foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val want = StreamOps.dedupFirst(batchEvents)
+      .as[(Long, String, Long)].collect().map(t => ((t._1, t._2), t._3)).toMap
+    assert(store.toMap == want)
+  }
+
   test("late data beyond the watermark is dropped, never duplicated") {
     val maxT = rowsByArrival.map(_.t.getTime).max
     val sentinel = Ev(-1L, -1L, "sentinel", 0.0, new Timestamp(maxT + 86400L * 1000 * 40))
