@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink formats (SURVEY.md §2.A): the genre ingests JSON app logs
+  * and CSV exports; parquet is the lake format (and the Verify sink).
+  * Fixtures ship only parquet, so these are write→read roundtrips with
+  * explicit schemas — fail-fast, never inference, per §1.3.
+  */
+class SourceSinkSuite extends SparkSuite {
+  import spark.implicits._
+
+  private val evSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def sample = Tables.events(spark, sf0001)
+    .select("event_id", "user_id", "event_type", "value", "props")
+    .orderBy("event_id").limit(200)
+
+  test("JSON log source: schema-first read roundtrips exactly") {
+    val dir = Files.createTempDirectory("graft-json").toString
+    sample.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(evSchema).json(dir)
+    assert(back.count() == 200)
+    val a = sample.as[(Long, Long, String, Double, String)].collect().toSet
+    val b = back.as[(Long, Long, String, Double, String)].collect().toSet
+    assert(a == b)
+  }
+
+  test("CSV source: schema-first read roundtrips exactly") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    sample.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.schema(evSchema).option("header", "true").csv(dir)
+    val a = sample.as[(Long, Long, String, Double, String)].collect().toSet
+    val b = back.as[(Long, Long, String, Double, String)].collect().toSet
+    assert(a == b)
+  }
+
+  test("partitioned parquet sink: partition pruning skips other partitions") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, sf0001)
+      .withColumn("day", date_format(col("t"), "yyyy-MM-dd"))
+      .select("event_id", "user_id", "event_type", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("day") === "2024-01-15")
+    val plan = pruned.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+    val want = Tables.events(spark, sf0001)
+      .filter(date_format(col("t"), "yyyy-MM-dd") === "2024-01-15").count()
+    assert(pruned.count() == want)
+  }
+}
