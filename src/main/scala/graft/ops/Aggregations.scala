@@ -28,7 +28,8 @@ object Aggregations {
     "q_agg_cube" -> qAggCube,
     "q_agg_grouping_sets" -> qAggGroupingSets,
     "q_agg_collect" -> qAggCollect,
-    "q_agg_stats" -> qAggStats
+    "q_agg_stats" -> qAggStats,
+    "q_agg_pivot" -> qAggPivot
   )
 
   val oracle: Map[String, String] = Map(
@@ -84,7 +85,15 @@ object Aggregations {
     "q_agg_collect" ->
       """SELECT l_orderkey,
                 array_to_string(list_sort(list(l_linenumber)), ',') AS lines
-         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "q_agg_pivot" ->
+      """SELECT user_id,
+                CAST(coalesce(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+                CAST(coalesce(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+                CAST(coalesce(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+                CAST(coalesce(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+                CAST(coalesce(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
+         FROM events GROUP BY user_id ORDER BY user_id"""
   )
 
   private def qAggGlobal(s: SparkSession, d: String): DataFrame =
@@ -193,6 +202,16 @@ object Aggregations {
         transform(sort_array(collect_list(col("l_linenumber"))), x => x.cast(StringType)),
         ",").as("lines"))
       .orderBy("l_orderkey")
+
+  /** Pivot (genre: ADS wide tables — one column per event type). Pivot
+    * values are pinned explicitly so the plan needs no discovery pass. */
+  private def qAggPivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
 
   /** Sample stddev/variance — no oracle (Welford vs naive + libm drift,
     * SURVEY.md §2.0.7); property-tested internally instead. */

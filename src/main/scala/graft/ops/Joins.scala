@@ -28,7 +28,8 @@ object Joins {
     "q_join_cross" -> qJoinCross,
     "q_join_theta" -> qJoinTheta,
     "q_join_asof" -> qJoinAsof,
-    "q_join_interval" -> qJoinInterval
+    "q_join_interval" -> qJoinInterval,
+    "q_scalar_subquery" -> qScalarSubquery
   )
 
   val oracle: Map[String, String] = Map(
@@ -83,7 +84,12 @@ object Joins {
          FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events) a
          JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events) b
            ON a.user_id = b.user_id AND b.t > a.t AND b.t <= a.t + INTERVAL 1 HOUR
-         GROUP BY a.user_id ORDER BY a.user_id"""
+         GROUP BY a.user_id ORDER BY a.user_id""",
+    "q_scalar_subquery" ->
+      """SELECT c_custkey,
+                (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+                coalesce((SELECT max(o_orderkey) FROM orders WHERE o_custkey = c_custkey), -1) AS max_ok
+         FROM customer ORDER BY c_custkey"""
   )
 
   private def qJoinInner(s: SparkSession, d: String): DataFrame =
@@ -174,6 +180,19 @@ object Joins {
       .filter(col("rn") === 1)
       .select(col("o_orderkey"), col("b_ok").as("prev_ok"))
       .orderBy("o_orderkey")
+  }
+
+  /** Correlated scalar subqueries (entry point 3, SQL text): Catalyst
+    * decorrelates both into aggregating left joins — the same SQL runs on
+    * the oracle verbatim. */
+  private def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey,
+                (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+                coalesce((SELECT max(o_orderkey) FROM orders WHERE o_custkey = c_custkey), -1L) AS max_ok
+         FROM customer ORDER BY c_custkey""")
   }
 
   /** Interval join (genre: Flink intervalJoin order⋈detail ±15 min):

@@ -32,6 +32,7 @@ object TextSim {
     "q_text_quality" -> qTextQuality,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_sentiment" -> qTextSentiment,
+    "q_text_tokens" -> qTextTokens,
     "q_multimodal_meta" -> qMultimodalMeta
   )
 
@@ -133,6 +134,13 @@ object TextSim {
                      ELSE 'neu' END AS sentiment
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
          GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_tokens" ->
+      """SELECT doc_id,
+                len(string_split(text || ' 42,17 x9!', ' ')) AS n_ws,
+                len(regexp_extract_all(text || ' 42,17 x9!', '[a-z]+')) AS n_alpha,
+                len(regexp_extract_all(text || ' 42,17 x9!', '[0-9]+')) AS n_num,
+                len(regexp_extract_all(text || ' 42,17 x9!', '[^a-z0-9 ]')) AS n_punct
+         FROM documents ORDER BY doc_id""",
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS nbytes, md5(text) AS digest
          FROM documents ORDER BY doc_id"""
@@ -329,6 +337,22 @@ object TextSim {
       .agg(sum(weight).cast(LongType).as("score"))
       .withColumn("sentiment",
         when(col("score") > 0, "pos").when(col("score") < 0, "neg").otherwise("neu"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting two ways (LLM preprocessing): whitespace tokens vs a
+    * BPE-ish regex pass over alpha runs / digit runs / punctuation. The
+    * fixture text is pure lowercase words, so a mixed suffix is appended
+    * to make the regex classes do real work. */
+  private def qTextTokens(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(col("text"), lit(" 42,17 x9!"))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(aug, " ")).as("n_ws"),
+        regexp_count(aug, lit("[a-z]+")).as("n_alpha"),
+        regexp_count(aug, lit("[0-9]+")).as("n_num"),
+        regexp_count(aug, lit("[^a-z0-9 ]")).as("n_punct"))
       .orderBy("doc_id")
   }
 

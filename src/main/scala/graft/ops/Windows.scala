@@ -30,6 +30,7 @@ object Windows {
     "q_win_range" -> qWinRange,
     "q_win_ntile" -> qWinNtile,
     "q_win_first_last" -> qWinFirstLast,
+    "q_win_dist" -> qWinDist,
     "q_sort_multi" -> qSortMulti,
     "q_topk_global" -> qTopkGlobal,
     "q_set_union_all" -> qSetUnionAll,
@@ -95,6 +96,11 @@ object Windows {
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_custkey, o_orderkey""",
+    "q_win_dist" ->
+      """SELECT c_custkey,
+                percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS pr,
+                cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS cd
+         FROM customer ORDER BY c_custkey""",
     "q_sort_multi" ->
       """SELECT c_custkey, nullif(c_mktsegment,'BUILDING') AS seg FROM customer
          ORDER BY seg DESC NULLS LAST, c_custkey""",
@@ -202,6 +208,15 @@ object Windows {
       first(col("o_orderkey")).over(w).as("first_ok"),
       last(col("o_orderkey")).over(w).as("last_ok"))
       .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** percent_rank/cume_dist: exact small-integer ratios — identical IEEE
+    * division on both engines given the unique tiebreak in the order. */
+  private def qWinDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      .orderBy("c_custkey")
   }
 
   private def qSortMulti(s: SparkSession, d: String): DataFrame =
