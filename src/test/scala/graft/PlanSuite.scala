@@ -50,6 +50,34 @@ class PlanSuite extends SparkSuite {
     assert(inCodegen.findFirstIn(p).isDefined, p.take(2000))
   }
 
+  test("plan sweep: no accidental cartesian or nested-loop joins") {
+    // all-pairs similarity and the explicit cross join are cartesian BY
+    // DESIGN (broadcast probe side); anything else showing a nested-loop
+    // or cartesian product is a planning bug.
+    val byDesign = Set("q_sim_knn", "q_sim_label", "q_sim_ivf", "q_dedup_embed", "q_join_cross")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString()
+      val bad = (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")) &&
+        !byDesign.contains(name)
+      if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unexpected cartesian/nested-loop in: $offenders")
+  }
+
+  test("plan sweep: no unpartitioned windows outside the late-data analog") {
+    // q_stream_late's batch analog runs a global running max BY DESIGN
+    // (the streaming watermark is the real operator — DESIGN.md §5).
+    // A physical Window with an empty partition spec renders as
+    // 'Window [...], [], [...]' — the middle bracket pair is the partition.
+    val byDesign = Set("q_stream_late")
+    val global = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val phys = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString()
+      phys.linesIterator.exists(l => l.contains("Window [") && l.contains("], [], ["))
+    }
+    assert(global.forall(byDesign.contains), s"unpartitioned windows in: $global")
+  }
+
   test("grouped aggregation uses two-phase hash aggregation") {
     val p = planOf("q_agg_group")
     assert(p.contains("HashAggregate"))
