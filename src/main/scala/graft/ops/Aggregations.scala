@@ -29,7 +29,9 @@ object Aggregations {
     "q_agg_grouping_sets" -> qAggGroupingSets,
     "q_agg_collect" -> qAggCollect,
     "q_agg_stats" -> qAggStats,
-    "q_agg_pivot" -> qAggPivot
+    "q_agg_pivot" -> qAggPivot,
+    "q_agg_median" -> qAggMedian,
+    "q_agg_argmax" -> qAggArgmax
   )
 
   val oracle: Map[String, String] = Map(
@@ -93,7 +95,18 @@ object Aggregations {
                 CAST(coalesce(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
                 CAST(coalesce(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
                 CAST(coalesce(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
-         FROM events GROUP BY user_id ORDER BY user_id"""
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_agg_median" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.5), 1) AS med_qty,
+                round(quantile_cont(l_quantity, 0.25), 1) AS q1_qty,
+                round(quantile_cont(l_quantity, 0.75), 1) AS q3_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_argmax" ->
+      """SELECT o_orderstatus,
+                arg_max(o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) * 1000000 + o_orderkey) AS top_order,
+                arg_min(o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) * 1000000 + o_orderkey) AS bottom_order
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )
 
   private def qAggGlobal(s: SparkSession, d: String): DataFrame =
@@ -212,6 +225,32 @@ object Aggregations {
       .agg(count(lit(1)))
       .na.fill(0L)
       .orderBy("user_id")
+
+  /** Exact interpolating percentiles — both engines compute position
+    * (n-1)·p over the sorted values and interpolate linearly; a hard
+    * 1-dp round guards the interpolation arithmetic (values are .0/.5
+    * exact here). */
+  private def qAggMedian(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5D)"), 1).as("med_qty"),
+        round(expr("percentile(l_quantity, 0.25D)"), 1).as("q1_qty"),
+        round(expr("percentile(l_quantity, 0.75D)"), 1).as("q3_qty"))
+      .orderBy("l_returnflag")
+
+  /** arg-max/arg-min (genre: top item per group without a window pass).
+    * The ordering value is made unique (cents·10⁶ + orderkey) so ties
+    * cannot make the answer arbitrary. */
+  private def qAggArgmax(s: SparkSession, d: String): DataFrame = {
+    val ordv = dec(col("o_totalprice"), 12, 2) * 1000000 + col("o_orderkey")
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderkey"), ordv).as("top_order"),
+        min_by(col("o_orderkey"), ordv).as("bottom_order"))
+      .orderBy("o_orderstatus")
+  }
 
   /** Sample stddev/variance — no oracle (Welford vs naive + libm drift,
     * SURVEY.md §2.0.7); property-tested internally instead. */

@@ -91,7 +91,8 @@ object Windows {
     "q_win_first_last" ->
       """SELECT o_custkey, o_orderkey,
                 first_value(o_orderkey) OVER w AS first_ok,
-                last_value(o_orderkey) OVER w AS last_ok
+                last_value(o_orderkey) OVER w AS last_ok,
+                nth_value(o_orderkey, 3) OVER w AS third_ok
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
@@ -206,7 +207,8 @@ object Windows {
     Tables.orders(s, d).select(
       col("o_custkey"), col("o_orderkey"),
       first(col("o_orderkey")).over(w).as("first_ok"),
-      last(col("o_orderkey")).over(w).as("last_ok"))
+      last(col("o_orderkey")).over(w).as("last_ok"),
+      nth_value(col("o_orderkey"), 3).over(w).as("third_ok"))
       .orderBy("o_custkey", "o_orderkey")
   }
 

@@ -156,6 +156,28 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(store.toMap == want)
   }
 
+  test("file-source readStream: micro-batched parquet directory == batch") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-stream-src").toString
+    // three "arriving" parquet files
+    val parts = chunks(rowsByTime)
+    parts.zipWithIndex.foreach { case (c, i) =>
+      spark.createDataset(c).write.parquet(s"$dir/f$i.parquet")
+    }
+    val schema = spark.createDataset(parts.head).schema
+    val q = StreamOps.tumblingDaily(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(s"$dir/*"))
+      .writeStream.format("memory").queryName("t_filesrc").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("t_filesrc")
+      .select(col("w.start").cast("long"), col("event_type"), col("cnt"))
+      .as[(Long, String, Long)].collect().toSet
+    val want = StreamOps.tumblingDaily(batchEvents)
+      .select(col("w.start").cast("long"), col("event_type"), col("cnt"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("late data beyond the watermark is dropped, never duplicated") {
     val maxT = rowsByArrival.map(_.t.getTime).max
     val sentinel = Ev(-1L, -1L, "sentinel", 0.0, new Timestamp(maxT + 86400L * 1000 * 40))
