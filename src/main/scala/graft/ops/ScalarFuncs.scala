@@ -104,7 +104,7 @@ object ScalarFuncs {
       upper(col("p_brand")).as("br_up"),
       lower(col("p_type")).as("ty_lo"),
       substring(col("p_name"), 1, 5).as("name5"),
-      length(col("p_name")).as("name_len"),
+      length(col("p_name")).cast(LongType).as("name_len"),
       concat(col("p_brand"), lit(":"), col("p_type")).as("br_ty"),
       lpad(col("p_size").cast(StringType), 4, "0").as("size4"),
       regexp_replace(col("p_name"), lit(" "), lit("_")).as("name_us"),
@@ -137,10 +137,10 @@ object ScalarFuncs {
     val od = col("o_orderdate")
     Tables.orders(s, d).select(
       col("o_orderkey"),
-      year(od).as("y"), month(od).as("m"), dayofmonth(od).as("dd"),
+      year(od).cast(LongType).as("y"), month(od).cast(LongType).as("m"), dayofmonth(od).cast(LongType).as("dd"),
       date_format(date_trunc("month", od), "yyyy-MM-dd").as("mon"),
       date_format(date_add(od.cast(DateType), 30), "yyyy-MM-dd").as("plus30"),
-      datediff(od.cast(DateType), lit("1995-01-01").cast(DateType)).as("days_since"))
+      datediff(od.cast(DateType), lit("1995-01-01").cast(DateType)).cast(LongType).as("days_since"))
       .orderBy("o_orderkey")
       .limit(1000)
   }
@@ -192,9 +192,9 @@ object ScalarFuncs {
       .withColumn("arr", sequence(lit(1), col("l_linenumber")))
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        size(col("arr")).as("n"),
+        size(col("arr")).cast(LongType).as("n"),
         expr("aggregate(arr, 0L, (a, x) -> a + CAST(x AS LONG))").as("tsum"),
-        element_at(transform(col("arr"), x => x * 2), 1).as("first2"),
+        element_at(transform(col("arr"), x => x * 2), 1).cast(LongType).as("first2"),
         array_join(slice(col("arr"), 1, 2).cast(ArrayType(StringType)), ",").as("sliced"))
       .orderBy("l_orderkey", "l_linenumber", "n")
       .limit(1000)

@@ -172,7 +172,7 @@ object TextSim {
   private def qSimKnn(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     knn(emb.filter(col("vec_id") < 10), emb, 5)
-      .select("qid", "rnk", "nid")
+      .select(col("qid"), col("rnk").cast(LongType).as("rnk"), col("nid"))
       .orderBy("qid", "rnk")
   }
 
@@ -222,7 +222,7 @@ object TextSim {
       .withColumn("dot", dotExpr)
       .withColumn("rnk", row_number().over(Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))))
       .filter(col("rnk") <= 5)
-      .select("qid", "rnk", "nid")
+      .select(col("qid"), col("rnk").cast(LongType).as("rnk"), col("nid"))
       .orderBy("qid", "rnk")
   }
 
@@ -349,10 +349,10 @@ object TextSim {
     Tables.documents(s, d)
       .select(
         col("doc_id"),
-        size(split(aug, " ")).as("n_ws"),
-        regexp_count(aug, lit("[a-z]+")).as("n_alpha"),
-        regexp_count(aug, lit("[0-9]+")).as("n_num"),
-        regexp_count(aug, lit("[^a-z0-9 ]")).as("n_punct"))
+        size(split(aug, " ")).cast(LongType).as("n_ws"),
+        regexp_count(aug, lit("[a-z]+")).cast(LongType).as("n_alpha"),
+        regexp_count(aug, lit("[0-9]+")).cast(LongType).as("n_num"),
+        regexp_count(aug, lit("[^a-z0-9 ]")).cast(LongType).as("n_punct"))
       .orderBy("doc_id")
   }
 

@@ -139,9 +139,9 @@ object Windows {
     val wUniq = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
     Tables.customer(s, d).select(
       col("c_custkey"), col("c_nationkey"),
-      rank().over(wTies).as("rnk"),
-      dense_rank().over(wTies).as("drnk"),
-      row_number().over(wUniq).as("rn"))
+      rank().over(wTies).cast(LongType).as("rnk"),
+      dense_rank().over(wTies).cast(LongType).as("drnk"),
+      row_number().over(wUniq).cast(LongType).as("rn"))
       .orderBy("c_nationkey", "rn")
   }
 
@@ -149,7 +149,7 @@ object Windows {
   private def qWinTopk(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
     Tables.customer(s, d)
-      .select(col("c_nationkey"), col("c_custkey"), row_number().over(w).as("rn"))
+      .select(col("c_nationkey"), col("c_custkey"), row_number().over(w).cast(LongType).as("rn"))
       .filter(col("rn") <= 3)
       .select("c_nationkey", "rn", "c_custkey")
       .orderBy("c_nationkey", "rn")
@@ -164,7 +164,7 @@ object Windows {
       col("o_custkey"), col("o_orderkey"),
       lag(col("o_orderkey"), 1).over(ordersWindow).as("prev_ok"),
       datediff(col("o_orderdate").cast(DateType),
-        lag(col("o_orderdate"), 1).over(ordersWindow).cast(DateType)).as("gap_days"))
+        lag(col("o_orderdate"), 1).over(ordersWindow).cast(DateType)).cast(LongType).as("gap_days"))
       .orderBy("o_custkey", "o_orderkey")
 
   private def qWinRunning(s: SparkSession, d: String): DataFrame =
@@ -196,7 +196,7 @@ object Windows {
   private def qWinNtile(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
     Tables.customer(s, d)
-      .select(col("c_custkey"), col("c_mktsegment").as("seg"), ntile(4).over(w).as("tile"))
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"), ntile(4).over(w).cast(LongType).as("tile"))
       .orderBy("c_custkey")
   }
 
