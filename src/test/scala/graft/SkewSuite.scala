@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+
+/** Salted-join equivalence: salting changes placement, never results. */
+class SkewSuite extends SparkSuite {
+  import spark.implicits._
+
+  test("saltedJoin == plain join on a skewed fact table") {
+    // manufacture skew: 80% of events hit user 0
+    val skewed = Tables.events(spark, sf0001)
+      .withColumn("user_id", when(col("event_id") % 5 =!= 0, 0L).otherwise(col("user_id")))
+      .select("event_id", "user_id")
+    val dim = Tables.customer(spark, sf0001)
+      .select(col("c_custkey").as("user_key"), col("c_mktsegment"))
+    val plain = skewed.join(dim, col("user_id") === col("user_key"))
+      .groupBy("c_mktsegment").count().as[(String, Long)].collect().toMap
+    val salted = Skew.saltedJoin(skewed, dim, "user_id", "user_key", salts = 8)
+      .groupBy("c_mktsegment").count().as[(String, Long)].collect().toMap
+    assert(salted == plain)
+    assert(plain.values.sum > 0)
+  }
+}
