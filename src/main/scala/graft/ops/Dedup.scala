@@ -135,21 +135,19 @@ object Dedup {
   /** SimHash-64 over shingles: per-bit ±1 vote, banked hamming-distance
     * candidate join (4 banks × 16 bits — any pair within hamming distance 3
     * shares at least one bank), exact bit_count verify <= 12.
-    * No oracle: xxhash64 isn't reproducible in the oracle engine; unit
-    * tests pin behavior on the planted near-dups. */
+    * The vote+fold runs as the native single-pass SimHashAgg
+    * (TypedImperativeAggregate — one 256-byte buffer per doc instead of 64
+    * separate sum aggregates). No oracle: xxhash64 isn't reproducible in
+    * the oracle engine; unit tests pin behavior on the planted near-dups. */
   private def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
     val sh = shingles(Tables.documents(s, d)).withColumn("h", xxhash64(col("s")))
-    val bitAggs = (0 until 64).map { j =>
-      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
-    }
-    val votes = sh.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val simhash: Column = (0 until 64)
-      .map(j => when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
+    val sigAgg = Bridge.column(
+      graft.expr.SimHashAgg(Bridge.expression(col("h"))).toAggregateExpression())
     // persist the tiny per-doc signature table — both sides of the banked
-    // self-join derive from it, and without caching the 64-aggregate vote
-    // pass over all shingles would run twice
-    val sigs = votes.select(col("doc_id"), simhash.as("sig")).persist()
+    // self-join derive from it, and without caching the vote pass over all
+    // shingles would run twice
+    val sigs = sh.groupBy(col("doc_id")).agg(sigAgg.as("sig")).persist()
     val bankCols = (0 until 4).map { b =>
       struct(lit(b).as("bank"), shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bv"))
     }

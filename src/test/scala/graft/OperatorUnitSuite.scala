@@ -99,6 +99,25 @@ class OperatorUnitSuite extends SparkSuite {
     assert(df.agg(sum("d")).as[Double].head() != 0.0)
   }
 
+  test("SimHashAgg equals the 64-separate-sum reference formula") {
+    val sh = graft.ops.Dedup.shingles(Tables.documents(spark, sf0001))
+      .withColumn("h", xxhash64(col("s")))
+    val native = sh.groupBy(col("doc_id"))
+      .agg(Bridge.column(graft.expr.SimHashAgg(Bridge.expression(col("h"))).toAggregateExpression()).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val bitAggs = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
+    }
+    val folded = (0 until 64)
+      .map(j => when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val reference = sh.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), folded.as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == reference)
+    assert(native.nonEmpty)
+  }
+
   test("map functions over from_json props agree with get_json_object") {
     import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
     val ev = Tables.events(spark, sf0001).limit(50)

@@ -156,6 +156,19 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(store.toMap == want)
   }
 
+  test("shuffled arrival: tumbling counts (complete mode) still == batch") {
+    // deterministic shuffle: order by hash of event_id — max disorder,
+    // complete-mode aggregation must still converge to the batch answer
+    val shuffled = rowsByArrival.sortBy(e => java.lang.Long.hashCode(e.event_id * 2654435761L))
+    val got = runStream(shuffled, "t_shuffled", "complete")(StreamOps.tumblingDaily)
+      .select(col("w.start").cast("long"), col("event_type"), col("cnt"))
+      .as[(Long, String, Long)].collect().toSet
+    val want = StreamOps.tumblingDaily(batchEvents)
+      .select(col("w.start").cast("long"), col("event_type"), col("cnt"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("file-source readStream: micro-batched parquet directory == batch") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-stream-src").toString
