@@ -31,7 +31,8 @@ object Aggregations {
     "q_agg_stats" -> qAggStats,
     "q_agg_pivot" -> qAggPivot,
     "q_agg_median" -> qAggMedian,
-    "q_agg_argmax" -> qAggArgmax
+    "q_agg_argmax" -> qAggArgmax,
+    "q_agg_approx_quantile" -> qAggApproxQuantile
   )
 
   val oracle: Map[String, String] = Map(
@@ -251,6 +252,18 @@ object Aggregations {
         min_by(col("o_orderkey"), ordv).as("bottom_order"))
       .orderBy("o_orderstatus")
   }
+
+  /** Approximate percentile sketch (genre: latency/amount quantiles at
+    * scale — constant sketch state per group vs a full sort). No oracle
+    * (sketch internals are engine-specific); InvariantSuite bounds the
+    * error against the exact percentile. */
+  private def qAggApproxQuantile(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5D, 1000)").as("p50"),
+        expr("approx_percentile(o_totalprice, 0.95D, 1000)").as("p95"))
+      .orderBy("o_orderstatus")
 
   /** Sample stddev/variance — no oracle (Welford vs naive + libm drift,
     * SURVEY.md §2.0.7); property-tested internally instead. */

@@ -87,6 +87,18 @@ class InvariantSuite extends SparkSuite {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("approx_percentile within 5% of the exact percentile") {
+    val both = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5D, 1000)").as("ap"),
+        expr("percentile(o_totalprice, 0.5D)").as("ex"))
+      .as[(String, Double, Double)].collect()
+    both.foreach { case (st, ap, ex) =>
+      assert(math.abs(ap - ex) / ex < 0.05, s"status $st: approx $ap vs exact $ex")
+    }
+  }
+
   test("multimodal: metadata extraction preserves ids, sizes and digests") {
     val docs = Tables.documents(spark, sf0001)
     val media = Multimodal.syntheticMedia(spark, docs)
