@@ -32,7 +32,8 @@ object Aggregations {
     "q_agg_pivot" -> qAggPivot,
     "q_agg_median" -> qAggMedian,
     "q_agg_argmax" -> qAggArgmax,
-    "q_agg_approx_quantile" -> qAggApproxQuantile
+    "q_agg_approx_quantile" -> qAggApproxQuantile,
+    "q_agg_unpivot" -> qAggUnpivot
   )
 
   val oracle: Map[String, String] = Map(
@@ -107,7 +108,10 @@ object Aggregations {
       """SELECT o_orderstatus,
                 arg_max(o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) * 1000000 + o_orderkey) AS top_order,
                 arg_min(o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) * 1000000 + o_orderkey) AS bottom_order
-         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_agg_unpivot" ->
+      """SELECT user_id, event_type, count(*) AS cnt
+         FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"""
   )
 
   private def qAggGlobal(s: SparkSession, d: String): DataFrame =
@@ -251,6 +255,24 @@ object Aggregations {
         max_by(col("o_orderkey"), ordv).as("top_order"),
         min_by(col("o_orderkey"), ordv).as("bottom_order"))
       .orderBy("o_orderstatus")
+  }
+
+  /** Unpivot/melt (wide → long): round-trips the pivoted wide table back
+    * to (user, type, cnt); dropping the manufactured zeros makes it equal
+    * the plain grouped count, which is the oracle. */
+  private def qAggUnpivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+    wide.unpivot(
+      Array(col("user_id")),
+      types.map(col).toArray,
+      "event_type", "cnt")
+      .filter(col("cnt") =!= 0)
+      .orderBy("user_id", "event_type")
   }
 
   /** Approximate percentile sketch (genre: latency/amount quantiles at

@@ -29,7 +29,8 @@ object Joins {
     "q_join_theta" -> qJoinTheta,
     "q_join_asof" -> qJoinAsof,
     "q_join_interval" -> qJoinInterval,
-    "q_scalar_subquery" -> qScalarSubquery
+    "q_scalar_subquery" -> qScalarSubquery,
+    "q_lateral" -> qLateral
   )
 
   val oracle: Map[String, String] = Map(
@@ -89,7 +90,12 @@ object Joins {
       """SELECT c_custkey,
                 (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
                 coalesce((SELECT max(o_orderkey) FROM orders WHERE o_custkey = c_custkey), -1) AS max_ok
-         FROM customer ORDER BY c_custkey"""
+         FROM customer ORDER BY c_custkey""",
+    "q_lateral" ->
+      """SELECT c_custkey, o_orderkey FROM customer,
+         LATERAL (SELECT o_orderkey FROM orders WHERE o_custkey = c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) x
+         ORDER BY c_custkey, o_orderkey"""
   )
 
   private def qJoinInner(s: SparkSession, d: String): DataFrame =
@@ -193,6 +199,19 @@ object Joins {
                 (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
                 coalesce((SELECT max(o_orderkey) FROM orders WHERE o_custkey = c_custkey), -1L) AS max_ok
          FROM customer ORDER BY c_custkey""")
+  }
+
+  /** LATERAL correlated subquery (per-customer top-3 orders) — the SQL
+    * form of the keyed Top-N idiom; Catalyst plans a lateral join with the
+    * limit applied per correlation. */
+  private def qLateral(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey, o_orderkey FROM customer,
+         LATERAL (SELECT o_orderkey FROM orders WHERE o_custkey = c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) x
+         ORDER BY c_custkey, o_orderkey""")
   }
 
   /** Interval join (genre: Flink intervalJoin order⋈detail ±15 min):

@@ -33,6 +33,7 @@ object TextSim {
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_sentiment" -> qTextSentiment,
     "q_text_tokens" -> qTextTokens,
+    "q_sample_hash" -> qSampleHash,
     "q_multimodal_meta" -> qMultimodalMeta
   )
 
@@ -141,6 +142,10 @@ object TextSim {
                 len(regexp_extract_all(text || ' 42,17 x9!', '[0-9]+')) AS n_num,
                 len(regexp_extract_all(text || ' 42,17 x9!', '[^a-z0-9 ]')) AS n_punct
          FROM documents ORDER BY doc_id""",
+    "q_sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE substr(md5(text), 1, 1) IN ('0', '1')
+         ORDER BY doc_id""",
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS nbytes, md5(text) AS digest
          FROM documents ORDER BY doc_id"""
@@ -355,6 +360,16 @@ object TextSim {
         regexp_count(aug, lit("[^a-z0-9 ]")).cast(LongType).as("n_punct"))
       .orderBy("doc_id")
   }
+
+  /** Reproducible corpus sampling by content hash (the standard trick for
+    * deterministic train/eval splits in data pipelines): a doc is in the
+    * 1/8 sample iff its md5 starts with nibble 0 or 1 — stable across
+    * engines, runs and partitionings, unlike RNG-based TABLESAMPLE. */
+  private def qSampleHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(substring(md5(col("text")), 1, 1).isin("0", "1"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
 
   /** Multimodal plumbing, metadata leg: opaque payloads as binary + typed
     * metadata (byte length, content digest). The decode/resize stages live
