@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps `explain("formatted")` for representative queries — the
+  * plan-review artifact behind PLANS.md. Usage:
+  *   sbt "runMain graft.Plans /root/testdata/sf0.001"
+  */
+object Plans {
+  val flagship = Seq(
+    "q_agg_group",       // two-phase hash agg
+    "q_join_broadcast",  // broadcast dim join
+    "q_join_asof",       // range join + WindowGroupLimit top-1
+    "q_topk_global",     // TakeOrderedAndProject
+    "q_scan_pushdown",   // PushedFilters into parquet
+    "q_sim_knn",         // codegen'd dot_product_d kernel
+    "q_dedup_minhash",   // LSH banding + exact verify
+    "q_stream_tumble"    // windowed partial+final agg
+  )
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    flagship.foreach { name =>
+      println(s"\n## $name\n")
+      println("```")
+      val df = SparkEntry.queries(name)(spark, dir)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      println("```")
+    }
+    spark.stop()
+  }
+}
