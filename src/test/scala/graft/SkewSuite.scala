@@ -21,4 +21,22 @@ class SkewSuite extends SparkSuite {
     assert(salted == plain)
     assert(plain.values.sum > 0)
   }
+
+  test("saltedJoin with salts=1 degenerates to the plain join") {
+    val ev = Tables.events(spark, sf0001).select("event_id", "user_id")
+    val dim = Tables.customer(spark, sf0001)
+      .select(col("c_custkey").as("user_key"), col("c_mktsegment"))
+    val plain = ev.join(dim, col("user_id") === col("user_key")).count()
+    val salted = Skew.saltedJoin(ev, dim, "user_id", "user_key", salts = 1).count()
+    assert(salted == plain)
+  }
+
+  test("saltedJoin preserves left-join row multiplicity") {
+    val ev = Tables.events(spark, sf0001).select("event_id", "user_id")
+    val smallDim = Tables.customer(spark, sf0001).filter(col("c_custkey") < 5)
+      .select(col("c_custkey").as("user_key"), col("c_mktsegment"))
+    val plain = ev.join(smallDim, col("user_id") === col("user_key"), "left").count()
+    val salted = Skew.saltedJoin(ev, smallDim, "user_id", "user_key", 4, "left").count()
+    assert(salted == plain)
+  }
 }
