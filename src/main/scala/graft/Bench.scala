@@ -18,10 +18,30 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a file; the printed line must stay SHORT:
+    // the driver records only the last ~2000 chars of stdout (r1's full-
+    // precision 86-entry line was truncated there and failed to parse), so
+    // the single stdout JSON line is capped well under that, slowest-first.
+    val fullQs = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => f""""$k":$v%.3f""" }
+    try {
+      val detail = fullQs.mkString("{", ",", "}")
+      val w = new java.io.PrintWriter("bench_detail.json")
+      w.println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}""")
+      w.close()
+    } catch { case _: Throwable => }
+    val budget = 1400
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":{"""
+    val sb = new StringBuilder(head)
+    var first = true
+    fullQs.foreach { e =>
+      if (sb.length + e.length + 3 < budget) {
+        if (!first) sb.append(','); sb.append(e); first = false
+      }
+    }
+    sb.append("}}")
+    println(sb.toString)
     spark.stop()
   }
 }

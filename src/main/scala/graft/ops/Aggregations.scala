@@ -106,8 +106,8 @@ object Aggregations {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_agg_argmax" ->
       """SELECT o_orderstatus,
-                arg_max(o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) * 1000000 + o_orderkey) AS top_order,
-                arg_min(o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) * 1000000 + o_orderkey) AS bottom_order
+                arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 1000000000 + o_orderkey) AS top_order,
+                arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 1000000000 + o_orderkey) AS bottom_order
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_agg_unpivot" ->
       """SELECT user_id, event_type, count(*) AS cnt
@@ -248,7 +248,10 @@ object Aggregations {
     * The ordering value is made unique (cents·10⁶ + orderkey) so ties
     * cannot make the answer arbitrary. */
   private def qAggArgmax(s: SparkSession, d: String): DataFrame = {
-    val ordv = dec(col("o_totalprice"), 12, 2) * 1000000 + col("o_orderkey")
+    // injective ordering value: price in cents (exact BIGINT) scaled past
+    // any orderkey (max 1.5e5 at sf0.1; 1e9 headroom), plus the key itself —
+    // ties are impossible, so Spark max_by and DuckDB arg_max cannot diverge
+    val ordv = (dec(col("o_totalprice"), 12, 2) * 100).cast(LongType) * lit(1000000000L) + col("o_orderkey")
     Tables.orders(s, d)
       .groupBy(col("o_orderstatus"))
       .agg(

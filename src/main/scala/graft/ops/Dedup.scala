@@ -132,9 +132,15 @@ object Dedup {
     jaccardPairs(sh, Some(candidates)).orderBy("d1", "d2")
   }
 
-  /** SimHash-64 over shingles: per-bit ±1 vote, banked hamming-distance
-    * candidate join (4 banks × 16 bits — any pair within hamming distance 3
-    * shares at least one bank), exact bit_count verify <= 12.
+  /** SimHash-64 over shingles: per-bit ±1 vote, then ALL pairs at hamming
+    * distance <= 12 — exact semantics, a well-defined function of the
+    * threshold. The signature table is tiny (one i64 per doc), so the pair
+    * scan is a broadcast nested-loop with the bit_count filter inside the
+    * join condition (codegen'd; ~n²/2 cheap XOR+popcount evals, no shuffle,
+    * no candidate materialization). At cluster scale (n >> 10⁶) swap the
+    * pair scan for banded LSH with ⌈64/(hd_max+1)⌉ = 13 banks of ≤5 bits,
+    * which pigeonhole-guarantees recall at hd <= 12 — at fixture scale the
+    * exact scan is both faster and simpler.
     * The vote+fold runs as the native single-pass SimHashAgg
     * (TypedImperativeAggregate — one 256-byte buffer per doc instead of 64
     * separate sum aggregates). No oracle: xxhash64 isn't reproducible in
@@ -144,21 +150,12 @@ object Dedup {
     val sh = shingles(Tables.documents(s, d)).withColumn("h", xxhash64(col("s")))
     val sigAgg = Bridge.column(
       graft.expr.SimHashAgg(Bridge.expression(col("h"))).toAggregateExpression())
-    // persist the tiny per-doc signature table — both sides of the banked
-    // self-join derive from it, and without caching the vote pass over all
-    // shingles would run twice
-    val sigs = sh.groupBy(col("doc_id")).agg(sigAgg.as("sig")).persist()
-    val bankCols = (0 until 4).map { b =>
-      struct(lit(b).as("bank"), shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bv"))
-    }
-    val banked = sigs.select(col("doc_id"), col("sig"), explode(array(bankCols: _*)).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.bank").as("bank"), col("bk.bv").as("bv"))
-    banked.select(col("doc_id").as("d1"), col("sig").as("sig1"), col("bank"), col("bv"))
-      .join(banked.select(col("doc_id").as("d2"), col("sig").as("sig2"), col("bank"), col("bv")), Seq("bank", "bv"))
-      .filter(col("d1") < col("d2"))
+    val sigs = sh.groupBy(col("doc_id")).agg(sigAgg.as("sig"))
+    val a = sigs.select(col("doc_id").as("d1"), col("sig").as("sig1"))
+    val b = sigs.select(col("doc_id").as("d2"), col("sig").as("sig2"))
+    a.join(broadcast(b),
+        col("d1") < col("d2") && expr("bit_count(sig1 ^ sig2) <= 12"))
       .select(col("d1"), col("d2"), expr("bit_count(sig1 ^ sig2)").as("hd"))
-      .distinct()
-      .filter(col("hd") <= 12)
       .orderBy("d1", "d2")
   }
 }

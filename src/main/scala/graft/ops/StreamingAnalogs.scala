@@ -40,14 +40,14 @@ object StreamingAnalogs {
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_stream_session" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events),
-         m AS (SELECT user_id, t,
+         m AS (SELECT user_id, t, event_id,
                       CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
                                 > INTERVAL 30 MINUTE
                            OR lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
                            THEN 1 ELSE 0 END AS brk
                FROM e),
          sid AS (SELECT user_id,
-                        SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                        SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
                  FROM m),
          per AS (SELECT user_id, sess, count(*) AS len FROM sid GROUP BY user_id, sess)

@@ -18,13 +18,18 @@ object Udfs {
 
   /** Typed UDAF (Aggregator): exact weighted total as a (Σ w·x, Σ w)
     * decimal pair — emitted as one string, order-independent because the
-    * accumulation is decimal arithmetic. */
-  case class WIn(v: BigDecimal, k: Long)
+    * accumulation is decimal arithmetic. Inputs are Options so a NULL
+    * value or weight is skipped exactly like SQL SUM skips NULLs:
+    * Σ w·x counts rows where both are present, Σ w counts rows where the
+    * weight is present (matching SUM(v*k) / SUM(k)). */
+  case class WIn(v: Option[BigDecimal], k: Option[Long])
   case class WBuf(swx: BigDecimal, sw: Long)
   object WeightedTotal extends Aggregator[WIn, WBuf, String] {
     def zero: WBuf = WBuf(BigDecimal(0), 0L)
-    def reduce(b: WBuf, a: WIn): WBuf =
-      WBuf(b.swx + a.v * BigDecimal(a.k), b.sw + a.k)
+    def reduce(b: WBuf, a: WIn): WBuf = {
+      val wx = for { v <- a.v; k <- a.k } yield v * BigDecimal(k)
+      WBuf(b.swx + wx.getOrElse(BigDecimal(0)), b.sw + a.k.getOrElse(0L))
+    }
     def merge(x: WBuf, y: WBuf): WBuf = WBuf(x.swx + y.swx, x.sw + y.sw)
     def finish(b: WBuf): String =
       b.swx.setScale(2, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString + "|" + b.sw

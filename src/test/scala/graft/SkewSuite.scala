@@ -31,6 +31,28 @@ class SkewSuite extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("saltedJoin rejects join types where dim replication breaks results") {
+    val ev = Tables.events(spark, sf0001).select("event_id", "user_id")
+    val dim = Tables.customer(spark, sf0001)
+      .select(col("c_custkey").as("user_key"), col("c_mktsegment"))
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "cross"))
+      assertThrows[IllegalArgumentException](
+        Skew.saltedJoin(ev, dim, "user_id", "user_key", 4, jt))
+  }
+
+  test("saltedJoin matches plain join for semi and anti") {
+    val ev = Tables.events(spark, sf0001).select("event_id", "user_id")
+    val smallDim = Tables.customer(spark, sf0001).filter(col("c_custkey") < 8)
+      .select(col("c_custkey").as("user_key"))
+    for (jt <- Seq("left_semi", "left_anti")) {
+      val plain = ev.join(smallDim, col("user_id") === col("user_key"), jt)
+        .select("event_id").as[Long].collect().sorted.toSeq
+      val salted = Skew.saltedJoin(ev, smallDim, "user_id", "user_key", 4, jt)
+        .select("event_id").as[Long].collect().sorted.toSeq
+      assert(salted == plain)
+    }
+  }
+
   test("saltedJoin preserves left-join row multiplicity") {
     val ev = Tables.events(spark, sf0001).select("event_id", "user_id")
     val smallDim = Tables.customer(spark, sf0001).filter(col("c_custkey") < 5)
