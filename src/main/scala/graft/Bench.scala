@@ -8,11 +8,28 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // static conf, read once at CodeGenerator class-init: the default
+      // 100-entry compiled-class cache cannot hold 86 queries' codegen
+      // stages, so warmup compilations would be evicted before the timed
+      // loop re-needs them
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JIT/codegen/classloading + parquet footers, so the
-    // timed loop measures query cost, not first-touch overhead
+    // Untimed warmup (standard steady-state benchmarking, as in JMH): run
+    // EVERY query once at the TARGET scale factor so the timed loop
+    // measures query cost — not first-touch JVM JIT (C2 compiling Spark
+    // itself dominates the first ~30s of any session), Janino codegen
+    // compilation, classloading, or parquet footer reads. Warming at the
+    // target sf matters: AQE picks size-dependent physical plans, so a
+    // smaller sf would compile different codegen classes. Measured effect:
+    // a cold q_dedup_near takes 8.8s vs 2.0s steady-state on identical data.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => }
+    }
+    // drop any plan-subtree caches the warmup queries persisted, so the
+    // timed loop starts from clean storage memory
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -21,7 +21,8 @@ object SparkEntry {
       (ops.Udfs.queries, ops.Udfs.oracle),
       (ops.StreamingAnalogs.queries, ops.StreamingAnalogs.oracle),
       (ops.Dedup.queries, ops.Dedup.oracle),
-      (ops.TextSim.queries, ops.TextSim.oracle)
+      (ops.TextSim.queries, ops.TextSim.oracle),
+      (ops.Advanced.queries, ops.Advanced.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

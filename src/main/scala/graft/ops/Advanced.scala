@@ -1,0 +1,266 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.Dsl._
+
+/** Product-analytics + data-engineering operators the genre's ADS layer
+  * serves (funnel, retention, sequence/CEP patterns, SCD-2 dimension
+  * versioning) plus aggregate/function surface extensions (count_if /
+  * bool aggs, bitwise aggs, fuzzy string matching) and a declared
+  * skew-mitigated join.
+  *
+  * Scale notes: funnel/retention/CEP all key their shuffles by user_id —
+  * per-key work is bounded by a user's event count, never global. The
+  * event-time comparisons run on int64 microseconds derived by integer
+  * division from the raw nanosecond column (exact; µs is the common
+  * precision domain with the oracle engine, which truncates ns parquet
+  * to µs at read). SCD-2 compaction is one window pass per key — the
+  * changelog never materializes more than once.
+  */
+object Advanced {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> qFunnel,
+    "q_retention" -> qRetention,
+    "q_cep_pattern" -> qCepPattern,
+    "q_scd2" -> qScd2,
+    "q_agg_countif" -> qAggCountif,
+    "q_agg_bitwise" -> qAggBitwise,
+    "q_str_fuzzy" -> qStrFuzzy,
+    "q_join_salted" -> qJoinSalted
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+         s1 AS (SELECT user_id, min(tu) AS t1 FROM ev
+                WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.tu) AS t2 FROM ev e
+                JOIN s1 ON e.user_id = s1.user_id AND e.tu > s1.t1
+                WHERE e.event_type = 'click' GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.tu) AS t3 FROM ev e
+                JOIN s2 ON e.user_id = s2.user_id AND e.tu > s2.t2
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+         SELECT u.user_id,
+                CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS depth,
+                coalesce(t1, -1) AS s1_us,
+                coalesce(t2, -1) AS s2_us,
+                coalesce(t3, -1) AS s3_us
+         FROM (SELECT DISTINCT user_id FROM ev) u
+         LEFT JOIN s1 ON u.user_id = s1.user_id
+         LEFT JOIN s2 ON u.user_id = s2.user_id
+         LEFT JOIN s3 ON u.user_id = s3.user_id
+         ORDER BY u.user_id""",
+    "q_retention" ->
+      """WITH f AS (SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0
+                    FROM events GROUP BY user_id),
+         r AS (SELECT f.user_id, f.d0,
+                      max(CASE WHEN date_diff('day', f.d0, CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) = 1
+                               THEN 1 ELSE 0 END) AS ret1,
+                      max(CASE WHEN date_diff('day', f.d0, CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) = 7
+                               THEN 1 ELSE 0 END) AS ret7
+               FROM f JOIN events e ON f.user_id = e.user_id
+               GROUP BY f.user_id, f.d0)
+         SELECT strftime(d0, '%Y-%m-%d') AS cohort_day, count(*) AS n_users,
+                CAST(SUM(ret1) AS BIGINT) AS ret_d1, CAST(SUM(ret7) AS BIGINT) AS ret_d7
+         FROM r GROUP BY d0 ORDER BY cohort_day""",
+    "q_cep_pattern" ->
+      """SELECT user_id, count(*) AS n_matches FROM (
+           SELECT user_id, event_type, epoch_us(ts) AS tu,
+                  lead(event_type) OVER w AS nxt_type,
+                  lead(epoch_us(ts)) OVER w AS nxt_tu
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         WHERE event_type = 'purchase' AND nxt_type = 'error'
+           AND nxt_tu - tu <= 600000000
+         GROUP BY user_id ORDER BY user_id""",
+    "q_scd2" ->
+      """WITH chg AS (
+           SELECT o_orderkey AS k, 1 AS version, 'I' AS op,
+                  CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders
+           UNION ALL
+           SELECT o_orderkey, 2, 'U', CAST(o_totalprice AS DECIMAL(12,2)) + 1000
+           FROM orders WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderkey, 3, 'D', NULL FROM orders WHERE o_orderkey % 7 = 0),
+         v AS (SELECT k, version, op, price,
+                      lead(version) OVER (PARTITION BY k ORDER BY version) AS nxtv
+               FROM chg)
+         SELECT k, version, op,
+                CAST(CAST(price AS DECIMAL(38,2)) AS VARCHAR) AS price,
+                coalesce(nxtv - 1, -1) AS valid_to,
+                CASE WHEN nxtv IS NULL AND op <> 'D' THEN 1 ELSE 0 END AS is_current
+         FROM v ORDER BY k, version""",
+    "q_agg_countif" ->
+      """SELECT event_type,
+                CAST(count(*) FILTER (value > 50) AS BIGINT) AS n_big,
+                CAST(count(*) FILTER (value = 0) AS BIGINT) AS n_zero,
+                CAST(bool_and(value >= 0) AS INT) AS all_nonneg,
+                CAST(bool_or(value > 500) AS INT) AS any_huge
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_agg_bitwise" ->
+      """SELECT event_type,
+                bit_and(user_id) AS b_and, bit_or(user_id) AS b_or,
+                bit_xor(user_id) AS b_xor
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_str_fuzzy" ->
+      """WITH b AS (SELECT DISTINCT p_brand FROM part)
+         SELECT a.p_brand AS b1, c.p_brand AS b2,
+                levenshtein(a.p_brand, c.p_brand) AS dist
+         FROM b a JOIN b c ON a.p_brand < c.p_brand
+         WHERE levenshtein(a.p_brand, c.p_brand) <= 1
+         ORDER BY b1, b2""",
+    "q_join_salted" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+  )
+
+  /** Conversion funnel signup → click → purchase (ordered, strict): the
+    * canonical product-analytics sequence query. Each stage is a keyed
+    * min-aggregate over events after the previous stage's timestamp —
+    * three user_id-keyed shuffles, no window over the full stream.
+    * Timestamps compared/emitted as int64 MICROseconds (`ts DIV 1000`):
+    * the oracle engine reads the nanosecond parquet column at µs
+    * precision, so µs is the common exact domain. */
+  private def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("tu"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("tu")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id")).filter(col("tu") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("tu")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id")).filter(col("tu") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("tu")).as("t3"))
+    ev.select(col("user_id")).distinct()
+      .join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1).otherwise(0).as("depth"),
+        coalesce(col("t1"), lit(-1L)).as("s1_us"),
+        coalesce(col("t2"), lit(-1L)).as("s2_us"),
+        coalesce(col("t3"), lit(-1L)).as("s3_us"))
+      .orderBy("user_id")
+  }
+
+  /** Cohort retention: users grouped by first-activity day; day-1 and
+    * day-7 return rates as exact integer counts. */
+  private def qRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), to_date(col("t")).as("day"))
+    val f = ev.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+    f.join(ev, Seq("user_id"))
+      .groupBy(col("user_id"), col("d0"))
+      .agg(
+        max(when(datediff(col("day"), col("d0")) === 1, 1).otherwise(0)).as("ret1"),
+        max(when(datediff(col("day"), col("d0")) === 7, 1).otherwise(0)).as("ret7"))
+      .groupBy(col("d0"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("ret1")).cast(LongType).as("ret_d1"),
+        sum(col("ret7")).cast(LongType).as("ret_d7"))
+      .select(date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"),
+        col("n_users"), col("ret_d1"), col("ret_d7"))
+      .orderBy("cohort_day")
+  }
+
+  /** Sequence/CEP pattern detection (genre: Flink CEP): purchase
+    * immediately followed by error within 10 minutes, per user. One
+    * lead() window pass over (user, event-time) — the batch analog of a
+    * keyed-state pattern matcher; nanosecond int64 arithmetic throughout. */
+  private def qCepPattern(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        expr("ts DIV 1000").as("tu"))
+      .withColumn("nxt_type", lead(col("event_type"), 1).over(w))
+      .withColumn("nxt_tu", lead(col("tu"), 1).over(w))
+      .filter(col("event_type") === "purchase" && col("nxt_type") === "error" &&
+        col("nxt_tu") - col("tu") <= 600000000L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy("user_id")
+  }
+
+  /** Slowly-changing-dimension type 2: compact a CDC changelog into
+    * versioned validity ranges (valid_to = next version - 1; the open
+    * version is current unless deleted). Shares the manufactured
+    * changelog of q_cdc_compact; one window pass per key. */
+  private def qScd2(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val price = dec(col("o_totalprice"), 12, 2)
+    val ins = o.select(col("o_orderkey").as("k"), lit(1).as("version"), lit("I").as("op"), price.as("price"))
+    val upd = o.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey").as("k"), lit(2).as("version"), lit("U").as("op"), (price + 1000).as("price"))
+    val del = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("k"), lit(3).as("version"), lit("D").as("op"),
+        lit(null).cast(DecimalType(13, 2)).as("price"))
+    ins.unionByName(upd).unionByName(del)
+      .withColumn("nxtv", lead(col("version"), 1)
+        .over(Window.partitionBy(col("k")).orderBy(col("version"))))
+      .select(
+        col("k"), col("version"), col("op"),
+        decStr(col("price")).as("price"),
+        coalesce(col("nxtv") - 1, lit(-1)).as("valid_to"),
+        when(col("nxtv").isNull && col("op") =!= "D", 1).otherwise(0).as("is_current"))
+      .orderBy("k", "version")
+  }
+
+  /** Conditional-count and boolean aggregates (count_if / bool_and /
+    * bool_or), emitted as exact integers. */
+  private def qAggCountif(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("count_if(value > 50)").as("n_big"),
+        expr("count_if(value = 0)").as("n_zero"),
+        expr("bool_and(value >= 0)").cast(IntegerType).as("all_nonneg"),
+        expr("bool_or(value > 500)").cast(IntegerType).as("any_huge"))
+      .orderBy("event_type")
+
+  /** Bitwise aggregates over int64 keys — exact and order-independent,
+    * so safe under any partitioning. */
+  private def qAggBitwise(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("bit_and(user_id)").as("b_and"),
+        expr("bit_or(user_id)").as("b_or"),
+        expr("bit_xor(user_id)").as("b_xor"))
+      .orderBy("event_type")
+
+  /** Fuzzy string matching by edit distance (dedup/entity-resolution
+    * primitive): near-identical brand pairs at levenshtein <= 1. Runs on
+    * the distinct key set, so the quadratic term is bounded by key
+    * cardinality, not table size. */
+  private def qStrFuzzy(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.part(s, d).select(col("p_brand")).distinct()
+    val a = b.select(col("p_brand").as("b1"))
+    val c = b.select(col("p_brand").as("b2"))
+    a.join(c, col("b1") < col("b2"))
+      .withColumn("dist", levenshtein(col("b1"), col("b2")))
+      .filter(col("dist") <= 1)
+      .orderBy("b1", "b2")
+  }
+
+  /** Skew-mitigated dimension join as a first-class declared operator:
+    * Skew.saltedJoin spreads each fact key over 8 salted reducers
+    * (result-identical to the plain inner join, which is the oracle). */
+  private def qJoinSalted(s: SparkSession, d: String): DataFrame =
+    Skew.saltedJoin(Tables.orders(s, d), Tables.customer(s, d),
+      "o_custkey", "c_custkey", salts = 8, joinType = "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        decStr(sum(dec(col("o_totalprice"), 12, 2))).as("total"))
+      .orderBy("c_mktsegment")
+}

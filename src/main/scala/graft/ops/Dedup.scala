@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -25,7 +26,8 @@ object Dedup {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_near" -> qDedupNear,
     "q_dedup_minhash" -> qDedupMinhash,
-    "q_dedup_simhash" -> qDedupSimhash
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_prefix" -> qDedupPrefix
   )
 
   /** Shared oracle for near / minhash: exact word-3-shingle Jaccard >= 0.8
@@ -48,7 +50,8 @@ object Dedup {
       """SELECT lang, COUNT(DISTINCT text) AS n_distinct, count(*) AS n_docs
          FROM documents GROUP BY lang ORDER BY lang""",
     "q_dedup_near" -> nearOracle,
-    "q_dedup_minhash" -> nearOracle
+    "q_dedup_minhash" -> nearOracle,
+    "q_dedup_prefix" -> nearOracle
   )
 
   /** Distinct word-k-shingles per doc: (doc_id, s). The inverted-index key
@@ -126,6 +129,36 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
     val candidates = buckets.select(col("doc_id").as("d1"), col("band"), col("bsig"))
       .join(buckets.select(col("doc_id").as("d2"), col("band"), col("bsig")), Seq("band", "bsig"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+    jaccardPairs(sh, Some(candidates)).orderBy("d1", "d2")
+  }
+
+  /** Prefix-filtered set-similarity join (the PPJoin/AllPairs family —
+    * THE shuffle-minimal exact algorithm for Jaccard joins at corpus
+    * scale). Standard prefix-filter theorem: under any global total order
+    * on shingles, two sets A, B with |A∩B|/|A∪B| >= θ MUST intersect
+    * within their prefixes of the (|X| - ⌈θ·|X|⌉ + 1) smallest elements.
+    * Ordering by ascending global document frequency makes those prefixes
+    * the RAREST shingles, so the candidate join's per-key fan-out is
+    * bounded by rare-key frequency — the Σf² term that makes a naive
+    * inverted-index join quadratic on hot keys never materializes. The
+    * exact-verify pass reproduces the ground-truth output bit-for-bit
+    * (same oracle as q_dedup_near / q_dedup_minhash). */
+  private def qDedupPrefix(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(Tables.documents(s, d)).persist()
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val ranked = sh.join(df, Seq("s"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    // prefix length for θ = 0.8: n - ceil(0.8·n) + 1, in integer arithmetic
+    // (DIV, not `/` — the Column `/` operator is double division)
+    val prefix = ranked.filter(col("r") <= expr("n - ((n * 8 + 9) DIV 10) + 1"))
+      .select(col("doc_id"), col("s"))
+    val candidates = prefix.select(col("doc_id").as("d1"), col("s"))
+      .join(prefix.select(col("doc_id").as("d2"), col("s")), Seq("s"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
       .distinct()

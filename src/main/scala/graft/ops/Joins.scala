@@ -167,9 +167,34 @@ object Joins {
 
   /** As-of join (genre: Flink temporal table join): for each order, the
     * latest strictly-earlier order of the same customer, deterministic
-    * tiebreak on orderkey. Spark has no native ASOF — composed as a
-    * key-bounded range join + per-row top-1 (row_number). */
-  private def qJoinAsof(s: SparkSession, d: String): DataFrame = {
+    * tiebreak on orderkey. Spark has no native ASOF — implemented as the
+    * LINEAR union+window merge: tag query rows 0 and candidate rows 1,
+    * sort within each customer by (date, key, tag) — a query row sorts
+    * before its own candidate copy, so "last candidate seen so far" is
+    * exactly the latest strictly-(date,key)-earlier order. One shuffle,
+    * O(n log n) per key; the naive per-key range join + top-1 it replaces
+    * (kept as `asofViaRangeJoin` for the equivalence test) is quadratic
+    * per key and dies on a customer with many orders at 100 TB. */
+  private def qJoinAsof(s: SparkSession, d: String): DataFrame =
+    asofViaUnionWindow(s, d).orderBy("o_orderkey")
+
+  def asofViaUnionWindow(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_custkey").as("ck"), col("o_orderdate").as("od"), col("o_orderkey").as("ok"))
+    val q = o.withColumn("tag", lit(0))
+    val b = o.withColumn("tag", lit(1))
+    val w = Window.partitionBy(col("ck"))
+      .orderBy(col("od"), col("ok"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.unionByName(b)
+      .withColumn("prev_ok", last(when(col("tag") === 1, col("ok")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 0)
+      .select(col("ok").as("o_orderkey"), col("prev_ok"))
+  }
+
+  /** The composed range-join + per-row top-1 form of the same as-of join —
+    * semantically identical; retained as the cross-check in OperatorUnitSuite. */
+  def asofViaRangeJoin(s: SparkSession, d: String): DataFrame = {
     val a = Tables.orders(s, d).select(
       col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
     val b = Tables.orders(s, d).select(
@@ -185,7 +210,6 @@ object Joins {
     joined.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("o_orderkey"), col("b_ok").as("prev_ok"))
-      .orderBy("o_orderkey")
   }
 
   /** Correlated scalar subqueries (entry point 3, SQL text): Catalyst

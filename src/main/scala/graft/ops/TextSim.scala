@@ -26,6 +26,7 @@ object TextSim {
     "q_sim_label" -> qSimLabel,
     "q_sim_ivf" -> qSimIvf,
     "q_dedup_embed" -> qDedupEmbed,
+    "q_dedup_lsh" -> qDedupLsh,
     "q_text_stats" -> qTextStats,
     "q_text_ngram" -> qTextNgram,
     "q_text_langid" -> qTextLangid,
@@ -229,6 +230,50 @@ object TextSim {
       .filter(col("rnk") <= 5)
       .select(col("qid"), col("rnk").cast(LongType).as("rnk"), col("nid"))
       .orderBy("qid", "rnk")
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes for sign-LSH:
+    * java.util.Random's LCG is spec-pinned, so the planes are identical
+    * across JVMs and runs. 16 planes → 8 bands × 2 bits. */
+  private[ops] lazy val lshPlanes: Seq[Seq[Float]] = {
+    val rnd = new java.util.Random(42L)
+    Seq.fill(16)(Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+  }
+
+  /** Random-hyperplane (sign) LSH near-dup — the 100 TB path for
+    * q_dedup_embed: vectors bucket by 2-bit band signatures (8 bands over
+    * 16 hyperplane signs); only same-bucket pairs are candidates, then an
+    * exact cosine verify keeps dot >= 0.4. Collision probability per
+    * plane is 1 − θ/π, so an at-threshold pair (θ ≈ 66°) shares ≥1 band
+    * w.p. ~0.98, and the planted ~0.6-cosine pairs w.p. ~0.995 — recall
+    * asserted >= 0.9 against the exact q_dedup_embed in KnnSuite. The
+    * candidate join carries (vec_id, band, 2-bit value) rows only; the
+    * all-pairs O(n²) scan never happens. No oracle (recall is
+    * probabilistic, not exact). */
+  private def qDedupLsh(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val emb = Tables.embeddings(s, d)
+    def planeDot(p: Int) = Bridge.column(graft.expr.DotProductD(
+      Bridge.expression(col("embedding")),
+      Bridge.expression(typedlit(lshPlanes(p)))))
+    val bits = (0 until 16).map(p => when(planeDot(p) >= 0d, 1 << (p % 2)).otherwise(0))
+    val bandCols = (0 until 8).map { b =>
+      struct(lit(b).as("band"), (bits(2 * b) + bits(2 * b + 1)).as("v"))
+    }
+    val buckets = emb
+      .select(col("vec_id"), col("embedding"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("vec_id"), col("embedding"), col("bs.band").as("band"), col("bs.v").as("v"))
+    val cand = buckets.select(col("vec_id").as("v1"), col("band"), col("v"))
+      .join(buckets.select(col("vec_id").as("v2"), col("band"), col("v")), Seq("band", "v"))
+      .filter(col("v1") < col("v2"))
+      .select("v1", "v2").distinct()
+    cand
+      .join(emb.select(col("vec_id").as("v1"), col("embedding").as("qe")), Seq("v1"))
+      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("ne")), Seq("v2"))
+      .withColumn("dot", dotExpr)
+      .filter(col("dot") >= 0.4)
+      .select("v1", "v2")
+      .orderBy("v1", "v2")
   }
 
   /** Embedding-cosine near-dup pairs (threshold 0.4 — fixture vectors are

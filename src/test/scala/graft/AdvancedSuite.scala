@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Advanced, Joins, Skew}
+
+/** Round-2 operators: funnel/retention/CEP/SCD-2, prefix-filtered dedup,
+  * LSH embedding dedup, linear as-of, salted join — each checked against
+  * an independent formulation (driver-side recompute, the ground-truth
+  * variant, or the plain-join equivalent). */
+class AdvancedSuite extends SparkSuite {
+  import spark.implicits._
+
+  test("as-of: linear union+window form equals the range-join + top-1 form") {
+    val a = Joins.asofViaUnionWindow(spark, sf0001)
+      .as[(Long, Option[Long])].collect().toSet
+    val b = Joins.asofViaRangeJoin(spark, sf0001)
+      .as[(Long, Option[Long])].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("prefix-filtered jaccard join equals the full inverted-index join") {
+    val near = SparkEntry.queries("q_dedup_near")(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val prefix = SparkEntry.queries("q_dedup_prefix")(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(prefix == near && near.nonEmpty)
+  }
+
+  test("LSH embedding dedup: subset of exact pairs with recall >= 0.9") {
+    val exact = SparkEntry.queries("q_dedup_embed")(spark, sf0001)
+      .as[(Long, Long)].collect().toSet
+    val lsh = SparkEntry.queries("q_dedup_lsh")(spark, sf0001)
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.9)
+  }
+
+  test("funnel depths match a driver-side recompute over raw events") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000"))
+      .as[(Long, String, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+    val expected = byUser.map { case (u, rows) =>
+      val s1 = rows.filter(_._2 == "signup").map(_._3).minOption
+      val s2 = s1.flatMap(t1 => rows.filter(r => r._2 == "click" && r._3 > t1).map(_._3).minOption)
+      val s3 = s2.flatMap(t2 => rows.filter(r => r._2 == "purchase" && r._3 > t2).map(_._3).minOption)
+      val depth = if (s3.isDefined) 3 else if (s2.isDefined) 2 else if (s1.isDefined) 1 else 0
+      u -> ((depth, s1.getOrElse(-1L), s2.getOrElse(-1L), s3.getOrElse(-1L)))
+    }
+    val got = SparkEntry.queries("q_funnel")(spark, sf0001)
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("CEP purchase→error pattern matches a driver-side scan") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000"), col("event_id"))
+      .as[(Long, String, Long, Long)].collect()
+    val expected = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._4)).toSeq
+      val n = sorted.sliding(2).count {
+        case Seq(a, b) => a._2 == "purchase" && b._2 == "error" && b._3 - a._3 <= 600000000L
+        case _ => false
+      }
+      if (n > 0) Some(u -> n.toLong) else None
+    }.toMap
+    val got = SparkEntry.queries("q_cep_pattern")(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("SCD-2 current rows equal the CDC latest-wins compaction") {
+    val scd2cur = SparkEntry.queries("q_scd2")(spark, sf0001)
+      .filter(col("is_current") === 1)
+      .select("k", "version", "price")
+      .as[(Long, Int, String)].collect().toSet
+    val cdc = SparkEntry.queries("q_cdc_compact")(spark, sf0001)
+      .as[(Long, Int, String)].collect().toSet
+    assert(scd2cur == cdc && cdc.nonEmpty)
+  }
+
+  test("count_if / bool_and / bool_or on literal rows") {
+    val df = Seq(("a", 10.0), ("a", 60.0), ("a", 0.0), ("b", -1.0))
+      .toDF("event_type", "value")
+    val got = df.groupBy(col("event_type"))
+      .agg(
+        expr("count_if(value > 50)").as("n_big"),
+        expr("bool_and(value >= 0)").cast("int").as("all_nonneg"),
+        expr("bool_or(value > 500)").cast("int").as("any_huge"))
+      .as[(String, Long, Int, Int)].collect().toSet
+    assert(got == Set(("a", 1L, 1, 0), ("b", 0L, 0, 0)))
+  }
+
+  test("bitwise aggregates on literal rows") {
+    val df = Seq(("x", 5L), ("x", 3L), ("y", 8L)).toDF("g", "v")
+    val got = df.groupBy(col("g"))
+      .agg(expr("bit_and(v)").as("a"), expr("bit_or(v)").as("o"), expr("bit_xor(v)").as("x"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("x", 1L, 7L, 6L), ("y", 8L, 8L, 8L)))
+  }
+
+  test("levenshtein matches known distances") {
+    val got = Seq(("Brand#1", "Brand#13"), ("Brand#13", "Brand#23"), ("abc", "abc"))
+      .toDF("a", "b")
+      .select(levenshtein(col("a"), col("b"))).as[Int].collect().toSeq
+    assert(got == Seq(1, 1, 0))
+  }
+
+  test("salted join query equals the plain inner join aggregate") {
+    val salted = SparkEntry.queries("q_join_salted")(spark, sf0001)
+      .as[(String, Long, String)].collect().toSet
+    val plain = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"),
+        Dsl.decStr(sum(Dsl.dec(col("o_totalprice"), 12, 2))).as("total"))
+      .as[(String, Long, String)].collect().toSet
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("retention cohort counts are consistent: retained <= cohort size") {
+    val rows = SparkEntry.queries("q_retention")(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, r1, r7) =>
+      assert(r1 <= n && r7 <= n && r1 >= 0 && r7 >= 0)
+    }
+    // first cohort day must be the global min event day
+    val minDay = Tables.events(spark, sf0001)
+      .select(date_format(min(to_date(col("t"))), "yyyy-MM-dd")).as[String].head()
+    assert(rows.map(_._1).min == minDay)
+  }
+}

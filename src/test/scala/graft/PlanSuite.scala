@@ -51,12 +51,13 @@ class PlanSuite extends SparkSuite {
   }
 
   test("plan sweep: no accidental cartesian or nested-loop joins") {
-    // all-pairs similarity, the explicit cross join, and the simhash exact
-    // hd<=12 pair scan are cartesian BY DESIGN (broadcast probe side);
-    // anything else showing a nested-loop or cartesian product is a
-    // planning bug.
+    // all-pairs similarity, the explicit cross join, the simhash exact
+    // hd<=12 pair scan, and the fuzzy-match pair scan over DISTINCT keys
+    // are cartesian BY DESIGN (broadcast probe side, input bounded by key
+    // cardinality); anything else showing a nested-loop or cartesian
+    // product is a planning bug.
     val byDesign = Set("q_sim_knn", "q_sim_label", "q_sim_ivf", "q_dedup_embed", "q_join_cross",
-      "q_dedup_simhash")
+      "q_dedup_simhash", "q_str_fuzzy")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString()
       val bad = (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")) &&
