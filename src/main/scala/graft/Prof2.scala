@@ -1,8 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Dev-only: stage-level timing of q_dedup_near internals, cold. */
+/** Dev-only: steady-state timing of the heavy queries at the bench sf. */
 object Prof2 {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,6 +9,7 @@ object Prof2 {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def t[A](name: String)(f: => A): A = {
@@ -17,17 +17,15 @@ object Prof2 {
       println(f"[prof2] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
     t("warmup entry")(SparkEntry.entry(spark).count())
-    val sh = t("shingles build+count") {
-      val x = ops.Dedup.shingles(Tables.documents(spark, d))
-      x.count(); x
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_dedup_prefix", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_near",
+               "q_dedup_lsh", "q_join_theta", "q_dedup_embed", "q_text_fingerprint")
+    names.foreach { n =>
+      (1 to 2).foreach { i =>
+        t(s"$n run$i")(SparkEntry.queries(n)(spark, d).count())
+        spark.catalog.clearCache()
+      }
     }
-    t("shingles again (no persist)")(sh.count())
-    val shp = sh.persist()
-    t("persist materialize")(shp.count())
-    t("jaccard pairs over persisted")(ops.Dedup.jaccardPairs(shp).count())
-    t("jaccard pairs warm")(ops.Dedup.jaccardPairs(shp).count())
-    t("orderBy on top")(ops.Dedup.jaccardPairs(shp).orderBy("d1", "d2").count())
-    t("full query fresh")(SparkEntry.queries("q_dedup_near")(spark, d).count())
     spark.stop()
   }
 }

@@ -28,15 +28,34 @@ object Tables {
     * a derived µs timestamp column `t` via integer division (never `/1000` +
     * cast — double rounding can shift the value by 1µs).
     */
+  /** Tables whose consumers are CPU-bound per input row (shingle explosion,
+    * 64-dim dot products) — for these the one-task single-row-group scan
+    * (see `apply`) serializes real compute and a repartition pays for
+    * itself. The relational tables stay unsplit: their queries hit a
+    * key-partitioned exchange almost immediately anyway, and benching
+    * showed the extra repartition shuffle costs ~0.5 s per light query. */
+  private val wide = Set("documents", "embeddings")
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     Engine.init(spark)
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
-    }
+    val raw =
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+      } else {
+        spark.read.parquet(s"$dir/$name.parquet")
+      }
+    // Each fixture table is ONE parquet file with ONE row group, so the
+    // scan is a single task and every narrow transform after it
+    // (tokenize/explode, hashing, dot products, decimal arithmetic) runs
+    // single-threaded until the first exchange — measured 3.5 s for the
+    // shingle explode that takes 0.3 s once spread. An explicit
+    // numPartitions repartition (REPARTITION_BY_NUM — AQE never coalesces
+    // it back) costs one tiny shuffle (< 15 MB) and restores full-core
+    // parallelism. On a real lake this is moot: 100 TB tables arrive as
+    // thousands of splittable files and the scan parallelizes itself.
+    if (wide(name)) raw.repartition(spark.sparkContext.defaultParallelism) else raw
   }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")

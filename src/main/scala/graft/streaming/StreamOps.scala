@@ -105,4 +105,37 @@ object StreamOps {
   /** Attach a 10-minute watermark — the streaming entry point used by the
     * equivalence suite. */
   def withWm(ev: DataFrame): DataFrame = ev.withWatermark("t", "10 minutes")
+
+  /** Streaming CEP (genre: Flink CEP pattern matching): detect
+    * purchase→error within `gapUs` per user, with one small keyed state
+    * cell (the last-seen event) — the streaming twin of the declared
+    * batch analog `q_cep_pattern`. Within a micro-batch the group's rows
+    * are sorted by (event time, event_id); across batches the replay
+    * feeds event-time-ordered chunks, so the scan order equals the batch
+    * window order. State is O(1) per user — at stream scale eviction
+    * would hang off the watermark via event-time timeout. */
+  case class CepEv(user_id: Long, event_type: String, tu: Long, event_id: Long)
+  case class CepState(lastType: String, lastTu: Long)
+  case class CepHit(user_id: Long, purchase_tu: Long, error_tu: Long)
+
+  def cepPurchaseError(ev: Dataset[CepEv], gapUs: Long = 600000000L): Dataset[CepHit] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[CepEv], state: GroupState[CepState]) => {
+          val sorted = rows.toSeq.sortBy(r => (r.tu, r.event_id))
+          var last = state.getOption
+          val hits = Seq.newBuilder[CepHit]
+          sorted.foreach { r =>
+            last.foreach { l =>
+              if (l.lastType == "purchase" && r.event_type == "error" &&
+                r.tu - l.lastTu <= gapUs)
+                hits += CepHit(uid, l.lastTu, r.tu)
+            }
+            last = Some(CepState(r.event_type, r.tu))
+          }
+          last.foreach(state.update)
+          hits.result().iterator
+        })
+  }
 }

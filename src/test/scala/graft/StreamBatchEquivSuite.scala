@@ -191,6 +191,28 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(got == want)
   }
 
+  test("streaming CEP purchase→error == declared batch analog q_cep_pattern") {
+    // sf0.01: event spacing at sf0.001 is too wide for any 10-min match
+    val sf001 = "/root/testdata/sf0.01"
+    val cepRows = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("tu"), col("event_id"))
+      .orderBy("tu", "event_id")
+      .as[StreamOps.CepEv].collect().toSeq
+    val ms = MemoryStream(Encoders.product[StreamOps.CepEv], spark.sqlContext)
+    val q = StreamOps.cepPurchaseError(ms.toDS())
+      .writeStream.format("memory").queryName("t_cep").outputMode("append").start()
+    try {
+      val n = cepRows.size
+      Seq(cepRows.slice(0, n / 3), cepRows.slice(n / 3, (2 * n) / 3), cepRows.slice((2 * n) / 3, n))
+        .foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("t_cep").groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    val want = SparkEntry.queries("q_cep_pattern")(spark, sf001)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want && want.nonEmpty)
+  }
+
   test("late data beyond the watermark is dropped, never duplicated") {
     val maxT = rowsByArrival.map(_.t.getTime).max
     val sentinel = Ev(-1L, -1L, "sentinel", 0.0, new Timestamp(maxT + 86400L * 1000 * 40))
