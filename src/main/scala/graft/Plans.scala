@@ -10,11 +10,13 @@ object Plans {
   val flagship = Seq(
     "q_agg_group",       // two-phase hash agg
     "q_join_broadcast",  // broadcast dim join
-    "q_join_asof",       // range join + WindowGroupLimit top-1
+    "q_join_asof",       // linear union+window as-of merge
     "q_topk_global",     // TakeOrderedAndProject
     "q_scan_pushdown",   // PushedFilters into parquet
     "q_sim_knn",         // codegen'd dot_product_d kernel
-    "q_dedup_minhash",   // LSH banding + exact verify
+    "q_dedup_minhash",   // LSH banding + array_intersect exact verify
+    "q_dedup_prefix",    // PPJoin prefix-filtered exact Jaccard join
+    "q_funnel",          // keyed multi-stage sequence aggregation
     "q_stream_tumble"    // windowed partial+final agg
   )
 
