@@ -35,7 +35,8 @@ object TextSim {
     "q_text_sentiment" -> qTextSentiment,
     "q_text_tokens" -> qTextTokens,
     "q_sample_hash" -> qSampleHash,
-    "q_multimodal_meta" -> qMultimodalMeta
+    "q_multimodal_meta" -> qMultimodalMeta,
+    "q_text_heavy" -> qTextHeavy
   )
 
   /** Tiny deterministic sentiment lexicon over the fixture vocabulary. */
@@ -149,7 +150,13 @@ object TextSim {
          ORDER BY doc_id""",
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS nbytes, md5(text) AS digest
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q_text_heavy" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         tot AS (SELECT count(*) AS n FROM toks),
+         c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+         SELECT tok, cnt FROM c, tot WHERE cnt * 64 > n
+         ORDER BY cnt DESC, tok"""
   )
 
   /** Exact double dot product: floats widened BEFORE the multiply,
@@ -404,6 +411,33 @@ object TextSim {
         regexp_count(aug, lit("[0-9]+")).cast(LongType).as("n_num"),
         regexp_count(aug, lit("[^a-z0-9 ]")).cast(LongType).as("n_punct"))
       .orderBy("doc_id")
+  }
+
+  /** Heavy hitters over the token stream, sketch-accelerated but EXACT:
+    * a Misra–Gries summary (capacity k = 63, one bounded buffer per
+    * partition — the native HeavyHittersAgg TypedImperativeAggregate)
+    * produces candidate tokens; only those candidates are recounted
+    * exactly and filtered to cnt·64 > N. The MG guarantee (every token
+    * with frequency > N/64 survives the sketch) makes the candidate set a
+    * superset of the output, so the result equals the plain
+    * group-count-filter oracle while the shuffle carries k-entry
+    * summaries instead of one row per distinct token — the 100 TB shape
+    * for "top tokens over a corpus". */
+  private def qTextHeavy(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val toks = Tables.documents(s, d).select(explode(split(col("text"), " ")).as("tok"))
+    val hh = Bridge.column(
+      graft.expr.HeavyHittersAgg(Bridge.expression(col("tok")), 63).toAggregateExpression())
+    val cands = toks.agg(hh.as("hh"))
+      .select(explode(col("hh")).as("c"))
+      .select(col("c.tok").as("tok"))
+    val exact = toks.join(broadcast(cands), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = toks.agg(count(lit(1)).as("n"))
+    exact.crossJoin(tot)
+      .filter(col("cnt") * 64 > col("n"))
+      .select(col("tok"), col("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
   }
 
   /** Reproducible corpus sampling by content hash (the standard trick for

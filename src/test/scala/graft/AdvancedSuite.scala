@@ -120,6 +120,42 @@ class AdvancedSuite extends SparkSuite {
     assert(salted == plain && plain.nonEmpty)
   }
 
+  test("Misra-Gries summary: guarantee holds under forced evictions") {
+    import org.apache.spark.sql.graft.Bridge
+    // skewed stream: token i appears (11-i)^3 times, capacity 7 of 10 distinct
+    val rows = (1 to 10).flatMap(i => Seq.fill((11 - i) * (11 - i) * (11 - i))(s"tok$i"))
+    val n = rows.size
+    val df = scala.util.Random.shuffle(rows).toDF("tok")
+    val hh = Bridge.column(
+      graft.expr.HeavyHittersAgg(Bridge.expression(col("tok")), 7).toAggregateExpression())
+    val summary = df.agg(hh.as("hh"))
+      .select(explode(col("hh")).as("c"))
+      .select(col("c.tok"), col("c.est"))
+      .as[(String, Long)].collect().toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // every token with freq > N/(k+1) must be present
+    exact.foreach { case (t, c) =>
+      if (c * 8 > n) assert(summary.contains(t), s"$t with freq $c missing")
+    }
+    // estimates never exceed true counts and undercount by at most N/(k+1)
+    summary.foreach { case (t, e) =>
+      assert(e <= exact(t) && exact(t) - e <= n / 8 + 1)
+    }
+  }
+
+  test("q_text_heavy equals the exact group-count-filter computation") {
+    val got = SparkEntry.queries("q_text_heavy")(spark, sf0001)
+      .as[(String, Long)].collect().toSeq
+    val toks = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val n = toks.count()
+    val want = toks.groupBy("tok").count()
+      .filter(col("count") * 64 > n)
+      .orderBy(col("count").desc, col("tok"))
+      .as[(String, Long)].collect().toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
   test("retention cohort counts are consistent: retained <= cohort size") {
     val rows = SparkEntry.queries("q_retention")(spark, sf0001)
       .as[(String, Long, Long, Long)].collect()
