@@ -27,7 +27,8 @@ object Dedup {
     "q_dedup_near" -> qDedupNear,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
-    "q_dedup_prefix" -> qDedupPrefix
+    "q_dedup_prefix" -> qDedupPrefix,
+    "q_dedup_cluster" -> qDedupCluster
   )
 
   /** Shared oracle for near / minhash: exact word-3-shingle Jaccard >= 0.8
@@ -51,7 +52,27 @@ object Dedup {
          FROM documents GROUP BY lang ORDER BY lang""",
     "q_dedup_near" -> nearOracle,
     "q_dedup_minhash" -> nearOracle,
-    "q_dedup_prefix" -> nearOracle
+    "q_dedup_prefix" -> nearOracle,
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE
+         tok AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM tok),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM pos),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+         pairs AS (SELECT d1, d2 FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+                   WHERE inter * 10 >= 8 * (x.n + y.n - inter)),
+         edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+         reach(node, lbl) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node),
+         comp AS (SELECT node AS doc_id, min(lbl) AS canonical FROM reach GROUP BY node)
+         SELECT canonical, count(*) AS cluster_size,
+                CAST(count(*) - 1 AS BIGINT) AS n_removed
+         FROM comp GROUP BY canonical ORDER BY canonical"""
   )
 
   /** Word-k-shingles per doc WITH duplicates: (doc_id, s). One narrow
@@ -146,12 +167,13 @@ object Dedup {
     * spike. Work is Σf² over shingle frequencies — bounded by hot-key
     * frequency, not corpus size (and the prefix-filtered variant below is
     * the shape that kills the Σf² term entirely at 100 TB). */
-  private def qDedupNear(s: SparkSession, d: String): DataFrame = {
-    val raw = Tables.documents(s, d)
-      .withColumn("tok", split(col("text"), " "))
-      .filter(size(col("tok")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(tok) - 2), i -> concat_ws(' ', slice(tok, i, 3)))")).as("s"))
+  private def qDedupNear(s: SparkSession, d: String): DataFrame =
+    nearPairs(s, d).orderBy("d1", "d2")
+
+  /** The q_dedup_near computation without the final sort — reused by the
+    * clustering stage (q_dedup_cluster). */
+  def nearPairs(s: SparkSession, d: String): DataFrame = {
+    val raw = rawShingles(Tables.documents(s, d))
     val inv = raw.groupBy(col("s")).agg(sort_array(collect_set(col("doc_id"))).as("ds"))
     val sz = inv.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -237,6 +259,51 @@ object Dedup {
       .select(col("d1"), col("d2"))
       .distinct()
     verifyByArrays(candidates, docShingleArrays(docs)).orderBy("d1", "d2")
+  }
+
+  /** Dedup cluster selection — the FINAL stage of corpus dedup: group the
+    * near-dup pairs into connected components and pick one canonical doc
+    * (the minimum id) per component, reporting per-cluster sizes and how
+    * many docs a dedup pass would remove. Components via distributed
+    * min-label propagation (the Pregel/GraphX idiom as plain DataFrame
+    * ops): each iteration is one join + groupBy-min, the driver only
+    * checks the converged-yet counter; iteration count is the graph
+    * diameter, O(log n) for the chain-like clusters near-dup produces.
+    * Per-iteration persist keeps lineage flat; all intermediates are
+    * (node, label) longs — at 100 TB the edge list (pairs), not the
+    * corpus, bounds the work. Oracle: the same min-label closure as a
+    * recursive CTE. */
+  private def qDedupCluster(s: SparkSession, d: String): DataFrame = {
+    val pairs = nearPairs(s, d).select(col("d1"), col("d2"))
+    val edges = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .toDF("u", "v")
+      .persist()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .persist()
+    var converged = false
+    var iters = 0
+    while (!converged && iters < 30) {
+      val viaNbr = edges.join(labels, edges("v") === labels("node"))
+        .select(edges("u").as("node"), col("lbl"))
+      val next = labels.unionByName(viaNbr)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("node"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iters += 1
+    }
+    // edges and the final labels stay cached: the returned (lazy) plan
+    // reads them, and both are tiny (one long pair per near-dup edge)
+    labels
+      .groupBy(col("lbl").as("canonical"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .withColumn("n_removed", (col("cluster_size") - 1).cast("long"))
+      .orderBy("canonical")
   }
 
   /** SimHash-64 over shingles: per-bit ±1 vote, then ALL pairs at hamming

@@ -29,6 +29,7 @@ object Joins {
     "q_join_theta" -> qJoinTheta,
     "q_join_asof" -> qJoinAsof,
     "q_join_interval" -> qJoinInterval,
+    "q_join_interval_binned" -> qJoinIntervalBinned,
     "q_scalar_subquery" -> qScalarSubquery,
     "q_lateral" -> qLateral
   )
@@ -81,6 +82,12 @@ object Joins {
                  OR (b.o_orderdate = a.o_orderdate AND b.o_orderkey < a.o_orderkey)))
          WHERE rn = 1 ORDER BY o_orderkey""",
     "q_join_interval" ->
+      """SELECT a.user_id, count(*) AS cnt
+         FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events) a
+         JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events) b
+           ON a.user_id = b.user_id AND b.t > a.t AND b.t <= a.t + INTERVAL 1 HOUR
+         GROUP BY a.user_id ORDER BY a.user_id""",
+    "q_join_interval_binned" ->
       """SELECT a.user_id, count(*) AS cnt
          FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events) a
          JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events) b
@@ -247,6 +254,30 @@ object Joins {
     val b = ev.select(col("user_id").as("uid_b"), col("t").as("t_b"))
     ev.join(b,
       col("user_id") === col("uid_b") &&
+        col("t_b") > col("t") &&
+        col("t_b") <= col("t") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("user_id")
+  }
+
+  /** The same interval join in the BINNED (bucketed range join) shape —
+    * the plan that survives 100×: both sides carry an hour-bucket key;
+    * the right side is replicated into its own bucket and the previous
+    * one (any b with a.t < b.t <= a.t + 1h lands in one of those two),
+    * so the join is pure equi on (user, bucket) with the exact time
+    * predicate applied post-match. Pairs evaluated per task are bounded
+    * by bucket population, never by a user's full history — the batch
+    * analog of how a streaming interval join scopes its state to the
+    * watermark window. Result-identical to q_join_interval (same oracle). */
+  private def qJoinIntervalBinned(s: SparkSession, d: String): DataFrame = {
+    // DIV, not `/` — the Column `/` operator is double division
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("t"), expr("unix_micros(t) DIV 3600000000").as("bkt"))
+    val b = ev.select(col("user_id").as("uid_b"), col("t").as("t_b"),
+      explode(array(col("bkt"), col("bkt") - 1)).as("bkt_b"))
+    ev.join(b,
+      col("user_id") === col("uid_b") && col("bkt") === col("bkt_b") &&
         col("t_b") > col("t") &&
         col("t_b") <= col("t") + expr("INTERVAL 1 HOUR"))
       .groupBy(col("user_id"))
