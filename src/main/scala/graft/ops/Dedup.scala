@@ -233,8 +233,13 @@ object Dedup {
     * inverted-index join quadratic on hot keys never materializes. The
     * exact-verify pass reproduces the ground-truth output bit-for-bit
     * (same oracle as q_dedup_near / q_dedup_minhash). */
-  private def qDedupPrefix(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  private def qDedupPrefix(s: SparkSession, d: String): DataFrame =
+    prefixPairs(Tables.documents(s, d)).orderBy("d1", "d2")
+
+  /** The prefix-filtered exact Jaccard join over any (doc_id, text)
+    * DataFrame — property-tested against the ground-truth full join on
+    * random corpora in InvariantSuite. */
+  def prefixPairs(docs: DataFrame): DataFrame = {
     // inverted index gives each shingle's doc list AND its document
     // frequency in one shuffle; exploding it back yields (doc, s, f)
     // without a join

@@ -24,7 +24,8 @@ object ScalarFuncs {
     "q_cond_case" -> qCondCase,
     "q_cast_types" -> qCastTypes,
     "q_array_funcs" -> qArrayFuncs,
-    "q_json_extract" -> qJsonExtract
+    "q_json_extract" -> qJsonExtract,
+    "q_json_variant" -> qJsonVariant
   )
 
   val oracle: Map[String, String] = Map(
@@ -95,7 +96,15 @@ object ScalarFuncs {
                 CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                 MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
                 count(*) AS cnt
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_json_variant" ->
+      """SELECT user_id,
+                count(*) AS cnt,
+                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY user_id ORDER BY user_id"""
   )
 
   private def qStrFuncs(s: SparkSession, d: String): DataFrame =
@@ -200,6 +209,25 @@ object ScalarFuncs {
       .limit(1000)
 
   /** JSON log flattening (genre: DWD cleaning of app-log JSON). */
+  /** Semi-structured props through Spark 4's native VARIANT type:
+    * parse_json once into the binary variant encoding, then typed
+    * variant_get extraction — the 100 TB path for JSON logs (parse cost
+    * paid once at ingest, shredded binary access afterwards) vs per-call
+    * string parsing in get_json_object. Oracle expresses the same result
+    * over the raw JSON strings. */
+  private def qJsonVariant(s: SparkSession, d: String): DataFrame = {
+    val k = expr("variant_get(parse_json(props), '$.k', 'long')")
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(k).cast(LongType).as("sum_k"),
+        min(k).as("min_k"),
+        max(k).as("max_k"))
+      .orderBy("user_id")
+  }
+
   private def qJsonExtract(s: SparkSession, d: String): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast(LongType)
     Tables.events(s, d)

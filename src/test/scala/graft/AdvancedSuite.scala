@@ -120,6 +120,29 @@ class AdvancedSuite extends SparkSuite {
     assert(salted == plain && plain.nonEmpty)
   }
 
+  test("prefix-filtered join == ground truth on random corpora (3 seeds)") {
+    import graft.ops.Dedup
+    Seq(7L, 101L, 20260812L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f")
+      // base docs + mutated near-copies to guarantee some J >= 0.8 pairs
+      val base = (0 until 30).map { i =>
+        (i.toLong, Seq.fill(8 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val dups = base.take(10).map { case (id, text) =>
+        val toks = text.split(" ").toBuffer
+        toks(rnd.nextInt(toks.size)) = vocab(rnd.nextInt(vocab.size))
+        (id + 1000L, toks.mkString(" "))
+      }
+      val docs = (base ++ dups).toDF("doc_id", "text")
+      val truth = Dedup.jaccardPairs(Dedup.shingles(docs))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val prefix = Dedup.prefixPairs(docs)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(prefix == truth, s"seed $seed: prefix ${prefix.size} != truth ${truth.size}")
+    }
+  }
+
   test("Misra-Gries summary: guarantee holds under forced evictions") {
     import org.apache.spark.sql.graft.Bridge
     // skewed stream: token i appears (11-i)^3 times, capacity 7 of 10 distinct
