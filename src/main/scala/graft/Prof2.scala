@@ -1,7 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only: steady-state timing of the heavy queries at the bench sf. */
+/** Dev-only: steady-state timing of named queries at the bench sf.
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Prof2 [query...]" */
 object Prof2 {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,10 +19,9 @@ object Prof2 {
     }
     t("warmup entry")(SparkEntry.entry(spark).count())
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q_dedup_prefix", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_near",
-               "q_dedup_lsh", "q_join_theta", "q_dedup_embed", "q_text_fingerprint")
+      else Seq("q_dedup_cluster", "q_dedup_prefix", "q_dedup_minhash", "q_dedup_near")
     names.foreach { n =>
-      (1 to 2).foreach { i =>
+      (1 to 3).foreach { i =>
         t(s"$n run$i")(SparkEntry.queries(n)(spark, d).count())
         spark.catalog.clearCache()
       }

@@ -20,6 +20,7 @@ object StreamingAnalogs {
     "q_stream_tumble" -> qStreamTumble,
     "q_stream_slide" -> qStreamSlide,
     "q_stream_session" -> qStreamSession,
+    "q_stream_session_dyn" -> qStreamSessionDyn,
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_late" -> qStreamLate,
     "q_stream_stateful" -> qStreamStateful,
@@ -52,6 +53,24 @@ object StreamingAnalogs {
                  FROM m),
          per AS (SELECT user_id, sess, count(*) AS len FROM sid GROUP BY user_id, sess)
          SELECT user_id, count(*) AS n_sessions, max(len) AS max_len, CAST(SUM(len) AS BIGINT) AS n_events
+         FROM per GROUP BY user_id ORDER BY user_id""",
+    "q_stream_session_dyn" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu,
+                           epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                                               THEN 3600000000 ELSE 1800000000 END AS endu
+                    FROM events),
+         m AS (SELECT user_id, tu, event_id,
+                      max(endu) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+               FROM e),
+         b AS (SELECT user_id, tu, event_id,
+                      CASE WHEN pme IS NULL OR tu >= pme THEN 1 ELSE 0 END AS brk FROM m),
+         sid AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+                 FROM b),
+         per AS (SELECT user_id, sess, count(*) AS len FROM sid GROUP BY user_id, sess)
+         SELECT user_id, count(*) AS n_sessions, max(len) AS max_len,
+                CAST(SUM(len) AS BIGINT) AS n_events
          FROM per GROUP BY user_id ORDER BY user_id""",
     "q_stream_dedup" ->
       """SELECT user_id, event_type, MIN(event_id) AS first_id
@@ -108,6 +127,19 @@ object StreamingAnalogs {
 
   private def qStreamSession(s: SparkSession, d: String): DataFrame =
     StreamOps.sessionPerUser(Tables.events(s, d))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("len")).as("max_len"),
+        sum(col("len")).cast(LongType).as("n_events"))
+      .orderBy("user_id")
+
+  /** Dynamic-gap sessions (purchase = 60 min, else 30 min): the session
+    * break happens exactly when an event starts at or past the running
+    * max of previous (t + gap) ends — interval-union semantics, verified
+    * equal to Spark's dynamic session_window on all fixtures. */
+  private def qStreamSessionDyn(s: SparkSession, d: String): DataFrame =
+    StreamOps.sessionPerUserDynamic(Tables.events(s, d))
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_sessions"),

@@ -46,6 +46,23 @@ object StreamOps {
     ev.groupBy(session_window(col("t"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("len"))
 
+  /** Session windows with a DYNAMIC per-event gap (purchases hold the
+    * session open 60 min, everything else 30 min) — the Spark-native
+    * superpower over fixed-gap sessionization; works identically in batch
+    * and streaming. Semantics = union of per-event intervals
+    * [t, t + gap(event)): a session breaks exactly when an event's start
+    * is at or past the running max of all previous interval ends (pinned
+    * by the islands-analog equality test and the DuckDB oracle).
+    * The gap expression must be CalendarIntervalType — make_interval, not
+    * an ANSI INTERVAL literal (those parse as DayTimeIntervalType, which
+    * session_window rejects). */
+  def sessionPerUserDynamic(ev: DataFrame): DataFrame = {
+    val gap = when(col("event_type") === "purchase", expr("make_interval(0,0,0,0,0,60,0)"))
+      .otherwise(expr("make_interval(0,0,0,0,0,30,0)"))
+    ev.groupBy(session_window(col("t"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("len"))
+  }
+
   /** Streaming dedup (genre: keyed-state first-visit filter). The declared
     * batch analog pins keep-FIRST semantics via min(event_id); the
     * streaming form is dropDuplicates on the key columns. */

@@ -179,6 +179,28 @@ class AdvancedSuite extends SparkSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("dynamic-gap session_window == interval-union islands analog") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf0001)
+    val got = streaming.StreamOps.sessionPerUserDynamic(ev)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), max(col("len")).as("max_len"))
+      .as[(Long, Long, Long)].collect().toSet
+    val gapUs = when(col("event_type") === "purchase", 3600000000L).otherwise(1800000000L)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+    val want = ev
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("tu"), col("event_type"))
+      .withColumn("endu", col("tu") + gapUs)
+      .withColumn("pme", max(col("endu")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk", when(col("pme").isNull || col("tu") >= col("pme"), 1).otherwise(0))
+      .withColumn("sess", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess")).agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), max(col("len")).as("max_len"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("retention cohort counts are consistent: retained <= cohort size") {
     val rows = SparkEntry.queries("q_retention")(spark, sf0001)
       .as[(String, Long, Long, Long)].collect()
