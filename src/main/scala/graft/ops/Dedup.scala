@@ -284,8 +284,11 @@ object Dedup {
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .toDF("u", "v")
       .persist()
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("lbl", col("node"))
+    // initialize with the first propagation step folded in: a node's
+    // starting label is min(itself, its neighbors) — one groupBy instead
+    // of a no-op identity round plus a join
+    var labels = edges.groupBy(col("u").as("node"))
+      .agg(least(col("u"), min(col("v"))).as("lbl"))
       .persist()
     var converged = false
     var iters = 0
