@@ -119,6 +119,21 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(got == want)
   }
 
+  test("dynamic-gap session windows: closed sessions == batch sessions") {
+    val maxT = rowsByTime.last.t.getTime
+    val sentinel = Ev(-1L, -1L, "sentinel", 0.0, new Timestamp(maxT + 86400L * 1000 * 40))
+    val got = runStream(rowsByTime :+ sentinel, "t_sess_dyn", "append") { df =>
+      StreamOps.sessionPerUserDynamic(StreamOps.withWm(df))
+    }
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("len"))
+      .as[(Long, Long)].collect().groupBy(identity).view.mapValues(_.size).toMap
+    val want = StreamOps.sessionPerUserDynamic(batchEvents)
+      .select(col("user_id"), col("len"))
+      .as[(Long, Long)].collect().groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == want)
+  }
+
   test("stream-static join enriches a stream with a broadcast dim table") {
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
     val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
