@@ -123,6 +123,64 @@ object StreamOps {
     * equivalence suite. */
   def withWm(ev: DataFrame): DataFrame = ev.withWatermark("t", "10 minutes")
 
+  /** Keyed state + EVENT-TIME TIMERS (genre: Flink KeyedProcessFunction
+    * with registerEventTimeTimer — the hardest parity point): sessions
+    * built manually in `flatMapGroupsWithState` state, closed either by
+    * an in-batch gap or by the WATERMARK passing last-event + 30 min
+    * (GroupStateTimeout.EventTimeTimeout). Emits one (user, len) row per
+    * closed session; equivalence with the declarative session_window op
+    * is the StreamBatchEquivSuite proof that timer semantics are right.
+    * Requires per-user event-time-ordered arrival (the suite replays
+    * time-ordered chunks; rows within a batch are sorted here). */
+  case class SessEv(user_id: Long, t: Timestamp, event_id: Long)
+  case class SessState(startUs: Long, lastUs: Long, count: Long)
+  case class SessOut(user_id: Long, len: Long)
+  private val sessionGapUs = 1800000000L
+
+  /** Full-microsecond epoch from a Timestamp (getTime alone truncates to
+    * ms — a gap of exactly 30 min + sub-ms must still SPLIT, matching
+    * session_window's µs arithmetic). */
+  private def epochUs(t: Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos % 1000000) / 1000
+
+  def timerSessions(ev: Dataset[SessEv]): Dataset[SessOut] = {
+    import ev.sparkSession.implicits._
+    ev.withWatermark("t", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[SessEv], state: GroupState[SessState]) => {
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: the session is closed by TIMER
+            val s = state.get
+            state.remove()
+            Iterator(SessOut(uid, s.count))
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (epochUs(r.t), r.event_id))
+            val out = Seq.newBuilder[SessOut]
+            var cur = state.getOption
+            sorted.foreach { r =>
+              val tu = epochUs(r.t)
+              cur match {
+                case Some(s) if tu - s.lastUs <= sessionGapUs =>
+                  cur = Some(SessState(s.startUs, tu, s.count + 1))
+                case Some(s) =>
+                  out += SessOut(uid, s.count)
+                  cur = Some(SessState(tu, tu, 1L))
+                case None =>
+                  cur = Some(SessState(tu, tu, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timer fires once the watermark passes last-event + gap
+              // (+1 ms guard against the µs→ms truncation firing early)
+              state.setTimeoutTimestamp(s.lastUs / 1000 + sessionGapUs / 1000 + 1)
+            }
+            out.result().iterator
+          }
+        })
+  }
+
   /** Streaming CEP (genre: Flink CEP pattern matching): detect
     * purchase→error within `gapUs` per user, with one small keyed state
     * cell (the last-seen event) — the streaming twin of the declared

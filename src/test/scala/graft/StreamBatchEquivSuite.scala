@@ -134,6 +134,26 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(got == want)
   }
 
+  test("event-time-timer sessions (flatMapGroupsWithState) == session_window") {
+    val maxT = rowsByTime.last.t.getTime
+    val sentinel = Ev(-1L, -1L, "sentinel", 0.0, new Timestamp(maxT + 86400L * 1000 * 40))
+    val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+    val typed = ms.toDS().map(e => StreamOps.SessEv(e.user_id, e.t, e.event_id))
+    val q = StreamOps.timerSessions(typed)
+      .writeStream.format("memory").queryName("t_timer_sess").outputMode("append").start()
+    try {
+      (chunks(rowsByTime) :+ Seq(sentinel)).foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("t_timer_sess")
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("len"))
+      .as[(Long, Long)].collect().groupBy(identity).view.mapValues(_.size).toMap
+    val want = StreamOps.sessionPerUser(batchEvents)
+      .select(col("user_id"), col("len"))
+      .as[(Long, Long)].collect().groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == want && want.nonEmpty)
+  }
+
   test("stream-static join enriches a stream with a broadcast dim table") {
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
     val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
