@@ -199,13 +199,17 @@ object Dedup {
     * pass then reproduces the ground-truth output bit-for-bit, so this
     * shares `nearOracle`. At 100 TB the band-bucket join is the only
     * shuffle that matters and it carries (doc_id, 16-byte sig) rows only. */
-  private def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
-    // One string hash per shingle; the 32-member hash family re-hashes that
-    // 8-byte value with per-member seeds — 32× fewer string hashes, and no
-    // wrapping arithmetic (ANSI mode forbids long overflow). Signatures
-    // come from the RAW (with-duplicates) shingle stream: min is
-    // duplicate-insensitive, so the distinct shuffle would be pure waste.
-    val docs = Tables.documents(s, d)
+  private def qDedupMinhash(s: SparkSession, d: String): DataFrame =
+    minhashPairs(Tables.documents(s, d)).orderBy("d1", "d2")
+
+  /** MinHash-LSH near-dup join over any (doc_id, text) DataFrame —
+    * randomized-corpus tested against the ground truth in AdvancedSuite.
+    * One string hash per shingle; the 32-member hash family re-hashes that
+    * 8-byte value with per-member seeds — 32× fewer string hashes, and no
+    * wrapping arithmetic (ANSI mode forbids long overflow). Signatures
+    * come from the RAW (with-duplicates) shingle stream: min is
+    * duplicate-insensitive, so the distinct shuffle would be pure waste. */
+  def minhashPairs(docs: DataFrame): DataFrame = {
     val sh = rawShingles(docs).withColumn("h0", xxhash64(col("s")))
     val minhashAggs = (0 until 32).map(i => min(xxhash64(lit(i), col("h0"))).as(s"h$i"))
     val sig = sh.groupBy(col("doc_id")).agg(minhashAggs.head, minhashAggs.tail: _*)
@@ -219,7 +223,7 @@ object Dedup {
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
       .distinct()
-    verifyByArrays(candidates, docShingleArrays(docs)).orderBy("d1", "d2")
+    verifyByArrays(candidates, docShingleArrays(docs))
   }
 
   /** Prefix-filtered set-similarity join (the PPJoin/AllPairs family —

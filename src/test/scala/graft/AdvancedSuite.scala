@@ -143,6 +143,57 @@ class AdvancedSuite extends SparkSuite {
     }
   }
 
+  test("binned interval join == plain interval join on random event times") {
+    val rnd = new scala.util.Random(99L)
+    // 400 events, 8 users, timestamps bunched so many pairs land within 1h
+    val rows = (0 until 400).map { i =>
+      (i.toLong, rnd.nextInt(8).toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(48 * 3600) * 1000L))
+    }
+    val ev = rows.toDF("event_id", "user_id", "t")
+    def plain = {
+      val b = ev.select(col("user_id").as("uid_b"), col("t").as("t_b"))
+      ev.join(b, col("user_id") === col("uid_b") &&
+          col("t_b") > col("t") && col("t_b") <= col("t") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    }
+    def binned = {
+      val e2 = ev.withColumn("bkt", expr("unix_micros(t) DIV 3600000000"))
+      val b = e2.select(col("user_id").as("uid_b"), col("t").as("t_b"),
+        explode(array(col("bkt"), col("bkt") - 1)).as("bkt_b"))
+      e2.join(b, col("user_id") === col("uid_b") && col("bkt") === col("bkt_b") &&
+          col("t_b") > col("t") && col("t_b") <= col("t") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    }
+    val a = plain.as[(Long, Long)].collect().toSet
+    val b = binned.as[(Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("minhash-LSH join == ground truth on random corpora (3 seeds)") {
+    import graft.ops.Dedup
+    // MinHash candidates are probabilistic, but 16 bands x 2 rows gives
+    // recall 1-(1-J^2)^16 >= 1 - 4e-8 at J >= 0.8 — equality is safe
+    Seq(13L, 4242L, 777L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("p", "q", "r", "s", "t", "u")
+      val base = (0 until 25).map { i =>
+        (i.toLong, Seq.fill(10 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val dups = base.take(8).map { case (id, text) =>
+        val toks = text.split(" ").toBuffer
+        toks(rnd.nextInt(toks.size)) = vocab(rnd.nextInt(vocab.size))
+        (id + 1000L, toks.mkString(" "))
+      }
+      val docs = (base ++ dups).toDF("doc_id", "text")
+      val truth = Dedup.jaccardPairs(Dedup.shingles(docs))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val mh = Dedup.minhashPairs(docs)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(mh == truth, s"seed $seed: minhash ${mh.size} != truth ${truth.size}")
+    }
+  }
+
   test("Misra-Gries summary: guarantee holds under forced evictions") {
     import org.apache.spark.sql.graft.Bridge
     // skewed stream: token i appears (11-i)^3 times, capacity 7 of 10 distinct
