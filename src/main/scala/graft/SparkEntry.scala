@@ -22,7 +22,8 @@ object SparkEntry {
       (ops.StreamingAnalogs.queries, ops.StreamingAnalogs.oracle),
       (ops.Dedup.queries, ops.Dedup.oracle),
       (ops.TextSim.queries, ops.TextSim.oracle),
-      (ops.Advanced.queries, ops.Advanced.oracle)
+      (ops.Advanced.queries, ops.Advanced.oracle),
+      (ops.Warehouse.queries, ops.Warehouse.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

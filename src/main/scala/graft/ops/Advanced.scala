@@ -176,7 +176,9 @@ object Advanced {
   /** Sequence/CEP pattern detection (genre: Flink CEP): purchase
     * immediately followed by error within 10 minutes, per user. One
     * lead() window pass over (user, event-time) — the batch analog of a
-    * keyed-state pattern matcher; nanosecond int64 arithmetic throughout. */
+    * keyed-state pattern matcher; microsecond int64 arithmetic throughout
+    * (ts DIV 1000, threshold 600000000 µs — µs truncation matches the
+    * oracle engine's timestamp precision). */
   private def qCepPattern(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(s, d)

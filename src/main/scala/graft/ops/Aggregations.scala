@@ -245,7 +245,7 @@ object Aggregations {
       .orderBy("l_returnflag")
 
   /** arg-max/arg-min (genre: top item per group without a window pass).
-    * The ordering value is made unique (cents·10⁶ + orderkey) so ties
+    * The ordering value is made unique (cents·10⁹ + orderkey) so ties
     * cannot make the answer arbitrary. */
   private def qAggArgmax(s: SparkSession, d: String): DataFrame = {
     // injective ordering value: price in cents (exact BIGINT) scaled past

@@ -273,35 +273,71 @@ object Dedup {
   /** Dedup cluster selection — the FINAL stage of corpus dedup: group the
     * near-dup pairs into connected components and pick one canonical doc
     * (the minimum id) per component, reporting per-cluster sizes and how
-    * many docs a dedup pass would remove. Components via distributed
-    * min-label propagation (the Pregel/GraphX idiom as plain DataFrame
-    * ops): each iteration is one join + groupBy-min, the driver only
-    * checks the converged-yet counter; iteration count is the graph
-    * diameter, O(log n) for the chain-like clusters near-dup produces.
-    * Per-iteration persist keeps lineage flat; all intermediates are
-    * (node, label) longs — at 100 TB the edge list (pairs), not the
-    * corpus, bounds the work. Oracle: the same min-label closure as a
-    * recursive CTE. */
-  private def qDedupCluster(s: SparkSession, d: String): DataFrame = {
-    val pairs = nearPairs(s, d).select(col("d1"), col("d2"))
+    * many docs a dedup pass would remove. Components via
+    * [[connectedComponents]]; all intermediates are (node, label) longs —
+    * at 100 TB the edge list (pairs), not the corpus, bounds the work.
+    * Oracle: the same min-label closure as a recursive CTE. */
+  private def qDedupCluster(s: SparkSession, d: String): DataFrame =
+    connectedComponents(nearPairs(s, d).select(col("d1"), col("d2")))
+      .groupBy(col("lbl").as("canonical"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .withColumn("n_removed", (col("cluster_size") - 1).cast("long"))
+      .orderBy("canonical")
+
+  /** Connected components over an undirected edge list: returns
+    * (node, lbl) where lbl is the component's minimum node id.
+    *
+    * Distributed min-label propagation with a POINTER-DOUBLING shortcut
+    * (the Pregel/GraphX idiom plus the Shiloach–Vishkin / hash-to-min
+    * shortcutting step, as plain DataFrame ops). Each round:
+    * (1) propagate — a node takes the min of its own and its neighbors'
+    * labels (one join + groupBy-min); (2) shortcut — a node then takes
+    * its label's label, lbl := min(lbl, lbl(lbl)) (one self-join).
+    * Plain per-hop propagation alone needs O(longest min-label path)
+    * rounds — a 100-doc near-dup CHAIN would need ~100. The shortcut
+    * roughly doubles every node's reach toward the component minimum per
+    * round, so convergence is O(log n) rounds in the component size, and
+    * 64 rounds covers any component with < 2^60 nodes. If the cap is
+    * somehow hit unconverged we THROW rather than silently return split
+    * clusters — wrong dedup output must never look like success.
+    * Convergence (no label changed across a full round) certifies
+    * correctness: labels only decrease, stay within the component, and a
+    * propagation fixpoint over symmetric edges forces every node in a
+    * component to the same (minimum) label. Each round ends in an EAGER
+    * localCheckpoint: persist() alone caches data but leaves the logical
+    * plan nested, and an iterative loop's lineage grows exponentially
+    * (each round references the previous plan three times) — checkpointing
+    * truncates it, keeping every round's plan constant-size. On a real
+    * cluster prefer reliable checkpoint() for executor-loss tolerance;
+    * the algorithm is identical. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs
-      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .toDF("d1", "d2")
+      .union(pairs.toDF("d1", "d2").select(col("d2").as("d1"), col("d1").as("d2")))
       .toDF("u", "v")
-      .persist()
+      .localCheckpoint()
     // initialize with the first propagation step folded in: a node's
     // starting label is min(itself, its neighbors) — one groupBy instead
     // of a no-op identity round plus a join
     var labels = edges.groupBy(col("u").as("node"))
       .agg(least(col("u"), min(col("v"))).as("lbl"))
-      .persist()
+      .localCheckpoint()
     var converged = false
     var iters = 0
-    while (!converged && iters < 30) {
+    val maxIters = 64
+    while (!converged && iters < maxIters) {
+      // (1) propagate along edges
       val viaNbr = edges.join(labels, edges("v") === labels("node"))
         .select(edges("u").as("node"), col("lbl"))
-      val next = labels.unionByName(viaNbr)
+      val prop = labels.unionByName(viaNbr)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .persist()
+      // (2) shortcut: follow the label pointer one hop — every label
+      // value is itself a node id of the same component, so the lookup
+      // stays within the component; left join is defensive only
+      val byNode = prop.select(col("node").as("ln"), col("lbl").as("llbl"))
+      val next = prop.join(byNode, prop("lbl") === byNode("ln"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("llbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("node"))
         .filter(col("lbl") =!= col("old")).count()
       labels.unpersist()
@@ -309,13 +345,15 @@ object Dedup {
       converged = changed == 0
       iters += 1
     }
-    // edges and the final labels stay cached: the returned (lazy) plan
-    // reads them, and both are tiny (one long pair per near-dup edge)
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "refusing to return possibly-split cluster labels")
+    }
+    // the final labels stay checkpointed (materialized by the convergence
+    // count): the returned lazy plan reads them without touching edges
     labels
-      .groupBy(col("lbl").as("canonical"))
-      .agg(count(lit(1)).as("cluster_size"))
-      .withColumn("n_removed", (col("cluster_size") - 1).cast("long"))
-      .orderBy("canonical")
   }
 
   /** SimHash-64 over shingles: per-bit ±1 vote, then ALL pairs at hamming

@@ -64,7 +64,7 @@ object StreamingAnalogs {
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
                FROM e),
          b AS (SELECT user_id, tu, event_id,
-                      CASE WHEN pme IS NULL OR tu >= pme THEN 1 ELSE 0 END AS brk FROM m),
+                      CASE WHEN pme IS NULL OR tu > pme THEN 1 ELSE 0 END AS brk FROM m),
          sid AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY tu, event_id
                                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
                  FROM b),
@@ -135,9 +135,11 @@ object StreamingAnalogs {
       .orderBy("user_id")
 
   /** Dynamic-gap sessions (purchase = 60 min, else 30 min): the session
-    * break happens exactly when an event starts at or past the running
-    * max of previous (t + gap) ends — interval-union semantics, verified
-    * equal to Spark's dynamic session_window on all fixtures. */
+    * break happens only when an event starts STRICTLY past the running
+    * max of previous (t + gap) ends; a boundary-exact start merges, same
+    * as the fixed-gap rule — interval-union semantics, verified equal to
+    * Spark's dynamic session_window on all fixtures and pinned at the
+    * boundary by a dedicated unit test. */
   private def qStreamSessionDyn(s: SparkSession, d: String): DataFrame =
     StreamOps.sessionPerUserDynamic(Tables.events(s, d))
       .groupBy(col("user_id"))

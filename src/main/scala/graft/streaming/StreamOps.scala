@@ -50,9 +50,11 @@ object StreamOps {
     * session open 60 min, everything else 30 min) — the Spark-native
     * superpower over fixed-gap sessionization; works identically in batch
     * and streaming. Semantics = union of per-event intervals
-    * [t, t + gap(event)): a session breaks exactly when an event's start
-    * is at or past the running max of all previous interval ends (pinned
-    * by the islands-analog equality test and the DuckDB oracle).
+    * [t, t + gap(event)]: a session breaks only when an event's start is
+    * STRICTLY past the running max of all previous interval ends — an
+    * event starting exactly at the running end MERGES, the same
+    * boundary rule as the fixed-gap form (pinned by the boundary-exact
+    * unit test, the islands-analog equality test and the DuckDB oracle).
     * The gap expression must be CalendarIntervalType — make_interval, not
     * an ANSI INTERVAL literal (those parse as DayTimeIntervalType, which
     * session_window rejects). */
@@ -62,6 +64,29 @@ object StreamOps {
     ev.groupBy(session_window(col("t"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("len"))
   }
+
+  /** Chained event-time window aggregation (Spark 3.4+ multi-stateful
+    * pipelines): 6-hour tumbling counts per user, re-aggregated into daily
+    * (n_windows, n_events) per user via window() over window_time() — the
+    * exact composition the streaming engine incrementalizes with two
+    * stateful operators in one query. Identical in batch; the declared
+    * q_stream_chained runs this transform on the events table. */
+  def chained6hDaily(ev: DataFrame): DataFrame = {
+    val w6 = ev
+      .groupBy(window(col("t"), "6 hours").as("w6"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    w6
+      .groupBy(window(window_time(col("w6")), "1 day").as("wd"), col("user_id"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("cnt")).cast(LongType).as("n_events"))
+  }
+
+  /** Per-day per-user event counts — stage 1 of the windowed Top-N serving
+    * idiom (the rank runs per emitted batch: rank-over-update streams
+    * isn't incrementalizable in pure append mode, so the streaming form is
+    * this agg + a foreachBatch/complete-mode rank). */
+  def dailyUserCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("t"), "1 day").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
 
   /** Streaming dedup (genre: keyed-state first-visit filter). The declared
     * batch analog pins keep-FIRST semantics via min(event_id); the

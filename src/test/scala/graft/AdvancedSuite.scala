@@ -243,7 +243,7 @@ class AdvancedSuite extends SparkSuite {
       .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("tu"), col("event_type"))
       .withColumn("endu", col("tu") + gapUs)
       .withColumn("pme", max(col("endu")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("brk", when(col("pme").isNull || col("tu") >= col("pme"), 1).otherwise(0))
+      .withColumn("brk", when(col("pme").isNull || col("tu") > col("pme"), 1).otherwise(0))
       .withColumn("sess", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("sess")).agg(count(lit(1)).as("len"))
       .groupBy(col("user_id"))

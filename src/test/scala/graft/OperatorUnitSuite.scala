@@ -28,6 +28,40 @@ class OperatorUnitSuite extends SparkSuite {
     assert(sessions.toSeq == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
   }
 
+  test("dynamic session_window boundary: start exactly at running end MERGES (same rule as fixed gap)") {
+    // purchase holds 60 min; the click lands exactly at 11:00:00 = purchase
+    // start + 60:00 → must MERGE (Spark merges at equality, fixed & dynamic
+    // alike — verified by direct probe; the DuckDB oracle breaks only when
+    // tu > pme to match). A click 1µs later on user 2 must SPLIT.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "purchase"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),        // == running end → merge
+      (2L, ts("2024-01-01 10:00:00"), "purchase"),
+      (2L, ts("2024-01-01 11:00:00.000001"), "click")  // 1µs past → split
+    ).toDF("user_id", "t", "event_type")
+    val got = StreamOps.sessionPerUserDynamic(ev)
+      .select("user_id", "len").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("connectedComponents: 100-node chain collapses to one component (pointer-doubling, not hop-capped)") {
+    // a path graph is the worst case for plain per-hop min-label
+    // propagation (needs ~n rounds); the shortcut step must converge it
+    // in O(log n) — well under the 64-round cap, where the old 30-round
+    // plain loop would have returned silently-split clusters
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val labels = Dedup.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 100 && labels.values.forall(_ == 0L))
+    // two disjoint chains + an isolated edge keep separate minima
+    val multi = ((0L until 40L).map(i => (i, i + 1)) ++
+      (100L until 140L).map(i => (i, i + 1)) ++ Seq((500L, 501L))).toDF("d1", "d2")
+    val m = Dedup.connectedComponents(multi).as[(Long, Long)].collect().toMap
+    assert(m.filter(_._1 <= 40L).values.forall(_ == 0L))
+    assert(m.filter(kv => kv._1 >= 100L && kv._1 <= 140L).values.forall(_ == 100L))
+    assert(m(500L) == 500L && m(501L) == 500L)
+  }
+
   test("dedupFirst keeps the minimum event_id per (user, type)") {
     val ev = Seq(
       (5L, 1L, "click"), (3L, 1L, "click"), (9L, 1L, "view"), (7L, 2L, "click")

@@ -248,6 +248,38 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("chained window aggs (6h -> daily, two stateful ops): stream == batch") {
+    val maxT = rowsByTime.last.t.getTime
+    val sentinel = Ev(-1L, -1L, "sentinel", 0.0, new Timestamp(maxT + 86400L * 1000 * 40))
+    val got = runStream(rowsByTime :+ sentinel, "t_chained", "append") { df =>
+      StreamOps.chained6hDaily(StreamOps.withWm(df))
+    }
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("wd.start").cast("long").as("ds"),
+        col("n_windows"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = StreamOps.chained6hDaily(batchEvents)
+      .select(col("user_id"), col("wd.start").cast("long").as("ds"),
+        col("n_windows"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("windowed Top-N: complete-mode daily counts + rank == batch q_stream_topk") {
+    import org.apache.spark.sql.expressions.Window
+    val counts = runStream(rowsByTime, "t_topk", "complete")(StreamOps.dailyUserCounts)
+    val got = counts
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"), col("user_id"), col("cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("day")).orderBy(col("cnt").desc, col("user_id"))))
+      .filter(col("rnk") <= 3)
+      .select("day", "rnk", "user_id", "cnt")
+      .as[(String, Int, Long, Long)].collect().toSet
+    val want = SparkEntry.queries("q_stream_topk")(spark, sf0001)
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("late data beyond the watermark is dropped, never duplicated") {
     val maxT = rowsByArrival.map(_.t.getTime).max
     val sentinel = Ev(-1L, -1L, "sentinel", 0.0, new Timestamp(maxT + 86400L * 1000 * 40))
