@@ -122,6 +122,42 @@ object StreamOps {
         })
   }
 
+  /** The same running totals as [[statefulPurchaseTotals]], on Spark 4's
+    * arbitrary-stateful-processing v2 API (`transformWithState` +
+    * `StatefulProcessor` + typed `ValueState`) — the successor to
+    * flatMapGroupsWithState: explicit named state cells, optional TTL,
+    * timers decoupled from output mode. Requires the RocksDB state store
+    * provider. Kept semantically identical to the v1 form so the
+    * equivalence suite can assert v1 == v2 == batch on the same replay. */
+  class PurchaseTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvRow, UserPurchaseTotal] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[UserPurchaseTotal] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserPurchaseTotal](
+        "totals", org.apache.spark.sql.Encoders.product[UserPurchaseTotal], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[EvRow],
+        timerValues: TimerValues): Iterator[UserPurchaseTotal] = {
+      val prev = if (totals.exists()) totals.get() else UserPurchaseTotal(key, 0L, 0L)
+      var n = prev.n_purch
+      var cents = prev.cents
+      rows.foreach { r => if (r.event_type == "purchase") { n += 1; cents += r.valueCents } }
+      val next = UserPurchaseTotal(key, n, cents)
+      totals.update(next)
+      if (n > prev.n_purch) Iterator(next) else Iterator.empty
+    }
+  }
+
+  def statefulPurchaseTotalsV2(ev: Dataset[EvRow]): Dataset[UserPurchaseTotal] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .transformWithState(
+        new PurchaseTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Batch analog of the stateful op: the final per-user state equals the
     * grouped aggregate (exactly-once contract). */
   def purchaseTotalsBatch(ev: DataFrame): DataFrame =

@@ -87,6 +87,35 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(got == want)
   }
 
+  test("transformWithState (arbitrary state v2, RocksDB): final state == v1 == batch") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+      val typed = ms.toDS().map(e => StreamOps.EvRow(
+        e.event_id, e.user_id, e.event_type,
+        math.round(e.value * 100), e.t))
+      val q = StreamOps.statefulPurchaseTotalsV2(typed)
+        .writeStream.format("memory").queryName("t_state_v2").outputMode("update").start()
+      try {
+        chunks(rowsByArrival).foreach { c => ms.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table("t_state_v2")
+        .groupBy("user_id").agg(max(struct(col("n_purch"), col("cents"))).as("s"))
+        .select(col("user_id"), col("s.n_purch"), col("s.cents"))
+        .as[(Long, Long, Long)].collect().toSet
+      val want = StreamOps.purchaseTotalsBatch(batchEvents)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want && want.nonEmpty)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join == batch interval join") {
     val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
     val df = ms.toDF()
