@@ -23,7 +23,8 @@ object SparkEntry {
       (ops.Dedup.queries, ops.Dedup.oracle),
       (ops.TextSim.queries, ops.TextSim.oracle),
       (ops.Advanced.queries, ops.Advanced.oracle),
-      (ops.Warehouse.queries, ops.Warehouse.oracle)
+      (ops.Warehouse.queries, ops.Warehouse.oracle),
+      (ops.ScaleOps.queries, ops.ScaleOps.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

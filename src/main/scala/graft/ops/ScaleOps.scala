@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Dsl._
+
+/** Scale-technique operators: the patterns that keep a 100 TB join or
+  * sample tractable, declared as oracle-checked queries so their outputs
+  * stay EXACT (each approximation is a prefilter, never the answer).
+  *
+  * - `q_join_bloom`: runtime-filter join — build a Bloom filter over the
+  *   selective build side's join keys, prune the big probe side BEFORE its
+  *   shuffle, then run the exact join. This is the manual form of Spark's
+  *   own injected runtime bloom filters
+  *   (`spark.sql.optimizer.runtime.bloomFilter.enabled`), which don't
+  *   trigger at fixture scale (creation-side size thresholds). At 100 TB
+  *   the win is shuffle-volume: a 1%-selective build side prunes ~99% of
+  *   probe rows before the exchange for the cost of one broadcast bitset.
+  *   False positives are removed by the exact join that follows, so the
+  *   result is byte-identical to the unfiltered join (the oracle runs the
+  *   plain join).
+  * - `q_sample_stratified`: per-stratum deterministic sampling by content
+  *   hash (md5 first hex digit), different rates per event_type. Hash
+  *   sampling is reproducible across runs/engines — no RNG state, no
+  *   seed-ordering hazard — which is what a 100 TB pipeline needs for
+  *   resumable, auditable sampling. Aggregates over the sample are exact.
+  * - `q_agg_mode`: most-frequent-value per group with a pinned tiebreak
+  *   (highest count, then lexicographic min value) via grouped counts +
+  *   row_number — two hash-partitioned exchanges, no driver collect.
+  *   Spark's native `mode(col, deterministic=true)` has the same tiebreak
+  *   (unit-tested against this form) but doesn't expose the count.
+  */
+object ScaleOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_bloom" -> qJoinBloom,
+    "q_sample_stratified" -> qSampleStratified,
+    "q_agg_mode" -> qAggMode
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_bloom" ->
+      """SELECT l_returnflag, count(*) AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY 1 ORDER BY 1""",
+    "q_sample_stratified" ->
+      """WITH s AS (
+           SELECT event_type, user_id, value,
+                  substr(md5(CAST(event_id AS VARCHAR)), 1, 1) AS h
+           FROM events)
+         SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+                CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value
+         FROM s
+         WHERE (event_type = 'purchase' AND h < '8')
+            OR (event_type = 'click' AND h < '4')
+            OR (event_type NOT IN ('purchase', 'click') AND h < '2')
+         GROUP BY 1 ORDER BY 1""",
+    "q_agg_mode" ->
+      """WITH c AS (
+           SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+           FROM orders GROUP BY 1, 2),
+         r AS (
+           SELECT o_orderstatus, o_orderpriority, cnt,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY cnt DESC, o_orderpriority) AS rn
+           FROM c)
+         SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+         FROM r WHERE rn = 1 ORDER BY o_orderstatus"""
+  )
+
+  /** Bloom-prefiltered fact⋈dim join. The build side (urgent orders) is
+    * aggregated into a Bloom filter ON THE EXECUTORS (`stat.bloomFilter`
+    * is a treeAggregate of partition-local filters); only the final
+    * ~`n·10` bits land on the driver and ship back as a broadcast — the
+    * exact lifecycle of an injected runtime filter. The probe-side filter
+    * is a deterministic UDF over the broadcast bitset; rows that survive
+    * still go through the exact equi join, so false positives drop out. */
+  def qJoinBloom(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    // Size the filter from the build side itself (one cheap count over a
+    // two-column scan); 1% fpp keeps the bitset ~1.2 KB per 1k keys.
+    val expected = math.max(urgent.count(), 1000L)
+    val bloom = urgent.stat.bloomFilter("o_orderkey", expected, 0.01)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomB.value.mightContain(k))
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+      .filter(mightContain(col("l_orderkey")))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        decStr(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Deterministic stratified sample: purchases kept at 8/16, clicks at
+    * 4/16, everything else at 2/16, selected by the first hex digit of
+    * md5(event_id). Single-char hex comparison (`h < '8'`) is rate·16 —
+    * no float thresholds, identical lexicographic semantics on both
+    * engines. Narrow filter → one aggregation exchange. */
+  def qSampleStratified(s: SparkSession, d: String): DataFrame = {
+    val h = substring(md5(col("event_id").cast("string")), 1, 1)
+    val keep = when(col("event_type") === "purchase", h < "8")
+      .when(col("event_type") === "click", h < "4")
+      .otherwise(h < "2")
+    Tables.events(s, d)
+      .filter(keep)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        decStr(sum(dec(col("value")))).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Per-group mode with deterministic tiebreak: grouped counts, then
+    * row_number over (cnt DESC, value ASC). Both steps partition by the
+    * group key, so AQE coalesces the second exchange into the first's
+    * layout at scale. */
+  def qAggMode(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.orders(s, d)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_orderstatus"),
+        col("o_orderpriority").as("mode_priority"),
+        col("cnt"))
+      .orderBy("o_orderstatus")
+  }
+}

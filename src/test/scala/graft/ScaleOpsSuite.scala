@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.ScaleOps
+
+/** Tests for the scale-technique operators (ops/ScaleOps.scala): the
+  * bloom prefilter must not change the join result, the mode tiebreak
+  * must agree with Spark's native deterministic mode, and hash-stratified
+  * sampling must hit its nominal per-stratum rates. */
+class ScaleOpsSuite extends SparkSuite {
+  import spark.implicits._
+
+  test("q_join_bloom: bloom prefilter is result-identical to the plain join") {
+    val got = ScaleOps.qJoinBloom(spark, sf0001)
+      .as[(String, Long, String)].collect().toSeq
+    val urgent = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val want = Tables.lineitem(spark, sf0001)
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), Dsl.decStr(sum(Dsl.dec(col("l_quantity")))).as("sum_qty"))
+      .orderBy("l_returnflag")
+      .as[(String, Long, String)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("q_agg_mode tiebreak matches native mode(col, deterministic=true)") {
+    val viaWindow = ScaleOps.qAggMode(spark, sf0001)
+      .select("o_orderstatus", "mode_priority")
+      .as[(String, String)].collect().toMap
+    val native = Tables.orders(spark, sf0001)
+      .groupBy("o_orderstatus")
+      .agg(mode(col("o_orderpriority"), deterministic = true).as("m"))
+      .as[(String, String)].collect().toMap
+    assert(viaWindow == native && viaWindow.nonEmpty)
+  }
+
+  test("stratified sample rates: each stratum lands near its nominal keep rate") {
+    val totals = Tables.events(spark, sf0001)
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    val sampled = ScaleOps.qSampleStratified(spark, sf0001)
+      .select("event_type", "n").as[(String, Long)].collect().toMap
+    val nominal = Map("purchase" -> 0.5, "click" -> 0.25).withDefaultValue(0.125)
+    sampled.foreach { case (tpe, n) =>
+      val rate = n.toDouble / totals(tpe)
+      val p = nominal(tpe)
+      // md5 digits are ~uniform; 4σ binomial tolerance at these stratum sizes
+      val tol = 4 * math.sqrt(p * (1 - p) / totals(tpe))
+      assert(math.abs(rate - p) <= tol,
+        s"$tpe: rate $rate vs nominal $p (n=$n/${totals(tpe)}, tol $tol)")
+    }
+    assert(sampled.keySet == totals.keySet)
+  }
+}
