@@ -37,7 +37,8 @@ object ScaleOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_bloom" -> qJoinBloom,
     "q_sample_stratified" -> qSampleStratified,
-    "q_agg_mode" -> qAggMode
+    "q_agg_mode" -> qAggMode,
+    "q_pipeline_clean" -> qPipelineClean
   )
 
   val oracle: Map[String, String] = Map(
@@ -59,6 +60,28 @@ object ScaleOps {
             OR (event_type = 'click' AND h < '4')
             OR (event_type NOT IN ('purchase', 'click') AND h < '2')
          GROUP BY 1 ORDER BY 1""",
+    "q_pipeline_clean" ->
+      """WITH q AS (
+           SELECT doc_id, lang, text, md5(text) AS h
+           FROM documents WHERE length(text) >= 100),
+         k AS (
+           SELECT doc_id, lang, text,
+                  row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+           FROM q),
+         i AS (SELECT lang, count(*) AS n_input FROM documents GROUP BY 1),
+         p AS (SELECT lang, count(*) AS n_quality FROM q GROUP BY 1),
+         f AS (
+           SELECT lang, count(*) AS n_final,
+                  CAST(SUM(length(text)) AS BIGINT) AS chars,
+                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+           FROM k WHERE rn = 1 GROUP BY 1)
+         SELECT i.lang, i.n_input,
+                COALESCE(p.n_quality, 0) AS n_quality,
+                COALESCE(f.n_final, 0) AS n_final,
+                COALESCE(f.chars, 0) AS chars,
+                COALESCE(f.tokens, 0) AS tokens
+         FROM i LEFT JOIN p ON i.lang = p.lang LEFT JOIN f ON i.lang = f.lang
+         ORDER BY i.lang""",
     "q_agg_mode" ->
       """WITH c AS (
            SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
@@ -118,6 +141,41 @@ object ScaleOps {
         countDistinct(col("user_id")).as("n_users"),
         decStr(sum(dec(col("value")))).as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** Composed corpus-cleaning pipeline — the LLM-data-pipeline stages
+    * chained end to end: (1) quality gate (min length; the fixed-point
+    * ratio scores live in q_text_quality), (2) exact dedup keeping the
+    * lowest doc_id per content hash, (3) per-language retention report
+    * with surviving char/token budgets. Every stage is a narrow filter or
+    * a hash-partitioned exchange on the content hash — the same plan runs
+    * at 100 TB with the dedup exchange as the only wide dependency; the
+    * three per-lang aggregates are tiny and broadcast-joined back. */
+  def qPipelineClean(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val quality = docs.filter(length(col("text")) >= 100)
+    val deduped = quality
+      .withColumn("h", md5(col("text")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    val nInput = docs.groupBy("lang").agg(count(lit(1)).as("n_input"))
+    val nQuality = quality.groupBy("lang").agg(count(lit(1)).as("n_quality"))
+    val finalStats = deduped.groupBy("lang").agg(
+      count(lit(1)).as("n_final"),
+      sum(length(col("text")).cast("long")).as("chars"),
+      sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+    nInput
+      .join(nQuality, Seq("lang"), "left")
+      .join(finalStats, Seq("lang"), "left")
+      .select(
+        col("lang"),
+        col("n_input"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        coalesce(col("chars"), lit(0L)).as("chars"),
+        coalesce(col("tokens"), lit(0L)).as("tokens"))
+      .orderBy("lang")
   }
 
   /** Per-group mode with deterministic tiebreak: grouped counts, then

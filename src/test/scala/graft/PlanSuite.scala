@@ -50,6 +50,14 @@ class PlanSuite extends SparkSuite {
     assert(inCodegen.findFirstIn(p).isDefined, p.take(2000))
   }
 
+  test("bloom runtime filter sits on the probe side before the join") {
+    val p = planOf("q_join_bloom")
+    // the broadcast-bitset UDF must appear as a Filter in the probe-side
+    // scan stage (pre-shuffle pruning), and the exact join must remain
+    assert("Filter .*UDF".r.findFirstIn(p).isDefined, p.take(2000))
+    assert(p.contains("Join") || p.contains("HashJoin"), p.take(2000))
+  }
+
   test("plan sweep: no accidental cartesian or nested-loop joins") {
     // all-pairs similarity, the explicit cross join, the simhash exact
     // hd<=12 pair scan, and the fuzzy-match pair scan over DISTINCT keys

@@ -35,6 +35,19 @@ class ScaleOpsSuite extends SparkSuite {
     assert(viaWindow == native && viaWindow.nonEmpty)
   }
 
+  test("q_pipeline_clean: stage counts are monotone and match the standalone ops") {
+    val rows = ScaleOps.qPipelineClean(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nIn, nQ, nF, chars, tokens) =>
+      assert(nIn >= nQ && nQ >= nF, s"$lang: $nIn >= $nQ >= $nF violated")
+      assert(nF == 0 || (chars > 0 && tokens > 0), s"$lang: empty budgets for $nF docs")
+    }
+    // total input must equal the corpus size
+    val corpus = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_._2).sum == corpus)
+  }
+
   test("stratified sample rates: each stratum lands near its nominal keep rate") {
     val totals = Tables.events(spark, sf0001)
       .groupBy("event_type").count().as[(String, Long)].collect().toMap
