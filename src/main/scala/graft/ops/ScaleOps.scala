@@ -38,7 +38,8 @@ object ScaleOps {
     "q_join_bloom" -> qJoinBloom,
     "q_sample_stratified" -> qSampleStratified,
     "q_agg_mode" -> qAggMode,
-    "q_pipeline_clean" -> qPipelineClean
+    "q_pipeline_clean" -> qPipelineClean,
+    "q_agg_sketch_merge" -> qAggSketchMerge
   )
 
   val oracle: Map[String, String] = Map(
@@ -140,6 +141,29 @@ object ScaleOps {
         count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("n_users"),
         decStr(sum(dec(col("value")))).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Mergeable-sketch rollup — the pre-aggregated UV pattern: build one
+    * HLL sketch per (day, event_type) cell (the daily cube a warehouse
+    * materializes once), then answer the arbitrary-range UV question by
+    * UNIONING the stored sketches — no rescan of the fact table. HLL
+    * registers are max-based, so the union is order-independent and the
+    * two-level estimate is bit-identical to sketching the raw stream
+    * (asserted in ScaleOpsSuite, along with a ±5% bound vs exact UV).
+    * No-oracle by design: the estimate is algorithm-specific
+    * (DataSketches HLL), not an ANSI SQL value. At 100 TB the daily cube
+    * shuffles one ~KB sketch per cell instead of per-user rows, and any
+    * date-range UV is a metadata-sized merge. */
+  def qAggSketchMerge(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("t")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_uv"))
       .orderBy("event_type")
   }
 

@@ -180,6 +180,26 @@ object StreamOps {
         col("t_purch") <= col("t_click") + expr("INTERVAL 1 HOUR"))
   }
 
+  /** LEFT OUTER stream-stream interval join: same pairing as
+    * [[clickToPurchase]], but clicks with no purchase within the hour
+    * survive with a null purchase time. In streaming this is the genuinely
+    * harder shape: Spark can emit the null-extended row only once BOTH
+    * watermarks pass click-time + 1 h (the row can no longer match), so
+    * unmatched results trail the data by the join bound + watermark delay
+    * — state size and result latency are both bounded by the interval,
+    * exactly like Flink's interval join with outer emission. */
+  def clickToPurchaseLeft(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val a = clicks.select(
+      col("user_id"), col("t").as("t_click"), col("event_id").as("click_id"))
+    val b = purchases.select(col("user_id").as("uid_b"), col("t").as("t_purch"))
+    a.join(b,
+      col("user_id") === col("uid_b") &&
+        col("t_purch") > col("t_click") &&
+        col("t_purch") <= col("t_click") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("click_id"), col("t_purch"))
+  }
+
   /** Attach a 10-minute watermark — the streaming entry point used by the
     * equivalence suite. */
   def withWm(ev: DataFrame): DataFrame = ev.withWatermark("t", "10 minutes")

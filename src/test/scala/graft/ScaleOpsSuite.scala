@@ -48,6 +48,25 @@ class ScaleOpsSuite extends SparkSuite {
     assert(rows.map(_._2).sum == corpus)
   }
 
+  test("sketch merge: two-level HLL union == direct sketch, and within 5% of exact") {
+    val twoLevel = ScaleOps.qAggSketchMerge(spark, sf0001)
+      .select("event_type", "est_uv").as[(String, Long)].collect().toMap
+    val direct = Tables.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .as[(String, Long)].collect().toMap
+    // HLL registers are max-based: union of daily sketches must reproduce
+    // the direct sketch exactly, not just approximately
+    assert(twoLevel == direct && twoLevel.nonEmpty)
+    val exact = Tables.events(spark, sf0001)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    twoLevel.foreach { case (tpe, est) =>
+      val ex = exact(tpe)
+      assert(math.abs(est - ex).toDouble / ex <= 0.05, s"$tpe: est $est vs exact $ex")
+    }
+  }
+
   test("stratified sample rates: each stratum lands near its nominal keep rate") {
     val totals = Tables.events(spark, sf0001)
       .groupBy("event_type").count().as[(String, Long)].collect().toMap

@@ -133,6 +133,33 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(got == want)
   }
 
+  test("stream-stream LEFT OUTER interval join == batch left join (null side flushes on watermark)") {
+    // watermark attaches BEFORE the type filters so the far-future
+    // sentinel advances BOTH sides' watermarks past every click's
+    // join bound — only then may Spark emit the null-extended rows
+    val maxT = rowsByTime.last.t.getTime
+    val sentinel = Ev(-1L, -1L, "sentinel", 0.0, new Timestamp(maxT + 86400L * 1000 * 40))
+    val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+    val wm = StreamOps.withWm(ms.toDF())
+    val q = StreamOps.clickToPurchaseLeft(
+      wm.filter(col("event_type") === "click"),
+      wm.filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName("t_ivj_left").outputMode("append").start()
+    try {
+      (chunks(rowsByTime) :+ Seq(sentinel)).foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    def key(df: DataFrame) = df
+      .select(col("click_id"), coalesce(col("t_purch").cast("long"), lit(-1L)).as("tp"))
+      .groupBy("click_id", "tp").count()
+      .as[(Long, Long, Long)].collect().toSet
+    val got = key(spark.table("t_ivj_left"))
+    val want = key(StreamOps.clickToPurchaseLeft(
+      batchEvents.filter(col("event_type") === "click"),
+      batchEvents.filter(col("event_type") === "purchase")))
+    val nullRows = got.count(_._2 == -1L)
+    assert(got == want && nullRows > 0, s"matched=${got.size} nulls=$nullRows")
+  }
+
   test("session windows with watermark: closed sessions == batch sessions") {
     val maxT = rowsByTime.last.t.getTime
     val sentinel = Ev(-1L, -1L, "sentinel", 0.0, new Timestamp(maxT + 86400L * 1000 * 40))
