@@ -133,6 +133,30 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(got == want)
   }
 
+  test("dropDuplicatesWithinWatermark: dups collapse while key state lives, re-emit after eviction") {
+    // unlike dropDuplicates (unbounded state), the within-watermark form
+    // evicts key state once the watermark passes firstSeen + delay — a
+    // later re-occurrence of the same key is then a NEW row. Timeline
+    // (delay 10 min): id1 first → emit; id2 same key 5 min later, state
+    // alive (wm 9:55) → drop; id3 same key at 20:00, state STILL alive in
+    // its batch (wm only advances at batch end) → drop; id4 at 20:30,
+    // state evicted by now (wm 19:50 > 10:10) → emit again.
+    val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+    def ev(id: Long, t: String) = Ev(id, 1L, "click", 1.0, Timestamp.valueOf(t))
+    val q = StreamOps.withWm(ms.toDF())
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .writeStream.format("memory").queryName("t_dedup_wm").outputMode("append").start()
+    try {
+      Seq(
+        Seq(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00")),
+        Seq(ev(3, "2024-01-01 20:00:00")),
+        Seq(ev(4, "2024-01-01 20:30:00"))
+      ).foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("t_dedup_wm").select("event_id").as[Long].collect().toSet
+    assert(got == Set(1L, 4L), s"got $got")
+  }
+
   test("stream-stream LEFT OUTER interval join == batch left join (null side flushes on watermark)") {
     // watermark attaches BEFORE the type filters so the far-future
     // sentinel advances BOTH sides' watermarks past every click's
