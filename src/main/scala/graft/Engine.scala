@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.graft.{Bridge, TopKPerGroupStrategy}
 import graft.expr.{DotProductD, RewriteDotProduct}
 
 /** Per-session engine initialization (idempotent): installs the graft
@@ -14,6 +14,10 @@ object Engine {
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteDotProduct
+    }
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
     }
     Bridge.registerFunction(spark, "dot_product_d",
       exprs => DotProductD(exprs.head, exprs(1)))

@@ -39,7 +39,8 @@ object ScaleOps {
     "q_sample_stratified" -> qSampleStratified,
     "q_agg_mode" -> qAggMode,
     "q_pipeline_clean" -> qPipelineClean,
-    "q_agg_sketch_merge" -> qAggSketchMerge
+    "q_agg_sketch_merge" -> qAggSketchMerge,
+    "q_topk_native" -> qTopkNative
   )
 
   val oracle: Map[String, String] = Map(
@@ -83,6 +84,12 @@ object ScaleOps {
                 COALESCE(f.tokens, 0) AS tokens
          FROM i LEFT JOIN p ON i.lang = p.lang LEFT JOIN f ON i.lang = f.lang
          ORDER BY i.lang""",
+    "q_topk_native" ->
+      """SELECT c_nationkey, rn, c_custkey FROM (
+           SELECT c_nationkey, c_custkey,
+                  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+           FROM customer)
+         WHERE rn <= 3 ORDER BY c_nationkey, rn""",
     "q_agg_mode" ->
       """WITH c AS (
            SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
@@ -142,6 +149,27 @@ object ScaleOps {
         countDistinct(col("user_id")).as("n_users"),
         decStr(sum(dec(col("value")))).as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** Per-group top-k through the custom whole-operator plan
+    * (org.apache.spark.sql.graft.TopKPlan): bounded per-group heaps with
+    * map-side partial pruning, so the exchange carries ≤ k rows per
+    * (group × input partition) instead of the whole table — vs the
+    * window form, which shuffles and per-group-sorts every row. Same
+    * rows as q_win_topk (same oracle); the rank column is recomputed
+    * over the ≤ k·groups surviving rows, which is metadata-sized. */
+  def qTopkNative(s: SparkSession, d: String): DataFrame = {
+    val top3 = org.apache.spark.sql.graft.TopK.perGroup(
+      Tables.customer(s, d).select("c_nationkey", "c_custkey", "c_acctbal"),
+      Seq("c_nationkey"),
+      Seq(("c_acctbal", true), ("c_custkey", false)),
+      3)
+    top3
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))).cast("long"))
+      .select(col("c_nationkey"), col("rn"), col("c_custkey"))
+      .orderBy("c_nationkey", "rn")
   }
 
   /** Mergeable-sketch rollup — the pre-aggregated UV pattern: build one

@@ -48,6 +48,30 @@ class ScaleOpsSuite extends SparkSuite {
     assert(rows.map(_._2).sum == corpus)
   }
 
+  test("native top-k operator == window-form q_win_topk, and plans two-phase with one exchange") {
+    val native = SparkEntry.queries("q_topk_native")(spark, sf0001)
+    val window = SparkEntry.queries("q_win_topk")(spark, sf0001)
+    val got = native.as[(Long, Long, Long)].collect().toSeq
+    val want = window.as[(Long, Long, Long)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // partial heaps below the exchange, final heaps above it
+    val p = native.queryExecution.executedPlan.toString()
+    // node prints positionally: "TopKPerGroup [groups], [orders], k, partial"
+    assert("TopKPerGroup .*, 3, false[\\s\\S]*Exchange hashpartitioning[\\s\\S]*TopKPerGroup .*, 3, true".r
+      .findFirstIn(p).isDefined, p.take(3000))
+  }
+
+  test("native top-k edge cases: k exceeding group size, ties broken by the tiebreak column") {
+    import org.apache.spark.sql.graft.TopK
+    val df = Seq(
+      ("a", 10, 1L), ("a", 10, 2L), ("a", 5, 3L),          // tie on value 10
+      ("b", 7, 4L)                                          // group smaller than k
+    ).toDF("g", "v", "id")
+    val got = TopK.perGroup(df, Seq("g"), Seq(("v", true), ("id", false)), 2)
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(("a", 10, 1L), ("a", 10, 2L), ("b", 7, 4L)))
+  }
+
   test("sketch merge: two-level HLL union == direct sketch, and within 5% of exact") {
     val twoLevel = ScaleOps.qAggSketchMerge(spark, sf0001)
       .select("event_type", "est_uv").as[(String, Long)].collect().toMap
