@@ -100,6 +100,28 @@ object TopKPerGroupStrategy extends SparkStrategy {
   }
 }
 
+/** Test-visible probe into SparkSessionExtensions' `private[sql]`
+  * builders — lets the suite assert what a config-installed
+  * `graft.GraftExtensions` would contribute, without needing a fresh
+  * SparkContext (spark.sql.extensions is a static conf). */
+object ExtensionsProbe {
+  import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.catalyst.rules.Rule
+
+  def plannerStrategies(ext: SparkSessionExtensions, spark: SparkSession): Seq[SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
+
+  def optimizerRules(ext: SparkSessionExtensions, spark: SparkSession): Seq[Rule[LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
+
+  def registersFunction(ext: SparkSessionExtensions, name: String): Boolean =
+    ext.registerFunctions(new SimpleFunctionRegistry)
+      .functionExists(FunctionIdentifier(name))
+}
+
 /** Public entry: `TopK.perGroup(df, groups, orders, k)` — rows are the
   * top-k of each group under `orders` (`(name, desc?)` pairs), in no
   * particular order. Attributes are resolved by name against the

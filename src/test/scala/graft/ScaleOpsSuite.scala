@@ -72,6 +72,20 @@ class ScaleOpsSuite extends SparkSuite {
     assert(got == Set(("a", 10, 1L), ("a", 10, 2L), ("b", 7, 4L)))
   }
 
+  test("GraftExtensions wires rule, strategy, and SQL function into a SparkSessionExtensions") {
+    // `spark.sql.extensions` is a STATIC conf read from the SparkContext at
+    // first-session build, so the config path can't be exercised against the
+    // suite's shared context — drive the extension object directly instead
+    // (exactly what SparkSession.applyExtensions does with it).
+    import org.apache.spark.sql.SparkSessionExtensions
+    import org.apache.spark.sql.graft.{ExtensionsProbe, TopKPerGroupStrategy}
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    assert(ExtensionsProbe.plannerStrategies(ext, spark).contains(TopKPerGroupStrategy))
+    assert(ExtensionsProbe.optimizerRules(ext, spark).contains(graft.expr.RewriteDotProduct))
+    assert(ExtensionsProbe.registersFunction(ext, "dot_product_d"))
+  }
+
   test("sketch merge: two-level HLL union == direct sketch, and within 5% of exact") {
     val twoLevel = ScaleOps.qAggSketchMerge(spark, sf0001)
       .select("event_type", "est_uv").as[(String, Long)].collect().toMap
