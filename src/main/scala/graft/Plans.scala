@@ -17,7 +17,9 @@ object Plans {
     "q_dedup_minhash",   // LSH banding + array_intersect exact verify
     "q_dedup_prefix",    // PPJoin prefix-filtered exact Jaccard join
     "q_funnel",          // keyed multi-stage sequence aggregation
-    "q_stream_tumble"    // windowed partial+final agg
+    "q_stream_tumble",   // windowed partial+final agg
+    "q_join_bloom",      // bloom runtime filter ahead of the probe shuffle
+    "q_topk_native"      // custom two-phase TopKPerGroupExec
   )
 
   def main(args: Array[String]): Unit = {
