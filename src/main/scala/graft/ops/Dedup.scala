@@ -278,7 +278,12 @@ object Dedup {
     * at 100 TB the edge list (pairs), not the corpus, bounds the work.
     * Oracle: the same min-label closure as a recursive CTE. */
   private def qDedupCluster(s: SparkSession, d: String): DataFrame =
-    connectedComponents(nearPairs(s, d).select(col("d1"), col("d2")))
+    connectedComponents(
+      // the LSH-banded candidate join + exact verify yields the SAME pair
+      // set as the inverted-index ground truth (shared oracle, property-
+      // tested) but is the shape that scales: pair generation is bounded
+      // by band-bucket collisions, not Σf² over shingle frequencies
+      minhashPairs(Tables.documents(s, d)).select(col("d1"), col("d2")))
       .groupBy(col("lbl").as("canonical"))
       .agg(count(lit(1)).as("cluster_size"))
       .withColumn("n_removed", (col("cluster_size") - 1).cast("long"))
