@@ -72,6 +72,25 @@ class ScaleOpsSuite extends SparkSuite {
     assert(got == Set(("a", 10, 1L), ("a", 10, 2L), ("b", 7, 4L)))
   }
 
+  test("native top-k == window form on seeded random data across k values") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.TopK
+    val rng = new scala.util.Random(42)
+    for (trial <- 0 until 3; k <- Seq(1, 2, 4)) {
+      // skewed groups + heavy value ties to stress heap eviction order
+      val rows = Seq.tabulate(400) { i =>
+        (rng.nextInt(8).toLong, rng.nextInt(5), i.toLong)
+      }
+      val df = rows.toDF("g", "v", "id").repartition(7)
+      val got = TopK.perGroup(df, Seq("g"), Seq(("v", true), ("id", false)), k)
+        .as[(Long, Int, Long)].collect().toSet
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+      val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("g", "v", "id").as[(Long, Int, Long)].collect().toSet
+      assert(got == want, s"trial=$trial k=$k")
+    }
+  }
+
   test("GraftExtensions wires rule, strategy, and SQL function into a SparkSessionExtensions") {
     // `spark.sql.extensions` is a STATIC conf read from the SparkContext at
     // first-session build, so the config path can't be exercised against the
