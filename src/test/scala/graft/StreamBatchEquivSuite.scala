@@ -271,6 +271,38 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(store.toMap == want)
   }
 
+  test("checkpoint recovery: stateful query restarted mid-replay converges exactly (no loss, no dups)") {
+    // the Flink-savepoint parity point: offsets + aggregation state live in
+    // the checkpoint, so a crash/restart resumes where it left off; with an
+    // idempotent upsert sink the end-to-end result is exactly-once
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val store = scala.collection.concurrent.TrieMap.empty[(Long, String), (Long, String)]
+    val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+    def start() = StreamOps.tumblingDaily(ms.toDF())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col("w.start").cast("long"), col("event_type"),
+            col("cnt"), col("sum_value").cast("string"))
+          .collect()
+          .foreach(r => store.put((r.getLong(0), r.getString(1)), (r.getLong(2), r.getString(3))))
+        ()
+      }.start()
+    val cs = chunks(rowsByTime)
+    val q1 = start()
+    try { ms.addData(cs.head); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start() // restart from the same checkpoint
+    try {
+      cs.tail.foreach { c => ms.addData(c); q2.processAllAvailable() }
+    } finally q2.stop()
+    val want = StreamOps.tumblingDaily(batchEvents)
+      .select(col("w.start").cast("long"), col("event_type"),
+        col("cnt"), col("sum_value").cast("string"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getString(3)))).toMap
+    assert(store.toMap == want && want.nonEmpty)
+  }
+
   test("shuffled arrival: tumbling counts (complete mode) still == batch") {
     // deterministic shuffle: order by hash of event_id — max disorder,
     // complete-mode aggregation must still converge to the batch answer
