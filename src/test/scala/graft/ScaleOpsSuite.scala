@@ -91,6 +91,33 @@ class ScaleOpsSuite extends SparkSuite {
     }
   }
 
+  test("connectedComponents == local union-find on seeded random graphs") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 4) {
+      val n = 60 + rng.nextInt(80)
+      val edges = Seq.fill(n) {
+        (rng.nextInt(100).toLong, rng.nextInt(100).toLong)
+      }.filter { case (a, b) => a != b }
+      // local union-find reference
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical label = min node id per component
+      val want = nodes.groupBy(find).flatMap { case (_, members) =>
+        val lbl = members.min; members.map(_ -> lbl)
+      }.toMap
+      val got = graft.ops.Dedup.connectedComponents(edges.toDF("d1", "d2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial=$trial n=${edges.size}")
+    }
+  }
+
   test("GraftExtensions wires rule, strategy, and SQL function into a SparkSessionExtensions") {
     // `spark.sql.extensions` is a STATIC conf read from the SparkContext at
     // first-session build, so the config path can't be exercised against the
