@@ -28,6 +28,7 @@ object Joins {
     "q_join_cross" -> qJoinCross,
     "q_join_theta" -> qJoinTheta,
     "q_join_asof" -> qJoinAsof,
+    "q_join_asof_fwd" -> qJoinAsofFwd,
     "q_join_interval" -> qJoinInterval,
     "q_join_interval_binned" -> qJoinIntervalBinned,
     "q_scalar_subquery" -> qScalarSubquery,
@@ -80,6 +81,16 @@ object Joins {
              ON a.o_custkey = b.o_custkey
             AND (b.o_orderdate < a.o_orderdate
                  OR (b.o_orderdate = a.o_orderdate AND b.o_orderkey < a.o_orderkey)))
+         WHERE rn = 1 ORDER BY o_orderkey""",
+    "q_join_asof_fwd" ->
+      """SELECT o_orderkey, next_ok FROM (
+           SELECT a.o_orderkey, b.o_orderkey AS next_ok,
+                  row_number() OVER (PARTITION BY a.o_orderkey
+                                     ORDER BY b.o_orderdate, b.o_orderkey) AS rn
+           FROM orders a LEFT JOIN orders b
+             ON a.o_custkey = b.o_custkey
+            AND (b.o_orderdate > a.o_orderdate
+                 OR (b.o_orderdate = a.o_orderdate AND b.o_orderkey > a.o_orderkey)))
          WHERE rn = 1 ORDER BY o_orderkey""",
     "q_join_interval" ->
       """SELECT a.user_id, count(*) AS cnt
@@ -197,6 +208,28 @@ object Joins {
       .withColumn("prev_ok", last(when(col("tag") === 1, col("ok")), ignoreNulls = true).over(w))
       .filter(col("tag") === 0)
       .select(col("ok").as("o_orderkey"), col("prev_ok"))
+  }
+
+  /** FORWARD as-of: the earliest strictly-(date,key)-later order per row —
+    * the mirror of [[asofViaUnionWindow]] ("next event after", e.g. the
+    * next restock after a stockout). Same linear one-shuffle merge: at an
+    * equal (date,key) the candidate copy sorts BEFORE the query copy
+    * (tag desc), so a frame of [current, unbounded following] sees only
+    * strictly-later candidates, and `first(..., ignoreNulls)` picks the
+    * earliest. */
+  private def qJoinAsofFwd(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_custkey").as("ck"), col("o_orderdate").as("od"), col("o_orderkey").as("ok"))
+    val q = o.withColumn("tag", lit(0))
+    val b = o.withColumn("tag", lit(1))
+    val w = Window.partitionBy(col("ck"))
+      .orderBy(col("od"), col("ok"), col("tag").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    q.unionByName(b)
+      .withColumn("next_ok", first(when(col("tag") === 1, col("ok")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 0)
+      .select(col("ok").as("o_orderkey"), col("next_ok"))
+      .orderBy("o_orderkey")
   }
 
   /** The composed range-join + per-row top-1 form of the same as-of join —
