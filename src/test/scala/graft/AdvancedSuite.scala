@@ -18,6 +18,24 @@ class AdvancedSuite extends SparkSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("forward as-of: every match is the strictly-nearest later (date,key) order of the same customer") {
+    val orders = Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+    val byKey = orders.map(o => o._1 -> o).toMap
+    val byCust = orders.groupBy(_._2)
+    val fwd = SparkEntry.queries("q_join_asof_fwd")(spark, sf0001)
+      .as[(Long, Option[Long])].collect()
+    assert(fwd.length == orders.length)
+    def pos(o: (Long, Long, java.sql.Timestamp)) = (o._3.getTime, o._1)
+    fwd.foreach { case (ok, next) =>
+      val self = byKey(ok)
+      val later = byCust(self._2).filter(o => Ordering[(Long, Long)].gt(pos(o), pos(self)))
+      val expected = if (later.isEmpty) None else Some(later.minBy(pos)._1)
+      assert(next == expected, s"order $ok: got $next want $expected")
+    }
+  }
+
   test("prefix-filtered jaccard join equals the full inverted-index join") {
     val near = SparkEntry.queries("q_dedup_near")(spark, sf0001)
       .as[(Long, Long, Long, Long)].collect().toSet
