@@ -30,6 +30,7 @@ object Warehouse {
     "q_agg_listagg" -> qAggListagg,
     "q_str_extract_all" -> qStrExtractAll,
     "q_gap_fill" -> qGapFill,
+    "q_gap_interp" -> qGapInterp,
     "q_agg_percentile_cont" -> qAggPercentileCont,
     "q_agg_histogram" -> qAggHistogram,
     "q_stream_topk" -> qStreamTopk,
@@ -70,6 +71,37 @@ object Warehouse {
                 CAST(COALESCE(per_day.rev, CAST(0 AS DECIMAL(38,2))) AS VARCHAR) AS revenue
          FROM spine LEFT JOIN per_day ON spine.d = per_day.d
          ORDER BY day""",
+    "q_gap_interp" ->
+      """WITH spine AS (
+           SELECT p.o_orderpriority AS prio,
+                  CAST(unnest(generate_series(DATE '1995-03-01', DATE '1995-03-31',
+                                              INTERVAL 1 DAY)) AS DATE) AS d
+           FROM (SELECT DISTINCT o_orderpriority FROM orders) p),
+         per AS (
+           SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS d,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+           FROM orders
+           WHERE o_orderdate >= DATE '1995-03-01' AND o_orderdate <= DATE '1995-03-31'
+           GROUP BY 1, 2),
+         j AS (
+           SELECT spine.prio, spine.d, per.cents FROM spine
+           LEFT JOIN per ON spine.prio = per.prio AND spine.d = per.d),
+         k AS (
+           SELECT prio, d, cents,
+                  last_value(cents IGNORE NULLS) OVER
+                    (PARTITION BY prio ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                  last_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS) OVER
+                    (PARTITION BY prio ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+                  first_value(cents IGNORE NULLS) OVER
+                    (PARTITION BY prio ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                  first_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS) OVER
+                    (PARTITION BY prio ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+           FROM j)
+         SELECT prio, strftime(d, '%Y-%m-%d') AS day,
+                CASE WHEN cents IS NOT NULL THEN cents
+                     WHEN pv IS NULL OR nv IS NULL THEN NULL
+                     ELSE pv + (nv - pv) * (d - pd) // (nd - pd) END AS filled_cents
+         FROM k ORDER BY prio, day""",
     "q_agg_percentile_cont" ->
       """SELECT l_returnflag,
                 round(CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE), 4) AS p25,
@@ -175,6 +207,45 @@ object Warehouse {
         coalesce(col("rev"), lit(0).cast(DecimalType(38, 2)))
           .cast(StringType).as("revenue"))
       .orderBy("day")
+  }
+
+  /** Time-series gap repair by LINEAR INTERPOLATION, per series key (the
+    * serving-layer step after gap-filling: missing days get
+    * pv + (nv−pv)·Δd ÷ gap in integer cents — fixed-point, so the oracle
+    * reproduces it exactly; days outside any known bracket stay NULL).
+    * Two window passes per series (backward carry, forward carry), both
+    * partitioned by the series key — at scale each series interpolates
+    * independently inside its own partition, no cross-series traffic. */
+  private def qGapInterp(s: SparkSession, d: String): DataFrame = {
+    val prios = Tables.orders(s, d).select(col("o_orderpriority").as("prio")).distinct()
+    val days = s.range(1).select(explode(expr(
+      "sequence(DATE'1995-03-01', DATE'1995-03-31', INTERVAL 1 DAY)")).as("d"))
+    val spine = broadcast(prios.crossJoin(days))
+    val per = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-03-01").cast(DateType) &&
+        col("o_orderdate") <= lit("1995-03-31").cast(DateType))
+      .groupBy(col("o_orderpriority").as("prio"), col("o_orderdate").cast(DateType).as("d"))
+      .agg(sum((dec(col("o_totalprice"), 12) * 100).cast(LongType)).cast(LongType).as("cents"))
+    val joined = spine.join(per, Seq("prio", "d"), "left")
+    val wb = Window.partitionBy(col("prio")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("prio")).orderBy(col("d"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val knownDay = when(col("cents").isNotNull, col("d"))
+    joined
+      .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wb))
+      .withColumn("pd", last(knownDay, ignoreNulls = true).over(wb))
+      .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wf))
+      .withColumn("nd", first(knownDay, ignoreNulls = true).over(wf))
+      .select(
+        col("prio"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        when(col("cents").isNotNull, col("cents"))
+          .when(col("pv").isNull || col("nv").isNull, lit(null).cast(LongType))
+          .otherwise(expr(
+            "pv + (nv - pv) * CAST(datediff(d, pd) AS BIGINT) DIV CAST(datediff(nd, pd) AS BIGINT)"))
+          .as("filled_cents"))
+      .orderBy("prio", "day")
   }
 
   /** Interpolated percentiles (percentile_cont WITHIN GROUP). The inputs
