@@ -16,8 +16,15 @@ object Bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
   /** Register a native expression under a SQL-callable name (engine API
-    * surface: `spark.sql("SELECT dot_product_d(a, b) ...")`). */
+    * surface: `spark.sql("SELECT dot_product_d(a, b) ...")`). Idempotent:
+    * Engine.init runs on every Tables read, and re-registering an existing
+    * name logs a replacement WARN per call — thousands of lines across a
+    * bench run. */
   def registerFunction(spark: SparkSession, name: String,
-                       builder: Seq[Expression] => Expression): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+                       builder: Seq[Expression] => Expression): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))) {
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
 }
