@@ -40,7 +40,8 @@ object ScaleOps {
     "q_agg_mode" -> qAggMode,
     "q_pipeline_clean" -> qPipelineClean,
     "q_agg_sketch_merge" -> qAggSketchMerge,
-    "q_topk_native" -> qTopkNative
+    "q_topk_native" -> qTopkNative,
+    "q_sample_group" -> qSampleGroup
   )
 
   val oracle: Map[String, String] = Map(
@@ -84,6 +85,13 @@ object ScaleOps {
                 COALESCE(f.tokens, 0) AS tokens
          FROM i LEFT JOIN p ON i.lang = p.lang LEFT JOIN f ON i.lang = f.lang
          ORDER BY i.lang""",
+    "q_sample_group" ->
+      """SELECT lang, doc_id FROM (
+           SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 3 ORDER BY lang, doc_id""",
     "q_topk_native" ->
       """SELECT c_nationkey, rn, c_custkey FROM (
            SELECT c_nationkey, c_custkey,
@@ -170,6 +178,22 @@ object ScaleOps {
           .orderBy(col("c_acctbal").desc, col("c_custkey"))).cast("long"))
       .select(col("c_nationkey"), col("rn"), col("c_custkey"))
       .orderBy("c_nationkey", "rn")
+  }
+
+  /** Deterministic fixed-size per-group sample — uniform-without-
+    * replacement via hash ranking (order each group by md5(id) and keep
+    * the first k), executed by the custom two-phase TopKPerGroup operator
+    * so only k rows per (group × partition) reach the shuffle. The hash
+    * order makes the sample reproducible across runs and engines — what
+    * per-class training-mix sampling needs at corpus scale. */
+  def qSampleGroup(s: SparkSession, d: String): DataFrame = {
+    val ranked = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+    org.apache.spark.sql.graft.TopK
+      .perGroup(ranked, Seq("lang"), Seq(("h", false), ("doc_id", false)), 3)
+      .select(col("lang"), col("doc_id"))
+      .orderBy("lang", "doc_id")
   }
 
   /** Mergeable-sketch rollup — the pre-aggregated UV pattern: build one

@@ -64,9 +64,10 @@ class PlanSuite extends SparkSuite {
     // are cartesian BY DESIGN (broadcast probe side, input bounded by key
     // cardinality); anything else showing a nested-loop or cartesian
     // product is a planning bug.
-    // (q_text_heavy's 1-row scalar total cross join is also by design)
+    // (q_text_heavy's 1-row scalar total cross join is also by design;
+    // q_gap_interp's date-spine = priorities × days, 155 broadcast rows)
     val byDesign = Set("q_sim_knn", "q_sim_label", "q_sim_ivf", "q_dedup_embed", "q_join_cross",
-      "q_dedup_simhash", "q_str_fuzzy", "q_text_heavy")
+      "q_dedup_simhash", "q_str_fuzzy", "q_text_heavy", "q_gap_interp")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString()
       val bad = (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")) &&
