@@ -28,6 +28,7 @@ object Advanced {
     "q_retention" -> qRetention,
     "q_cep_pattern" -> qCepPattern,
     "q_scd2" -> qScd2,
+    "q_join_temporal" -> qJoinTemporal,
     "q_agg_countif" -> qAggCountif,
     "q_agg_bitwise" -> qAggBitwise,
     "q_str_fuzzy" -> qStrFuzzy,
@@ -78,6 +79,20 @@ object Advanced {
          WHERE event_type = 'purchase' AND nxt_type = 'error'
            AND nxt_tu - tu <= 600000000
          GROUP BY user_id ORDER BY user_id""",
+    "q_join_temporal" ->
+      """WITH dim AS (
+           SELECT c_custkey AS ck, c_mktsegment AS seg, 1 AS ver,
+                  DATE '1900-01-01' AS vf, DATE '1995-06-15' AS vt
+           FROM customer
+           UNION ALL
+           SELECT c_custkey, 'V2-' || c_mktsegment, 2,
+                  DATE '1995-06-15', DATE '9999-12-31'
+           FROM customer)
+         SELECT seg, ver, count(*) AS n,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS revenue
+         FROM orders JOIN dim
+           ON o_custkey = ck AND o_orderdate >= vf AND o_orderdate < vt
+         GROUP BY seg, ver ORDER BY seg, ver""",
     "q_scd2" ->
       """WITH chg AS (
            SELECT o_orderkey AS k, 1 AS version, 'I' AS op,
@@ -197,6 +212,33 @@ object Advanced {
     * versioned validity ranges (valid_to = next version - 1; the open
     * version is current unless deleted). Shares the manufactured
     * changelog of q_cdc_compact; one window pass per key. */
+  /** Temporal table join (Flink `FOR SYSTEM_TIME AS OF` parity): each
+    * fact row joins the dimension VERSION whose validity interval covers
+    * the fact's event time. The dimension here is a deterministic
+    * two-version history of customer (segment renamed at a fixed cutover
+    * date). The join is equi on the key plus an interval predicate — at
+    * scale it shuffles on the key like any dim join (few versions per
+    * key bound the per-row fan-in), or broadcasts when the versioned dim
+    * fits; the streaming analog is a stream-static join against the
+    * compacted SCD-2 table (q_scd2 / q_cdc_compact build exactly that). */
+  private def qJoinTemporal(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val v1 = c.select(
+      col("c_custkey").as("ck"), col("c_mktsegment").as("seg"), lit(1).as("ver"),
+      lit("1900-01-01").cast(DateType).as("vf"), lit("1995-06-15").cast(DateType).as("vt"))
+    val v2 = c.select(
+      col("c_custkey").as("ck"), concat(lit("V2-"), col("c_mktsegment")).as("seg"), lit(2).as("ver"),
+      lit("1995-06-15").cast(DateType).as("vf"), lit("9999-12-31").cast(DateType).as("vt"))
+    val dim = v1.unionByName(v2)
+    Tables.orders(s, d)
+      .join(dim,
+        col("o_custkey") === col("ck") &&
+          col("o_orderdate") >= col("vf") && col("o_orderdate") < col("vt"))
+      .groupBy(col("seg"), col("ver"))
+      .agg(count(lit(1)).as("n"), decStr(sum(dec(col("o_totalprice")))).as("revenue"))
+      .orderBy("seg", "ver")
+  }
+
   private def qScd2(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val price = dec(col("o_totalprice"), 12, 2)
