@@ -234,6 +234,31 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("stream-static TEMPORAL join: events pick the dim version valid at event time") {
+    // versioned dim: every user has v1 before the cutover, v2 at/after —
+    // stream-static joins allow the interval predicate, so each event is
+    // enriched with the version covering its own event time
+    val cut = new Timestamp((rowsByTime.head.t.getTime + rowsByTime.last.t.getTime) / 2)
+    val lo = new Timestamp(0L)
+    val hi = Timestamp.valueOf("9999-01-01 00:00:00")
+    val users = batchEvents.select("user_id").distinct().as[Long].collect().toSeq
+    val dim = (users.map(u => (u, "v1", lo, cut)) ++ users.map(u => (u, "v2", cut, hi)))
+      .toDF("uid", "ver", "vf", "vt")
+    def enrich(df: DataFrame): DataFrame = df.join(dim,
+      col("user_id") === col("uid") && col("t") >= col("vf") && col("t") < col("vt"))
+    val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+    val q = enrich(ms.toDF())
+      .writeStream.format("memory").queryName("t_temporal").outputMode("append").start()
+    try {
+      chunks(rowsByArrival).foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("t_temporal").groupBy("ver").count()
+      .as[(String, Long)].collect().toMap
+    val want = enrich(batchEvents).groupBy("ver").count()
+      .as[(String, Long)].collect().toMap
+    assert(got == want && got.values.sum == batchEvents.count() && got.size == 2)
+  }
+
   test("stream-static join enriches a stream with a broadcast dim table") {
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
     val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
