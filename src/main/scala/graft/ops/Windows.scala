@@ -28,6 +28,7 @@ object Windows {
     "q_win_running" -> qWinRunning,
     "q_win_moving" -> qWinMoving,
     "q_win_range" -> qWinRange,
+    "q_win_time_range" -> qWinTimeRange,
     "q_win_ntile" -> qWinNtile,
     "q_win_first_last" -> qWinFirstLast,
     "q_win_dist" -> qWinDist,
@@ -84,6 +85,18 @@ object Windows {
                       CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
                FROM orders)
          ORDER BY o_orderkey""",
+    "q_win_time_range" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS tu,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events)
+         SELECT event_id, user_id, tu,
+                count(*) OVER w AS cnt_1h,
+                CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY tu
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, tu, event_id""",
     "q_win_ntile" ->
       """SELECT c_custkey, c_mktsegment AS seg,
                 ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS tile
@@ -191,6 +204,26 @@ object Windows {
       .select(col("o_orderstatus").as("st"), col("o_orderkey"), cents.as("cents"))
       .withColumn("cnt_in_range", count(lit(1)).over(w))
       .orderBy("o_orderkey")
+  }
+
+  /** Event-time RANGE frame: per-user trailing-1-hour running count/sum —
+    * the "stats over the last hour" serving metric as a value-bounded
+    * window (peers at the same µs share a frame, so the result is
+    * deterministic without a unique tiebreak). Same shape Structured
+    * Streaming expresses as a sliding window; here it's one sort per
+    * user partition. */
+  private def qWinTimeRange(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      expr("ts DIV 1000").as("tu"),
+      (dec(col("value")) * 100).cast(LongType).as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tu"))
+      .rangeBetween(-3600000000L, 0L)
+    e.select(
+      col("event_id"), col("user_id"), col("tu"),
+      count(lit(1)).over(w).as("cnt_1h"),
+      sum(col("cents")).over(w).as("cents_1h"))
+      .orderBy("user_id", "tu", "event_id")
   }
 
   private def qWinNtile(s: SparkSession, d: String): DataFrame = {
