@@ -41,7 +41,8 @@ object ScaleOps {
     "q_pipeline_clean" -> qPipelineClean,
     "q_agg_sketch_merge" -> qAggSketchMerge,
     "q_topk_native" -> qTopkNative,
-    "q_sample_group" -> qSampleGroup
+    "q_sample_group" -> qSampleGroup,
+    "q_agg_bitmap" -> qAggBitmap
   )
 
   val oracle: Map[String, String] = Map(
@@ -85,6 +86,9 @@ object ScaleOps {
                 COALESCE(f.tokens, 0) AS tokens
          FROM i LEFT JOIN p ON i.lang = p.lang LEFT JOIN f ON i.lang = f.lang
          ORDER BY i.lang""",
+    "q_agg_bitmap" ->
+      """SELECT event_type, count(DISTINCT user_id) AS uv
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q_sample_group" ->
       """SELECT lang, doc_id FROM (
            SELECT lang, doc_id,
@@ -178,6 +182,27 @@ object ScaleOps {
           .orderBy(col("c_acctbal").desc, col("c_custkey"))).cast("long"))
       .select(col("c_nationkey"), col("rn"), col("c_custkey"))
       .orderBy("c_nationkey", "rn")
+  }
+
+  /** EXACT distinct count via mergeable bitmap buckets (the ClickHouse/
+    * Doris bitmap-index UV technique, on Spark's bitmap_* functions):
+    * each key maps to (bucket, bit) and a 4 KB bitmap per (group, bucket)
+    * absorbs all its keys; bucket bitmaps OR-merge across partitions and
+    * days, so — like the HLL rollup but EXACT — a materialized daily cube
+    * answers range UV by merging bitmaps instead of rescanning facts.
+    * The shuffle carries one bitmap per (group × bucket), never raw keys.
+    * Output is exact, so the oracle is plain COUNT(DISTINCT). */
+  def qAggBitmap(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .select(
+        col("event_type"),
+        expr("bitmap_bucket_number(user_id)").as("bucket"),
+        expr("bitmap_bit_position(user_id)").as("pos"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bitmap_count(bm)")).as("uv"))
+      .orderBy("event_type")
   }
 
   /** Deterministic fixed-size per-group sample — uniform-without-
