@@ -296,6 +296,34 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(store.toMap == want)
   }
 
+  test("streaming parquet file sink: finalized windows on disk == batch (append + watermark)") {
+    // append mode emits a window only after the watermark closes it — the
+    // far-future sentinel closes every real window; files land exactly once
+    // (commit-log protocol under the checkpoint)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fsink-ckpt").toString
+    val maxT = rowsByTime.last.t.getTime
+    val sentinel = Ev(-1L, -1L, "sentinel", 0.0, new Timestamp(maxT + 86400L * 1000 * 40))
+    val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+    val q = StreamOps.tumblingDaily(StreamOps.withWm(ms.toDF()))
+      .select(col("w.start").as("ws"), col("event_type"), col("cnt"),
+        col("sum_value").cast("string").as("sv"))
+      .writeStream.format("parquet")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      (chunks(rowsByTime) :+ Seq(sentinel)).foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.read.parquet(dir)
+      .filter(col("event_type") =!= "sentinel")
+      .as[(Timestamp, String, Long, String)].collect().toSet
+    val want = StreamOps.tumblingDaily(batchEvents)
+      .select(col("w.start").as("ws"), col("event_type"), col("cnt"),
+        col("sum_value").cast("string").as("sv"))
+      .as[(Timestamp, String, Long, String)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("checkpoint recovery: stateful query restarted mid-replay converges exactly (no loss, no dups)") {
     // the Flink-savepoint parity point: offsets + aggregation state live in
     // the checkpoint, so a crash/restart resumes where it left off; with an
