@@ -296,6 +296,40 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(store.toMap == want)
   }
 
+  test("Trigger.AvailableNow: one-shot catch-up run drains the backlog then stops itself") {
+    // the scheduled-batch operating mode: process everything available,
+    // commit, terminate — same incremental semantics as a live stream
+    import org.apache.spark.sql.streaming.Trigger
+    val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+    chunks(rowsByArrival).foreach(ms.addData(_)) // backlog enqueued up front
+    val q = StreamOps.dedupStreaming(ms.toDF())
+      .writeStream.format("memory").queryName("t_avail_now")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    val got = spark.table("t_avail_now")
+      .select("user_id", "event_type", "event_id")
+      .as[(Long, String, Long)].collect().toSet
+    val want = StreamOps.dedupFirst(batchEvents)
+      .select(col("user_id"), col("event_type"), col("first_id"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("observe(): named metrics surface per-batch row counts in streaming progress") {
+    val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+    val q = ms.toDF()
+      .observe("input_stats", count(lit(1)).as("rows"),
+        sum(Dsl.dec(col("value"))).cast("string").as("total_value"))
+      .writeStream.format("memory").queryName("t_observe").outputMode("append").start()
+    try {
+      chunks(rowsByArrival).foreach { c => ms.addData(c); q.processAllAvailable() }
+      val observed = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("input_stats")))
+      val totalRows = observed.map(_.getAs[Long]("rows")).sum
+      assert(totalRows == batchEvents.count(), s"observed $totalRows rows")
+    } finally q.stop()
+  }
+
   test("streaming parquet file sink: finalized windows on disk == batch (append + watermark)") {
     // append mode emits a window only after the watermark closes it — the
     // far-future sentinel closes every real window; files land exactly once
