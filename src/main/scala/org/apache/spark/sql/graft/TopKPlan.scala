@@ -57,11 +57,19 @@ case class TopKPerGroupExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of groups"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val groupLocal = groupExprs
     val orderLocal = sortOrder
     val attrs = child.output
+    val outRows = longMetric("numOutputRows")
+    val groupsMetric = longMetric("numGroups")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupLocal, attrs)
       val ord = RowOrdering.create(orderLocal, attrs)
@@ -83,7 +91,9 @@ case class TopKPerGroupExec(
         }
       }
       import scala.jdk.CollectionConverters._
+      groupsMetric += heaps.size()
       heaps.values.asScala.iterator.flatMap(_.iterator().asScala)
+        .map { r => outRows += 1; r }
     }
   }
 

@@ -72,6 +72,20 @@ class ScaleOpsSuite extends SparkSuite {
     assert(got == Set(("a", 10, 1L), ("a", 10, 2L), ("b", 7, 4L)))
   }
 
+  test("native top-k null ordering matches the window form (desc => nulls last)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.TopK
+    val df = Seq[(String, Option[Int], Long)](
+      ("a", Some(5), 1L), ("a", None, 2L), ("a", Some(9), 3L), ("b", None, 4L), ("b", None, 5L)
+    ).toDF("g", "v", "id")
+    val got = TopK.perGroup(df, Seq("g"), Seq(("v", true), ("id", false)), 2)
+      .as[(String, Option[Int], Long)].collect().toSet
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+    val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select("g", "v", "id").as[(String, Option[Int], Long)].collect().toSet
+    assert(got == want, s"got $got want $want")
+  }
+
   test("native top-k == window form on seeded random data across k values") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graft.TopK
