@@ -158,6 +158,39 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** Streaming CDC compaction — latest-wins upsert state (genre: binlog →
+    * Kafka → live upsert view). The second stateful SHAPE on the v2 API:
+    * value REPLACEMENT keyed by version (vs accumulation above). Emits
+    * the new latest row whenever a batch advances a key's version;
+    * deletes stay in state (op='D') so a late lower-version row can never
+    * resurrect a deleted key — the consumer filters op != 'D'. */
+  case class CdcRow(k: Long, version: Int, op: String, cents: Long)
+  class CdcLatestProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, CdcRow, CdcRow] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var latest: ValueState[CdcRow] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[CdcRow](
+        "latest", org.apache.spark.sql.Encoders.product[CdcRow], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[CdcRow],
+        timerValues: TimerValues): Iterator[CdcRow] = {
+      val prev = if (latest.exists()) Some(latest.get()) else None
+      val best = (prev.iterator ++ rows).maxBy(_.version)
+      if (!prev.contains(best)) { latest.update(best); Iterator(best) }
+      else Iterator.empty
+    }
+  }
+
+  def cdcLatestWins(chg: Dataset[CdcRow]): Dataset[CdcRow] = {
+    import chg.sparkSession.implicits._
+    chg.groupByKey(_.k)
+      .transformWithState(
+        new CdcLatestProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Batch analog of the stateful op: the final per-user state equals the
     * grouped aggregate (exactly-once contract). */
   def purchaseTotalsBatch(ev: DataFrame): DataFrame =

@@ -116,6 +116,47 @@ class StreamBatchEquivSuite extends SparkSuite {
     }
   }
 
+  test("streaming CDC compaction (transformWithState latest-wins, RocksDB): final view == batch compaction") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // same synthetic changelog as q_cdc_compact: insert all, update k%5,
+      // delete k%7 — replayed version-by-version like an ordered binlog
+      val orders = Tables.orders(spark, sf0001)
+        .select(col("o_orderkey").as("k"),
+          (Dsl.dec(col("o_totalprice"), 12) * 100).cast("long").as("cents"))
+        .as[(Long, Long)].collect().toSeq
+      val chg = Seq(
+        orders.map { case (k, c) => StreamOps.CdcRow(k, 1, "I", c) },
+        orders.collect { case (k, c) if k % 5 == 0 => StreamOps.CdcRow(k, 2, "U", c + 100000L) },
+        orders.collect { case (k, _) if k % 7 == 0 => StreamOps.CdcRow(k, 3, "D", 0L) })
+      val ms = MemoryStream(Encoders.product[StreamOps.CdcRow], spark.sqlContext)
+      val q = StreamOps.cdcLatestWins(ms.toDS())
+        .writeStream.format("memory").queryName("t_cdc_stream").outputMode("update").start()
+      try {
+        chg.foreach { c => ms.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+      // last update per key = max version emitted (monotone); live view drops D
+      val got = spark.table("t_cdc_stream")
+        .groupBy("k").agg(max(struct(col("version"), col("op"), col("cents"))).as("s"))
+        .filter(col("s.op") =!= "D")
+        .select(col("k"), col("s.version"), col("s.cents"))
+        .as[(Long, Int, Long)].collect().toSet
+      val want = chg.flatten.groupBy(_.k).values
+        .map(_.maxBy(_.version)).filter(_.op != "D")
+        .map(r => (r.k, r.version, r.cents)).toSet
+      assert(got == want && got.nonEmpty)
+      // cross-check cardinality with the declared batch analog
+      assert(got.size == SparkEntry.queries("q_cdc_compact")(spark, sf0001).count())
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join == batch interval join") {
     val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
     val df = ms.toDF()
