@@ -132,6 +132,25 @@ class ScaleOpsSuite extends SparkSuite {
     }
   }
 
+  test("driver contract: every oracle key names a declared query; no duplicate names across modules") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracle entries without a query: ${o -- q}")
+    // the no-oracle set is deliberate and documented in SURVEY §8
+    val noOracle = q -- o
+    assert(noOracle == Set("q_agg_approx_distinct", "q_agg_stats", "q_dedup_simhash",
+      "q_sim_ivf", "q_dedup_lsh", "q_agg_approx_quantile", "q_agg_sketch_merge"),
+      s"unexpected no-oracle set: $noOracle")
+    // module maps must not shadow each other (Map ++ silently keeps the last)
+    val perModule = Seq(
+      ops.Relational.queries, ops.Aggregations.queries, ops.Joins.queries,
+      ops.Windows.queries, ops.ScalarFuncs.queries, ops.Udfs.queries,
+      ops.StreamingAnalogs.queries, ops.Dedup.queries, ops.TextSim.queries,
+      ops.Advanced.queries, ops.Warehouse.queries, ops.ScaleOps.queries)
+    assert(perModule.map(_.size).sum == q.size,
+      "duplicate query names across modules would be silently shadowed")
+  }
+
   test("GraftExtensions wires rule, strategy, and SQL function into a SparkSessionExtensions") {
     // `spark.sql.extensions` is a STATIC conf read from the SparkContext at
     // first-session build, so the config path can't be exercised against the
