@@ -244,16 +244,21 @@ object Dedup {
     * DataFrame — property-tested against the ground-truth full join on
     * random corpora in InvariantSuite. */
   def prefixPairs(docs: DataFrame): DataFrame = {
-    // inverted index gives each shingle's doc list AND its document
-    // frequency in one shuffle; exploding it back yields (doc, s, f)
-    // without a join
-    val inv = rawShingles(docs).groupBy(col("s"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-      .withColumn("f", size(col("ds")))
-    val ranked = inv.select(col("s"), col("f"), explode(col("ds")).as("doc_id"))
+    // ONE per-doc shuffle builds the sorted shingle arrays; everything
+    // else (the exploded distinct-shingle stream, the frequency table,
+    // the final verify) derives from it. localCheckpoint materializes it
+    // so the two consumers (prefix branch, verify branch) don't recompute
+    // the tokenize+explode+groupBy pipeline — on a cluster this would be
+    // a persist() of doc_count·~1KB arrays, orders smaller than the text.
+    val arrays = docShingleArrays(docs).localCheckpoint()
+    val sh = arrays.select(col("doc_id"), col("n"), explode(col("sa")).as("s"))
+    // document frequency per shingle: a count aggregate (map-side partial
+    // combine, tiny shuffle rows) instead of collect_set doc-lists (no
+    // partial combine; hot shingles become giant shuffled arrays)
+    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val ranked = sh.join(freq, Seq("s"))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     // prefix length for θ = 0.8: n - ceil(0.8·n) + 1, in integer arithmetic
     // (DIV, not `/` — the Column `/` operator is double division)
     val prefix = ranked.filter(col("r") <= expr("n - ((n * 8 + 9) DIV 10) + 1"))
@@ -267,7 +272,7 @@ object Dedup {
         greatest(col("n1"), col("n2")) * 8 <= least(col("n1"), col("n2")) * 10)
       .select(col("d1"), col("d2"))
       .distinct()
-    verifyByArrays(candidates, docShingleArrays(docs)).orderBy("d1", "d2")
+    verifyByArrays(candidates, arrays).orderBy("d1", "d2")
   }
 
   /** Dedup cluster selection — the FINAL stage of corpus dedup: group the

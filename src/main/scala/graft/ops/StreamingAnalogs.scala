@@ -78,7 +78,8 @@ object StreamingAnalogs {
     "q_stream_late" ->
       """SELECT user_id, count(*) AS n_late FROM (
            SELECT user_id,
-                  MAX(ts) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm,
+                  MAX(ts) OVER (ORDER BY (event_id // 16) * 16 + (15 - event_id % 16)
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm,
                   ts
            FROM events)
          WHERE wm - ts > INTERVAL 10 MINUTE
@@ -154,14 +155,41 @@ object StreamingAnalogs {
       .orderBy("user_id", "event_type")
 
   /** Watermark / late-data analog: running max event time over ARRIVAL
-    * order (event_id) minus 10 min is the watermark; events below it are
-    * late. Pure int64-nanosecond arithmetic — no timestamp conversion.
-    * (The real watermark op is exercised in the streaming suite; this
-    * batch analog uses a global running window, fine at fixture scale.) */
+    * order minus 10 min is the watermark; events below it are late. Pure
+    * int64-nanosecond arithmetic — no timestamp conversion.
+    *
+    * The fixture's event_id order is perfectly time-sorted (measured:
+    * max lateness 0), so arrival order is SIMULATED deterministically:
+    * each run of 16 event_ids arrives in reverse — the standard
+    * out-of-order replay used in streaming tests, and SQL-portable
+    * (pure integer arithmetic, no RNG). With the fixtures' inter-event
+    * spacing this makes lateness straddle the 10-min threshold at every
+    * sf (388..7942 late rows), so the filter is genuinely exercised.
+    *
+    * A naive `Window.orderBy(arr)` puts the whole table in ONE partition
+    * (WindowExec warns, and at 100 TB it simply doesn't run). The
+    * distributed form is the classic two-pass prefix scan: bucket the
+    * arrival order, compute the running max WITHIN each bucket (windows
+    * partitioned by bucket — fully parallel), then overlay the cumulative
+    * max of the PRECEDING buckets, computed on the bucket-level aggregate
+    * table whose row count is #buckets (thousands at most — the only
+    * global window runs there, and it is ~MB-sized). wm =
+    * greatest(in-bucket running max, previous buckets' max); results are
+    * identical to the global-window form. */
   private def qStreamLate(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("event_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
-      .withColumn("wm", max(col("ts")).over(w))
+    val bucketed = Tables.events(s, d)
+      .withColumn("arr", expr("(event_id DIV 16) * 16 + (15 - event_id % 16)"))
+      .withColumn("b", expr("arr DIV 8192"))
+    val inBucket = Window.partitionBy(col("b")).orderBy(col("arr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perBucket = bucketed.groupBy(col("b")).agg(max(col("ts")).as("bmax"))
+      .withColumn("prevmax", max(col("bmax")).over(
+        Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("b"), col("prevmax"))
+    bucketed
+      .withColumn("runmax", max(col("ts")).over(inBucket))
+      .join(broadcast(perBucket), Seq("b"))
+      .withColumn("wm", greatest(col("runmax"), coalesce(col("prevmax"), col("runmax"))))
       .filter(col("wm") - col("ts") > 600000000000L)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_late"))

@@ -53,7 +53,8 @@ object Warehouse {
          FROM customer WHERE c_custkey <= 50
          GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q_str_extract_all" ->
-      """SELECT doc_id, regexp_extract_all(text, '[a-z]{6,}') AS words,
+      """SELECT doc_id,
+                COALESCE(array_to_string(regexp_extract_all(text, '[a-z]{6,}'), ','), '') AS words,
                 len(regexp_extract_all(text, '[a-z]{6,}')) AS n_words
          FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
     "q_gap_fill" ->
@@ -174,16 +175,21 @@ object Warehouse {
          GROUP BY c_nationkey ORDER BY c_nationkey""")
   }
 
-  /** regexp_extract_all → array column (multi-match extraction; the
-    * single-match form is q_str_regex). Pattern stays in the common
-    * RE2/Java subset: a character class + bounded repetition. */
+  /** regexp_extract_all → multi-match extraction (the single-match form is
+    * q_str_regex). Pattern stays in the common RE2/Java subset: a character
+    * class + bounded repetition. The match list is serialized with
+    * array_join so the result columns stay scalar — the driver's
+    * pandas-based compare cannot sort array cells. */
   private def qStrExtractAll(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .filter(col("doc_id") < 50)
       .select(
         col("doc_id"),
-        regexp_extract_all(col("text"), lit("[a-z]{6,}"), lit(0)).as("words"))
-      .withColumn("n_words", size(col("words")).cast(LongType))
+        regexp_extract_all(col("text"), lit("[a-z]{6,}"), lit(0)).as("ws"))
+      .select(
+        col("doc_id"),
+        array_join(col("ws"), ",").as("words"),
+        size(col("ws")).cast(LongType).as("n_words"))
       .orderBy("doc_id")
 
   /** Calendar gap-filling (date-spine left join): serving dashboards need
