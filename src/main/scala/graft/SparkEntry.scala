@@ -24,7 +24,8 @@ object SparkEntry {
       (ops.TextSim.queries, ops.TextSim.oracle),
       (ops.Advanced.queries, ops.Advanced.oracle),
       (ops.Warehouse.queries, ops.Warehouse.oracle),
-      (ops.ScaleOps.queries, ops.ScaleOps.oracle)
+      (ops.ScaleOps.queries, ops.ScaleOps.oracle),
+      (ops.TrainingOps.queries, ops.TrainingOps.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

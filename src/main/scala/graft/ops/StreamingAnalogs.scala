@@ -25,6 +25,7 @@ object StreamingAnalogs {
     "q_stream_late" -> qStreamLate,
     "q_stream_stateful" -> qStreamStateful,
     "q_stream_interval_join" -> qStreamIntervalJoin,
+    "q_stream_uv" -> qStreamUv,
     "q_cdc_compact" -> qCdcCompact
   )
 
@@ -95,6 +96,10 @@ object StreamingAnalogs {
          JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type = 'purchase') b
            ON a.user_id = b.user_id AND b.t > a.t AND b.t <= a.t + INTERVAL 1 HOUR
          GROUP BY a.user_id ORDER BY a.user_id""",
+    "q_stream_uv" ->
+      """SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+                COUNT(DISTINCT user_id) AS uv, count(*) AS pv
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q_cdc_compact" ->
       """WITH chg AS (
            SELECT o_orderkey AS k, 1 AS version, 'I' AS op,
@@ -199,6 +204,23 @@ object StreamingAnalogs {
   private def qStreamStateful(s: SparkSession, d: String): DataFrame =
     StreamOps.purchaseTotalsBatch(Tables.events(s, d))
       .orderBy("user_id")
+
+  /** Per-day PV/UV — the flagship realtime-dashboard metric of the
+    * reference's genre. Exact distinct users via explicit TWO-LEVEL
+    * aggregation: first (day, user) with map-side partial combine (the
+    * shuffle carries at most one row per user per day per partition),
+    * then a count per day. A direct count(DISTINCT) plans the same
+    * expand-based shape; writing the two levels out keeps the shuffle
+    * contract visible and lets the first level be reused for per-user
+    * metrics. */
+  private def qStreamUv(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(to_date(col("t")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("pv_u"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("uv"), sum(col("pv_u")).cast(LongType).as("pv"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("uv"), col("pv"))
+      .orderBy("day")
 
   /** CDC ingestion model (genre: MySQL binlog → Kafka → upsert): a
     * changelog of (key, version, op, cols) rows compacted latest-wins,

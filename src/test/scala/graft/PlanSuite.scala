@@ -65,9 +65,12 @@ class PlanSuite extends SparkSuite {
     // cardinality); anything else showing a nested-loop or cartesian
     // product is a planning bug.
     // (q_text_heavy's 1-row scalar total cross join is also by design;
-    // q_gap_interp's date-spine = priorities × days, 155 broadcast rows)
+    // q_gap_interp's date-spine = priorities × days, 155 broadcast rows;
+    // q_text_tfidf crosses in the 1-row corpus count; q_sim_quant
+    // broadcasts the 10-row query set against the candidates)
     val byDesign = Set("q_sim_knn", "q_sim_label", "q_sim_ivf", "q_dedup_embed", "q_join_cross",
-      "q_dedup_simhash", "q_str_fuzzy", "q_text_heavy", "q_gap_interp")
+      "q_dedup_simhash", "q_str_fuzzy", "q_text_heavy", "q_gap_interp",
+      "q_text_tfidf", "q_sim_quant")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString()
       val bad = (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")) &&
@@ -78,8 +81,9 @@ class PlanSuite extends SparkSuite {
   }
 
   test("plan sweep: no unpartitioned windows outside the late-data analog") {
-    // q_stream_late's batch analog runs a global running max BY DESIGN
-    // (the streaming watermark is the real operator — DESIGN.md §5).
+    // q_stream_late's only global window now runs over the BUCKET-level
+    // aggregate (one row per 8192-id block — the two-pass prefix scan);
+    // the per-event windows are partitioned by bucket.
     // A physical Window with an empty partition spec renders as
     // 'Window [...], [], [...]' — the middle bracket pair is the partition.
     val byDesign = Set("q_stream_late")

@@ -146,7 +146,8 @@ class ScaleOpsSuite extends SparkSuite {
       ops.Relational.queries, ops.Aggregations.queries, ops.Joins.queries,
       ops.Windows.queries, ops.ScalarFuncs.queries, ops.Udfs.queries,
       ops.StreamingAnalogs.queries, ops.Dedup.queries, ops.TextSim.queries,
-      ops.Advanced.queries, ops.Warehouse.queries, ops.ScaleOps.queries)
+      ops.Advanced.queries, ops.Warehouse.queries, ops.ScaleOps.queries,
+      ops.TrainingOps.queries)
     assert(perModule.map(_.size).sum == q.size,
       "duplicate query names across modules would be silently shadowed")
   }
