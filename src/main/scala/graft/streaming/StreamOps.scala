@@ -88,6 +88,18 @@ object StreamOps {
     ev.groupBy(window(col("t"), "1 day").as("w"), col("user_id"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Exact per-day UV on a stream: event-time dedup on (window, user) —
+    * keyed state evicted by the watermark once the day closes — chained
+    * into a windowed count (the Spark 3.4+ dedup→agg multi-stateful
+    * append pipeline). The streaming form of q_stream_uv's two-level
+    * batch aggregation: the dedup state carries one entry per
+    * (day, user), never a per-event buffer. */
+  def dailyUv(ev: DataFrame): DataFrame =
+    ev.select(window(col("t"), "1 day").as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(window(window_time(col("w")), "1 day").as("w"))
+      .agg(count(lit(1)).as("uv"))
+
   /** Streaming dedup (genre: keyed-state first-visit filter). The declared
     * batch analog pins keep-FIRST semantics via min(event_id); the
     * streaming form is dropDuplicates on the key columns. */

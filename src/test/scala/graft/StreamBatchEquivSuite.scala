@@ -255,6 +255,21 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(got == want)
   }
 
+  test("streaming exact daily UV (dedup → windowed count) == batch distinct") {
+    val maxT = rowsByTime.last.t.getTime
+    val sentinel = Ev(-1L, -1L, "sentinel", 0.0, new Timestamp(maxT + 86400L * 1000 * 40))
+    val got = runStream(rowsByTime :+ sentinel, "t_uv", "append") { df =>
+      StreamOps.dailyUv(StreamOps.withWm(df))
+    }
+      .filter(col("w.start").cast("long") * 1000 <= maxT) // drop the sentinel's own window
+      .select(col("w.start").cast("long").as("ws"), col("uv"))
+      .as[(Long, Long)].collect().toSet
+    val want = StreamOps.dailyUv(batchEvents)
+      .select(col("w.start").cast("long").as("ws"), col("uv"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("event-time-timer sessions (flatMapGroupsWithState) == session_window") {
     val maxT = rowsByTime.last.t.getTime
     val sentinel = Ev(-1L, -1L, "sentinel", 0.0, new Timestamp(maxT + 86400L * 1000 * 40))
