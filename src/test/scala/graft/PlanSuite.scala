@@ -50,6 +50,18 @@ class PlanSuite extends SparkSuite {
     assert(inCodegen.findFirstIn(p).isDefined, p.take(2000))
   }
 
+  test("tfidf joins broadcast the vocabulary-sized tables, never sort-merge the corpus") {
+    val p = planOf("q_text_tfidf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("quantized knn broadcasts the probe set against the candidates") {
+    val p = planOf("q_sim_quant")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("bloom runtime filter sits on the probe side before the join") {
     val p = planOf("q_join_bloom")
     // the broadcast-bitset UDF must appear as a Filter in the probe-side
