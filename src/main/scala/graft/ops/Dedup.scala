@@ -206,11 +206,21 @@ object Dedup {
     * randomized-corpus tested against the ground truth in AdvancedSuite.
     * One string hash per shingle; the 32-member hash family re-hashes that
     * 8-byte value with per-member seeds — 32× fewer string hashes, and no
-    * wrapping arithmetic (ANSI mode forbids long overflow). Signatures
-    * come from the RAW (with-duplicates) shingle stream: min is
-    * duplicate-insensitive, so the distinct shuffle would be pure waste. */
+    * wrapping arithmetic (ANSI mode forbids long overflow).
+    *
+    * Signatures are computed from the per-doc DISTINCT shingle arrays
+    * (min over the distinct set == min over the raw stream — min is
+    * duplicate-insensitive): explode the shared localCheckpoint'd arrays
+    * and re-aggregate the 32 mins. The hashing stays inside whole-stage
+    * codegen (measured: an all-narrow variant with nested array
+    * `transform` lambdas ran ~2× SLOWER — higher-order functions don't
+    * codegen), the explode input is already doc-partitioned so the
+    * groupBy re-shuffle is cheap, and the tokenize pipeline runs ONCE
+    * for both the signature and the verify branch. */
   def minhashPairs(docs: DataFrame): DataFrame = {
-    val sh = rawShingles(docs).withColumn("h0", xxhash64(col("s")))
+    val arrays = docShingleArrays(docs).localCheckpoint()
+    val sh = arrays.select(col("doc_id"), explode(col("sa")).as("s"))
+      .withColumn("h0", xxhash64(col("s")))
     val minhashAggs = (0 until 32).map(i => min(xxhash64(lit(i), col("h0"))).as(s"h$i"))
     val sig = sh.groupBy(col("doc_id")).agg(minhashAggs.head, minhashAggs.tail: _*)
     val bandCols = (0 until 16).map { b =>
@@ -223,7 +233,7 @@ object Dedup {
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
       .distinct()
-    verifyByArrays(candidates, docShingleArrays(docs))
+    verifyByArrays(candidates, arrays)
   }
 
   /** Prefix-filtered set-similarity join (the PPJoin/AllPairs family —
