@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graft.TopK
+import graft.ops.Dedup
+import graft.streaming.StreamOps
+
+/** Degenerate-input behavior of the library entry points: empty tables,
+  * single rows, corpora with no qualifying pairs. At 100 TB these shapes
+  * appear constantly (an empty partition, a lang slice with one doc, a
+  * date range with no events) — operators must return empty/identity
+  * results, never throw. */
+class EdgeCaseSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def emptyDocs =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  private def oneDoc =
+    Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+
+  test("dedup joins: empty corpus gives empty pairs, one doc gives no pairs") {
+    assert(Dedup.prefixPairs(emptyDocs).count() == 0)
+    assert(Dedup.minhashPairs(emptyDocs).count() == 0)
+    assert(Dedup.prefixPairs(oneDoc).count() == 0)
+    assert(Dedup.minhashPairs(oneDoc).count() == 0)
+  }
+
+  test("connectedComponents: empty edge list gives empty labels; self-loop is a singleton") {
+    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("d1", "d2")).count() == 0)
+    val self = Dedup.connectedComponents(Seq((7L, 7L)).toDF("d1", "d2"))
+      .as[(Long, Long)].collect().toSet
+    assert(self == Set((7L, 7L)))
+  }
+
+  test("TopK.perGroup: k larger than any group returns whole groups; empty input returns empty") {
+    val df = Seq((1, 10), (1, 20), (2, 30)).toDF("g", "v")
+    val all = TopK.perGroup(df, Seq("g"), Seq(("v", true)), 100)
+    assert(all.count() == 3)
+    val empty = TopK.perGroup(df.filter(col("g") > 99), Seq("g"), Seq(("v", true)), 3)
+    assert(empty.count() == 0)
+  }
+
+  test("streaming transforms run on empty batch input") {
+    val noEv = Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "t")
+    assert(StreamOps.dailyUv(noEv).count() == 0)
+    assert(StreamOps.tumblingDaily(noEv.withColumn("event_type", lit("x"))
+      .withColumn("value", lit(0.0))).count() == 0)
+  }
+
+  test("shingle arrays: doc shorter than k yields no row; duplicates collapse") {
+    val docs = Seq((1L, "a b"), (2L, "x y z x y z")).toDF("doc_id", "text")
+    val arr = Dedup.docShingleArrays(docs).as[(Long, Seq[String], Long)].collect()
+      .map { case (k, v, n) => k -> (v, n) }.toMap
+    assert(!arr.contains(1L), "2-token doc has no 3-shingles")
+    assert(arr(2L)._1.distinct.size == arr(2L)._1.size, "array holds distinct shingles")
+    assert(arr(2L)._2 == arr(2L)._1.size.toLong)
+  }
+}
