@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamOps
+
+/** Dev-only streaming throughput probe (not part of the driver contract):
+  * replays the fixture event table — replicated with disjoint id/user
+  * ranges so state cardinality scales too — through a parquet FILE
+  * stream source (reads on executors, unlike MemoryStream which
+  * serializes every row from the driver) into the flagship stateful
+  * transforms, and reports events/second end-to-end for a
+  * Trigger.AvailableNow drain.
+  *
+  * Usage: sbt "runMain graft.StreamBench [replays]" (default 10× sf0.1
+  * events = 1M rows, one parquet file per replay → one source split per
+  * file).
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val replays = if (args.nonEmpty) args(0).toInt else 10
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value", "t")
+    val inDir = "/tmp/graft-streambench/in"
+    val util = new java.io.File(inDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(util)
+    (0 until replays).foreach { r =>
+      base.select(
+        (col("event_id") + lit(r.toLong * 10000000L)).as("event_id"),
+        (col("user_id") + lit(r.toLong * 1000000L)).as("user_id"),
+        col("event_type"), col("value"), col("t"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    val nEvents = spark.read.parquet(inDir).count()
+    val schema = spark.read.parquet(inDir).schema
+
+    def drive(name: String)(tf: DataFrame => DataFrame): (String, Double) = {
+      val src = spark.readStream.schema(schema).parquet(inDir)
+      val ckpt = s"/tmp/graft-streambench/ckpt-$name-${System.nanoTime()}"
+      val t0 = System.nanoTime()
+      val q = tf(StreamOps.withWm(src)).writeStream
+        .format("noop").outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (nEvents / sec)
+    }
+
+    // warm the JIT/codegen paths once with a quick batch pass
+    StreamOps.tumblingDaily(base).count()
+    StreamOps.dailyUv(base).count()
+
+    val all = Seq(
+      drive("tumbling_agg")(StreamOps.tumblingDaily),
+      drive("exact_uv_dedup_agg")(StreamOps.dailyUv),
+      drive("dropDuplicates")(StreamOps.dedupStreaming))
+    println(f"""{"metric":"stream_events_per_sec","n_events":$nEvents,${
+      all.map { case (k, v) => f""""$k":${v}%.0f""" }.mkString(",")}}""")
+    spark.stop()
+  }
+}
