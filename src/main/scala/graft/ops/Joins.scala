@@ -29,6 +29,7 @@ object Joins {
     "q_join_theta" -> qJoinTheta,
     "q_join_asof" -> qJoinAsof,
     "q_join_asof_fwd" -> qJoinAsofFwd,
+    "q_join_asof_near" -> qJoinAsofNear,
     "q_join_interval" -> qJoinInterval,
     "q_join_interval_binned" -> qJoinIntervalBinned,
     "q_scalar_subquery" -> qScalarSubquery,
@@ -92,6 +93,37 @@ object Joins {
             AND (b.o_orderdate > a.o_orderdate
                  OR (b.o_orderdate = a.o_orderdate AND b.o_orderkey > a.o_orderkey)))
          WHERE rn = 1 ORDER BY o_orderkey""",
+    "q_join_asof_near" ->
+      """WITH p AS (
+           SELECT o_orderkey, prev_ok, prev_od FROM (
+             SELECT a.o_orderkey, b.o_orderkey AS prev_ok, CAST(b.o_orderdate AS DATE) AS prev_od,
+                    row_number() OVER (PARTITION BY a.o_orderkey
+                                       ORDER BY b.o_orderdate DESC, b.o_orderkey DESC) AS rn
+             FROM orders a JOIN orders b
+               ON a.o_custkey = b.o_custkey
+              AND (b.o_orderdate < a.o_orderdate
+                   OR (b.o_orderdate = a.o_orderdate AND b.o_orderkey < a.o_orderkey)))
+           WHERE rn = 1),
+         n AS (
+           SELECT o_orderkey, next_ok, next_od FROM (
+             SELECT a.o_orderkey, b.o_orderkey AS next_ok, CAST(b.o_orderdate AS DATE) AS next_od,
+                    row_number() OVER (PARTITION BY a.o_orderkey
+                                       ORDER BY b.o_orderdate, b.o_orderkey) AS rn
+             FROM orders a JOIN orders b
+               ON a.o_custkey = b.o_custkey
+              AND (b.o_orderdate > a.o_orderdate
+                   OR (b.o_orderdate = a.o_orderdate AND b.o_orderkey > a.o_orderkey)))
+           WHERE rn = 1)
+         SELECT a.o_orderkey,
+                CASE WHEN p.prev_ok IS NULL THEN n.next_ok
+                     WHEN n.next_ok IS NULL THEN p.prev_ok
+                     WHEN CAST(a.o_orderdate AS DATE) - p.prev_od
+                          <= n.next_od - CAST(a.o_orderdate AS DATE) THEN p.prev_ok
+                     ELSE n.next_ok END AS near_ok
+         FROM orders a
+         LEFT JOIN p ON a.o_orderkey = p.o_orderkey
+         LEFT JOIN n ON a.o_orderkey = n.o_orderkey
+         ORDER BY a.o_orderkey""",
     "q_join_interval" ->
       """SELECT a.user_id, count(*) AS cnt
          FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events) a
@@ -229,6 +261,41 @@ object Joins {
       .withColumn("next_ok", first(when(col("tag") === 1, col("ok")), ignoreNulls = true).over(w))
       .filter(col("tag") === 0)
       .select(col("ok").as("o_orderkey"), col("next_ok"))
+      .orderBy("o_orderkey")
+  }
+
+  /** NEAREST as-of: the other order of the same customer closest in date,
+    * either direction, tie → the earlier one (sensor-alignment semantics —
+    * "match each reading to the closest calibration"). Completes the
+    * as-of family (backward / forward / nearest). ONE exchange: both
+    * directional candidates come from the same union-window merge — the
+    * two window specs sort the same hash partition differently (two local
+    * sorts, zero extra shuffles), then a CASE picks the nearer side by
+    * integer day distance. */
+  private def qJoinAsofNear(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_custkey").as("ck"),
+      col("o_orderdate").cast(org.apache.spark.sql.types.DateType).as("od"),
+      col("o_orderkey").as("ok"))
+    val q = o.withColumn("tag", lit(0))
+    val b = o.withColumn("tag", lit(1))
+    val u = q.unionByName(b)
+    val wPrev = Window.partitionBy(col("ck"))
+      .orderBy(col("od"), col("ok"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("ck"))
+      .orderBy(col("od"), col("ok"), col("tag").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val cand = when(col("tag") === 1, struct(col("od"), col("ok")))
+    u.withColumn("prev", last(cand, ignoreNulls = true).over(wPrev))
+      .withColumn("next", first(cand, ignoreNulls = true).over(wNext))
+      .filter(col("tag") === 0)
+      .select(col("ok").as("o_orderkey"),
+        when(col("prev").isNull, col("next.ok"))
+          .when(col("next").isNull, col("prev.ok"))
+          .when(datediff(col("od"), col("prev.od")) <= datediff(col("next.od"), col("od")),
+            col("prev.ok"))
+          .otherwise(col("next.ok")).as("near_ok"))
       .orderBy("o_orderkey")
   }
 
