@@ -35,7 +35,8 @@ object Warehouse {
     "q_agg_histogram" -> qAggHistogram,
     "q_stream_topk" -> qStreamTopk,
     "q_stream_chained" -> qStreamChained,
-    "q_multimodal_decode" -> qMultimodalDecode
+    "q_multimodal_decode" -> qMultimodalDecode,
+    "q_dashboard_daily" -> qDashboardDaily
   )
 
   val oracle: Map[String, String] = Map(
@@ -140,7 +141,33 @@ object Warehouse {
                 CAST(SUM(64 + nb % 576) AS BIGINT) AS sum_width,
                 CAST(SUM(48 + (nb * 7) % 432) AS BIGINT) AS sum_height,
                 CAST(SUM(nb // 100 + 1) AS BIGINT) AS sum_frames
-         FROM dec GROUP BY source ORDER BY source"""
+         FROM dec GROUP BY source ORDER BY source""",
+    "q_dashboard_daily" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, user_id, event_id, event_type, value
+                    FROM events),
+         pvuv AS (SELECT strftime(date_trunc('day', t), '%Y-%m-%d') AS day,
+                         count(*) AS pv, COUNT(DISTINCT user_id) AS uv
+                  FROM e GROUP BY 1),
+         pur AS (SELECT strftime(date_trunc('day', t), '%Y-%m-%d') AS day,
+                        count(*) AS n_purch,
+                        CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+                 FROM e WHERE event_type = 'purchase' GROUP BY 1),
+         m AS (SELECT t, user_id,
+                      CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                           OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+               FROM e),
+         ses AS (SELECT strftime(date_trunc('day', t), '%Y-%m-%d') AS day,
+                        CAST(SUM(brk) AS BIGINT) AS n_sessions
+                 FROM m GROUP BY 1)
+         SELECT pvuv.day, pv, uv,
+                COALESCE(pur.n_purch, 0) AS n_purch,
+                CAST(COALESCE(pur.cents, 0) AS BIGINT) AS cents,
+                COALESCE(ses.n_sessions, 0) AS n_sessions
+         FROM pvuv
+         LEFT JOIN pur ON pvuv.day = pur.day
+         LEFT JOIN ses ON pvuv.day = ses.day
+         ORDER BY pvuv.day"""
   )
 
   /** Recursive CTE (Spark 4 native `WITH RECURSIVE`): walk a synthetic
@@ -342,5 +369,41 @@ object Warehouse {
         sum(col("height")).cast(LongType).as("sum_height"),
         sum(col("n_frames")).cast(LongType).as("sum_frames"))
       .orderBy("source")
+  }
+
+  /** The composed daily ADS dashboard — the genre's flagship serving
+    * output: PV, exact UV, purchase count, GMV in integer cents, and
+    * sessions STARTED per day, in one declarative plan. Each metric
+    * branch aggregates to per-day rows before the joins, so the joins
+    * ever see only #days-sized inputs; UV rides the same two-level
+    * exact-distinct shape as q_stream_uv; session starts are the
+    * 30-min-gap break markers summed per day (a session spanning
+    * midnight counts where it began). */
+  private def qDashboardDaily(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("t"), to_date(col("t")).as("day"), col("user_id"),
+        col("event_id"), col("event_type"), col("value"))
+    val pvuv = e.groupBy(col("day"), col("user_id")).agg(count(lit(1)).as("pvu"))
+      .groupBy(col("day"))
+      .agg(sum(col("pvu")).cast(LongType).as("pv"), count(lit(1)).as("uv"))
+    val pur = e.filter(col("event_type") === "purchase")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_purch"),
+        sum((dec(col("value"), 18, 2) * 100).cast(LongType)).cast(LongType).as("cents"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val ses = e
+      .withColumn("prev", lag(col("t"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev").isNull ||
+          unix_micros(col("t")) - unix_micros(col("prev")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("day")).agg(sum(col("brk")).cast(LongType).as("n_sessions"))
+    pvuv.join(pur, Seq("day"), "left").join(ses, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("pv"), col("uv"),
+        coalesce(col("n_purch"), lit(0L)).as("n_purch"),
+        coalesce(col("cents"), lit(0L)).cast(LongType).as("cents"),
+        coalesce(col("n_sessions"), lit(0L)).as("n_sessions"))
+      .orderBy("day")
   }
 }
