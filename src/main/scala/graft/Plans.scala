@@ -19,7 +19,11 @@ object Plans {
     "q_funnel",          // keyed multi-stage sequence aggregation
     "q_stream_tumble",   // windowed partial+final agg
     "q_join_bloom",      // bloom runtime filter ahead of the probe shuffle
-    "q_topk_native"      // custom two-phase TopKPerGroupExec
+    "q_topk_native",     // custom two-phase TopKPerGroupExec
+    "q_text_tfidf",      // broadcast df table, corpus never reshuffled
+    "q_sim_quant",       // quantized integer dot products, broadcast probes
+    "q_stream_late",     // two-pass bucketed prefix scan (no global window)
+    "q_dashboard_daily"  // composed per-day metric branches joined at #days size
   )
 
   def main(args: Array[String]): Unit = {
