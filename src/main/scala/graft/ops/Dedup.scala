@@ -254,12 +254,16 @@ object Dedup {
     * DataFrame — property-tested against the ground-truth full join on
     * random corpora in InvariantSuite. */
   def prefixPairs(docs: DataFrame): DataFrame = {
-    // ONE per-doc shuffle builds the sorted shingle arrays; everything
-    // else (the exploded distinct-shingle stream, the frequency table,
-    // the final verify) derives from it. localCheckpoint materializes it
-    // so the two consumers (prefix branch, verify branch) don't recompute
-    // the tokenize+explode+groupBy pipeline — on a cluster this would be
-    // a persist() of doc_count·~1KB arrays, orders smaller than the text.
+    // ONE tokenize pass builds the sorted shingle arrays; the exploded
+    // distinct-shingle stream, the frequency table, and the final verify
+    // all derive from it. localCheckpoint materializes it so the two
+    // consumers (prefix branch, verify branch) don't recompute the
+    // tokenize+explode+groupBy pipeline — on a cluster this would be a
+    // persist() of doc_count·~1KB arrays, orders smaller than the text.
+    // The freq join below still shuffles the exploded stream by shingle:
+    // that's deliberate, NOT a missed broadcast — distinct shingles are
+    // corpus-scale (billions at 100 TB, unlike a bounded word vocabulary),
+    // so the planner must stay free to pick a shuffled join.
     val arrays = docShingleArrays(docs).localCheckpoint()
     val sh = arrays.select(col("doc_id"), col("n"), explode(col("sa")).as("s"))
     // document frequency per shingle: a count aggregate (map-side partial

@@ -194,7 +194,7 @@ object StreamingAnalogs {
     bucketed
       .withColumn("runmax", max(col("ts")).over(inBucket))
       .join(broadcast(perBucket), Seq("b"))
-      .withColumn("wm", greatest(col("runmax"), coalesce(col("prevmax"), col("runmax"))))
+      .withColumn("wm", greatest(col("runmax"), col("prevmax")))
       .filter(col("wm") - col("ts") > 600000000000L)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_late"))
