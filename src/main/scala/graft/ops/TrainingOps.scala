@@ -27,7 +27,10 @@ object TrainingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> qPackSequences,
     "q_text_tfidf" -> qTextTfidf,
-    "q_sim_quant" -> qSimQuant
+    "q_sim_quant" -> qSimQuant,
+    "q_decontam" -> qDecontam,
+    "q_text_repetition" -> qTextRepetition,
+    "q_pii_scrub" -> qPiiScrub
   )
 
   val oracle: Map[String, String] = Map(
@@ -65,7 +68,51 @@ object TrainingOps {
                     ORDER BY CAST(list_inner_product(a.qv, b.qv) AS BIGINT) DESC, b.vec_id) AS rnk
            FROM q a JOIN q b ON a.vec_id <> b.vec_id
            WHERE a.vec_id < 10)
-         WHERE rnk <= 5 ORDER BY qid, rnk"""
+         WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "q_decontam" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, lang,
+                       md5(w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]) AS h
+                FROM (SELECT doc_id, lang, w, unnest(generate_series(1, len(w)-3)) AS i
+                      FROM tok WHERE len(w) >= 4)),
+         d AS (SELECT DISTINCT doc_id, lang, h FROM sh),
+         b AS (SELECT DISTINCT h, doc_id AS bdoc FROM d WHERE doc_id % 50 = 0)
+         SELECT t.doc_id, t.lang,
+                CAST(count(DISTINCT b.h) AS BIGINT) AS n_shared,
+                CAST(count(DISTINCT b.bdoc) AS BIGINT) AS n_bench
+         FROM d t JOIN b ON t.h = b.h
+         WHERE t.doc_id % 50 <> 0
+         GROUP BY t.doc_id, t.lang ORDER BY t.doc_id""",
+    "q_text_repetition" ->
+      """WITH tf AS (SELECT doc_id, w, count(*) AS cnt FROM
+                       (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+                     GROUP BY doc_id, w),
+         c AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                      CAST(count(*) AS BIGINT) AS n_distinct,
+                      CAST(MAX(cnt) AS BIGINT) AS top_cnt
+               FROM tf GROUP BY doc_id)
+         SELECT doc_id, n_tokens, n_distinct, top_cnt,
+                ((n_tokens - n_distinct) * 1000) // n_tokens AS dup_x1000,
+                (top_cnt * 1000) // n_tokens AS top_frac_x1000,
+                CAST(CASE WHEN (top_cnt * 1000) // n_tokens >= 250 THEN 1 ELSE 0 END AS BIGINT) AS rep_flag
+         FROM c ORDER BY doc_id""",
+    "q_pii_scrub" ->
+      """WITH raw AS (SELECT doc_id,
+                             text || repeat(' u' || CAST(doc_id AS VARCHAR) || '@mail.com',
+                                            CAST(doc_id % 3 AS INTEGER) + 1)
+                                  || ' call 555-' || CAST(doc_id AS VARCHAR) AS r
+                      FROM documents),
+         s AS (SELECT doc_id, r,
+                      regexp_replace(regexp_replace(r, '[a-z0-9]+@[a-z]+[.][a-z]+', '<EMAIL>', 'g'),
+                                     '555-[0-9]+', '<PHONE>', 'g') AS clean
+               FROM raw)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(r, '[a-z0-9]+@[a-z]+[.][a-z]+')) AS BIGINT) AS n_email,
+                CAST(len(regexp_extract_all(r, '555-[0-9]+')) AS BIGINT) AS n_phone,
+                CAST(length(r) AS BIGINT) AS len_raw,
+                CAST(length(clean) AS BIGINT) AS len_clean,
+                md5(clean) AS h_clean
+         FROM s ORDER BY doc_id"""
   )
 
   /** Greedy sequence packing into 2048-token context windows. A doc's bin
@@ -141,5 +188,84 @@ object TrainingOps {
       .filter(col("rnk") <= 5)
       .select(col("qid"), col("rnk").cast(LongType).as("rnk"), col("nid"), col("dot"))
       .orderBy("qid", "rnk")
+  }
+
+  /** Benchmark decontamination — the train/test overlap scan every LLM
+    * corpus needs before training: flag training docs sharing any word
+    * 4-gram with a held-out benchmark set (here the deterministic 2%
+    * slice doc_id % 50 = 0). Grams are md5'd so the join key is a fixed
+    * 32-byte token, not the raw text. The benchmark side is BROADCAST:
+    * eval suites are MBs while the corpus is TBs, so the probe is a
+    * map-side hash join over the exploded corpus grams — the only
+    * shuffle left is the per-doc count aggregation, whose input is
+    * already filtered down to matching grams. */
+  private def qDecontam(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 4)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """transform(sequence(1, size(w) - 3),
+           i -> md5(concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+                                   element_at(w, i + 2), element_at(w, i + 3))))"""))
+        .as("h"))
+      .distinct()
+    val bench = grams.filter(expr("doc_id % 50 = 0"))
+      .select(col("h"), col("doc_id").as("bdoc")).distinct()
+    grams.filter(expr("doc_id % 50 <> 0"))
+      .join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(countDistinct(col("h")).as("n_shared"),
+           countDistinct(col("bdoc")).as("n_bench"))
+      .orderBy("doc_id")
+  }
+
+  /** Within-document repetition scoring (the Gopher-class quality rule):
+    * duplicate-token fraction and most-common-token fraction, fixed-point
+    * ×1000 so no float crosses the oracle boundary. One explode + two
+    * map-side-combinable aggregations — a narrow, fully codegen'd
+    * pipeline whose shuffle rows are (doc_id, token) counts, bounded by
+    * per-doc vocabulary, not corpus size. */
+  private def qTextRepetition(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast(LongType).as("n_tokens"),
+           count(lit(1)).as("n_distinct"),
+           max(col("cnt")).as("top_cnt"))
+      .withColumn("dup_x1000", expr("((n_tokens - n_distinct) * 1000) DIV n_tokens"))
+      .withColumn("top_frac_x1000", expr("(top_cnt * 1000) DIV n_tokens"))
+      .withColumn("rep_flag",
+        expr("CASE WHEN (top_cnt * 1000) DIV n_tokens >= 250 THEN 1L ELSE 0L END"))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction — regex scrub of emails and phone-like tokens, with
+    * per-doc match counts and an md5 of the scrubbed text as the
+    * bit-exactness witness. The fixtures carry no PII, so a deterministic
+    * synthetic payload (1-3 emails + one phone derived from doc_id) is
+    * appended on BOTH engines before scrubbing — the Spark-side plumbing
+    * (regexp_extract_all counting, chained regexp_replace, all inside one
+    * codegen'd Project, zero shuffles) is the real artifact. Regexes use
+    * [.] instead of escapes so Java regex and RE2 read them identically. */
+  private def qPiiScrub(s: SparkSession, d: String): DataFrame = {
+    val email = "[a-z0-9]+@[a-z]+[.][a-z]+"
+    val phone = "555-[0-9]+"
+    Tables.documents(s, d)
+      .withColumn("r", expr(
+        """concat(text,
+                  repeat(concat(' u', CAST(doc_id AS STRING), '@mail.com'),
+                         CAST(doc_id % 3 AS INT) + 1),
+                  ' call 555-', CAST(doc_id AS STRING))"""))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col("r"), email, "<EMAIL>"), phone, "<PHONE>"))
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(r, '$email', 0)")).cast(LongType).as("n_email"),
+        size(expr(s"regexp_extract_all(r, '$phone', 0)")).cast(LongType).as("n_phone"),
+        length(col("r")).cast(LongType).as("len_raw"),
+        length(col("clean")).cast(LongType).as("len_clean"),
+        md5(col("clean")).as("h_clean"))
+      .orderBy("doc_id")
   }
 }

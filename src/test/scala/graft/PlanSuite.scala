@@ -107,6 +107,17 @@ class PlanSuite extends SparkSuite {
     assert(global.forall(byDesign.contains), s"unpartitioned windows in: $global")
   }
 
+  test("decontam probes the corpus with a broadcast of the benchmark gram set") {
+    val p = planOf("q_decontam")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("pii scrub is a single narrow pass: no joins, no aggregates") {
+    val p = planOf("q_pii_scrub")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("grouped aggregation uses two-phase hash aggregation") {
     val p = planOf("q_agg_group")
     assert(p.contains("HashAggregate"))

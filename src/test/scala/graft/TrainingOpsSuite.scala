@@ -47,6 +47,41 @@ class TrainingOpsSuite extends SparkSuite {
     assert(perQuery.values.forall(_ >= 4), s"quantized recall too low: $perQuery")
   }
 
+  test("decontam: flags exactly the train docs sharing a 4-gram with the benchmark slice") {
+    val out = SparkEntry.queries("q_decontam")(spark, sf0001).cache()
+    // no benchmark doc may appear as a flagged training doc
+    assert(out.filter(col("doc_id") % 50 === 0).count() == 0)
+    // every flagged doc shares at least one gram with at least one bench doc
+    assert(out.filter(col("n_shared") < 1 || col("n_bench") < 1).count() == 0)
+    // the planted near-dups guarantee a non-empty result at this sf
+    assert(out.count() > 0, "fixture must surface contamination")
+    out.unpersist()
+  }
+
+  test("text_repetition: fixed-point fractions bounded and consistent per doc") {
+    val out = SparkEntry.queries("q_text_repetition")(spark, sf0001).cache()
+    assert(out.count() == Tables.documents(spark, sf0001).count(), "one row per doc")
+    val bad = out.filter(
+      col("n_distinct") > col("n_tokens") || col("top_cnt") > col("n_tokens") ||
+      col("dup_x1000") < 0 || col("dup_x1000") > 1000 ||
+      col("top_frac_x1000") < 1 || col("top_frac_x1000") > 1000 ||
+      (col("rep_flag") === 1) =!= (col("top_frac_x1000") >= 250)).count()
+    assert(bad == 0, "repetition invariants violated")
+    out.unpersist()
+  }
+
+  test("pii_scrub: every injected email and phone is counted and redacted") {
+    val out = SparkEntry.queries("q_pii_scrub")(spark, sf0001).cache()
+    // doc_id % 3 + 1 emails and exactly one phone were injected per doc
+    val bad = out.filter(
+      col("n_email") =!= (col("doc_id") % 3) + 1 || col("n_phone") =!= 1).count()
+    assert(bad == 0, "injected PII counts must be exact")
+    // each email shrinks by >= 4 chars and the one phone grows by <= 2,
+    // so scrubbed text is strictly shorter than the raw text on every doc
+    assert(out.filter(col("len_clean") >= col("len_raw")).count() == 0)
+    out.unpersist()
+  }
+
   test("stream_uv: uv <= pv and uv matches countDistinct") {
     val out = SparkEntry.queries("q_stream_uv")(spark, sf0001)
     assert(out.filter(col("uv") > col("pv")).count() == 0)
