@@ -32,7 +32,8 @@ object Advanced {
     "q_agg_countif" -> qAggCountif,
     "q_agg_bitwise" -> qAggBitwise,
     "q_str_fuzzy" -> qStrFuzzy,
-    "q_join_salted" -> qJoinSalted
+    "q_join_salted" -> qJoinSalted,
+    "q_streak" -> qStreak
   )
 
   val oracle: Map[String, String] = Map(
@@ -133,7 +134,18 @@ object Advanced {
       """SELECT c_mktsegment, count(*) AS cnt,
                 CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_streak" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+         g AS (SELECT user_id, day,
+                      date_diff('day', DATE '1970-01-01', day)
+                        - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+               FROM d),
+         s AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY user_id, grp)
+         SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
+                CAST(MAX(len) AS BIGINT) AS max_streak,
+                CAST(count(*) AS BIGINT) AS n_streaks
+         FROM s GROUP BY user_id ORDER BY user_id"""
   )
 
   /** Conversion funnel signup → click → purchase (ordered, strict): the
@@ -307,4 +319,29 @@ object Advanced {
         count(lit(1)).as("cnt"),
         decStr(sum(dec(col("o_totalprice"), 12, 2))).as("total"))
       .orderBy("c_mktsegment")
+
+  /** Consecutive-active-days streaks (the genre's 连续登录 "continuous
+    * login" ADS metric) via gaps-and-islands: distinct (user, day) rows
+    * get an island id day_number − row_number — constant within a run of
+    * consecutive days — then two grouped counts yield per-user total
+    * active days, longest streak, and streak count. The only corpus-
+    * scale shuffle is the (user, day) distinct; both windows and both
+    * aggregations stay partitioned by user, so the plan has no global
+    * ordering anywhere. */
+  private def qStreak(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("t")).as("day"))
+      .distinct()
+    val grp = days.withColumn("grp",
+      datediff(col("day"), lit("1970-01-01")) -
+        row_number().over(Window.partitionBy(col("user_id")).orderBy(col("day"))))
+    grp.groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("len")).cast(LongType).as("n_days"),
+        max(col("len")).as("max_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
 }

@@ -282,4 +282,23 @@ class AdvancedSuite extends SparkSuite {
       .select(date_format(min(to_date(col("t"))), "yyyy-MM-dd")).as[String].head()
     assert(rows.map(_._1).min == minDay)
   }
+
+  test("streak islands partition each user's active days exactly") {
+    val out = SparkEntry.queries("q_streak")(spark, sf0001).cache()
+    // streaks partition the active days: n_streaks <= n_days, longest
+    // streak fits, and a user with k streaks over n days can have a
+    // longest streak of at most n - (k - 1)
+    val bad = out.filter(
+      col("max_streak") > col("n_days") || col("n_streaks") > col("n_days") ||
+      col("max_streak") > col("n_days") - col("n_streaks") + 1).count()
+    assert(bad == 0)
+    // totals reconcile with an independent distinct count
+    val direct = Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(col("t")).as("day")).distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("nd"))
+    val mism = out.join(direct, Seq("user_id"))
+      .filter(col("n_days") =!= col("nd")).count()
+    assert(mism == 0, "n_days must equal the distinct (user, day) count")
+    out.unpersist()
+  }
 }
