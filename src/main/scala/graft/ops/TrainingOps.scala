@@ -200,15 +200,7 @@ object TrainingOps {
     * shuffle left is the per-doc count aggregation, whose input is
     * already filtered down to matching grams. */
   private def qDecontam(s: SparkSession, d: String): DataFrame = {
-    val grams = Tables.documents(s, d)
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 4)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        """transform(sequence(1, size(w) - 3),
-           i -> md5(concat_ws(' ', element_at(w, i), element_at(w, i + 1),
-                                   element_at(w, i + 2), element_at(w, i + 3))))"""))
-        .as("h"))
-      .distinct()
+    val grams = gramStream(Tables.documents(s, d)).distinct()
     val bench = grams.filter(expr("doc_id % 50 = 0"))
       .select(col("h"), col("doc_id").as("bdoc")).distinct()
     grams.filter(expr("doc_id % 50 <> 0"))
@@ -218,6 +210,21 @@ object TrainingOps {
            countDistinct(col("bdoc")).as("n_bench"))
       .orderBy("doc_id")
   }
+
+  /** Exploded word-4-gram occurrences (doc_id, lang, h) — one row per
+    * gram position, no distinct, so it is streaming-safe (stateless
+    * narrow ops only). Shared by the batch decontam query (which adds
+    * the distinct) and its Structured Streaming form (which probes the
+    * static broadcast benchmark set and dedups flagged doc_ids with
+    * stateful dropDuplicates instead). */
+  def gramStream(docs: DataFrame): DataFrame =
+    docs.withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 4)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """transform(sequence(1, size(w) - 3),
+           i -> md5(concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+                                   element_at(w, i + 2), element_at(w, i + 3))))"""))
+        .as("h"))
 
   /** Within-document repetition scoring (the Gopher-class quality rule):
     * duplicate-token fraction and most-common-token fraction, fixed-point

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.streaming.StreamOps
 
 case class Ev(event_id: Long, user_id: Long, event_type: String, value: Double, t: Timestamp)
+case class Doc(doc_id: Long, lang: String, text: String)
 
 /** Stream-batch equivalence (SURVEY.md §5.4): replay the fixture events
   * through MemoryStream in chunks, run the SAME StreamOps transformation,
@@ -532,6 +533,37 @@ class StreamBatchEquivSuite extends SparkSuite {
       .as[(String, Int, Long, Long)].collect().toSet
     val want = SparkEntry.queries("q_stream_topk")(spark, sf0001)
       .as[(String, Int, Long, Long)].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("streaming decontamination probe: flagged doc set == batch decontam") {
+    // documents arrive as a stream; each is probed against the STATIC
+    // broadcast benchmark gram set (eval suites are fixed at train time)
+    // and flagged doc_ids are deduped with stateful dropDuplicates — the
+    // streaming filter a corpus-ingest pipeline runs. At scale the state
+    // is bounded with dropDuplicatesWithinWatermark; the unbounded form
+    // keeps the test deterministic.
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val bench = ops.TrainingOps.gramStream(docs)
+      .filter(col("doc_id") % 50 === 0).select("h").distinct()
+    val ms = MemoryStream(Encoders.product[Doc], spark.sqlContext)
+    val q = ops.TrainingOps.gramStream(ms.toDF())
+      .filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), Seq("h"))
+      .select("doc_id")
+      .dropDuplicates("doc_id")
+      .writeStream.format("memory").queryName("t_decontam").outputMode("append").start()
+    val rows = docs.orderBy("doc_id").as[Doc].collect().toSeq
+    try {
+      val n = rows.size
+      Seq(rows.slice(0, n / 3), rows.slice(n / 3, n)).foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("t_decontam").as[Long].collect().toSet
+    val want = SparkEntry.queries("q_decontam")(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
     assert(got == want && want.nonEmpty)
   }
 
