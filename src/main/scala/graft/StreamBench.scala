@@ -30,9 +30,11 @@ object StreamBench {
 
     val base = Tables.events(spark, sfDir)
       .select("event_id", "user_id", "event_type", "value", "t")
-    val inDir = "/tmp/graft-streambench/in"
-    val util = new java.io.File(inDir)
-    org.apache.commons.io.FileUtils.deleteQuietly(util)
+    // wipe the whole probe root, not just the input dir: earlier runs'
+    // checkpoint dirs would otherwise accumulate in /tmp forever
+    val root = "/tmp/graft-streambench"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val inDir = s"$root/in"
     (0 until replays).foreach { r =>
       base.select(
         (col("event_id") + lit(r.toLong * 10000000L)).as("event_id"),
@@ -54,6 +56,7 @@ object StreamBench {
         .start()
       q.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       name -> (nEvents / sec)
     }
 

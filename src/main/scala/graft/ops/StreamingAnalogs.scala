@@ -212,7 +212,15 @@ object StreamingAnalogs {
     * then a count per day. A direct count(DISTINCT) plans the same
     * expand-based shape; writing the two levels out keeps the shuffle
     * contract visible and lets the first level be reused for per-user
-    * metrics. */
+    * metrics.
+    *
+    * Deliberately NOT StreamOps.dailyUv (unlike the other analogs in
+    * this module): the streaming form cannot compute pv and exact uv in
+    * one pass (dropDuplicates consumes the duplicate rows pv needs), so
+    * the batch analog computes both from one (day, user) aggregation
+    * instead of running the streaming shape twice. The suite pins
+    * stream(dailyUv) == batch on the uv column, so the two forms cannot
+    * drift apart unnoticed. */
   private def qStreamUv(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(to_date(col("t")).as("day"), col("user_id"))

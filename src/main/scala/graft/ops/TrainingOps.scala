@@ -196,11 +196,14 @@ object TrainingOps {
     * slice doc_id % 50 = 0). Grams are md5'd so the join key is a fixed
     * 32-byte token, not the raw text. The benchmark side is BROADCAST:
     * eval suites are MBs while the corpus is TBs, so the probe is a
-    * map-side hash join over the exploded corpus grams — the only
-    * shuffle left is the per-doc count aggregation, whose input is
-    * already filtered down to matching grams. */
+    * map-side hash join over the RAW exploded corpus grams — no
+    * corpus-scale distinct runs before the probe (the downstream
+    * countDistinct absorbs duplicate occurrences), so the only shuffle
+    * is the per-doc count aggregation, whose input is already filtered
+    * down to matching grams. Only the benchmark side dedups, to keep
+    * the broadcast minimal. */
   private def qDecontam(s: SparkSession, d: String): DataFrame = {
-    val grams = gramStream(Tables.documents(s, d)).distinct()
+    val grams = gramStream(Tables.documents(s, d))
     val bench = grams.filter(expr("doc_id % 50 = 0"))
       .select(col("h"), col("doc_id").as("bdoc")).distinct()
     grams.filter(expr("doc_id % 50 <> 0"))

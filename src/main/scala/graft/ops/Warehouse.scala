@@ -215,7 +215,11 @@ object Warehouse {
         regexp_extract_all(col("text"), lit("[a-z]{6,}"), lit(0)).as("ws"))
       .select(
         col("doc_id"),
-        array_join(col("ws"), ",").as("words"),
+        // coalesce mirrors the oracle's COALESCE(..., ''): on a NULL text
+        // DuckDB's array_to_string yields NULL → '' there, so the Spark
+        // side must not propagate NULL either (no fixture row is NULL
+        // today, but the two sides must agree if one ever is)
+        coalesce(array_join(col("ws"), ","), lit("")).as("words"),
         size(col("ws")).cast(LongType).as("n_words"))
       .orderBy("doc_id")
 
