@@ -36,7 +36,8 @@ object Warehouse {
     "q_stream_topk" -> qStreamTopk,
     "q_stream_chained" -> qStreamChained,
     "q_multimodal_decode" -> qMultimodalDecode,
-    "q_dashboard_daily" -> qDashboardDaily
+    "q_dashboard_daily" -> qDashboardDaily,
+    "q_anomaly_iqr" -> qAnomalyIqr
   )
 
   val oracle: Map[String, String] = Map(
@@ -167,7 +168,19 @@ object Warehouse {
          FROM pvuv
          LEFT JOIN pur ON pvuv.day = pur.day
          LEFT JOIN ses ON pvuv.day = ses.day
-         ORDER BY pvuv.day"""
+         ORDER BY pvuv.day""",
+    "q_anomaly_iqr" ->
+      """WITH d AS (SELECT o_orderdate AS day,
+                           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+                    FROM orders GROUP BY 1),
+         f AS (SELECT CAST(quantile_cont(cents, 0.25) * 4 AS BIGINT) AS p25x4,
+                      CAST(quantile_cont(cents, 0.75) * 4 AS BIGINT) AS p75x4
+               FROM d)
+         SELECT strftime(d.day, '%Y-%m-%d') AS day, d.cents, f.p25x4, f.p75x4,
+                CAST(CASE WHEN 8 * d.cents < 2 * f.p25x4 - 3 * (f.p75x4 - f.p25x4) THEN -1
+                          WHEN 8 * d.cents > 2 * f.p75x4 + 3 * (f.p75x4 - f.p25x4) THEN 1
+                          ELSE 0 END AS BIGINT) AS flag
+         FROM d CROSS JOIN f ORDER BY day"""
   )
 
   /** Recursive CTE (Spark 4 native `WITH RECURSIVE`): walk a synthetic
@@ -409,5 +422,31 @@ object Warehouse {
         coalesce(col("cents"), lit(0L)).cast(LongType).as("cents"),
         coalesce(col("n_sessions"), lit(0L)).as("n_sessions"))
       .orderBy("day")
+  }
+
+  /** IQR-fence anomaly detection over the daily revenue series (the
+    * metric-alerting layer a realtime dashboard feeds): a day is flagged
+    * ±1 when its exact-cents total falls outside [p25 − 1.5·IQR,
+    * p75 + 1.5·IQR]. Everything stays integer: percentiles of integer
+    * cents at quartile fractions are exact dyadic doubles, ×4 makes them
+    * integers, and the fences are compared at ×8 scale so 1.5·IQR needs
+    * no division at all — bit-identical across engines where float
+    * z-scores would drift. The quartile aggregate is one 1-row global
+    * (broadcast back over the tiny per-day table); the per-day rollup is
+    * the only corpus-scale shuffle. */
+  private def qAnomalyIqr(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_anom")
+    s.sql(
+      """WITH d AS (SELECT o_orderdate AS day,
+                           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+                    FROM orders_anom GROUP BY o_orderdate),
+         f AS (SELECT CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY cents) * 4 AS BIGINT) AS p25x4,
+                      CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY cents) * 4 AS BIGINT) AS p75x4
+               FROM d)
+         SELECT date_format(d.day, 'yyyy-MM-dd') AS day, d.cents, f.p25x4, f.p75x4,
+                CAST(CASE WHEN 8 * d.cents < 2 * f.p25x4 - 3 * (f.p75x4 - f.p25x4) THEN -1
+                          WHEN 8 * d.cents > 2 * f.p75x4 + 3 * (f.p75x4 - f.p25x4) THEN 1
+                          ELSE 0 END AS BIGINT) AS flag
+         FROM d CROSS JOIN f ORDER BY day""")
   }
 }

@@ -182,6 +182,23 @@ class OperatorUnitSuite extends SparkSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("anomaly IQR fences: flag is exactly the fence comparison on every row") {
+    val out = SparkEntry.queries("q_anomaly_iqr")(spark, sf0001).cache()
+    assert(out.count() > 0)
+    // recompute the flag from the emitted integer fence columns — any
+    // disagreement means the CASE arms and fences drifted apart
+    val bad = out.filter(
+      col("flag") =!= when(col("cents") * 8 < col("p25x4") * 2 - (col("p75x4") - col("p25x4")) * 3, -1L)
+        .when(col("cents") * 8 > col("p75x4") * 2 + (col("p75x4") - col("p25x4")) * 3, 1L)
+        .otherwise(0L)).count()
+    assert(bad == 0)
+    // fences are a single global pair: constant across all rows
+    assert(out.select("p25x4", "p75x4").distinct().count() == 1)
+    // fixture has high-side anomalies only
+    assert(out.filter(col("flag") === 1).count() > 0)
+    out.unpersist()
+  }
+
   test("stddev/var agree with hand-computed two-pass values on a small set") {
     val df = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0).toDF("x")
     val (sd, vr) = df.select(stddev_samp(col("x")), var_samp(col("x")))
