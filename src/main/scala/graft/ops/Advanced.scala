@@ -33,7 +33,8 @@ object Advanced {
     "q_agg_bitwise" -> qAggBitwise,
     "q_str_fuzzy" -> qStrFuzzy,
     "q_join_salted" -> qJoinSalted,
-    "q_streak" -> qStreak
+    "q_streak" -> qStreak,
+    "q_funnel_session" -> qFunnelSession
   )
 
   val oracle: Map[String, String] = Map(
@@ -145,7 +146,29 @@ object Advanced {
          SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
                 CAST(MAX(len) AS BIGINT) AS max_streak,
                 CAST(count(*) AS BIGINT) AS n_streaks
-         FROM s GROUP BY user_id ORDER BY user_id"""
+         FROM s GROUP BY user_id ORDER BY user_id""",
+    "q_funnel_session" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu, event_id FROM events),
+         m AS (SELECT user_id, event_type, tu, event_id,
+                      CASE WHEN lag(tu) OVER w IS NULL OR tu - lag(tu) OVER w > 1800000000
+                           THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+         g AS (SELECT user_id, event_type, tu,
+                      SUM(brk) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+               FROM m),
+         s1 AS (SELECT user_id, sid, min(CASE WHEN event_type = 'click' THEN tu END) AS c1
+                FROM g GROUP BY user_id, sid),
+         s2 AS (SELECT g.user_id, g.sid,
+                       max(CASE WHEN g.event_type = 'purchase' AND g.tu > s1.c1
+                                THEN 1 ELSE 0 END) AS conv
+                FROM g JOIN s1 ON g.user_id = s1.user_id AND g.sid = s1.sid
+                GROUP BY g.user_id, g.sid)
+         SELECT s1.user_id, count(*) AS n_sessions,
+                CAST(SUM(CASE WHEN s1.c1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_sessions,
+                CAST(SUM(s2.conv) AS BIGINT) AS n_conv_sessions
+         FROM s1 JOIN s2 ON s1.user_id = s2.user_id AND s1.sid = s2.sid
+         GROUP BY s1.user_id ORDER BY s1.user_id"""
   )
 
   /** Conversion funnel signup → click → purchase (ordered, strict): the
@@ -342,6 +365,40 @@ object Advanced {
         sum(col("len")).cast(LongType).as("n_days"),
         max(col("len")).as("max_streak"),
         count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
+  /** Sessionized funnel — conversion WITHIN a 30-min session, the
+    * composition of the session islands and the funnel: per user, how
+    * many sessions exist, how many contain a click, and how many convert
+    * (a purchase strictly after the session's first click). All event
+    * times are int64 microseconds and the islands use the same
+    * merge-at-equality gap rule as the session-window oracles. Every
+    * window and aggregation is partitioned by user; sessions join back
+    * on (user, sid) — co-partitioned, so the join reuses the same
+    * hash distribution rather than reshuffling the corpus. */
+  private def qFunnelSession(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+    val g = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts DIV 1000").as("tu"))
+      .withColumn("brk",
+        when(lag(col("tu"), 1).over(w).isNull ||
+          col("tu") - lag(col("tu"), 1).over(w) > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val s1 = g.groupBy(col("user_id"), col("sid"))
+      .agg(min(when(col("event_type") === "click", col("tu"))).as("c1"))
+    val s2 = g.join(s1, Seq("user_id", "sid"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(max(when(col("event_type") === "purchase" && col("tu") > col("c1"), 1)
+        .otherwise(0)).as("conv"))
+    s1.join(s2, Seq("user_id", "sid"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("c1").isNotNull, 1).otherwise(0)).cast(LongType).as("n_click_sessions"),
+        sum(col("conv")).cast(LongType).as("n_conv_sessions"))
       .orderBy("user_id")
   }
 }

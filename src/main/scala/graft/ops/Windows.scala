@@ -31,6 +31,7 @@ object Windows {
     "q_win_time_range" -> qWinTimeRange,
     "q_win_ntile" -> qWinNtile,
     "q_win_first_last" -> qWinFirstLast,
+    "q_win_share" -> qWinShare,
     "q_win_dist" -> qWinDist,
     "q_sort_multi" -> qSortMulti,
     "q_topk_global" -> qTopkGlobal,
@@ -110,6 +111,14 @@ object Windows {
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_custkey, o_orderkey""",
+    "q_win_share" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                           o_orderpriority AS prio,
+                           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+                    FROM orders GROUP BY 1, 2)
+         SELECT month, prio, cents,
+                CAST((cents * 1000000) // SUM(cents) OVER (PARTITION BY month) AS BIGINT) AS share_x1e6
+         FROM m ORDER BY month, prio""",
     "q_win_dist" ->
       """SELECT c_custkey,
                 percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS pr,
@@ -290,4 +299,21 @@ object Windows {
     Tables.part(s, d).select(col("p_partkey").as("partkey"))
       .except(Tables.lineitem(s, d).select(col("l_partkey").as("partkey")))
       .orderBy("partkey")
+
+  /** Percent-of-total (ratio-to-report) window: each priority's share of
+    * its month's revenue, in parts-per-million integer arithmetic (cents
+    * ×10⁶ DIV the month's window sum — no float division crosses the
+    * oracle boundary). The corpus collapses to (month, priority) rows
+    * BEFORE the window, so the share pass runs on a dimension-sized
+    * table; headroom: max monthly cents ≈ 10¹² at sf1, ×10⁶ stays well
+    * inside int64. */
+  private def qWinShare(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderpriority").as("prio"))
+      .agg(sum((dec(col("o_totalprice"), 12, 2) * 100).cast(LongType))
+        .cast(LongType).as("cents"))
+      .withColumn("share_x1e6",
+        expr("(cents * 1000000) DIV sum(cents) OVER (PARTITION BY month)"))
+      .orderBy("month", "prio")
 }

@@ -283,6 +283,23 @@ class AdvancedSuite extends SparkSuite {
     assert(rows.map(_._1).min == minDay)
   }
 
+  test("sessionized funnel: monotone counts and session totals match the session-window query") {
+    val out = SparkEntry.queries("q_funnel_session")(spark, sf0001).cache()
+    val bad = out.filter(
+      col("n_conv_sessions") > col("n_click_sessions") ||
+      col("n_click_sessions") > col("n_sessions")).count()
+    assert(bad == 0, "conv <= click <= total must hold per user")
+    // the islands rule is the same one q_stream_session uses, so the
+    // per-user session counts must agree exactly
+    val sess = SparkEntry.queries("q_stream_session")(spark, sf0001)
+      .select(col("user_id"), col("n_sessions").as("ns2"))
+    val mism = out.join(sess, Seq("user_id"))
+      .filter(col("n_sessions") =!= col("ns2")).count()
+    assert(mism == 0, "session counts must match the session-window query")
+    assert(out.agg(sum("n_conv_sessions")).head.getLong(0) > 0, "fixture has conversions")
+    out.unpersist()
+  }
+
   test("streak islands partition each user's active days exactly") {
     val out = SparkEntry.queries("q_streak")(spark, sf0001).cache()
     // streaks partition the active days: n_streaks <= n_days, longest
