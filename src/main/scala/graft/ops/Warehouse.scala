@@ -37,7 +37,8 @@ object Warehouse {
     "q_stream_chained" -> qStreamChained,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_dashboard_daily" -> qDashboardDaily,
-    "q_anomaly_iqr" -> qAnomalyIqr
+    "q_anomaly_iqr" -> qAnomalyIqr,
+    "q_profile" -> qProfile
   )
 
   val oracle: Map[String, String] = Map(
@@ -180,7 +181,23 @@ object Warehouse {
                 CAST(CASE WHEN 8 * d.cents < 2 * f.p25x4 - 3 * (f.p75x4 - f.p25x4) THEN -1
                           WHEN 8 * d.cents > 2 * f.p75x4 + 3 * (f.p75x4 - f.p25x4) THEN 1
                           ELSE 0 END AS BIGINT) AS flag
-         FROM d CROSS JOIN f ORDER BY day"""
+         FROM d CROSS JOIN f ORDER BY day""",
+    "q_profile" ->
+      """SELECT 'o_orderdate' AS col, count(*) AS n,
+                count(DISTINCT o_orderdate) AS n_distinct,
+                strftime(min(o_orderdate), '%Y-%m-%d') AS min_s,
+                strftime(max(o_orderdate), '%Y-%m-%d') AS max_s FROM orders
+         UNION ALL
+         SELECT 'o_orderkey', count(*), count(DISTINCT o_orderkey),
+                CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR) FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', count(*), count(DISTINCT o_orderstatus),
+                min(o_orderstatus), max(o_orderstatus) FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', count(*), count(DISTINCT CAST(o_totalprice AS DECIMAL(12,2))),
+                CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR),
+                CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) FROM orders
+         ORDER BY col"""
   )
 
   /** Recursive CTE (Spark 4 native `WITH RECURSIVE`): walk a synthetic
@@ -448,5 +465,42 @@ object Warehouse {
                           WHEN 8 * d.cents > 2 * f.p75x4 + 3 * (f.p75x4 - f.p25x4) THEN 1
                           ELSE 0 END AS BIGINT) AS flag
          FROM d CROSS JOIN f ORDER BY day""")
+  }
+
+  /** Table profiling (the ANALYZE/data-quality report): per-column row
+    * count, exact distinct count, and min/max rendered as strings, for a
+    * representative column of each type class (int key, low-cardinality
+    * string, decimal measure, date). ONE scan feeds a single multi-
+    * distinct aggregate (Spark plans the expand-based shape — the same
+    * one q_agg_multi_distinct pins), and the 1-row result is unpivoted
+    * with stack() into the report rows — profiling never rescans the
+    * table per column, which is the difference between one pass and
+    * N passes at 100 TB. The oracle's UNION-ALL-of-subselects form is
+    * result-identical. */
+  private def qProfile(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val price = dec(col("o_totalprice"), 12, 2)
+    val a = o.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("o_orderkey")).as("d_key"),
+      countDistinct(col("o_orderstatus")).as("d_st"),
+      countDistinct(price).as("d_pr"),
+      countDistinct(col("o_orderdate")).as("d_dt"),
+      min(col("o_orderkey")).cast(StringType).as("min_key"),
+      max(col("o_orderkey")).cast(StringType).as("max_key"),
+      min(col("o_orderstatus")).as("min_st"),
+      max(col("o_orderstatus")).as("max_st"),
+      min(price).cast(StringType).as("min_pr"),
+      max(price).cast(StringType).as("max_pr"),
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_dt"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_dt"))
+    a.select(expr(
+      """stack(4,
+         'o_orderdate',   n, d_dt,  min_dt,  max_dt,
+         'o_orderkey',    n, d_key, min_key, max_key,
+         'o_orderstatus', n, d_st,  min_st,  max_st,
+         'o_totalprice',  n, d_pr,  min_pr,  max_pr)
+         AS (col, n, n_distinct, min_s, max_s)"""))
+      .orderBy("col")
   }
 }
