@@ -38,7 +38,8 @@ object Warehouse {
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_dashboard_daily" -> qDashboardDaily,
     "q_anomaly_iqr" -> qAnomalyIqr,
-    "q_profile" -> qProfile
+    "q_profile" -> qProfile,
+    "q_rfm" -> qRfm
   )
 
   val oracle: Map[String, String] = Map(
@@ -197,7 +198,35 @@ object Warehouse {
          SELECT 'o_totalprice', count(*), count(DISTINCT CAST(o_totalprice AS DECIMAL(12,2))),
                 CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR),
                 CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) FROM orders
-         ORDER BY col"""
+         ORDER BY col""",
+    "q_rfm" ->
+      """WITH c AS (SELECT o_custkey AS ck, count(*) AS f,
+                           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS m,
+                           max(o_orderdate) AS last
+                    FROM orders GROUP BY 1),
+         g AS (SELECT max(last) AS gmax FROM c),
+         r AS (SELECT ck, f, m, date_diff('day', last, gmax) AS rec FROM c CROSS JOIN g),
+         q AS (SELECT CAST(quantile_cont(rec, 0.25) * 4 AS BIGINT) AS r1,
+                      CAST(quantile_cont(rec, 0.5)  * 4 AS BIGINT) AS r2,
+                      CAST(quantile_cont(rec, 0.75) * 4 AS BIGINT) AS r3,
+                      CAST(quantile_cont(f, 0.25) * 4 AS BIGINT) AS f1,
+                      CAST(quantile_cont(f, 0.5)  * 4 AS BIGINT) AS f2,
+                      CAST(quantile_cont(f, 0.75) * 4 AS BIGINT) AS f3,
+                      CAST(quantile_cont(m, 0.25) * 4 AS BIGINT) AS m1,
+                      CAST(quantile_cont(m, 0.5)  * 4 AS BIGINT) AS m2,
+                      CAST(quantile_cont(m, 0.75) * 4 AS BIGINT) AS m3
+               FROM r)
+         SELECT CAST(1 + CASE WHEN 4*rec > r1 THEN 1 ELSE 0 END
+                       + CASE WHEN 4*rec > r2 THEN 1 ELSE 0 END
+                       + CASE WHEN 4*rec > r3 THEN 1 ELSE 0 END AS BIGINT) AS r_code,
+                CAST(1 + CASE WHEN 4*f > f1 THEN 1 ELSE 0 END
+                       + CASE WHEN 4*f > f2 THEN 1 ELSE 0 END
+                       + CASE WHEN 4*f > f3 THEN 1 ELSE 0 END AS BIGINT) AS f_code,
+                CAST(1 + CASE WHEN 4*m > m1 THEN 1 ELSE 0 END
+                       + CASE WHEN 4*m > m2 THEN 1 ELSE 0 END
+                       + CASE WHEN 4*m > m3 THEN 1 ELSE 0 END AS BIGINT) AS m_code,
+                count(*) AS n, CAST(SUM(m) AS BIGINT) AS cents
+         FROM r CROSS JOIN q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
   )
 
   /** Recursive CTE (Spark 4 native `WITH RECURSIVE`): walk a synthetic
@@ -502,5 +531,48 @@ object Warehouse {
          'o_totalprice',  n, d_pr,  min_pr,  max_pr)
          AS (col, n, n_distinct, min_s, max_s)"""))
       .orderBy("col")
+  }
+
+  /** RFM customer segmentation (user-profiling DWS layer): per customer
+    * recency (days since last order, against the global max date),
+    * frequency (order count), monetary (exact cents); each dimension is
+    * quartile-coded 1-4 against percentile FENCES — not a global ntile,
+    * which would need a single-partition window over every customer.
+    * The fences are one 9-value scalar aggregate broadcast back over the
+    * per-customer table, held ×4 so the quartile interpolation stays
+    * integer-exact (same dyadic-double argument as q_anomaly_iqr); the
+    * comparisons run at ×4 scale with no division. Boundary ties code
+    * identically on both engines because the fence values are exact.
+    * Output is the 4×4×4 segment census with per-segment exact cents. */
+  private def qRfm(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_rfm")
+    s.sql(
+      """WITH c AS (SELECT o_custkey AS ck, count(*) AS f,
+                           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS m,
+                           max(o_orderdate) AS last
+                    FROM orders_rfm GROUP BY o_custkey),
+         g AS (SELECT max(last) AS gmax FROM c),
+         r AS (SELECT ck, f, m, datediff(gmax, last) AS rec FROM c CROSS JOIN g),
+         q AS (SELECT CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY rec) * 4 AS BIGINT) AS r1,
+                      CAST(percentile_cont(0.5)  WITHIN GROUP (ORDER BY rec) * 4 AS BIGINT) AS r2,
+                      CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY rec) * 4 AS BIGINT) AS r3,
+                      CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY f) * 4 AS BIGINT) AS f1,
+                      CAST(percentile_cont(0.5)  WITHIN GROUP (ORDER BY f) * 4 AS BIGINT) AS f2,
+                      CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY f) * 4 AS BIGINT) AS f3,
+                      CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY m) * 4 AS BIGINT) AS m1,
+                      CAST(percentile_cont(0.5)  WITHIN GROUP (ORDER BY m) * 4 AS BIGINT) AS m2,
+                      CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY m) * 4 AS BIGINT) AS m3
+               FROM r)
+         SELECT CAST(1 + CASE WHEN 4*rec > r1 THEN 1 ELSE 0 END
+                       + CASE WHEN 4*rec > r2 THEN 1 ELSE 0 END
+                       + CASE WHEN 4*rec > r3 THEN 1 ELSE 0 END AS BIGINT) AS r_code,
+                CAST(1 + CASE WHEN 4*f > f1 THEN 1 ELSE 0 END
+                       + CASE WHEN 4*f > f2 THEN 1 ELSE 0 END
+                       + CASE WHEN 4*f > f3 THEN 1 ELSE 0 END AS BIGINT) AS f_code,
+                CAST(1 + CASE WHEN 4*m > m1 THEN 1 ELSE 0 END
+                       + CASE WHEN 4*m > m2 THEN 1 ELSE 0 END
+                       + CASE WHEN 4*m > m3 THEN 1 ELSE 0 END AS BIGINT) AS m_code,
+                count(*) AS n, CAST(SUM(m) AS BIGINT) AS cents
+         FROM r CROSS JOIN q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
   }
 }

@@ -199,6 +199,24 @@ class OperatorUnitSuite extends SparkSuite {
     out.unpersist()
   }
 
+  test("RFM census: codes in 1..4, customers partitioned exactly once") {
+    val out = SparkEntry.queries("q_rfm")(spark, sf0001).cache()
+    val bad = out.filter(
+      col("r_code") < 1 || col("r_code") > 4 ||
+      col("f_code") < 1 || col("f_code") > 4 ||
+      col("m_code") < 1 || col("m_code") > 4).count()
+    assert(bad == 0, "codes must stay in 1..4")
+    val nCust = Tables.orders(spark, sf0001)
+      .select(countDistinct(col("o_custkey"))).as[Long].head()
+    assert(out.agg(sum("n")).head.getLong(0) == nCust,
+      "every ordering customer lands in exactly one segment")
+    // quartile fences must spread customers across at least two levels
+    // per dimension at this sf
+    assert(out.select("r_code").distinct().count() > 1)
+    assert(out.select("m_code").distinct().count() > 1)
+    out.unpersist()
+  }
+
   test("stddev/var agree with hand-computed two-pass values on a small set") {
     val df = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0).toDF("x")
     val (sd, vr) = df.select(stddev_samp(col("x")), var_samp(col("x")))
