@@ -23,7 +23,10 @@ object Plans {
     "q_text_tfidf",      // broadcast df table, corpus never reshuffled
     "q_sim_quant",       // quantized integer dot products, broadcast probes
     "q_stream_late",     // two-pass bucketed prefix scan (no global window)
-    "q_dashboard_daily"  // composed per-day metric branches joined at #days size
+    "q_dashboard_daily", // composed per-day metric branches joined at #days size
+    "q_decontam",        // broadcast benchmark-gram probe over raw corpus grams
+    "q_funnel_session",  // islands + funnel, all stages co-partitioned by user
+    "q_rfm"              // percentile fences broadcast back, no global ntile window
   )
 
   def main(args: Array[String]): Unit = {

@@ -85,9 +85,11 @@ class PlanSuite extends SparkSuite {
     // q_gap_interp's date-spine = priorities × days, 155 broadcast rows;
     // q_text_tfidf crosses in the 1-row corpus count; q_sim_quant
     // broadcasts the 10-row query set against the candidates)
+    // (q_anomaly_iqr and q_rfm cross their 1-row quartile-fence
+    // aggregates back over day-/customer-sized tables — broadcast scalars)
     val byDesign = Set("q_sim_knn", "q_sim_label", "q_sim_ivf", "q_dedup_embed", "q_join_cross",
       "q_dedup_simhash", "q_str_fuzzy", "q_text_heavy", "q_gap_interp",
-      "q_text_tfidf", "q_sim_quant")
+      "q_text_tfidf", "q_sim_quant", "q_anomaly_iqr", "q_rfm")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString()
       val bad = (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")) &&
