@@ -25,7 +25,8 @@ object SparkEntry {
       (ops.Advanced.queries, ops.Advanced.oracle),
       (ops.Warehouse.queries, ops.Warehouse.oracle),
       (ops.ScaleOps.queries, ops.ScaleOps.oracle),
-      (ops.TrainingOps.queries, ops.TrainingOps.oracle)
+      (ops.TrainingOps.queries, ops.TrainingOps.oracle),
+      (ops.Quality.queries, ops.Quality.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
