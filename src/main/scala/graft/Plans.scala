@@ -26,7 +26,11 @@ object Plans {
     "q_dashboard_daily", // composed per-day metric branches joined at #days size
     "q_decontam",        // broadcast benchmark-gram probe over raw corpus grams
     "q_funnel_session",  // islands + funnel, all stages co-partitioned by user
-    "q_rfm"              // percentile fences broadcast back, no global ntile window
+    "q_rfm",             // percentile fences broadcast back, no global ntile window
+    "q_tpch_q5",         // 6-table join: dims broadcast, only fact joins shuffle
+    "q_dq_orphans",      // referential audit: broadcast anti-joins, facts never shuffle
+    "q_merge_upsert",    // MERGE dataflow: co-partitioned full-outer on the merge key
+    "q_skyline"          // per-brand Pareto frontier: equi-key anti self-join
   )
 
   def main(args: Array[String]): Unit = {
