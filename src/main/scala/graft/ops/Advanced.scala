@@ -34,10 +34,22 @@ object Advanced {
     "q_str_fuzzy" -> qStrFuzzy,
     "q_join_salted" -> qJoinSalted,
     "q_streak" -> qStreak,
-    "q_funnel_session" -> qFunnelSession
+    "q_funnel_session" -> qFunnelSession,
+    "q_attribution" -> qAttribution
   )
 
   val oracle: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH t AS (
+           SELECT event_type, value,
+                  first_value(event_type) OVER (
+                    PARTITION BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                    ORDER BY ts, event_id) AS first_touch
+           FROM events)
+         SELECT first_touch, count(*) AS n_purchases,
+                CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+         FROM t WHERE event_type = 'purchase'
+         GROUP BY first_touch ORDER BY first_touch""",
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
          s1 AS (SELECT user_id, min(tu) AS t1 FROM ev
@@ -400,5 +412,26 @@ object Advanced {
         sum(when(col("c1").isNotNull, 1).otherwise(0)).cast(LongType).as("n_click_sessions"),
         sum(col("conv")).cast(LongType).as("n_conv_sessions"))
       .orderBy("user_id")
+  }
+
+  /** First-touch marketing attribution: every purchase's value is credited
+    * to the FIRST event type of that user's day (the acquisition channel
+    * proxy). One window pass partitioned by (user, day) — the same key that
+    * bounds all the other sequence operators, so per-key state never
+    * exceeds a user-day's events — then a tiny grouped rollup by channel.
+    * Ordering is pinned (event time, then event_id) and exact: the fixture
+    * spacing (≥ 58 ms) means µs vs ns ordering cannot disagree with the
+    * oracle. Money is integer cents. */
+  private def qAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), to_date(col("t")))
+      .orderBy(col("t"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("first_touch", first(col("event_type")).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("first_touch"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        (sum(dec(col("value"), 12, 2)) * 100).cast(LongType).as("cents"))
+      .orderBy("first_touch")
   }
 }

@@ -48,7 +48,8 @@ object Quality {
     "q_tpch_q3" -> qTpchQ3,
     "q_tpch_q5" -> qTpchQ5,
     "q_layout_zorder" -> qLayoutZorder,
-    "q_skyline" -> qSkyline
+    "q_skyline" -> qSkyline,
+    "q_incr_agg" -> qIncrAgg
   )
 
   val oracle: Map[String, String] = Map(
@@ -165,6 +166,17 @@ object Quality {
                  CAST(max(day_idx) AS BIGINT) AS max_day
           FROM z GROUP BY 1 ORDER BY 1"""
     },
+    // the oracle is the FULL recompute — the incremental merge must be
+    // indistinguishable from rescanning everything
+    "q_incr_agg" ->
+      """SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS yr,
+                count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+                  // count(*) AS avg_cents
+         FROM orders
+         GROUP BY o_orderstatus, year(o_orderdate)
+         ORDER BY o_orderstatus, yr""",
     "q_skyline" ->
       """SELECT p.p_brand, p.p_partkey, p.p_size,
                 CAST(CAST(p.p_retailprice AS DECIMAL(38,2)) AS VARCHAR) AS price
@@ -355,6 +367,33 @@ object Quality {
         min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
         min(col("day_idx")).as("min_day"), max(col("day_idx")).as("max_day"))
       .orderBy("z_bucket")
+  }
+
+  /** Incremental view maintenance (the Flink-materialized-view / streaming
+    * upsert-sink idea, batch form): a grouped aggregate is maintained as
+    * MERGEABLE PARTIAL STATES — (count, sum) monoids — so new data only
+    * requires aggregating the NEW partition and re-merging, never
+    * rescanning history. Here the "old" (pre-1999) and "new" (1999+)
+    * partitions are aggregated independently, unioned as partials, and
+    * merged by summing; derived metrics (avg) are reconstructed FROM the
+    * merged state, which is why the state carries (n, cents) and not the
+    * average itself. The oracle is the full recompute over everything —
+    * the incremental answer must be indistinguishable. At 100 TB this is
+    * the difference between scanning one day and scanning ten years. */
+  private def qIncrAgg(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1999-01-01").cast(TimestampType)
+    def partials(f: DataFrame): DataFrame =
+      f.groupBy(col("o_orderstatus"), year(col("o_orderdate")).cast(LongType).as("yr"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(dec(col("o_totalprice"), 12, 2)) * 100).cast(LongType).as("cents"))
+    val o = Tables.orders(s, d)
+    partials(o.filter(col("o_orderdate") < cut))
+      .unionAll(partials(o.filter(col("o_orderdate") >= cut)))
+      .groupBy(col("o_orderstatus"), col("yr"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+      .withColumn("avg_cents", expr("cents DIV n"))
+      .orderBy("o_orderstatus", "yr")
   }
 
   /** Pareto frontier (skyline) per brand: parts not dominated on

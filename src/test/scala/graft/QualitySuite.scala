@@ -116,6 +116,32 @@ class QualitySuite extends SparkSuite {
     assert(sky.nonEmpty)
   }
 
+  test("q_incr_agg: partial-merge result equals the direct full recompute") {
+    val incremental = q("q_incr_agg")
+    val direct = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderstatus"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n"),
+        (sum(Dsl.dec(col("o_totalprice"), 12, 2)) * 100).cast("long").as("cents"))
+      .withColumn("avg_cents", expr("cents DIV n"))
+    assert(incremental.except(direct).isEmpty && direct.except(incremental).isEmpty)
+    assert(incremental.count() > 0)
+  }
+
+  test("q_attribution: credited cents are conserved across channels") {
+    val byChannel = graft.ops.Advanced.queries("q_attribution")(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+    val purchases = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+    val totalCents = purchases
+      .agg((sum(Dsl.dec(col("value"), 12, 2)) * 100).cast("long")).as[Long].head()
+    assert(byChannel.map(_._3).sum == totalCents)
+    assert(byChannel.map(_._2).sum == purchases.count())
+    // a purchase event always exists, so 'purchase' can appear as its own
+    // first touch only when it opens the day — channels must be valid types
+    val valid = Set("click", "purchase", "error", "signup", "view")
+    assert(byChannel.map(_._1).forall(valid))
+  }
+
   test("q_tpch_q3/q5 smoke: deterministic top-N and 5 ASIA nations") {
     val q3 = q("q_tpch_q3").collect()
     assert(q3.length == 10)
