@@ -514,8 +514,10 @@ object Warehouse {
     // min/max string buffers + the multi-distinct FILTER rewrite force a
     // single SortAggregate over the 5× Expand of the whole table (wide
     // string/decimal/timestamp sort keys — measured 2.2 s at sf0.1);
-    // split, both sides stay hash-aggregated (0.3 s) and the cross join
-    // is 1 row × 1 row.
+    // split, both sides stay hash-aggregated (0.3 s); each 1-row result
+    // is unpivoted to 4 (col, ...) rows first so the recombine is a
+    // broadcast equi join on the real `col` key — a literal join key
+    // would constant-fold back into a cartesian.
     val plain = o.agg(
       count(lit(1)).as("n"),
       min(col("o_orderkey")).cast(StringType).as("min_key"),
@@ -531,14 +533,22 @@ object Warehouse {
       countDistinct(col("o_orderstatus")).as("d_st"),
       countDistinct(price).as("d_pr"),
       countDistinct(col("o_orderdate")).as("d_dt"))
-    val a = plain.crossJoin(distincts)
-    a.select(expr(
+    val plainRows = plain.select(expr(
       """stack(4,
-         'o_orderdate',   n, d_dt,  min_dt,  max_dt,
-         'o_orderkey',    n, d_key, min_key, max_key,
-         'o_orderstatus', n, d_st,  min_st,  max_st,
-         'o_totalprice',  n, d_pr,  min_pr,  max_pr)
-         AS (col, n, n_distinct, min_s, max_s)"""))
+         'o_orderdate',   n, min_dt,  max_dt,
+         'o_orderkey',    n, min_key, max_key,
+         'o_orderstatus', n, min_st,  max_st,
+         'o_totalprice',  n, min_pr,  max_pr)
+         AS (col, n, min_s, max_s)"""))
+    val distinctRows = distincts.select(expr(
+      """stack(4,
+         'o_orderdate',   d_dt,
+         'o_orderkey',    d_key,
+         'o_orderstatus', d_st,
+         'o_totalprice',  d_pr)
+         AS (col, n_distinct)"""))
+    plainRows.join(broadcast(distinctRows), "col")
+      .select(col("col"), col("n"), col("n_distinct"), col("min_s"), col("max_s"))
       .orderBy("col")
   }
 
