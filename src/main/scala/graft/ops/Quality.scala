@@ -47,6 +47,8 @@ object Quality {
     "q_merge_upsert" -> qMergeUpsert,
     "q_tpch_q3" -> qTpchQ3,
     "q_tpch_q5" -> qTpchQ5,
+    "q_tpch_q10" -> qTpchQ10,
+    "q_tpch_q18" -> qTpchQ18,
     "q_layout_zorder" -> qLayoutZorder,
     "q_skyline" -> qSkyline,
     "q_incr_agg" -> qIncrAgg
@@ -143,6 +145,37 @@ object Quality {
          ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
                       (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) DESC,
                   n_name""",
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                     AS DECIMAL(38,4)) AS VARCHAR) AS revenue
+         FROM customer
+         JOIN orders   ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+           AND o_orderdate <  TIMESTAMP '1997-01-01'
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) DESC,
+                  c_custkey
+         LIMIT 20""",
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,2)) AS VARCHAR) AS total_price,
+                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_qty
+         FROM customer
+         JOIN orders   ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey
+                              HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 100""",
     "q_layout_zorder" -> {
       // DuckDB spelling of the identical int64 magic-number bit spread
       // (see `spread16`). `//` is DuckDB's integer floor division; all
@@ -330,6 +363,53 @@ object Quality {
       .agg(sum(revenue).as("rev"))
       .orderBy(col("rev").desc, col("n_name"))
       .select(col("n_name"), decStr(col("rev"), 4).as("revenue"))
+  }
+
+  /** TPC-H Q10 (returned-item reporting): which customers returned the
+    * most revenue in a quarter. lineitem's returnflag filter and orders'
+    * date window both push to the parquet scans BEFORE the fact-fact
+    * join; customer and nation broadcast (customer is the largest
+    * broadcast in the suite — on a real lake it would be bucketed on
+    * c_custkey instead once it outgrows the broadcast threshold). Only
+    * lineitem⋈orders shuffles. Top-20 with the custkey tiebreak pinned. */
+  private def qTpchQ10(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(revenue).as("rev"))
+      .orderBy(col("rev").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        decStr(col("rev"), 4).as("revenue"))
+  }
+
+  /** TPC-H Q18 (large-volume customers): orders whose total line quantity
+    * exceeds a threshold, with their customer. The canonical form joins
+    * lineitem twice (once inside the IN-subquery, once for the output
+    * sum); here the aggregate is computed ONCE and reused as both the
+    * filter and the output column — same result, one lineitem scan
+    * instead of two, which at 100 TB is the whole game. The grouped
+    * quantity aggregate is map-side combinable; customer broadcasts;
+    * orders⋈qualifying-orders is a shuffle join on the order key. */
+  private def qTpchQ18(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"), 12, 2)).as("qty"))
+      .filter(col("qty") > 250)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .orderBy(dec(col("o_totalprice"), 12, 2).desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        decStr(dec(col("o_totalprice"), 12, 2)).as("total_price"),
+        decStr(col("qty")).as("total_qty"))
   }
 
   /** Interleave-ready bit spread, 16 → 32 bits (the magic-number Morton

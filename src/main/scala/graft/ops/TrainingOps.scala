@@ -30,7 +30,8 @@ object TrainingOps {
     "q_sim_quant" -> qSimQuant,
     "q_decontam" -> qDecontam,
     "q_text_repetition" -> qTextRepetition,
-    "q_pii_scrub" -> qPiiScrub
+    "q_pii_scrub" -> qPiiScrub,
+    "q_cluster_kmeans" -> qClusterKmeans
   )
 
   val oracle: Map[String, String] = Map(
@@ -112,7 +113,43 @@ object TrainingOps {
                 CAST(length(r) AS BIGINT) AS len_raw,
                 CAST(length(clean) AS BIGINT) AS len_clean,
                 md5(clean) AS h_clean
-         FROM s ORDER BY doc_id"""
+         FROM s ORDER BY doc_id""",
+    "q_cluster_kmeans" ->
+      """WITH qv AS (
+           SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> CAST(floor(x * 127) AS BIGINT)) AS q
+           FROM embeddings),
+         qd AS (SELECT vec_id, CAST(r.range AS INT) AS pos,
+                       q[CAST(r.range AS INT)] AS v
+                FROM qv, range(1, 65) r),
+         c0 AS (SELECT vec_id AS cid, pos, v AS c FROM qd WHERE vec_id < 8),
+         d1 AS (SELECT qd.vec_id, c0.cid,
+                       CAST(SUM((qd.v - c0.c) * (qd.v - c0.c)) AS BIGINT) AS dist
+                FROM qd JOIN c0 ON qd.pos = c0.pos GROUP BY 1, 2),
+         a1 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM d1) WHERE rn = 1),
+         c1 AS (SELECT a1.cid, qd.pos, CAST(SUM(qd.v) AS BIGINT) // count(*) AS c
+                FROM a1 JOIN qd ON a1.vec_id = qd.vec_id GROUP BY 1, 2),
+         d2 AS (SELECT qd.vec_id, c1.cid,
+                       CAST(SUM((qd.v - c1.c) * (qd.v - c1.c)) AS BIGINT) AS dist
+                FROM qd JOIN c1 ON qd.pos = c1.pos GROUP BY 1, 2),
+         a2 AS (SELECT vec_id, cid, dist FROM (
+                  SELECT vec_id, cid, dist,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM d2) WHERE rn = 1),
+         st AS (SELECT cid, count(*) AS n, CAST(SUM(dist) AS BIGINT) AS inertia
+                FROM a2 GROUP BY 1),
+         lab AS (SELECT a2.cid, qv.label, count(*) AS ln
+                 FROM a2 JOIN qv ON a2.vec_id = qv.vec_id GROUP BY 1, 2),
+         maj AS (SELECT cid, label AS maj_label, ln AS maj_n FROM (
+                   SELECT cid, label, ln,
+                          row_number() OVER (PARTITION BY cid ORDER BY ln DESC, label) AS rn
+                   FROM lab) WHERE rn = 1)
+         SELECT st.cid, st.n, maj.maj_label, maj.maj_n, st.inertia
+         FROM st JOIN maj ON st.cid = maj.cid ORDER BY st.cid"""
   )
 
   /** Greedy sequence packing into 2048-token context windows. A doc's bin
@@ -277,5 +314,72 @@ object TrainingOps {
         length(col("clean")).cast(LongType).as("len_clean"),
         md5(col("clean")).as("h_clean"))
       .orderBy("doc_id")
+  }
+
+  /** Deterministic distributed k-means over the embedding column — the
+    * clustering stage of corpus curation (topic balancing, diversity
+    * sampling, IVF coarse-quantizer training). k = 8 centroids seeded
+    * from the first 8 vectors, two Lloyd rounds unrolled into one lazy
+    * plan. ALL arithmetic is integer: vectors are int8-quantized
+    * (floor(x·127); float→double and ·127 are mantissa-exact), distances
+    * are integer squared-L2 via codegen'd zip_with/aggregate, and
+    * centroid means use truncating integer division (Spark `DIV` ≡
+    * DuckDB `//`, both truncate toward zero — verified). Float k-means is
+    * famously irreproducible across reduction orders; the integer form
+    * yields identical labels under ANY partitioning, which is what makes
+    * it oracle-checkable and cluster-stable.
+    *
+    * Scale shape per round: centroids (k·64 longs) BROADCAST into the
+    * assignment join, so the embedding table streams map-side only; the
+    * per-vector argmin is a window over vec_id (hash-partitioned, k rows
+    * per key); the update is posexplode → (cid, pos) hash aggregate
+    * whose output is k·64 partial sums — one tiny exchange. No
+    * driver-side state, no collect: at 100 TB each round costs one
+    * broadcast pass plus a negligible aggregate, the canonical
+    * distributed Lloyd step. Empty clusters simply drop out of the
+    * centroid table (inner-join semantics, same on both engines). */
+  private def qClusterKmeans(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(
+      col("vec_id"),
+      col("label").cast(LongType).as("label"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127D) AS BIGINT))")
+        .as("q"))
+
+    // one assignment step: nearest centroid by integer squared-L2,
+    // ties broken toward the lowest centroid id
+    def assign(cents: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cents))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("q"), col("cid"), col("dist"))
+
+    // one update step: per-dimension truncated-mean centroid, arrays
+    // rebuilt by position so the next round joins on nothing wider than
+    // the k-row centroid table
+    def update(asg: DataFrame): DataFrame =
+      asg.select(col("cid"), posexplode(col("q")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("col")).as("sv"), count(lit(1)).as("n"))
+        .withColumn("m", expr("sv DIV n"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("c"))
+
+    val c0 = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("q").as("c"))
+    val a2 = assign(update(assign(c0)))
+
+    val stats = a2.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))
+    val maj = a2.groupBy(col("cid"), col("label")).agg(count(lit(1)).as("ln"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("ln").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("label").as("maj_label"), col("ln").as("maj_n"))
+    stats.join(broadcast(maj), "cid")
+      .select(col("cid"), col("n"), col("maj_label"), col("maj_n"), col("inertia"))
+      .orderBy("cid")
   }
 }

@@ -155,4 +155,37 @@ class QualitySuite extends SparkSuite {
     val q5revs = q5.map(r => BigDecimal(r._2))
     assert(q5revs.sameElements(q5revs.sortBy(x => -x)), "q5 must be revenue-descending")
   }
+
+  test("q_tpch_q18: single-scan aggregate-reuse form equals the canonical two-scan SQL") {
+    // the engine computes the per-order quantity sum ONCE and reuses it as
+    // both the HAVING filter and the output column; the canonical TPC-H
+    // form scans lineitem twice. They must be row-identical.
+    Seq("customer", "orders", "lineitem").foreach { t =>
+      Tables(spark, sf0001, t).createOrReplaceTempView(s"v_$t")
+    }
+    val canonical = spark.sql(
+      """SELECT c_name, c_custkey, o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS order_date,
+               CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,2)) AS STRING) AS total_price,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS STRING) AS total_qty
+         FROM v_customer
+         JOIN v_orders   ON c_custkey = o_custkey
+         JOIN v_lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (SELECT l_orderkey FROM v_lineitem
+                              GROUP BY l_orderkey
+                              HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 100""").collect().toSeq
+    val got = q("q_tpch_q18").collect().toSeq
+    assert(got == canonical, "aggregate-reuse rewrite changed Q18's result")
+  }
+
+  test("q_tpch_q10 smoke: revenue-descending top-20 of returned items") {
+    val out = q("q_tpch_q10").collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val revs = out.map(r => BigDecimal(r.getString(3)))
+    assert(revs.sameElements(revs.sortBy(x => -x)), "q10 must be revenue-descending")
+    assert(out.map(_.getLong(0)).distinct.length == out.length, "one row per customer")
+  }
 }

@@ -92,4 +92,51 @@ class TrainingOpsSuite extends SparkSuite {
     val diff = out.join(direct, Seq("day")).filter(col("uv") =!= col("uv2")).count()
     assert(diff == 0, "two-level exact distinct must equal countDistinct")
   }
+
+  test("cluster_kmeans: distributed result equals a local single-threaded Lloyd run") {
+    // independent reimplementation: collect the (tiny) sf0.001 vectors and
+    // run the same quantized 2-round Lloyd locally, then compare the full
+    // per-cluster report. Catches partitioning sensitivity, tiebreak
+    // drift, and integer-division mismatches in one shot.
+    val rows = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label").cast("long"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127D) AS BIGINT))"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .sortBy(_._1)
+
+    def assignLocal(cents: Seq[(Long, Array[Long])]): Map[Long, (Long, Long)] =
+      rows.map { case (id, _, q) =>
+        val best = cents.map { case (cid, c) =>
+          var dist = 0L
+          var i = 0
+          while (i < q.length) { val d = q(i) - c(i); dist += d * d; i += 1 }
+          (dist, cid)
+        }.min
+        id -> (best._2, best._1)
+      }.toMap
+
+    val qOf = rows.map(t => t._1 -> t._3).toMap
+    val c0 = rows.filter(_._1 < 8).map(t => (t._1, t._3)).toSeq
+    val a1 = assignLocal(c0)
+    val c1 = a1.groupBy(_._2._1).toSeq.map { case (cid, members) =>
+      val qs = members.keys.map(qOf).toSeq
+      val n = qs.size
+      (cid, Array.tabulate(64)(i => qs.map(_(i)).sum / n)) // Scala / on Long truncates like DIV
+    }
+    val a2 = assignLocal(c1)
+    val labelOf = rows.map(t => t._1 -> t._2).toMap
+    val expected = a2.groupBy(_._2._1).toSeq.map { case (cid, members) =>
+      val n = members.size.toLong
+      val inertia = members.values.map(_._2).sum
+      val (majLabel, majN) = members.keys.groupBy(labelOf).view
+        .mapValues(_.size.toLong).toSeq.maxBy { case (l, c) => (c, -l) }
+      (cid, n, majLabel, majN, inertia)
+    }.sortBy(_._1)
+
+    val got = SparkEntry.queries("q_cluster_kmeans")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected, s"distributed vs local k-means mismatch:\n$got\n$expected")
+  }
 }
