@@ -26,7 +26,8 @@ object SparkEntry {
       (ops.Warehouse.queries, ops.Warehouse.oracle),
       (ops.ScaleOps.queries, ops.ScaleOps.oracle),
       (ops.TrainingOps.queries, ops.TrainingOps.oracle),
-      (ops.Quality.queries, ops.Quality.oracle)
+      (ops.Quality.queries, ops.Quality.oracle),
+      (ops.Tpch.queries, ops.Tpch.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

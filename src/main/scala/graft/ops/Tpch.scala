@@ -1,0 +1,312 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.Dsl._
+
+/** TPC-H-derived benchmark shapes beyond the four flagships in
+  * [[Quality]] (Q3/Q5/Q10/Q18) — the remaining classic plan patterns,
+  * adapted to the fixture's column subset (FIXTURES.md "TPC-H-ish": no
+  * l_commitdate/l_receiptdate/l_shipmode/p_container, so Q4's lateness
+  * predicate and Q17/Q22's filters are re-expressed on columns that
+  * exist; the genre of each plan shape is unchanged).
+  *
+  * Scale notes (100 TB):
+  * - `q_tpch_q4` — EXISTS compiles to a LEFT SEMI join: lineitem is
+  *   never aggregated or deduplicated, the semi join short-circuits per
+  *   order. Both date filters push to the scans.
+  * - `q_tpch_q6` — the pure scan query: every predicate reaches the
+  *   parquet reader (PushedFilters), the aggregate is a 1-row partial+
+  *   final — the whole plan is one codegen'd map pass. The classic
+  *   "is pushdown working" canary.
+  * - `q_tpch_q7` — two independent nation bindings of one dim table
+  *   (aliased broadcasts); only lineitem⋈orders shuffles. The pair
+  *   disjunction is applied AFTER both nation joins, on broadcast rows.
+  * - `q_tpch_q14` — ratio emitted in integer basis points via cross-
+  *   multiplied integer division (never decimal division, whose rounding
+  *   rules differ across engines).
+  * - `q_tpch_q15` — the per-supplier aggregate is computed ONCE and its
+  *   1-row max is broadcast back over it (scalar cross join), replacing
+  *   the canonical CREATE VIEW + correlated max with a shared subplan.
+  * - `q_tpch_q17` — the per-part quantity average arrives as mergeable
+  *   (count, sum) state and the avg compare is cross-multiplied into
+  *   exact integer-decimal arithmetic: `5·qty·n < Σqty` ⟺ `qty < 0.2·avg`.
+  * - `q_tpch_q22` — the positive-balance average is a 1-row broadcast
+  *   scalar, dormancy is a LEFT ANTI join against the recent-orders keys;
+  *   the customer table never shuffles.
+  */
+object Tpch {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q4" -> qTpchQ4,
+    "q_tpch_q6" -> qTpchQ6,
+    "q_tpch_q7" -> qTpchQ7,
+    "q_tpch_q14" -> qTpchQ14,
+    "q_tpch_q15" -> qTpchQ15,
+    "q_tpch_q17" -> qTpchQ17,
+    "q_tpch_q22" -> qTpchQ22
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS n_late
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+           AND o_orderdate <  TIMESTAMP '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+    "q_tpch_q6" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              CAST(l_discount AS DECIMAL(4,2)))
+                     AS DECIMAL(38,4)) AS VARCHAR) AS revenue,
+                count(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                     AS DECIMAL(38,4)) AS VARCHAR) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+                (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1998-01-01'
+         GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+         ORDER BY supp_nation, cust_nation, l_year""",
+    "q_tpch_q14" ->
+      """WITH a AS (
+           SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                                     (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                                ELSE 0 END) * 10000 AS BIGINT) AS ps4,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 10000
+                       AS BIGINT) AS ts4
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+             AND l_shipdate <  TIMESTAMP '1996-10-01')
+         SELECT CAST(CAST(CAST(ps4 AS DECIMAL(38,4)) / 10000 AS DECIMAL(38,4)) AS VARCHAR) AS promo_revenue,
+                CAST(CAST(CAST(ts4 AS DECIMAL(38,4)) / 10000 AS DECIMAL(38,4)) AS VARCHAR) AS total_revenue,
+                ps4 * 10000 // ts4 AS promo_bp
+         FROM a""",
+    "q_tpch_q15" ->
+      """WITH r AS (
+           SELECT l_suppkey,
+                  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate <  TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name,
+                CAST(CAST(rev AS DECIMAL(38,4)) AS VARCHAR) AS total_revenue
+         FROM r JOIN supplier ON l_suppkey = s_suppkey
+         WHERE rev = (SELECT max(rev) FROM r)
+         ORDER BY s_suppkey""",
+    "q_tpch_q17" ->
+      """WITH pa AS (
+           SELECT l_partkey, count(*) AS n,
+                  SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+           FROM lineitem GROUP BY l_partkey)
+         SELECT count(*) AS n_small,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR)
+                  AS total_price
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+         JOIN pa USING (l_partkey)
+         WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * n < sq""",
+    "q_tpch_q22" ->
+      """WITH c AS (
+           SELECT c_custkey, c_nationkey % 10 AS code,
+                  CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+           FROM customer WHERE c_nationkey % 10 IN (1,2,3,4,5)),
+         a AS (SELECT count(*) AS n, SUM(bal) AS s FROM c WHERE bal > 0)
+         SELECT CAST(code AS BIGINT) AS cntrycode, count(*) AS numcust,
+                CAST(CAST(SUM(bal) AS DECIMAL(38,2)) AS VARCHAR) AS totacctbal
+         FROM c, a
+         WHERE bal * n > s
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '1999-01-01')
+         GROUP BY code
+         ORDER BY cntrycode"""
+  )
+
+  private def ts(v: String): Column = lit(v).cast(TimestampType)
+
+  private def revenue: Column =
+    dec(col("l_extendedprice"), 12, 2) *
+      (lit(1).cast(DecimalType(4, 2)) - dec(col("l_discount"), 4, 2))
+
+  /** TPC-H Q4 (order-priority checking), adapted: the fixture has no
+    * l_commitdate/l_receiptdate, so "late" is re-expressed as an order
+    * with any line first shipped more than 90 days after the order date.
+    * EXISTS compiles to a LEFT SEMI join with the lateness predicate as
+    * the residual condition — lineitem streams through the join without
+    * aggregation and each order short-circuits on its first late line. */
+  private def qTpchQ4(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1996-07-01") &&
+        col("o_orderdate") < ts("1996-10-01"))
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6 (forecast revenue change): the canonical pushdown canary —
+    * a pure filter+aggregate with no join. All three predicates reach the
+    * parquet scan as PushedFilters; the revenue product is decimal-exact
+    * (double sums would be reduction-order-dependent). The plan is one
+    * WholeStageCodegen span ending in a 1-row aggregate. */
+  private def qTpchQ6(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(dec(col("l_extendedprice"), 12, 2) * dec(col("l_discount"), 4, 2))
+          .as("rev"),
+        count(lit(1)).as("n"))
+      .select(decStr(col("rev"), 4).as("revenue"), col("n"))
+
+  /** TPC-H Q7 (volume shipping): bilateral trade between two nations per
+    * ship year. The nation dim is bound TWICE under different aliases —
+    * supplier side and customer side — each a broadcast; the disjunctive
+    * pair predicate runs after both bindings, on broadcast-joined rows.
+    * Only lineitem⋈orders shuffles; customer and supplier broadcast. */
+  private def qTpchQ7(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"))
+      .agg(sum(revenue).as("rev"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        decStr(col("rev"), 4).as("revenue"))
+  }
+
+  /** TPC-H Q14 (promotion effect): promo share of monthly revenue. The
+    * canonical form divides two decimal sums — decimal division rounding
+    * differs across engines, so the ratio is emitted as integer BASIS
+    * POINTS via cross-multiplied integer division on ×10⁴-scaled exact
+    * sums (`DIV` truncates toward zero in both engines; all values
+    * positive). part broadcasts into the month-filtered lineitem scan. */
+  private def qTpchQ14(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-09-01") &&
+        col("l_shipdate") < ts("1996-10-01"))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revenue).otherwise(lit(0))).as("p"),
+        sum(revenue).as("t"))
+      .select(
+        (col("p") * 10000).cast(LongType).as("ps4"),
+        (col("t") * 10000).cast(LongType).as("ts4"))
+      .select(
+        decStr(dec(col("ps4"), 38, 4) / 10000, 4).as("promo_revenue"),
+        decStr(dec(col("ts4"), 38, 4) / 10000, 4).as("total_revenue"),
+        expr("ps4 * 10000 DIV ts4").as("promo_bp"))
+
+  /** TPC-H Q15 (top supplier): the canonical view-plus-correlated-max,
+    * restructured so the per-supplier revenue aggregate is computed ONCE
+    * and its global max returns as a 1-row broadcast joined back over the
+    * same aggregate (exact decimal equality — safe, unlike float max).
+    * supplier broadcasts in for the name at the very end, after the
+    * aggregate has shrunk to one row per supplier. */
+  private def qTpchQ15(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenue).as("rev"))
+    r.crossJoin(broadcast(r.agg(max(col("rev")).as("mx"))))
+      .filter(col("rev") === col("mx"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .orderBy("s_suppkey")
+      .select(col("s_suppkey"), col("s_name"), decStr(col("rev"), 4).as("total_revenue"))
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue): lines whose quantity is
+    * below 20 % of their part's average. The per-part average ships as
+    * mergeable (count, sum) partial state, and the fractional compare is
+    * cross-multiplied into exact arithmetic: `qty < 0.2·(sq/n)` ⟺
+    * `5·qty·n < sq` — decimal·int products, no division anywhere. The
+    * brand filter broadcasts through part before the per-part state
+    * joins in (the state aggregate itself runs over the FULL lineitem —
+    * the per-part average must include non-Brand#23 history). */
+  private def qTpchQ17(s: SparkSession, d: String): DataFrame = {
+    val pa = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pa_key"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"), 12, 2)).as("sq"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#23")),
+        col("l_partkey") === col("p_partkey"))
+      .join(pa, col("l_partkey") === col("pa_key"))
+      .filter(dec(col("l_quantity"), 12, 2) * 5 * col("n") < col("sq"))
+      .agg(
+        count(lit(1)).as("n_small"),
+        sum(dec(col("l_extendedprice"), 12, 2)).as("tp"))
+      .select(col("n_small"), decStr(col("tp")).as("total_price"))
+  }
+
+  /** TPC-H Q22 (global sales opportunity), adapted: the fixture has no
+    * phone column, so country code is `c_nationkey % 10`, and since every
+    * fixture customer has at least one order, "dormant" is NO ORDER on or
+    * after 1999-01-01 (a date-filtered LEFT ANTI join — the filter pushes
+    * to the orders scan, shrinking the anti-join build side). The
+    * positive-balance average arrives as a 1-row (count, sum) broadcast
+    * and the compare is cross-multiplied exact: `bal·n > Σbal`. */
+  private def qTpchQ22(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .filter((col("c_nationkey") % 10).isin(1, 2, 3, 4, 5))
+      .select(col("c_custkey"),
+        (col("c_nationkey") % 10).cast(LongType).as("code"),
+        dec(col("c_acctbal"), 12, 2).as("bal"))
+    val avgState = c.filter(col("bal") > 0)
+      .agg(count(lit(1)).as("n"), sum(col("bal")).as("s"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1999-01-01"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgState))
+      .filter(col("bal") * col("n") > col("s"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("code").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), sum(col("bal")).as("tb"))
+      .orderBy("cntrycode")
+      .select(col("cntrycode"), col("numcust"), decStr(col("tb")).as("totacctbal"))
+  }
+}

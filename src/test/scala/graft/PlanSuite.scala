@@ -87,9 +87,14 @@ class PlanSuite extends SparkSuite {
     // broadcasts the 10-row query set against the candidates)
     // (q_anomaly_iqr and q_rfm cross their 1-row quartile-fence
     // aggregates back over day-/customer-sized tables — broadcast scalars)
+    // (q_cluster_kmeans broadcasts the k=8-row centroid table into each
+    // Lloyd assignment step — the canonical distributed k-means join;
+    // q_tpch_q15 and q_tpch_q22 cross in 1-row max / (count,sum) scalar
+    // aggregates — broadcast scalars like q_anomaly_iqr)
     val byDesign = Set("q_sim_knn", "q_sim_label", "q_sim_ivf", "q_dedup_embed", "q_join_cross",
       "q_dedup_simhash", "q_str_fuzzy", "q_text_heavy", "q_gap_interp",
-      "q_text_tfidf", "q_sim_quant", "q_anomaly_iqr", "q_rfm")
+      "q_text_tfidf", "q_sim_quant", "q_anomaly_iqr", "q_rfm", "q_cluster_kmeans",
+      "q_tpch_q15", "q_tpch_q22")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString()
       val bad = (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")) &&
