@@ -42,6 +42,29 @@ class PlanSuite extends SparkSuite {
     assert(planOf("q_join_anti").contains("LeftAnti"))
   }
 
+  test("tpch q6 pushes all three predicates to the scan and joins nothing") {
+    val p = planOf("q_tpch_q6")
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("l_shipdate") && p.contains("l_discount") && p.contains("l_quantity"))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("tpch q4 lateness EXISTS compiles to a left semi join") {
+    assert(planOf("q_tpch_q4").contains("LeftSemi"))
+  }
+
+  test("tpch q22 dormancy compiles to a left anti join with broadcast dims") {
+    val p = planOf("q_tpch_q22")
+    assert(p.contains("LeftAnti"), p.take(2000))
+  }
+
+  test("tpch q7/q14/q17 broadcast every dimension side") {
+    for (q <- Seq("q_tpch_q7", "q_tpch_q14", "q_tpch_q17")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(1500)}")
+    }
+  }
+
   test("native dot product runs inside whole-stage codegen") {
     val p = planOf("q_sim_knn", materialize = true)
     // '*(n)' prefixes mark WholeStageCodegen stages in the plan string —
