@@ -27,7 +27,8 @@ object SparkEntry {
       (ops.ScaleOps.queries, ops.ScaleOps.oracle),
       (ops.TrainingOps.queries, ops.TrainingOps.oracle),
       (ops.Quality.queries, ops.Quality.oracle),
-      (ops.Tpch.queries, ops.Tpch.oracle)
+      (ops.Tpch.queries, ops.Tpch.oracle),
+      (ops.Graph.queries, ops.Graph.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

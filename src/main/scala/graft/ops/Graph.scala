@@ -1,0 +1,212 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Graph analytics over a derived trade graph — the Pregel-shaped
+  * operator family (iterative rank propagation, motif counting, degree
+  * profiles) the reference's genre reaches for when the warehouse layers
+  * feed a relationship view (who-trades-with-whom, who-refers-whom).
+  *
+  * The graph: nations as vertices, directed supplier-nation →
+  * customer-nation edges weighted by lineitem count (derived with one
+  * aggregated 4-table join; self-loops dropped). 25 vertices here, but
+  * every shape below is written for vertex sets that don't fit one
+  * executor: edge lists stay distributed, per-iteration state is a
+  * DataFrame keyed by vertex, and nothing ever collects to the driver.
+  *
+  * Determinism discipline (SURVEY.md §2.0): float PageRank is reduction-
+  * order-dependent, so ranks are int64 fixed-point (10¹² total mass) with
+  * truncating division (`DIV` ≡ DuckDB `//` on non-negatives) at every
+  * step — identical results under ANY partitioning, which is what makes
+  * an iterative graph kernel oracle-checkable at all.
+  *
+  * Scale notes (100 TB):
+  * - The edge derivation is the expensive part at scale: the two fact
+  *   joins shuffle once each, dims broadcast, and the (src,dst) aggregate
+  *   is map-side combinable down to |V|² rows max.
+  * - Each PageRank iteration is edges ⋈ ranks (broadcast while ranks fit,
+  *   shuffle-hash on src beyond that — Catalyst picks per stats) followed
+  *   by a dst-keyed aggregate: exactly one exchange per iteration, the
+  *   Pregel superstep. Iterations are UNROLLED into one lazy plan over a
+  *   localCheckpoint'd edge table so the 4-table derivation runs once.
+  * - Triangle counting joins the undirected above-average-weight edge
+  *   list to itself twice on vertex keys; orienting edges a<b kills the
+  *   duplicate-triangle blowup, and the per-vertex count is a cheap
+  *   explode+aggregate. The weight threshold is scale-invariant
+  *   (cross-multiplied against the mean) so the graph stays sparse at
+  *   every sf instead of saturating to the complete graph.
+  */
+object Graph {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_pagerank" -> qGraphPagerank,
+    "q_graph_triangles" -> qGraphTriangles,
+    "q_graph_degree" -> qGraphDegree
+  )
+
+  private val edgeSql =
+    """SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       WHERE s_nationkey <> c_nationkey
+       GROUP BY 1, 2"""
+
+  private def prStepSql(prev: String, out: String): String =
+    s"""$out AS (
+         SELECT n.id, (15 * (1000000000000 // (SELECT nn FROM cnt)) +
+                 85 * COALESCE(SUM(($prev.r * e.w) // ow.wout), 0)) // 100 AS r
+         FROM n LEFT JOIN e ON e.dst = n.id
+         LEFT JOIN $prev ON $prev.id = e.src
+         LEFT JOIN ow ON ow.src = e.src
+         GROUP BY n.id)"""
+
+  val oracle: Map[String, String] = Map(
+    "q_graph_pagerank" ->
+      s"""WITH e AS ($edgeSql),
+          n AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+          cnt AS (SELECT count(*) AS nn FROM n),
+          ow AS (SELECT src, SUM(w) AS wout FROM e GROUP BY 1),
+          r0 AS (SELECT id, 1000000000000 // (SELECT nn FROM cnt) AS r FROM n),
+          ${prStepSql("r0", "r1")},
+          ${prStepSql("r1", "r2")},
+          ${prStepSql("r2", "r3")}
+          SELECT id AS nationkey, CAST(r AS BIGINT) AS rank FROM r3
+          ORDER BY rank DESC, nationkey LIMIT 10""",
+    "q_graph_triangles" ->
+      s"""WITH e0 AS ($edgeSql),
+          u0 AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b, SUM(w) AS w
+                 FROM e0 GROUP BY 1, 2),
+          tot AS (SELECT count(*) AS n, SUM(w) AS s FROM u0),
+          u AS (SELECT a, b FROM u0, tot WHERE w * n > s),
+          t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM u e1
+                JOIN u e2 ON e1.b = e2.a
+                JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b)
+          SELECT CAST(v AS BIGINT) AS nationkey, count(*) AS n_tri
+          FROM (SELECT x AS v FROM t
+                UNION ALL SELECT y FROM t
+                UNION ALL SELECT z FROM t)
+          GROUP BY 1 ORDER BY 1""",
+    "q_graph_degree" ->
+      s"""WITH e AS ($edgeSql)
+          SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+                 COALESCE(o.deg_out, 0) AS deg_out,
+                 COALESCE(i.deg_in, 0) AS deg_in,
+                 CAST(COALESCE(o.str_out, 0) AS BIGINT) AS str_out,
+                 CAST(COALESCE(i.str_in, 0) AS BIGINT) AS str_in
+          FROM nation
+          LEFT JOIN (SELECT src, count(*) AS deg_out, SUM(w) AS str_out
+                     FROM e GROUP BY 1) o ON o.src = n_nationkey
+          LEFT JOIN (SELECT dst, count(*) AS deg_in, SUM(w) AS str_in
+                     FROM e GROUP BY 1) i ON i.dst = n_nationkey
+          ORDER BY nationkey"""
+  )
+
+  /** Directed weighted trade edges, materialized once per query via
+    * localCheckpoint (the 4-table derivation is the expensive subtree;
+    * every downstream shape reuses it). */
+  private def edges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .groupBy(col("s_nationkey").cast(LongType).as("src"),
+        col("c_nationkey").cast(LongType).as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+
+  /** Weighted PageRank, 3 Pregel supersteps unrolled into one lazy plan.
+    * Each step: ranks join edges on src (contribution = r·w DIV wout,
+    * exact int64), aggregate by dst FIRST (map-side combinable, the join
+    * back to the vertex table sees one row per vertex), teleport term
+    * re-added with the damping split 85/100 in integer arithmetic.
+    * Vertices with no inbound edges keep the pure teleport mass via the
+    * LEFT join from the vertex table. The vertex count arrives as a 1-row
+    * broadcast scalar (never a driver-side collect). Output: top-10
+    * nations by rank (ties broken by key). */
+  private def qGraphPagerank(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val n = Tables.nation(s, d)
+      .select(col("n_nationkey").cast(LongType).as("id"))
+      .crossJoin(broadcast(
+        Tables.nation(s, d).agg(count(lit(1)).as("nn"))))
+    val ow = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val ew = e.join(ow, "src") // (src, dst, w, wout)
+
+    def step(ranks: DataFrame): DataFrame = {
+      val contribs = ew
+        .join(ranks.select(col("id").as("rid"), col("r")),
+          col("src") === col("rid"))
+        .select(col("dst"), expr("(r * w) DIV wout").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      n.join(contribs, col("id") === col("dst"), "left")
+        .select(col("id"), col("nn"), expr(
+          "(15 * (1000000000000 DIV nn) + 85 * coalesce(sc, CAST(0 AS BIGINT))) DIV 100")
+          .as("r"))
+    }
+
+    val r0 = n.select(col("id"), col("nn"),
+      expr("1000000000000 DIV nn").as("r"))
+    step(step(step(r0)))
+      .orderBy(col("r").desc, col("id"))
+      .limit(10)
+      .select(col("id").as("nationkey"), col("r").as("rank"))
+  }
+
+  /** Per-vertex triangle participation on the undirected above-average-
+    * weight graph. Edges oriented a<b so each triangle materializes
+    * exactly once; two self-joins (the standard distributed triangle
+    * enumeration — at 100 TB both would shuffle on the join vertex, with
+    * high-degree vertices handled by the same salting used in
+    * q_join_salted); membership explodes to three rows per triangle for
+    * the per-vertex aggregate. The threshold cross-multiplies against the
+    * mean weight (w·n > Σw) — scale-invariant, no magic constants. */
+  private def qGraphTriangles(s: SparkSession, d: String): DataFrame = {
+    val u0 = edges(s, d)
+      .groupBy(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .agg(sum(col("w")).as("w"))
+    val tot = u0.agg(count(lit(1)).as("n"), sum(col("w")).as("s"))
+    val u = u0.crossJoin(broadcast(tot))
+      .filter(col("w") * col("n") > col("s"))
+      .select("a", "b").localCheckpoint()
+    val tri = u.as("e1")
+      .join(u.as("e2"), col("e1.b") === col("e2.a"))
+      .join(u.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("nationkey"))
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n_tri"))
+      .orderBy("nationkey")
+  }
+
+  /** Degree/strength profile: in/out degree and weighted strength per
+    * vertex, LEFT-joined from the vertex table so isolated vertices
+    * surface with zeros (the all-pairs trade graph has none, but the
+    * operator contract must not depend on that). Both degree aggregates
+    * are map-side combinable; the vertex joins broadcast. */
+  private def qGraphDegree(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val o = e.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg_out"), sum(col("w")).as("str_out"))
+    val i = e.groupBy(col("dst"))
+      .agg(count(lit(1)).as("deg_in"), sum(col("w")).as("str_in"))
+    Tables.nation(s, d).select(col("n_nationkey").cast(LongType).as("nationkey"))
+      .join(broadcast(o), col("nationkey") === col("src"), "left")
+      .join(broadcast(i), col("nationkey") === col("dst"), "left")
+      .select(
+        col("nationkey"),
+        coalesce(col("deg_out"), lit(0L)).as("deg_out"),
+        coalesce(col("deg_in"), lit(0L)).as("deg_in"),
+        coalesce(col("str_out"), lit(0L)).as("str_out"),
+        coalesce(col("str_in"), lit(0L)).as("str_in"))
+      .orderBy("nationkey")
+  }
+}

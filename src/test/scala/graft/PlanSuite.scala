@@ -117,7 +117,10 @@ class PlanSuite extends SparkSuite {
     val byDesign = Set("q_sim_knn", "q_sim_label", "q_sim_ivf", "q_dedup_embed", "q_join_cross",
       "q_dedup_simhash", "q_str_fuzzy", "q_text_heavy", "q_gap_interp",
       "q_text_tfidf", "q_sim_quant", "q_anomaly_iqr", "q_rfm", "q_cluster_kmeans",
-      "q_tpch_q15", "q_tpch_q22")
+      "q_tpch_q15", "q_tpch_q22",
+      // graph kernels cross in 1-row scalars: the vertex count (pagerank)
+      // and the mean edge weight (triangle threshold)
+      "q_graph_pagerank", "q_graph_triangles")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString()
       val bad = (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")) &&

@@ -147,7 +147,8 @@ class ScaleOpsSuite extends SparkSuite {
       ops.Windows.queries, ops.ScalarFuncs.queries, ops.Udfs.queries,
       ops.StreamingAnalogs.queries, ops.Dedup.queries, ops.TextSim.queries,
       ops.Advanced.queries, ops.Warehouse.queries, ops.ScaleOps.queries,
-      ops.TrainingOps.queries, ops.Quality.queries)
+      ops.TrainingOps.queries, ops.Quality.queries, ops.Tpch.queries,
+      ops.Graph.queries)
     assert(perModule.map(_.size).sum == q.size,
       "duplicate query names across modules would be silently shadowed")
   }
