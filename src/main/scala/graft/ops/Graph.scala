@@ -121,23 +121,26 @@ object Graph {
       .agg(count(lit(1)).as("w"))
       .localCheckpoint()
 
-  /** Weighted PageRank, 3 Pregel supersteps unrolled into one lazy plan.
-    * Each step: ranks join edges on src (contribution = r·w DIV wout,
-    * exact int64), aggregate by dst FIRST (map-side combinable, the join
-    * back to the vertex table sees one row per vertex), teleport term
-    * re-added with the damping split 85/100 in integer arithmetic.
-    * Vertices with no inbound edges keep the pure teleport mass via the
-    * LEFT join from the vertex table. The vertex count arrives as a 1-row
-    * broadcast scalar (never a driver-side collect). Output: top-10
-    * nations by rank (ties broken by key). */
-  private def qGraphPagerank(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d)
-    val n = Tables.nation(s, d)
-      .select(col("n_nationkey").cast(LongType).as("id"))
-      .crossJoin(broadcast(
-        Tables.nation(s, d).agg(count(lit(1)).as("nn"))))
-    val ow = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val ew = e.join(ow, "src") // (src, dst, w, wout)
+  /** Weighted PageRank kernel, `iterations` Pregel supersteps unrolled
+    * into one lazy plan. Each step: ranks join edges on src
+    * (contribution = r·w DIV wout, exact int64), aggregate by dst FIRST
+    * (map-side combinable, the join back to the vertex table sees one
+    * row per vertex), teleport term re-added with the damping split
+    * 85/100 in integer arithmetic. Vertices with no inbound edges keep
+    * the pure teleport mass via the LEFT join from the vertex table; an
+    * EMPTY edge set degenerates to uniform teleport ranks, never throws.
+    * The vertex count arrives as a 1-row broadcast scalar (never a
+    * driver-side collect).
+    *
+    * @param vertices one column `id: Long`
+    * @param edgeList columns `src, dst, w: Long` (directed, weighted)
+    * @return `(id, r)` — int64 fixed-point ranks, 10¹² total mass
+    */
+  def pagerank(vertices: DataFrame, edgeList: DataFrame, iterations: Int): DataFrame = {
+    val n = vertices.select(col("id"))
+      .crossJoin(broadcast(vertices.agg(count(lit(1)).as("nn"))))
+    val ow = edgeList.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val ew = edgeList.join(ow, "src") // (src, dst, w, wout)
 
     def step(ranks: DataFrame): DataFrame = {
       val contribs = ew
@@ -153,11 +156,35 @@ object Graph {
 
     val r0 = n.select(col("id"), col("nn"),
       expr("1000000000000 DIV nn").as("r"))
-    step(step(step(r0)))
+    (1 to iterations).foldLeft(r0)((r, _) => step(r)).select(col("id"), col("r"))
+  }
+
+  /** Per-vertex triangle participation kernel over an ORIENTED edge list
+    * (a < b required; orientation kills the 6-way duplicate blowup).
+    * Two vertex-keyed self-joins enumerate each triangle once; membership
+    * explodes to three rows for the per-vertex aggregate. Empty input →
+    * empty output. */
+  def triangleCounts(oriented: DataFrame): DataFrame = {
+    val u = oriented.select(col("a"), col("b"))
+    val tri = u.as("e1")
+      .join(u.as("e2"), col("e1.b") === col("e2.a"))
+      .join(u.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Top-10 nations by 3-iteration PageRank over the trade graph (ties
+    * broken by key). */
+  private def qGraphPagerank(s: SparkSession, d: String): DataFrame =
+    pagerank(
+      Tables.nation(s, d).select(col("n_nationkey").cast(LongType).as("id")),
+      edges(s, d), 3)
       .orderBy(col("r").desc, col("id"))
       .limit(10)
       .select(col("id").as("nationkey"), col("r").as("rank"))
-  }
 
   /** Per-vertex triangle participation on the undirected above-average-
     * weight graph. Edges oriented a<b so each triangle materializes
@@ -176,14 +203,8 @@ object Graph {
     val u = u0.crossJoin(broadcast(tot))
       .filter(col("w") * col("n") > col("s"))
       .select("a", "b").localCheckpoint()
-    val tri = u.as("e1")
-      .join(u.as("e2"), col("e1.b") === col("e2.a"))
-      .join(u.as("e3"),
-        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("nationkey"))
-      .groupBy(col("nationkey"))
-      .agg(count(lit(1)).as("n_tri"))
+    triangleCounts(u)
+      .select(col("v").as("nationkey"), col("n_tri"))
       .orderBy("nationkey")
   }
 

@@ -49,6 +49,31 @@ class EdgeCaseSuite extends SparkSuite {
       .withColumn("value", lit(0.0))).count() == 0)
   }
 
+  test("graph kernels: empty edge set degenerates cleanly") {
+    import graft.ops.Graph
+    val verts = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val noEdges = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    // no edges → every vertex keeps exactly the teleport mass at every
+    // iteration: (15 * (10^12 DIV 4)) DIV 100, fixed point of the update
+    val ranks = Graph.pagerank(verts, noEdges, 3).as[(Long, Long)].collect().toMap
+    assert(ranks.keySet == Set(1L, 2L, 3L, 4L))
+    assert(ranks.values.toSet == Set(15L * (1000000000000L / 4) / 100))
+    assert(Graph.triangleCounts(Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
+  }
+
+  test("graph kernels: 4-clique triangle counts and rank ordering on a directed path") {
+    import graft.ops.Graph
+    // K4: each vertex sits in C(3,2)=3 triangles
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toDF("a", "b")
+    val tri = Graph.triangleCounts(k4).as[(Long, Long)].collect().toMap
+    assert(tri == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // 1→2→3: rank mass accumulates downstream, source keeps teleport only
+    val verts = Seq(1L, 2L, 3L).toDF("id")
+    val path = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.pagerank(verts, path, 3).as[(Long, Long)].collect().toMap
+    assert(r(1L) < r(2L) && r(2L) < r(3L), r.toString)
+  }
+
   test("shingle arrays: doc shorter than k yields no row; duplicates collapse") {
     val docs = Seq((1L, "a b"), (2L, "x y z x y z")).toDF("doc_id", "text")
     val arr = Dedup.docShingleArrays(docs).as[(Long, Seq[String], Long)].collect()
