@@ -30,7 +30,12 @@ object Plans {
     "q_tpch_q5",         // 6-table join: dims broadcast, only fact joins shuffle
     "q_dq_orphans",      // referential audit: broadcast anti-joins, facts never shuffle
     "q_merge_upsert",    // MERGE dataflow: co-partitioned full-outer on the merge key
-    "q_skyline"          // per-brand Pareto frontier: equi-key anti self-join
+    "q_skyline",         // per-brand Pareto frontier: equi-key anti self-join
+    "q_tpch_q6",         // join-free pushdown canary: all predicates at the scan
+    "q_tpch_q15",        // shared-subplan scalar-max join
+    "q_graph_pagerank",  // 3 unrolled Pregel supersteps, one exchange each
+    "q_graph_triangles", // oriented edge list, two vertex-keyed self-joins
+    "q_cluster_kmeans"   // broadcast centroids, posexplode centroid update
   )
 
   def main(args: Array[String]): Unit = {
