@@ -45,6 +45,28 @@ class InvariantSuite extends SparkSuite {
     assert(topk(3).subsetOf(topk(5)))
   }
 
+  test("pagerank is bit-identical under any input partitioning and bounded by total mass") {
+    import graft.ops.Graph
+    // pseudo-random 40-vertex multigraph, deterministic seed
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(200)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong,
+      (rnd.nextInt(9) + 1).toLong))
+      .filter { case (a, b, _) => a != b }
+      .toDF("src", "dst", "w")
+    val verts = (0L until 40L).toDF("id")
+    def run(parts: Int): Map[Long, Long] =
+      Graph.pagerank(verts.repartition(parts), edges.repartition(parts), 3)
+        .as[(Long, Long)].collect().toMap
+    val r1 = run(1)
+    val r7 = run(7)
+    assert(r1 == r7, "integer fixed-point ranks must not depend on partitioning")
+    // truncating division only loses mass: total <= 10^12, and every
+    // vertex keeps at least (almost) the teleport floor
+    assert(r1.values.sum <= 1000000000000L)
+    val floor = 15L * (1000000000000L / 40) / 100
+    assert(r1.values.forall(_ >= floor - 1), r1.values.min.toString)
+  }
+
   test("dedup is idempotent") {
     val once = Tables.documents(spark, sf0001).dropDuplicates("text")
     val twice = once.dropDuplicates("text")
