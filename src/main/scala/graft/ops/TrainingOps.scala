@@ -338,23 +338,27 @@ object TrainingOps {
     * broadcast pass plus a negligible aggregate, the canonical
     * distributed Lloyd step. Empty clusters simply drop out of the
     * centroid table (inner-join semantics, same on both engines). */
-  private def qClusterKmeans(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d).select(
-      col("vec_id"),
-      col("label").cast(LongType).as("label"),
-      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127D) AS BIGINT))")
-        .as("q"))
+  /** Deterministic integer Lloyd k-means kernel. `vectors` must carry
+    * `vec_id: Long` and `q: Array[Long]` (int-quantized); any other
+    * columns pass through to the output. `seeds` is the initial centroid
+    * table `(cid: Long, c: Array[Long])`. Each round is one
+    * broadcast-centroid assignment (integer squared-L2, ties toward the
+    * lowest cid) followed by a posexplode truncated-mean centroid
+    * update; `rounds` counts update∘assign pairs after the initial
+    * assignment. Output: the input rows + `(cid, dist)`. */
+  def kmeans(vectors: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val outCols = vectors.columns.toSeq ++ Seq("cid", "dist")
 
     // one assignment step: nearest centroid by integer squared-L2,
     // ties broken toward the lowest centroid id
     def assign(cents: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(cents))
+      vectors.crossJoin(broadcast(cents))
         .withColumn("dist", expr(
           "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
         .filter(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("q"), col("cid"), col("dist"))
+        .select(outCols.map(col): _*)
 
     // one update step: per-dimension truncated-mean centroid, arrays
     // rebuilt by position so the next round joins on nothing wider than
@@ -367,9 +371,18 @@ object TrainingOps {
         .groupBy(col("cid"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("c"))
 
+    (1 to rounds).foldLeft(assign(seeds))((a, _) => assign(update(a)))
+  }
+
+  private def qClusterKmeans(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(
+      col("vec_id"),
+      col("label").cast(LongType).as("label"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127D) AS BIGINT))")
+        .as("q"))
     val c0 = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("q").as("c"))
-    val a2 = assign(update(assign(c0)))
+    val a2 = kmeans(emb, c0, rounds = 1)
 
     val stats = a2.groupBy(col("cid"))
       .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))

@@ -74,6 +74,18 @@ class EdgeCaseSuite extends SparkSuite {
     assert(r(1L) < r(2L) && r(2L) < r(3L), r.toString)
   }
 
+  test("kmeans kernel: separated clusters assign to their seed, passthrough survives") {
+    import graft.ops.TrainingOps
+    val vecs = Seq(
+      (1L, Seq(0L, 0L), "a"), (2L, Seq(1L, 1L), "b"),
+      (3L, Seq(100L, 100L), "c"), (4L, Seq(101L, 99L), "d"))
+      .toDF("vec_id", "q", "tag")
+    val seeds = Seq((1L, Seq(0L, 0L)), (3L, Seq(100L, 100L))).toDF("cid", "c")
+    val out = TrainingOps.kmeans(vecs, seeds, rounds = 1)
+      .select("vec_id", "cid", "tag").as[(Long, Long, String)].collect().toSet
+    assert(out == Set((1L, 1L, "a"), (2L, 1L, "b"), (3L, 3L, "c"), (4L, 3L, "d")))
+  }
+
   test("shingle arrays: doc shorter than k yields no row; duplicates collapse") {
     val docs = Seq((1L, "a b"), (2L, "x y z x y z")).toDF("doc_id", "text")
     val arr = Dedup.docShingleArrays(docs).as[(Long, Seq[String], Long)].collect()
