@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.graft.{Bridge, TopKPerGroupStrategy}
-import graft.expr.{DotProductD, RewriteDotProduct}
+import graft.expr.{DotProductD, RewriteDotProduct, RewriteRangeJoin}
 
 /** Per-session engine initialization (idempotent): installs the graft
   * optimizer rules and SQL-callable native functions on an EXISTING
@@ -14,6 +14,10 @@ object Engine {
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteDotProduct
+    }
+    if (!spark.experimental.extraOptimizations.contains(RewriteRangeJoin)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteRangeJoin
     }
     if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy)) {
       spark.experimental.extraStrategies =

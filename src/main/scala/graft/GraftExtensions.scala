@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graft.TopKPerGroupStrategy
-import graft.expr.{DotProductD, RewriteDotProduct}
+import graft.expr.{DotProductD, RewriteDotProduct, RewriteRangeJoin}
 
 /** Build-time installer for the graft engine pieces — the standard
   * packaging path for a Spark library:
@@ -22,6 +22,7 @@ import graft.expr.{DotProductD, RewriteDotProduct}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectOptimizerRule(_ => RewriteRangeJoin)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     ext.injectFunction((
       FunctionIdentifier("dot_product_d"),

@@ -32,6 +32,7 @@ object Joins {
     "q_join_asof_near" -> qJoinAsofNear,
     "q_join_interval" -> qJoinInterval,
     "q_join_interval_binned" -> qJoinIntervalBinned,
+    "q_join_band_global" -> qJoinBandGlobal,
     "q_scalar_subquery" -> qScalarSubquery,
     "q_lateral" -> qLateral
   )
@@ -136,6 +137,12 @@ object Joins {
          JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events) b
            ON a.user_id = b.user_id AND b.t > a.t AND b.t <= a.t + INTERVAL 1 HOUR
          GROUP BY a.user_id ORDER BY a.user_id""",
+    "q_join_band_global" ->
+      """SELECT strftime(CAST(a.t AS DATE), '%Y-%m-%d') AS day, count(*) AS n_pairs
+         FROM (SELECT CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type = 'purchase') a
+         JOIN (SELECT CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type = 'error') b
+           ON a.t < b.t AND b.t <= a.t + INTERVAL 10 MINUTE
+         GROUP BY 1 ORDER BY 1""",
     "q_scalar_subquery" ->
       """SELECT c_custkey,
                 (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
@@ -359,6 +366,28 @@ object Joins {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy("user_id")
+  }
+
+  /** GLOBAL time-band join — purchase→error correlation within 10 min
+    * across ALL users, i.e. NO equi key at all. Written as the plain
+    * declarative band join; the engine's [[graft.expr.RewriteRangeJoin]]
+    * optimizer rule rewrites it into the bucketed equi-join shape
+    * automatically (same construction q_join_interval_binned spells out
+    * by hand), so the plan is a hash join on 10-minute buckets instead
+    * of the O(|purchases|·|errors|) BroadcastNestedLoopJoin Spark would
+    * otherwise emit — the difference between a 100 TB incident-
+    * correlation query finishing and not. The PlanSuite cartesian sweep
+    * deliberately does NOT whitelist this query. */
+  private def qJoinBandGlobal(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase").select(col("t").as("tp"))
+    val e = ev.filter(col("event_type") === "error").select(col("t").as("te"))
+    p.join(e, col("tp") < col("te") &&
+        col("te") <= col("tp") + expr("INTERVAL 10 MINUTES"))
+      .groupBy(to_date(col("tp")).as("d"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("n_pairs"))
+      .orderBy("day")
   }
 
   /** The same interval join in the BINNED (bucketed range join) shape —

@@ -65,6 +65,13 @@ class PlanSuite extends SparkSuite {
     }
   }
 
+  test("global band join is rewritten to a bucketed equi join by RewriteRangeJoin") {
+    val p = planOf("q_join_band_global")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(p.contains("Generate"), p.take(2000))
+  }
+
   test("native dot product runs inside whole-stage codegen") {
     val p = planOf("q_sim_knn", materialize = true)
     // '*(n)' prefixes mark WholeStageCodegen stages in the plan string —
