@@ -245,6 +245,32 @@ object StreamOps {
       .select(col("click_id"), col("t_purch"))
   }
 
+  /** KEYLESS stream-stream band join: purchase → error within 10 min
+    * across ALL keys. Spark rejects stream-stream joins with no equality
+    * predicate (state would be un-keyable), so the equality is
+    * MANUFACTURED the same way the batch optimizer rule
+    * [[graft.expr.RewriteRangeJoin]] does it: both sides carry a
+    * 10-minute floor bucket, the error side is exploded into its own
+    * bucket and the previous one, and the join is equi on the bucket
+    * with the exact band predicate as the residual — each pair matches
+    * in exactly one bucket, results identical to the keyless batch join.
+    * The time bound plus both watermarks lets state age out per bucket.
+    * Timestamps here are post-1970 (fixture events); the floor-division
+    * subtlety the batch rule handles via pmod doesn't arise with DIV on
+    * non-negative micros. */
+  def bandPairsGlobal(purchases: DataFrame, errors: DataFrame): DataFrame = {
+    val p = purchases.select(col("t").as("tp"),
+      expr("unix_micros(t) DIV 600000000").as("bkt_p"))
+    val e = errors.select(col("t").as("te"),
+      explode(expr("array(unix_micros(t) DIV 600000000, unix_micros(t) DIV 600000000 - 1)"))
+        .as("bkt_e"))
+    p.join(e,
+      col("bkt_p") === col("bkt_e") &&
+        col("te") > col("tp") &&
+        col("te") <= col("tp") + expr("INTERVAL 10 MINUTES"))
+      .select(col("tp"), col("te"))
+  }
+
   /** Attach a 10-minute watermark — the streaming entry point used by the
     * equivalence suite. */
   def withWm(ev: DataFrame): DataFrame = ev.withWatermark("t", "10 minutes")

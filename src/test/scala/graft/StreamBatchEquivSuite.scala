@@ -175,6 +175,27 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(got == want)
   }
 
+  test("keyless band join via manufactured bucket keys == batch keyless band join") {
+    // Spark rejects stream-stream joins with no equality predicate; the
+    // 10-min bucket key manufactured by StreamOps.bandPairsGlobal (same
+    // construction as the batch RewriteRangeJoin rule) makes the keyless
+    // band join streamable. Stream == batch on the same events.
+    val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+    val df = ms.toDF()
+    val p = StreamOps.withWm(df.filter(col("event_type") === "purchase"))
+    val e = StreamOps.withWm(df.filter(col("event_type") === "error"))
+    val q = StreamOps.bandPairsGlobal(p, e)
+      .writeStream.format("memory").queryName("t_band").outputMode("append").start()
+    try {
+      chunks(rowsByTime).foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("t_band").count()
+    val want = StreamOps.bandPairsGlobal(
+      batchEvents.filter(col("event_type") === "purchase"),
+      batchEvents.filter(col("event_type") === "error")).count()
+    assert(got == want && want > 0, s"stream=$got batch=$want")
+  }
+
   test("dropDuplicatesWithinWatermark: dups collapse while key state lives, re-emit after eviction") {
     // unlike dropDuplicates (unbounded state), the within-watermark form
     // evicts key state once the watermark passes firstSeen + delay — a
