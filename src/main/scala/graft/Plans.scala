@@ -35,7 +35,8 @@ object Plans {
     "q_tpch_q15",        // shared-subplan scalar-max join
     "q_graph_pagerank",  // 3 unrolled Pregel supersteps, one exchange each
     "q_graph_triangles", // oriented edge list, two vertex-keyed self-joins
-    "q_cluster_kmeans"   // broadcast centroids, posexplode centroid update
+    "q_cluster_kmeans",  // broadcast centroids, posexplode centroid update
+    "q_join_band_global" // RewriteRangeJoin: keyless band → bucketed equi join
   )
 
   def main(args: Array[String]): Unit = {
