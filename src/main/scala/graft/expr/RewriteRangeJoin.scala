@@ -38,17 +38,21 @@ import org.apache.spark.sql.types._
   */
 object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** at <(=) bt with both sides timestamp attrs. Returns (at, bt). */
+  private def bandType(a: AttributeReference, b: AttributeReference): Boolean =
+    a.dataType == b.dataType &&
+      (a.dataType == TimestampType || a.dataType == LongType)
+
+  /** at <(=) bt with both sides timestamp or int64 attrs. Returns (at, bt). */
   private def asLower(e: Expression): Option[(AttributeReference, AttributeReference)] =
     e match {
       case LessThan(a: AttributeReference, b: AttributeReference)
-        if a.dataType == TimestampType && b.dataType == TimestampType => Some((a, b))
+        if bandType(a, b) => Some((a, b))
       case LessThanOrEqual(a: AttributeReference, b: AttributeReference)
-        if a.dataType == TimestampType && b.dataType == TimestampType => Some((a, b))
+        if bandType(a, b) => Some((a, b))
       case GreaterThan(b: AttributeReference, a: AttributeReference)
-        if a.dataType == TimestampType && b.dataType == TimestampType => Some((a, b))
+        if bandType(a, b) => Some((a, b))
       case GreaterThanOrEqual(b: AttributeReference, a: AttributeReference)
-        if a.dataType == TimestampType && b.dataType == TimestampType => Some((a, b))
+        if bandType(a, b) => Some((a, b))
       case _ => None
     }
 
@@ -57,11 +61,16 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     case _ => e
   }
 
-  /** at + INTERVAL C (possibly under a ts→ts cast). Returns (at, C µs). */
+  /** at + INTERVAL C (possibly under a ts→ts cast), or int64 at + C.
+    * Returns (at, C) where C is in the attr's own unit (µs / raw). */
   private def asAddBound(e: Expression): Option[(AttributeReference, Long)] =
     stripTsCast(e) match {
       case TimestampAddInterval(a: AttributeReference,
           Literal(c: Long, DayTimeIntervalType(_, _)), _) if c > 0 => Some((a, c))
+      case Add(a: AttributeReference, Literal(c: Long, LongType), _)
+        if a.dataType == LongType && c > 0 => Some((a, c))
+      case Add(Literal(c: Long, LongType), a: AttributeReference, _)
+        if a.dataType == LongType && c > 0 => Some((a, c))
       case _ => None
     }
 
@@ -79,11 +88,15 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
-  /** floorDiv(unix_micros(ts), c) as pure integer Catalyst expressions:
+  /** floorDiv(x, c) as pure integer Catalyst expressions, where x is
+    * unix_micros for timestamps and the raw value for int64 columns:
     * x - pmod(x, c) is an exact multiple of c, so truncating division of
     * it equals floor division of x for every sign of x. */
   private def bucket(ts: Expression, c: Long): Expression = {
-    val x = UnixMicros(ts)
+    val x = ts.dataType match {
+      case TimestampType => UnixMicros(ts)
+      case _ => ts
+    }
     IntegralDivide(Subtract(x, Pmod(x, Literal(c))), Literal(c))
   }
 

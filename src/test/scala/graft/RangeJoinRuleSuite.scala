@@ -64,6 +64,22 @@ class RangeJoinRuleSuite extends SparkSuite {
     assert(!p.contains("Generate"), p.take(2000))
   }
 
+  test("int64 band join rewrites too, correct across negative values") {
+    // raw int64 event times (e.g. nanosecond longs), including negatives
+    val a = Seq((1L, -150L), (2L, 0L), (3L, 970L)).toDF("ida", "xa")
+    val b = Seq((10L, -100L), (11L, 0L), (12L, 1000L), (13L, 2000L)).toDF("idb", "xb")
+    val j = a.join(b, col("xa") < col("xb") && col("xb") <= col("xa") + lit(100L))
+    val p = j.queryExecution.executedPlan.toString()
+    assert(!p.contains("BroadcastNestedLoopJoin") && p.contains("Generate"), p.take(2000))
+    val got = j.select("ida", "idb").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (ida, xa) <- Seq((1L, -150L), (2L, 0L), (3L, 970L))
+      (idb, xb) <- Seq((10L, -100L), (11L, 0L), (12L, 1000L), (13L, 2000L))
+      if xa < xb && xb <= xa + 100L
+    } yield (ida, idb)).toSet
+    assert(got == want && want.contains((1L, 10L)) && want.contains((3L, 12L)))
+  }
+
   test("rule is a no-op for outer joins") {
     val a = aRows.toDF("ida", "ta")
     val b = bRows.toDF("idb", "tb")
