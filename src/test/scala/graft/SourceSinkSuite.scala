@@ -43,6 +43,22 @@ class SourceSinkSuite extends SparkSuite {
     assert(a == b)
   }
 
+  test("schema evolution: mergeSchema unifies old and new parquet files, old rows null-extended") {
+    // a lake table gains a column mid-life; readers must see the union
+    // schema with nulls for pre-evolution files
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v1")
+      .write.mode("overwrite").parquet(s"$dir/f1")
+    Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v1", "v2")
+      .write.mode("overwrite").parquet(s"$dir/f2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/f1", s"$dir/f2")
+    assert(merged.columns.sorted.toSeq == Seq("id", "v1", "v2"))
+    val rows = merged.select("id", "v2").as[(Long, Option[Long])].collect().toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(30L), 4L -> Some(40L)))
+  }
+
   test("partitioned parquet sink: partition pruning skips other partitions") {
     val dir = Files.createTempDirectory("graft-part").toString
     Tables.events(spark, sf0001)
