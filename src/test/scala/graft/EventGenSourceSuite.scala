@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The DataSource V2 event generator: determinism, column pruning,
+  * id-range pushdown, and split parallelism. */
+class EventGenSourceSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def gen(rows: Long, parts: Int = 4): DataFrame =
+    spark.read.format("graft.sources.EventGenSource")
+      .option("rows", rows).option("partitions", parts).option("users", 50)
+      .load()
+
+  test("deterministic: same config twice, and across parallelism, yields identical rows") {
+    val a = gen(5000, 4).orderBy("event_id").collect()
+    val b = gen(5000, 4).orderBy("event_id").collect()
+    val c = gen(5000, 11).orderBy("event_id").collect()
+    assert(a.sameElements(b) && a.sameElements(c))
+    assert(a.length == 5000)
+  }
+
+  test("splits honor the partitions option") {
+    assert(gen(10000, 8).rdd.getNumPartitions == 8)
+  }
+
+  test("column pruning reaches the reader: only requested columns in ReadSchema") {
+    val df = gen(1000).select("event_id", "event_type")
+    // DSv2 renders the pruned schema as the BatchScan's column list
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BatchScan"), plan.take(1500))
+    assert(!plan.contains("user_id") && !plan.contains("ts_micros"), plan.take(1500))
+    assert(df.count() == 1000)
+  }
+
+  test("event_id range pushdown shrinks the generated splits") {
+    val df = gen(1000000, 16).filter(col("event_id") >= 100 && col("event_id") < 200)
+    // correctness: exactly the hundred ids
+    assert(df.count() == 100)
+    assert(df.agg(min("event_id"), max("event_id")).as[(Long, Long)].head() == ((100L, 199L)))
+    // the scan shows the pushed id bounds
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") || plan.contains("RuntimeFilters"), plan.take(2000))
+    // pruned range generates at most one split's worth of rows, so even
+    // a huge logical table answers instantly; parallelism collapses to
+    // the surviving splits
+    assert(df.rdd.getNumPartitions <= 16)
+  }
+
+  test("aggregate over generated events matches an independent recompute") {
+    val got = gen(20000)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val want = (0L until 20000L).map(graft.sources.EventGenSource.typeOf)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == want)
+  }
+}
