@@ -77,7 +77,7 @@ private class EventGenTable(rows: Long, parts: Int, users: Long)
   override def name(): String = s"event_gen($rows)"
   override def schema(): StructType = EventGenSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EventGenScanBuilder(rows, parts, users)
 }
@@ -122,21 +122,53 @@ private class EventGenScanBuilder(rows: Long, parts: Int, users: Long)
 
 private case class EventGenInputPartition(start: Long, end: Long) extends InputPartition
 
-private class EventGenScan(schema: StructType, lo: Long, hi: Long, parts: Int, users: Long)
-  extends Scan with Batch {
-  override def readSchema(): StructType = schema
-  override def toBatch: Batch = this
+private case class EventGenOffset(id: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = id.toString
+}
 
-  override def planInputPartitions(): Array[InputPartition] = {
+private object EventGenScan {
+  def splits(lo: Long, hi: Long, parts: Int): Array[InputPartition] = {
     val n = math.max(hi - lo, 0L)
     if (n == 0) return Array.empty
     val per = math.max(1L, (n + parts - 1) / parts)
     (lo until hi by per).map(s =>
       EventGenInputPartition(s, math.min(s + per, hi)): InputPartition).toArray
   }
+}
+
+private class EventGenScan(schema: StructType, lo: Long, hi: Long, parts: Int, users: Long)
+  extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    EventGenScan.splits(lo, hi, parts)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EventGenReaderFactory(schema, users)
+
+  /** MICRO-BATCH form: the offset is simply the next event_id to emit —
+    * the Kafka-replay analog (offset == log position). Each micro-batch
+    * covers [start, min(start + maxPerBatch, rows)); AvailableNow /
+    * repeated triggers drain the log deterministically, and a restart
+    * resumes from the committed offset with identical data (row i is a
+    * pure function of i). */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+      import org.apache.spark.sql.connector.read.streaming.Offset
+      override def initialOffset(): Offset = EventGenOffset(lo)
+      override def latestOffset(): Offset = EventGenOffset(hi)
+      override def deserializeOffset(json: String): Offset = EventGenOffset(json.toLong)
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+        EventGenScan.splits(start.asInstanceOf[EventGenOffset].id,
+          end.asInstanceOf[EventGenOffset].id, parts)
+      override def createReaderFactory(): PartitionReaderFactory =
+        new EventGenReaderFactory(schema, users)
+    }
 }
 
 private class EventGenReaderFactory(schema: StructType, users: Long)

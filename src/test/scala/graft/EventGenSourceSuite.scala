@@ -48,6 +48,20 @@ class EventGenSourceSuite extends SparkSuite {
     assert(df.rdd.getNumPartitions <= 16)
   }
 
+  test("micro-batch streaming read drains the log and equals the batch read") {
+    val stream = spark.readStream.format("graft.sources.EventGenSource")
+      .option("rows", 9000).option("partitions", 4).option("users", 50)
+      .load()
+      .groupBy("event_type").count()
+    val q = stream.writeStream.format("memory").queryName("t_gen")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    val got = spark.table("t_gen").as[(String, Long)].collect().toMap
+    val want = gen(9000).groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(got == want && got.values.sum == 9000L)
+  }
+
   test("aggregate over generated events matches an independent recompute") {
     val got = gen(20000)
       .groupBy("event_type").agg(count(lit(1)).as("n"))
