@@ -62,6 +62,22 @@ class EventGenSourceSuite extends SparkSuite {
     assert(got == want && got.values.sum == 9000L)
   }
 
+  test("checksum sink: commit protocol aggregates tasks; checksum is partitioning-independent") {
+    import graft.sources.ChecksumSink
+    gen(8000, 4).write.format("graft.sources.ChecksumSink")
+      .option("key", "k4").mode("append").save()
+    gen(8000, 4).repartition(13).write.format("graft.sources.ChecksumSink")
+      .option("key", "k13").mode("append").save()
+    val (n4, c4) = ChecksumSink.result("k4")
+    val (n13, c13) = ChecksumSink.result("k13")
+    assert(n4 == 8000L && n13 == 8000L)
+    assert(c4 == c13 && c4 != 0L, s"checksums differ: $c4 vs $c13")
+    // different DATA must change the checksum
+    gen(8001, 4).write.format("graft.sources.ChecksumSink")
+      .option("key", "kx").mode("append").save()
+    assert(ChecksumSink.result("kx")._2 != c4)
+  }
+
   test("aggregate over generated events matches an independent recompute") {
     val got = gen(20000)
       .groupBy("event_type").agg(count(lit(1)).as("n"))
