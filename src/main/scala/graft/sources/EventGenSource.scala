@@ -44,7 +44,8 @@ class EventGenSource extends TableProvider {
     new EventGenTable(
       rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
       parts = Option(properties.get("partitions")).map(_.toInt).getOrElse(4),
-      users = Option(properties.get("users")).map(_.toLong).getOrElse(100L))
+      users = Option(properties.get("users")).map(_.toLong).getOrElse(100L),
+      batchRows = Option(properties.get("maxRowsPerBatch")).map(_.toLong).getOrElse(Long.MaxValue))
 }
 
 object EventGenSource {
@@ -72,17 +73,17 @@ object EventGenSource {
   def tsOf(i: Long): Long = epoch + i * 1000000L // 1 s cadence
 }
 
-private class EventGenTable(rows: Long, parts: Int, users: Long)
+private class EventGenTable(rows: Long, parts: Int, users: Long, batchRows: Long)
   extends Table with SupportsRead {
   override def name(): String = s"event_gen($rows)"
   override def schema(): StructType = EventGenSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EventGenScanBuilder(rows, parts, users)
+    new EventGenScanBuilder(rows, parts, users, batchRows)
 }
 
-private class EventGenScanBuilder(rows: Long, parts: Int, users: Long)
+private class EventGenScanBuilder(rows: Long, parts: Int, users: Long, batchRows: Long)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var prunedSchema: StructType = EventGenSource.schema
@@ -117,7 +118,7 @@ private class EventGenScanBuilder(rows: Long, parts: Int, users: Long)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new EventGenScan(prunedSchema, lo, hi, parts, users)
+  override def build(): Scan = new EventGenScan(prunedSchema, lo, hi, parts, users, batchRows)
 }
 
 private case class EventGenInputPartition(start: Long, end: Long) extends InputPartition
@@ -137,7 +138,8 @@ private object EventGenScan {
   }
 }
 
-private class EventGenScan(schema: StructType, lo: Long, hi: Long, parts: Int, users: Long)
+private class EventGenScan(schema: StructType, lo: Long, hi: Long, parts: Int, users: Long,
+                           batchRows: Long)
   extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -149,17 +151,32 @@ private class EventGenScan(schema: StructType, lo: Long, hi: Long, parts: Int, u
     new EventGenReaderFactory(schema, users)
 
   /** MICRO-BATCH form: the offset is simply the next event_id to emit —
-    * the Kafka-replay analog (offset == log position). Each micro-batch
-    * covers [start, min(start + maxPerBatch, rows)); AvailableNow /
-    * repeated triggers drain the log deterministically, and a restart
-    * resumes from the committed offset with identical data (row i is a
-    * pure function of i). */
+    * the Kafka-replay analog (offset == log position). With
+    * `maxRowsPerBatch` set, admission control bounds each micro-batch
+    * ([start, min(start + maxRowsPerBatch, rows))) and AvailableNow
+    * drains the log in several batches; a restart resumes from the
+    * COMMITTED offset in the checkpoint with identical data (row i is a
+    * pure function of i) — no loss, no duplicates. */
   override def toMicroBatchStream(checkpointLocation: String):
-      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-      import org.apache.spark.sql.connector.read.streaming.Offset
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+    new MicroBatchStream with SupportsTriggerAvailableNow {
       override def initialOffset(): Offset = EventGenOffset(lo)
       override def latestOffset(): Offset = EventGenOffset(hi)
+      override def getDefaultReadLimit: ReadLimit =
+        if (batchRows == Long.MaxValue) ReadLimit.allAvailable()
+        else ReadLimit.maxRows(batchRows)
+      override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+        val s = start.asInstanceOf[EventGenOffset].id
+        val capped = limit match {
+          case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+            math.min(hi, s + m.maxRows())
+          case _ => hi
+        }
+        EventGenOffset(capped)
+      }
+      override def reportLatestOffset(): Offset = EventGenOffset(hi)
+      override def prepareForTriggerAvailableNow(): Unit = ()
       override def deserializeOffset(json: String): Offset = EventGenOffset(json.toLong)
       override def commit(end: Offset): Unit = ()
       override def stop(): Unit = ()
@@ -169,6 +186,7 @@ private class EventGenScan(schema: StructType, lo: Long, hi: Long, parts: Int, u
       override def createReaderFactory(): PartitionReaderFactory =
         new EventGenReaderFactory(schema, users)
     }
+  }
 }
 
 private class EventGenReaderFactory(schema: StructType, users: Long)

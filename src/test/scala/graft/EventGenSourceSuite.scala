@@ -62,6 +62,33 @@ class EventGenSourceSuite extends SparkSuite {
     assert(got == want && got.values.sum == 9000L)
   }
 
+  test("checkpoint resume: a restarted stream continues from the committed offset") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-gen-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-gen-out").toString
+    // memory sink is not checkpoint-recoverable; the parquet FILE sink is
+    // (its own commit log makes batches exactly-once)
+    def run(rows: Long): Unit = {
+      val q = spark.readStream.format("graft.sources.EventGenSource")
+        .option("rows", rows).option("partitions", 4).option("users", 50)
+        .option("maxRowsPerBatch", 1000)
+        .load()
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    run(5000)
+    assert(spark.read.parquet(out).count() == 5000)
+    // same checkpoint, log grown to 9000: resume appends ONLY the new
+    // rows (no loss, no duplicates), in bounded micro-batches
+    run(9000)
+    val ids = spark.read.parquet(out).agg(
+      count(lit(1)), countDistinct("event_id"), max("event_id"))
+      .as[(Long, Long, Long)].head()
+    assert(ids == ((9000L, 9000L, 8999L)), ids.toString)
+  }
+
   test("checksum sink: commit protocol aggregates tasks; checksum is partitioning-independent") {
     import graft.sources.ChecksumSink
     gen(8000, 4).write.format("graft.sources.ChecksumSink")
