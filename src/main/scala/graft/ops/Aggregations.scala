@@ -111,7 +111,19 @@ object Aggregations {
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_agg_unpivot" ->
       """SELECT user_id, event_type, count(*) AS cnt
-         FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"""
+         FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""",
+    "q_agg_stats" ->
+      """WITH a AS (
+           SELECT l_returnflag, count(*) AS cnt,
+                  SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+                  SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, cnt,
+                round((CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / (CAST(cnt AS DOUBLE) * (CAST(cnt AS DOUBLE) - 1.0)), 4) AS var_qty,
+                round(sqrt((CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / (CAST(cnt AS DOUBLE) * (CAST(cnt AS DOUBLE) - 1.0))), 4) AS sd_qty
+         FROM a ORDER BY l_returnflag"""
   )
 
   private def qAggGlobal(s: SparkSession, d: String): DataFrame =
@@ -290,13 +302,30 @@ object Aggregations {
         expr("approx_percentile(o_totalprice, 0.95D, 1000)").as("p95"))
       .orderBy("o_orderstatus")
 
-  /** Sample stddev/variance — no oracle (Welford vs naive + libm drift,
-    * SURVEY.md §2.0.7); property-tested internally instead. */
-  private def qAggStats(s: SparkSession, d: String): DataFrame =
+  /** Sample stddev/variance, hash-matched to the oracle. Engine-native
+    * `stddev_samp` can't be oracled (Welford vs naive accumulation orders
+    * differ per engine, SURVEY.md §2.0.7 — the built-in is pinned in
+    * OperatorUnitSuite instead), so the declared query derives the SAME
+    * statistics from exact decimal sums: count, Σx and Σx² are
+    * order-independent decimal aggregates, and the textbook identity
+    * var = (n·Σx² − (Σx)²) / (n·(n−1)) then runs as the IDENTICAL IEEE
+    * double expression on both engines (decimal→double casts are
+    * correctly rounded, every op after that is the same correctly-rounded
+    * double sequence → bit-equal results even before the 4 dp round).
+    * At scale this is also the better plan: one partial+final hash
+    * aggregate pass, no second per-group pass over the data. */
+  private def qAggStats(s: SparkSession, d: String): DataFrame = {
+    val q = col("l_quantity").cast(DecimalType(12, 2))
+    val nD = col("cnt").cast("double")
+    val varD = (nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")) / (nD * (nD - lit(1.0)))
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(
-        stddev_samp(col("l_quantity")).as("sd_qty"),
-        var_samp(col("l_quantity")).as("var_qty"))
+      .agg(count(lit(1)).as("cnt"), sum(q).as("sx"), sum(q * q).as("sxx"))
+      .select(
+        col("l_returnflag"), col("cnt"),
+        round(varD, 4).as("var_qty"),
+        round(sqrt(varD), 4).as("sd_qty"))
       .orderBy("l_returnflag")
+  }
 }

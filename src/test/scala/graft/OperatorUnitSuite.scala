@@ -224,4 +224,22 @@ class OperatorUnitSuite extends SparkSuite {
     assert(math.abs(vr - 32.0 / 7.0) < 1e-12)
     assert(math.abs(sd - math.sqrt(32.0 / 7.0)) < 1e-12)
   }
+
+  test("q_agg_stats exact-sums formula matches engine-native stddev_samp/var_samp") {
+    val dir = "/root/testdata/sf0.001"
+    val declared = SparkEntry.queries("q_agg_stats")(spark, dir)
+      .select("l_returnflag", "var_qty", "sd_qty")
+      .as[(String, Double, Double)].collect().map { case (k, v, s) => k -> ((v, s)) }.toMap
+    val native = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(var_samp(col("l_quantity")).as("v"), stddev_samp(col("l_quantity")).as("s"))
+      .as[(String, Double, Double)].collect()
+    assert(native.nonEmpty)
+    native.foreach { case (flag, v, sDev) =>
+      val (dv, dsd) = declared(flag)
+      // the declared query rounds to 4 dp, so agree within that granularity
+      assert(math.abs(dv - v) < 5e-4, s"var mismatch for $flag: $dv vs $v")
+      assert(math.abs(dsd - sDev) < 5e-4, s"sd mismatch for $flag: $dsd vs $sDev")
+    }
+  }
 }
