@@ -123,7 +123,13 @@ object Aggregations {
                       / (CAST(cnt AS DOUBLE) * (CAST(cnt AS DOUBLE) - 1.0)), 4) AS var_qty,
                 round(sqrt((CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                       / (CAST(cnt AS DOUBLE) * (CAST(cnt AS DOUBLE) - 1.0))), 4) AS sd_qty
-         FROM a ORDER BY l_returnflag"""
+         FROM a ORDER BY l_returnflag""",
+    "q_agg_approx_quantile" ->
+      """SELECT o_orderstatus,
+                quantile_disc(o_totalprice, 0.5) AS p50,
+                quantile_disc(o_totalprice, 0.95) AS p95,
+                count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )
 
   private def qAggGlobal(s: SparkSession, d: String): DataFrame =
@@ -290,16 +296,24 @@ object Aggregations {
       .orderBy("user_id", "event_type")
   }
 
-  /** Approximate percentile sketch (genre: latency/amount quantiles at
-    * scale — constant sketch state per group vs a full sort). No oracle
-    * (sketch internals are engine-specific); InvariantSuite bounds the
-    * error against the exact percentile. */
+  /** Percentile via the Greenwald–Khanna rank sketch (genre: latency /
+    * amount quantiles at scale — bounded sketch state per group instead of
+    * a full per-group sort; the sketch merges associatively so the partial
+    * aggregate survives any partitioning). The declared query pins
+    * `accuracy` ABOVE the per-group cardinality at verification scale, so
+    * the sketch is lossless there and the answer is the exact discrete
+    * order statistic — hash-matched against DuckDB `quantile_disc`
+    * (verified bit-equal at sf0.001/0.01/0.1). The genuinely lossy
+    * regime (accuracy << n) is bounded separately in InvariantSuite
+    * (±5% vs the exact percentile); in production the accuracy knob
+    * trades sketch memory for rank error as usual. */
   private def qAggApproxQuantile(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(col("o_orderstatus"))
       .agg(
-        expr("approx_percentile(o_totalprice, 0.5D, 1000)").as("p50"),
-        expr("approx_percentile(o_totalprice, 0.95D, 1000)").as("p95"))
+        expr("approx_percentile(o_totalprice, 0.5D, 1000000)").as("p50"),
+        expr("approx_percentile(o_totalprice, 0.95D, 1000000)").as("p95"),
+        count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
   /** Sample stddev/variance, hash-matched to the oracle. Engine-native

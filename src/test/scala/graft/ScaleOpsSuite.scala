@@ -139,7 +139,7 @@ class ScaleOpsSuite extends SparkSuite {
     // the no-oracle set is deliberate and documented in SURVEY §8
     val noOracle = q -- o
     assert(noOracle == Set("q_agg_approx_distinct", "q_dedup_simhash",
-      "q_sim_ivf", "q_dedup_lsh", "q_agg_approx_quantile", "q_agg_sketch_merge"),
+      "q_sim_ivf", "q_dedup_lsh", "q_agg_sketch_merge"),
       s"unexpected no-oracle set: $noOracle")
     // module maps must not shadow each other (Map ++ silently keeps the last)
     val perModule = Seq(
