@@ -173,14 +173,18 @@ object StreamingAnalogs {
     *
     * A naive `Window.orderBy(arr)` puts the whole table in ONE partition
     * (WindowExec warns, and at 100 TB it simply doesn't run). The
-    * distributed form is the classic two-pass prefix scan: bucket the
-    * arrival order, compute the running max WITHIN each bucket (windows
-    * partitioned by bucket — fully parallel), then overlay the cumulative
-    * max of the PRECEDING buckets, computed on the bucket-level aggregate
-    * table whose row count is #buckets (thousands at most — the only
-    * global window runs there, and it is ~MB-sized). wm =
-    * greatest(in-bucket running max, previous buckets' max); results are
-    * identical to the global-window form. */
+    * distributed form is a multi-level prefix scan with NO global window
+    * at any level: (1) running max WITHIN each 8192-row bucket (windows
+    * partitioned by bucket — fully parallel); (2) the preceding-bucket
+    * overlay, itself computed distributively on the bucket aggregate:
+    * prefix max WITHIN each super-bucket of 65536 buckets (partitioned
+    * window again) plus a broadcast theta self-join over the super-bucket
+    * aggregate for the earlier-super-bucket max. The top table has
+    * #rows/8192/65536 rows (~2k at 10^12 input rows), so the O(m²)
+    * theta join is bounded by design. wm = greatest(in-bucket running
+    * max, prior-bucket overlay); results are identical to the
+    * global-window form (Spark `greatest` skips NULLs, covering the
+    * first bucket / first super-bucket, which have no predecessors). */
   private def qStreamLate(s: SparkSession, d: String): DataFrame = {
     val bucketed = Tables.events(s, d)
       .withColumn("arr", expr("(event_id DIV 16) * 16 + (15 - event_id % 16)"))
@@ -188,17 +192,38 @@ object StreamingAnalogs {
     val inBucket = Window.partitionBy(col("b")).orderBy(col("arr"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val perBucket = bucketed.groupBy(col("b")).agg(max(col("ts")).as("bmax"))
-      .withColumn("prevmax", max(col("bmax")).over(
-        Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)))
-      .select(col("b"), col("prevmax"))
+    val overlay = bucketPrefixMax(perBucket, 65536)
     bucketed
       .withColumn("runmax", max(col("ts")).over(inBucket))
-      .join(broadcast(perBucket), Seq("b"))
+      .join(broadcast(overlay), Seq("b"))
       .withColumn("wm", greatest(col("runmax"), col("prevmax")))
       .filter(col("wm") - col("ts") > 600000000000L)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_late"))
       .orderBy("user_id")
+  }
+
+  /** Distributed strict-prefix max over a bucket aggregate `(b, bmax)`:
+    * returns `(b, prevmax)` where prevmax = max(bmax) over all buckets
+    * with a smaller `b` (NULL for the first bucket) — the result a global
+    * `Window.orderBy(b).rowsBetween(unboundedPreceding, -1)` would give,
+    * WITHOUT any single-partition WindowExec. Buckets are grouped into
+    * super-buckets of `superSize`; within a super-bucket the prefix max is
+    * a partitioned window, across super-buckets a broadcast theta
+    * self-join over the super-bucket maxima (m² pairs on a table of
+    * #buckets/superSize rows — bounded by construction). Property-tested
+    * against the naive global window in InvariantSuite. */
+  def bucketPrefixMax(perBucket: DataFrame, superSize: Int): DataFrame = {
+    val pb = perBucket.toDF("b", "bmax").withColumn("sb", expr(s"b DIV $superSize"))
+    val inSb = Window.partitionBy(col("sb")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perSb = pb.groupBy(col("sb")).agg(max(col("bmax")).as("sbmax"))
+    val prevSb = perSb.toDF("sb", "sbmax")
+      .join(broadcast(perSb.toDF("sb2", "sbmax2")), col("sb2") < col("sb"))
+      .groupBy(col("sb")).agg(max(col("sbmax2")).as("prev_sb_max"))
+    pb.withColumn("prev_in_sb", max(col("bmax")).over(inSb))
+      .join(broadcast(prevSb), Seq("sb"), "left")
+      .select(col("b"), greatest(col("prev_in_sb"), col("prev_sb_max")).as("prevmax"))
   }
 
   private def qStreamStateful(s: SparkSession, d: String): DataFrame =

@@ -109,6 +109,23 @@ class InvariantSuite extends SparkSuite {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("bucketPrefixMax equals the naive global strict-prefix window (multi-super-bucket)") {
+    val rnd = new scala.util.Random(42)
+    // sparse, shuffled bucket ids across many super-buckets of size 4
+    val rows = rnd.shuffle((0L until 300L).filter(_ => rnd.nextBoolean()).toList)
+      .map(b => (b, rnd.nextLong(1000000L)))
+    val perBucket = rows.toDF("b", "bmax")
+    val got = ops.StreamingAnalogs.bucketPrefixMax(perBucket, 4)
+      .as[(Long, Option[Long])].collect().toMap
+    val sorted = rows.sortBy(_._1)
+    var run = Option.empty[Long]
+    sorted.foreach { case (b, v) =>
+      assert(got(b) == run, s"bucket $b: got ${got(b)}, want $run")
+      run = Some(run.fold(v)(math.max(_, v)))
+    }
+    assert(rows.size > 100 && got.size == rows.size)
+  }
+
   test("approx_percentile within 5% of the exact percentile") {
     val both = Tables.orders(spark, sf0001)
       .groupBy(col("o_orderstatus"))

@@ -127,7 +127,11 @@ class PlanSuite extends SparkSuite {
       "q_tpch_q15", "q_tpch_q22",
       // graph kernels cross in 1-row scalars: the vertex count (pagerank)
       // and the mean edge weight (triangle threshold)
-      "q_graph_pagerank", "q_graph_triangles")
+      "q_graph_pagerank", "q_graph_triangles",
+      // the late-data analog's strict-prefix overlay theta-joins the
+      // SUPER-bucket aggregate with itself (#rows/8192/65536 rows —
+      // bounded by construction, broadcast; replaces a global window)
+      "q_stream_late")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString()
       val bad = (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")) &&
@@ -137,19 +141,19 @@ class PlanSuite extends SparkSuite {
     assert(offenders.isEmpty, s"unexpected cartesian/nested-loop in: $offenders")
   }
 
-  test("plan sweep: no unpartitioned windows outside the late-data analog") {
-    // q_stream_late's only global window now runs over the BUCKET-level
-    // aggregate (one row per 8192-id block — the two-pass prefix scan);
-    // the per-event windows are partitioned by bucket.
+  test("plan sweep: NO query plans an unpartitioned window") {
+    // Since the late-data analog's prefix overlay became a partitioned
+    // window + super-bucket theta join (StreamingAnalogs.bucketPrefixMax),
+    // no declared query may move all rows to a single WindowExec
+    // partition.
     // A physical Window with an empty partition spec renders as
     // 'Window [...], [], [...]' — the middle bracket pair is the partition.
-    val byDesign = Set("q_stream_late")
     val global = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val phys = SparkEntry.queries(name)(spark, sf0001)
         .queryExecution.executedPlan.toString()
       phys.linesIterator.exists(l => l.contains("Window [") && l.contains("], [], ["))
     }
-    assert(global.forall(byDesign.contains), s"unpartitioned windows in: $global")
+    assert(global.isEmpty, s"unpartitioned windows in: $global")
   }
 
   test("decontam probes the corpus with a broadcast of the benchmark gram set") {
