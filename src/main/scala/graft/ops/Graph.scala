@@ -57,7 +57,7 @@ object Graph {
        GROUP BY 1, 2"""
 
   private def prStepSql(prev: String, out: String): String =
-    s"""$out AS (
+    s"""$out AS MATERIALIZED (
          SELECT n.id, (15 * (1000000000000 // (SELECT nn FROM cnt)) +
                  85 * COALESCE(SUM(($prev.r * e.w) // ow.wout), 0)) // 100 AS r
          FROM n LEFT JOIN e ON e.dst = n.id
@@ -67,7 +67,7 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "q_graph_pagerank" ->
-      s"""WITH e AS ($edgeSql),
+      s"""WITH e AS MATERIALIZED ($edgeSql),
           n AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
           cnt AS (SELECT count(*) AS nn FROM n),
           ow AS (SELECT src, SUM(w) AS wout FROM e GROUP BY 1),
@@ -78,12 +78,12 @@ object Graph {
           SELECT id AS nationkey, CAST(r AS BIGINT) AS rank FROM r3
           ORDER BY rank DESC, nationkey LIMIT 10""",
     "q_graph_triangles" ->
-      s"""WITH e0 AS ($edgeSql),
-          u0 AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b, SUM(w) AS w
+      s"""WITH e0 AS MATERIALIZED ($edgeSql),
+          u0 AS MATERIALIZED (SELECT least(src, dst) AS a, greatest(src, dst) AS b, SUM(w) AS w
                  FROM e0 GROUP BY 1, 2),
           tot AS (SELECT count(*) AS n, SUM(w) AS s FROM u0),
-          u AS (SELECT a, b FROM u0, tot WHERE w * n > s),
-          t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          u AS MATERIALIZED (SELECT a, b FROM u0, tot WHERE w * n > s),
+          t AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
                 FROM u e1
                 JOIN u e2 ON e1.b = e2.a
                 JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b)
@@ -93,7 +93,7 @@ object Graph {
                 UNION ALL SELECT z FROM t)
           GROUP BY 1 ORDER BY 1""",
     "q_graph_degree" ->
-      s"""WITH e AS ($edgeSql)
+      s"""WITH e AS MATERIALIZED ($edgeSql)
           SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
                  COALESCE(o.deg_out, 0) AS deg_out,
                  COALESCE(i.deg_in, 0) AS deg_in,
