@@ -109,6 +109,16 @@ class InvariantSuite extends SparkSuite {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("bucketPrefixMax: empty input and single bucket degenerate correctly") {
+    val empty = ops.StreamingAnalogs.bucketPrefixMax(
+      Seq.empty[(Long, Long)].toDF("b", "bmax"), 4)
+    assert(empty.count() == 0)
+    val single = ops.StreamingAnalogs.bucketPrefixMax(
+      Seq((7L, 99L)).toDF("b", "bmax"), 4)
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(single == Seq((7L, None)), s"single bucket must have NULL prevmax: $single")
+  }
+
   test("bucketPrefixMax equals the naive global strict-prefix window (multi-super-bucket)") {
     val rnd = new scala.util.Random(42)
     // sparse, shuffled bucket ids across many super-buckets of size 4
