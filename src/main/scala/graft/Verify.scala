@@ -9,6 +9,13 @@ object Verify {
     // (dev iteration); the driver always calls with exactly two args.
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) {
+      // fail loudly: a typo'd filter would otherwise dump nothing, exit 0,
+      // and leave the caller validating a stale result dir
+      System.err.println(s"[verify] unknown query names: ${unknown.mkString(", ")}")
+      sys.exit(1)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -303,10 +303,14 @@ object Aggregations {
     * `accuracy` ABOVE the per-group cardinality at verification scale, so
     * the sketch is lossless there and the answer is the exact discrete
     * order statistic — hash-matched against DuckDB `quantile_disc`
-    * (verified bit-equal at sf0.001/0.01/0.1). The genuinely lossy
-    * regime (accuracy << n) is bounded separately in InvariantSuite
-    * (±5% vs the exact percentile); in production the accuracy knob
-    * trades sketch memory for rank error as usual. */
+    * (verified bit-equal at sf0.001/0.01/0.1). The lossless
+    * precondition (max group count ≤ accuracy) is ASSERTED with 10×
+    * headroom in InvariantSuite, so a fixture scale-up fails a test
+    * rather than silently turning the oracle compare into a
+    * false-failure trap. The genuinely lossy regime (accuracy << n) is
+    * bounded separately in InvariantSuite (±5% vs the exact
+    * percentile); in production the accuracy knob trades sketch memory
+    * for rank error as usual. */
   private def qAggApproxQuantile(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(col("o_orderstatus"))

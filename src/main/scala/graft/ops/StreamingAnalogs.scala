@@ -181,10 +181,15 @@ object StreamingAnalogs {
     * window again) plus a broadcast theta self-join over the super-bucket
     * aggregate for the earlier-super-bucket max. The top table has
     * #rows/8192/65536 rows (~2k at 10^12 input rows), so the O(m²)
-    * theta join is bounded by design. wm = greatest(in-bucket running
-    * max, prior-bucket overlay); results are identical to the
-    * global-window form (Spark `greatest` skips NULLs, covering the
-    * first bucket / first super-bucket, which have no predecessors). */
+    * theta join is bounded by design. The overlay join back onto the
+    * events carries #rows/8192 rows and is deliberately UNhinted: small
+    * enough that AQE broadcasts it at any tested sf, but at 10^12 rows
+    * it is ~10^8 rows — past the broadcast limit — and the planner must
+    * stay free to pick a shuffled join on b (both sides are b-keyed).
+    * wm = greatest(in-bucket running max, prior-bucket overlay); results
+    * are identical to the global-window form (Spark `greatest` skips
+    * NULLs, covering the first bucket / first super-bucket, which have
+    * no predecessors). */
   private def qStreamLate(s: SparkSession, d: String): DataFrame = {
     val bucketed = Tables.events(s, d)
       .withColumn("arr", expr("(event_id DIV 16) * 16 + (15 - event_id % 16)"))
@@ -195,7 +200,7 @@ object StreamingAnalogs {
     val overlay = bucketPrefixMax(perBucket, 65536)
     bucketed
       .withColumn("runmax", max(col("ts")).over(inBucket))
-      .join(broadcast(overlay), Seq("b"))
+      .join(overlay, Seq("b"))
       .withColumn("wm", greatest(col("runmax"), col("prevmax")))
       .filter(col("wm") - col("ts") > 600000000000L)
       .groupBy(col("user_id"))
@@ -211,14 +216,21 @@ object StreamingAnalogs {
     * super-buckets of `superSize`; within a super-bucket the prefix max is
     * a partitioned window, across super-buckets a broadcast theta
     * self-join over the super-bucket maxima (m² pairs on a table of
-    * #buckets/superSize rows — bounded by construction). Property-tested
-    * against the naive global window in InvariantSuite. */
+    * #buckets/superSize rows — bounded by construction). The incoming
+    * bucket aggregate is localCheckpoint'd: three branches consume it
+    * (the in-super-bucket window, and the super-bucket aggregate behind
+    * both sides of the theta join), and without materialization each
+    * branch would recompute the caller's aggregation — and whatever
+    * scan feeds it — from scratch. Property-tested against the naive
+    * global window in InvariantSuite. */
   def bucketPrefixMax(perBucket: DataFrame, superSize: Int): DataFrame = {
-    val pb = perBucket.toDF("b", "bmax").withColumn("sb", expr(s"b DIV $superSize"))
+    val pb = perBucket.toDF("b", "bmax")
+      .withColumn("sb", expr(s"b DIV $superSize"))
+      .localCheckpoint()
     val inSb = Window.partitionBy(col("sb")).orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val perSb = pb.groupBy(col("sb")).agg(max(col("bmax")).as("sbmax"))
-    val prevSb = perSb.toDF("sb", "sbmax")
+    val prevSb = perSb
       .join(broadcast(perSb.toDF("sb2", "sbmax2")), col("sb2") < col("sb"))
       .groupBy(col("sb")).agg(max(col("sbmax2")).as("prev_sb_max"))
     pb.withColumn("prev_in_sb", max(col("bmax")).over(inSb))

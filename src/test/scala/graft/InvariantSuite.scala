@@ -136,6 +136,19 @@ class InvariantSuite extends SparkSuite {
     assert(rows.size > 100 && got.size == rows.size)
   }
 
+  test("q_agg_approx_quantile lossless precondition: 10x headroom over the largest fixture group") {
+    // the declared query's oracle (= DuckDB quantile_disc) is exact ONLY
+    // while every group stays under the GK sketch's accuracy parameter;
+    // fail here, with headroom, before a fixture scale-up can turn the
+    // oracle compare into a false failure
+    val maxGroup = Tables.orders(spark, "/root/testdata/sf0.1")
+      .groupBy(col("o_orderstatus")).count()
+      .agg(max(col("count"))).as[Long].head()
+    assert(maxGroup * 10 <= 1000000L,
+      s"largest o_orderstatus group ($maxGroup rows at sf0.1) is within 10x of " +
+        "q_agg_approx_quantile's accuracy=1000000 — raise accuracy or drop the oracle")
+  }
+
   test("approx_percentile within 5% of the exact percentile") {
     val both = Tables.orders(spark, sf0001)
       .groupBy(col("o_orderstatus"))

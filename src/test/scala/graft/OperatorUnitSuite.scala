@@ -226,7 +226,7 @@ class OperatorUnitSuite extends SparkSuite {
   }
 
   test("q_agg_stats exact-sums formula matches engine-native stddev_samp/var_samp") {
-    val dir = "/root/testdata/sf0.001"
+    val dir = sf0001
     val declared = SparkEntry.queries("q_agg_stats")(spark, dir)
       .select("l_returnflag", "var_qty", "sd_qty")
       .as[(String, Double, Double)].collect().map { case (k, v, s) => k -> ((v, s)) }.toMap
