@@ -110,6 +110,18 @@ object Dedup {
       .agg(sort_array(array_distinct(collect_list(col("s")))).as("sa"))
       .withColumn("n", size(col("sa")).cast("long"))
 
+  /** The fixture corpus's checkpointed shingle-array table, built once per
+    * (session, sf) and shared by the minhash, prefix, and cluster queries
+    * — the same materialize-shared-intermediates pattern as the graph
+    * module's edge cache. ~1 KB per doc, so the cache is corpus-bounded,
+    * not pair-bounded; on a cluster this would be a persisted table the
+    * dedup suite builds first. */
+  private val arraysCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def cachedDocArrays(s: SparkSession, d: String): DataFrame =
+    arraysCache.getOrElseUpdate((s, d),
+      docShingleArrays(Tables.documents(s, d)).localCheckpoint())
+
   /** Exact Jaccard >= 0.8 verify of candidate pairs against the per-doc
     * array table: inter = |sa1 ∩ sa2| via array_intersect (arrays hold
     * distinct values, so intersect size is set intersection). */
@@ -200,7 +212,7 @@ object Dedup {
     * shares `nearOracle`. At 100 TB the band-bucket join is the only
     * shuffle that matters and it carries (doc_id, 16-byte sig) rows only. */
   private def qDedupMinhash(s: SparkSession, d: String): DataFrame =
-    minhashPairs(Tables.documents(s, d)).orderBy("d1", "d2")
+    minhashPairsOf(cachedDocArrays(s, d)).orderBy("d1", "d2")
 
   /** MinHash-LSH near-dup join over any (doc_id, text) DataFrame —
     * randomized-corpus tested against the ground truth in AdvancedSuite.
@@ -217,8 +229,11 @@ object Dedup {
     * codegen), the explode input is already doc-partitioned so the
     * groupBy re-shuffle is cheap, and the tokenize pipeline runs ONCE
     * for both the signature and the verify branch. */
-  def minhashPairs(docs: DataFrame): DataFrame = {
-    val arrays = docShingleArrays(docs).localCheckpoint()
+  def minhashPairs(docs: DataFrame): DataFrame =
+    minhashPairsOf(docShingleArrays(docs).localCheckpoint())
+
+  /** minhashPairs over a pre-materialized shingle-array table. */
+  def minhashPairsOf(arrays: DataFrame): DataFrame = {
     val sh = arrays.select(col("doc_id"), explode(col("sa")).as("s"))
       .withColumn("h0", xxhash64(col("s")))
     val minhashAggs = (0 until 32).map(i => min(xxhash64(lit(i), col("h0"))).as(s"h$i"))
@@ -248,12 +263,16 @@ object Dedup {
     * exact-verify pass reproduces the ground-truth output bit-for-bit
     * (same oracle as q_dedup_near / q_dedup_minhash). */
   private def qDedupPrefix(s: SparkSession, d: String): DataFrame =
-    prefixPairs(Tables.documents(s, d)).orderBy("d1", "d2")
+    prefixPairsOf(cachedDocArrays(s, d)).orderBy("d1", "d2")
 
   /** The prefix-filtered exact Jaccard join over any (doc_id, text)
     * DataFrame — property-tested against the ground-truth full join on
     * random corpora in InvariantSuite. */
-  def prefixPairs(docs: DataFrame): DataFrame = {
+  def prefixPairs(docs: DataFrame): DataFrame =
+    prefixPairsOf(docShingleArrays(docs).localCheckpoint())
+
+  /** prefixPairs over a pre-materialized shingle-array table. */
+  def prefixPairsOf(arrays: DataFrame): DataFrame = {
     // ONE tokenize pass builds the sorted shingle arrays; the exploded
     // distinct-shingle stream, the frequency table, and the final verify
     // all derive from it. localCheckpoint materializes it so the two
@@ -264,7 +283,6 @@ object Dedup {
     // that's deliberate, NOT a missed broadcast — distinct shingles are
     // corpus-scale (billions at 100 TB, unlike a bounded word vocabulary),
     // so the planner must stay free to pick a shuffled join.
-    val arrays = docShingleArrays(docs).localCheckpoint()
     val sh = arrays.select(col("doc_id"), col("n"), explode(col("sa")).as("s"))
     // document frequency per shingle: a count aggregate (map-side partial
     // combine, tiny shuffle rows) instead of collect_set doc-lists (no
@@ -302,7 +320,7 @@ object Dedup {
       // set as the inverted-index ground truth (shared oracle, property-
       // tested) but is the shape that scales: pair generation is bounded
       // by band-bucket collisions, not Σf² over shingle frequencies
-      minhashPairs(Tables.documents(s, d)).select(col("d1"), col("d2")))
+      minhashPairsOf(cachedDocArrays(s, d)).select(col("d1"), col("d2")))
       .groupBy(col("lbl").as("canonical"))
       .agg(count(lit(1)).as("cluster_size"))
       .withColumn("n_removed", (col("cluster_size") - 1).cast("long"))
