@@ -173,9 +173,10 @@ object Dedup {
   /** Ground-truth near-dup: shingle inverted index via collect_set, with
     * co-occurring pairs generated IN PLACE from each shingle's sorted doc
     * array (nested transform/slice — codegen'd, no join). Two shuffles
-    * total: groupBy(shingle) and groupBy(pair); per-doc set sizes fall out
-    * of the same index. ~40% faster than the equivalent three-shuffle
-    * self-join + distinct + persist form, and with no cache-build memory
+    * total: groupBy(shingle) and groupBy(pair); per-doc set sizes read
+    * off the shared array cache. ~40% faster than the equivalent
+    * three-shuffle self-join + distinct + persist form, and with no
+    * cache-build memory
     * spike. Work is Σf² over shingle frequencies — bounded by hot-key
     * frequency, not corpus size (and the prefix-filtered variant below is
     * the shape that kills the Σf² term entirely at 100 TB). */
@@ -183,12 +184,15 @@ object Dedup {
     nearPairs(s, d).orderBy("d1", "d2")
 
   /** The q_dedup_near computation without the final sort — reused by the
-    * clustering stage (q_dedup_cluster). */
+    * clustering stage (q_dedup_cluster). Reads the shared shingle-array
+    * cache: per-doc shingles are already distinct there, so the inverted
+    * index is one explode + groupBy(shingle), and per-doc set sizes come
+    * straight off the cached `n` column instead of a second aggregate. */
   def nearPairs(s: SparkSession, d: String): DataFrame = {
-    val raw = rawShingles(Tables.documents(s, d))
+    val arrays = cachedDocArrays(s, d)
+    val raw = arrays.select(col("doc_id"), explode(col("sa")).as("s"))
     val inv = raw.groupBy(col("s")).agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-    val sz = inv.select(explode(col("ds")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sz = arrays.select(col("doc_id"), col("n"))
     val inter = inv
       .filter(size(col("ds")) >= 2)
       .select(explode(expr(
@@ -413,7 +417,11 @@ object Dedup {
     * the oracle engine; unit tests pin behavior on the planted near-dups. */
   private def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
-    val sh = shingles(Tables.documents(s, d)).withColumn("h", xxhash64(col("s")))
+    // distinct per-doc shingles come pre-deduped off the shared array
+    // cache — no cross-partition distinct needed
+    val sh = cachedDocArrays(s, d)
+      .select(col("doc_id"), explode(col("sa")).as("s"))
+      .withColumn("h", xxhash64(col("s")))
     val sigAgg = Bridge.column(
       graft.expr.SimHashAgg(Bridge.expression(col("h"))).toAggregateExpression())
     val sigs = sh.groupBy(col("doc_id")).agg(sigAgg.as("sig"))
