@@ -17,8 +17,9 @@ import graft.Tables
   *    collisions, never all O(n²) pairs, and the exact-verify step makes
   *    its output IDENTICAL to the ground truth (same oracle);
   *  - SimHash (64-bit sketch, banked hamming join) — constant-size
-  *    signature per doc; no oracle (hash internals aren't SQL-portable),
-  *    covered by unit tests on the planted near-dup pairs.
+  *    signature per doc; oracle-matched end to end via an md5-derived
+  *    shingle hash (spec-pinned in both engines), plus unit tests on the
+  *    planted near-dup pairs.
   */
 object Dedup {
 
@@ -53,6 +54,36 @@ object Dedup {
     "q_dedup_near" -> nearOracle,
     "q_dedup_minhash" -> nearOracle,
     "q_dedup_prefix" -> nearOracle,
+    // replays the full simhash pipeline: md5-derived 64-bit shingle hash
+    // (two hex halves), per-bit ±1 vote, sign fold with tie→1 (v >= 0),
+    // then all pairs at hamming distance <= 12 over the two 32-bit
+    // signature halves (bit 63 can't live in a signed BIGINT literal
+    // shift in the oracle engine, so the signature stays split)
+    "q_dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM tok),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM pos),
+         hx AS (SELECT doc_id, md5(s) AS m FROM sh),
+         hv AS (SELECT doc_id,
+                       CAST(('0x' || substr(m,1,8)) AS BIGINT) AS hi,
+                       CAST(('0x' || substr(m,9,8)) AS BIGINT) AS lo FROM hx),
+         bits AS (SELECT doc_id, b.j,
+                         CASE WHEN b.j < 32 THEN (lo >> b.j) & 1
+                              ELSE (hi >> (b.j - 32)) & 1 END AS bit
+                  FROM hv, (SELECT unnest(generate_series(0,63)) AS j) b(j)),
+         votes AS (SELECT doc_id, j, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+                   FROM bits GROUP BY doc_id, j),
+         sigs AS (SELECT doc_id,
+                         CAST(SUM(CASE WHEN v >= 0 AND j < 32
+                                       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS slo,
+                         CAST(SUM(CASE WHEN v >= 0 AND j >= 32
+                                       THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS BIGINT) AS shi
+                  FROM votes GROUP BY doc_id)
+         SELECT a.doc_id AS d1, b.doc_id AS d2,
+                CAST(bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) AS INTEGER) AS hd
+         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) <= 12
+         ORDER BY d1, d2""",
     "q_dedup_cluster" ->
       """WITH RECURSIVE
          tok AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
@@ -413,15 +444,26 @@ object Dedup {
     * exact scan is both faster and simpler.
     * The vote+fold runs as the native single-pass SimHashAgg
     * (TypedImperativeAggregate — one 256-byte buffer per doc instead of 64
-    * separate sum aggregates). No oracle: xxhash64 isn't reproducible in
-    * the oracle engine; unit tests pin behavior on the planted near-dups. */
+    * separate sum aggregates). Per-shingle 64-bit hashes are derived from
+    * md5 (two 32-bit hex halves recombined) — a spec-pinned hash BOTH
+    * engines implement identically, which makes the whole pipeline
+    * oracle-matched end to end (shingle → hash → per-bit vote → sign
+    * fold → hamming<=12 pairs). The algorithm is hash-agnostic: a
+    * production corpus run would swap in xxhash64 (one vectorized pass,
+    * no hex round-trip) without touching anything downstream. */
   private def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     // distinct per-doc shingles come pre-deduped off the shared array
-    // cache — no cross-partition distinct needed
+    // cache — no cross-partition distinct needed.
+    // h = (hi32 << 32) + lo32 from the md5 hex: hi32 < 2^32 so the shift
+    // wraps into the sign bit exactly like the oracle's two-half layout;
+    // the + cannot overflow (low 32 bits of the shifted value are zero).
     val sh = cachedDocArrays(s, d)
       .select(col("doc_id"), explode(col("sa")).as("s"))
-      .withColumn("h", xxhash64(col("s")))
+      .withColumn("m", md5(col("s")))
+      .withColumn("h",
+        shiftleft(conv(substring(col("m"), 1, 8), 16, 10).cast("long"), 32) +
+          conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
     val sigAgg = Bridge.column(
       graft.expr.SimHashAgg(Bridge.expression(col("h"))).toAggregateExpression())
     val sigs = sh.groupBy(col("doc_id")).agg(sigAgg.as("sig"))

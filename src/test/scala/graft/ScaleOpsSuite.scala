@@ -138,7 +138,7 @@ class ScaleOpsSuite extends SparkSuite {
     assert((o -- q).isEmpty, s"oracle entries without a query: ${o -- q}")
     // the no-oracle set is deliberate and documented in SURVEY §8
     val noOracle = q -- o
-    assert(noOracle == Set("q_agg_approx_distinct", "q_dedup_simhash",
+    assert(noOracle == Set("q_agg_approx_distinct",
       "q_sim_ivf", "q_dedup_lsh", "q_agg_sketch_merge"),
       s"unexpected no-oracle set: $noOracle")
     // module maps must not shadow each other (Map ++ silently keeps the last)
