@@ -36,7 +36,9 @@ object Plans {
     "q_graph_pagerank",  // 3 unrolled Pregel supersteps, one exchange each
     "q_graph_triangles", // oriented edge list, two vertex-keyed self-joins
     "q_cluster_kmeans",  // broadcast centroids, posexplode centroid update
-    "q_join_band_global" // RewriteRangeJoin: keyless band → bucketed equi join
+    "q_join_band_global", // RewriteRangeJoin: keyless band → bucketed equi join
+    "q_tpch_q8",         // 7-table market share: every dim broadcast, one fact shuffle
+    "q_tpch_q21"         // EXISTS/NOT-EXISTS pair rewritten as one per-order aggregate
   )
 
   def main(args: Array[String]): Unit = {

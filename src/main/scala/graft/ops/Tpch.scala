@@ -43,9 +43,15 @@ object Tpch {
     "q_tpch_q4" -> qTpchQ4,
     "q_tpch_q6" -> qTpchQ6,
     "q_tpch_q7" -> qTpchQ7,
+    "q_tpch_q8" -> qTpchQ8,
+    "q_tpch_q12" -> qTpchQ12,
+    "q_tpch_q13" -> qTpchQ13,
     "q_tpch_q14" -> qTpchQ14,
     "q_tpch_q15" -> qTpchQ15,
+    "q_tpch_q16" -> qTpchQ16,
     "q_tpch_q17" -> qTpchQ17,
+    "q_tpch_q19" -> qTpchQ19,
+    "q_tpch_q21" -> qTpchQ21,
     "q_tpch_q22" -> qTpchQ22
   )
 
@@ -88,6 +94,94 @@ object Tpch {
            AND l_shipdate <  TIMESTAMP '1998-01-01'
          GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
          ORDER BY supp_nation, cust_nation, l_year""",
+    "q_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                                   THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                                        (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                                   ELSE 0 END) AS DECIMAL(38,4)) AS VARCHAR) AS nation_revenue,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                     AS DECIMAL(38,4)) AS VARCHAR) AS total_revenue,
+                CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                              THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                                   (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                              ELSE 0 END) * 100 AS BIGINT) * 10000
+                  // CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                             (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 100 AS BIGINT)
+                  AS mkt_share_bp
+         FROM lineitem
+         JOIN orders    ON l_orderkey = o_orderkey
+         JOIN part      ON l_partkey = p_partkey
+         JOIN customer  ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region    ON n1.n_regionkey = r_regionkey
+         JOIN supplier  ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+           AND o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o_orderdate <  TIMESTAMP '1997-01-01'
+         GROUP BY year(o_orderdate)
+         ORDER BY o_year""",
+    "q_tpch_q12" ->
+      """SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN '1-FAST'
+                     WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN '2-MED'
+                     ELSE '3-SLOW' END AS delay_class,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-01-01'
+         GROUP BY 1 ORDER BY 1""",
+    "q_tpch_q13" ->
+      """WITH co AS (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+           GROUP BY c_custkey)
+         SELECT c_count, count(*) AS custdist
+         FROM co GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+           AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q_tpch_q19" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                     AS DECIMAL(38,4)) AS VARCHAR) AS revenue,
+                count(*) AS n
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 11 AND 20
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 35
+                AND l_quantity BETWEEN 20 AND 30)""",
+    "q_tpch_q21" ->
+      """WITH l AS (
+           SELECT l_orderkey, l_suppkey,
+                  CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                       THEN l_suppkey END AS late_supp
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'),
+         per AS (
+           SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+                  count(DISTINCT late_supp) AS n_late,
+                  min(late_supp) AS the_late_supp
+           FROM l GROUP BY l_orderkey)
+         SELECT s_name, count(*) AS numwait
+         FROM per JOIN supplier ON the_late_supp = s_suppkey
+         WHERE n_supp > 1 AND n_late = 1
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name
+         LIMIT 20""",
     "q_tpch_q14" ->
       """WITH a AS (
            SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
@@ -217,6 +311,163 @@ object Tpch {
       .orderBy("supp_nation", "cust_nation", "l_year")
       .select(col("supp_nation"), col("cust_nation"), col("l_year"),
         decStr(col("rev"), 4).as("revenue"))
+  }
+
+  /** TPC-H Q8 (national market share), adapted to fixture columns: the
+    * share of ASIA-region PROMO-part revenue supplied by NATION_5, per
+    * order year. Every dimension (part filter, customer→nation→region
+    * reduction, supplier→nation binding) broadcasts; the only shuffle is
+    * lineitem⋈orders — at 100 TB the two facts co-partition on orderkey
+    * and nothing else moves. The share is emitted in integer BASIS POINTS
+    * via cross-multiplied integer division over ×100-cents exact sums
+    * (decimal division rounding differs across engines), alongside both
+    * decimal revenues. */
+  private def qTpchQ8(s: SparkSession, d: String): DataFrame = {
+    val asiaNat = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val suppNat = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ts("1995-01-01") &&
+            col("o_orderdate") < ts("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaNat), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNat), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_5", revenue).otherwise(lit(0)))
+          .as("nrev"),
+        sum(revenue).as("trev"))
+      .select(
+        col("o_year"),
+        decStr(col("nrev"), 4).as("nation_revenue"),
+        decStr(col("trev"), 4).as("total_revenue"),
+        // integer DIV on ×100-cents longs — Column./ is double division,
+        // which silently loses exactness past 2^53 and can disagree with
+        // the oracle's integer // on the truncation
+        (col("nrev") * 100).cast(LongType).as("nc"),
+        (col("trev") * 100).cast(LongType).as("tc"))
+      .select(col("o_year"), col("nation_revenue"), col("total_revenue"),
+        expr("nc * 10000 DIV tc").as("mkt_share_bp"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q12 (shipping modes and order priority), adapted: the fixture
+    * has no l_shipmode, so lines are classed by SHIP DELAY (≤30d fast,
+    * ≤90d medium, else slow) — the same one-join, conditional-count
+    * shape. Both counts ride one partial+final aggregate over the single
+    * orders⋈lineitem shuffle; the ship-date filter pushes to the scan. */
+  private def qTpchQ12(s: SparkSession, d: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= ts("1996-01-01") &&
+            col("l_shipdate") < ts("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_class",
+        when(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAY"), "1-FAST")
+          .when(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAY"), "2-MED")
+          .otherwise("3-SLOW"))
+      .groupBy(col("delay_class"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).cast(LongType).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).cast(LongType).as("low_line_count"))
+      .orderBy("delay_class")
+  }
+
+  /** TPC-H Q13 (customer distribution): orders per customer (keeping
+    * zero-order customers via LEFT join), then the distribution of those
+    * counts. The first aggregate shuffles on custkey — the join's own
+    * partitioning, so agg reuses the exchange; the second aggregate input
+    * is one row per customer, cluster-trivial. count(o_orderkey) counts
+    * only matched rows (nulls skipped) — the standard LEFT-join count
+    * idiom, identical in both engines. */
+  private def qTpchQ13(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") =!= "4-NOT SPECIFIED"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q16 (parts/supplier relationship), adapted: lineitem stands in
+    * for partsupp as the part↔supplier bridge, and the "complaints"
+    * exclusion becomes negative-balance suppliers. The part filter and
+    * the (tiny) exclusion list both broadcast — the NOT IN compiles to a
+    * broadcast LEFT ANTI join, so the fact side never shuffles for it;
+    * the only wide exchange is the distinct-supplier count keyed by
+    * (brand, type, size). */
+  private def qTpchQ16(s: SparkSession, d: String): DataFrame = {
+    val excluded = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q19 (discounted revenue): the disjunction-of-conjunctions
+    * predicate. Part broadcasts; each OR-arm pairs part attributes with a
+    * lineitem quantity band, so the full predicate can only run AFTER the
+    * join (it's kept as the join's residual condition) — but the
+    * per-table prefilters that Catalyst factors out (brand/size on part)
+    * still prune the broadcast build side. */
+  private def qTpchQ19(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(11, 20) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(21, 35) &&
+            col("l_quantity").between(20, 30)))
+      .agg(sum(revenue).as("rev"), count(lit(1)).as("n"))
+      .select(decStr(col("rev"), 4).as("revenue"), col("n"))
+
+  /** TPC-H Q21 (suppliers who kept orders waiting), adapted: "late" is
+    * shipping > 60 days after the order date (no l_receiptdate/
+    * l_commitdate in the fixture). The canonical double-correlated
+    * EXISTS / NOT EXISTS is rewritten as ONE per-order aggregate —
+    * multi-supplier orders whose late-supplier set has exactly one
+    * member are precisely the orders where "some other supplier shipped,
+    * and no other supplier was late"; min(late_supp) is then THE late
+    * supplier (provably unique under n_late = 1). One orders⋈lineitem
+    * shuffle plus one orderkey-partitioned aggregate replaces two extra
+    * correlated passes over lineitem. */
+  private def qTpchQ21(s: SparkSession, d: String): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY")
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(late, col("l_suppkey")).as("late_supp"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("late_supp")).as("n_late"),
+        min(col("late_supp")).as("the_late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+      .join(broadcast(Tables.supplier(s, d)),
+        col("the_late_supp") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
   }
 
   /** TPC-H Q14 (promotion effect): promo share of monthly revenue. The
