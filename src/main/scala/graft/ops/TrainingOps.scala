@@ -31,7 +31,8 @@ object TrainingOps {
     "q_decontam" -> qDecontam,
     "q_text_repetition" -> qTextRepetition,
     "q_pii_scrub" -> qPiiScrub,
-    "q_cluster_kmeans" -> qClusterKmeans
+    "q_cluster_kmeans" -> qClusterKmeans,
+    "q_mix_domains" -> qMixDomains
   )
 
   val oracle: Map[String, String] = Map(
@@ -149,7 +150,30 @@ object TrainingOps {
                           row_number() OVER (PARTITION BY cid ORDER BY ln DESC, label) AS rn
                    FROM lab) WHERE rn = 1)
          SELECT st.cid, st.n, maj.maj_label, maj.maj_n, st.inertia
-         FROM st JOIN maj ON st.cid = maj.cid ORDER BY st.cid"""
+         FROM st JOIN maj ON st.cid = maj.cid ORDER BY st.cid""",
+    "q_mix_domains" ->
+      """WITH cnt AS (
+           SELECT source, CAST(substr(source, 4) AS BIGINT) + 1 AS w,
+                  count(*) AS n_src
+           FROM documents GROUP BY source),
+         tot AS (SELECT CAST(SUM(n_src) AS BIGINT) AS n_tot,
+                        CAST(SUM(w) AS BIGINT) AS w_tot FROM cnt),
+         rates AS (
+           SELECT source, n_src,
+                  least(4096, (tot.n_tot * w * 2048) // (tot.w_tot * n_src))
+                    AS rate_4096
+           FROM cnt, tot),
+         kept AS (
+           SELECT d.source, count(*) AS n_kept
+           FROM documents d JOIN rates r ON d.source = r.source
+           WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 3)) AS BIGINT)
+                   < r.rate_4096
+           GROUP BY d.source)
+         SELECT r.source, CAST(r.n_src AS BIGINT) AS n_total,
+                CAST(r.rate_4096 AS BIGINT) AS rate_4096,
+                COALESCE(k.n_kept, 0) AS n_kept
+         FROM rates r LEFT JOIN kept k ON r.source = k.source
+         ORDER BY r.source"""
   )
 
   /** Greedy sequence packing into 2048-token context windows. A doc's bin
@@ -394,5 +418,49 @@ object TrainingOps {
     stats.join(broadcast(maj), "cid")
       .select(col("cid"), col("n"), col("maj_label"), col("maj_n"), col("inertia"))
       .orderBy("cid")
+  }
+
+  /** Domain-mixture resampling — the corpus-composition stage of a
+    * training-data pipeline: hit a TARGET mixture over sources by
+    * computing a per-source acceptance rate from the actual corpus
+    * counts, then keeping documents by a deterministic hash draw.
+    * Target weight for source "srcK" is K+1 (deliberately skewed — the
+    * fixture's sources are uniform, so equal weights would be vacuous);
+    * the budget is half the corpus. Acceptance rates live on a 0..4096
+    * integer scale (12 bits = the first three md5 hex digits of the
+    * doc id), so rate arithmetic is exact integer DIV on both engines
+    * and the draw `hex3 < rate` is reproducible anywhere — no RNG state,
+    * no float thresholds, stable under any partitioning.
+    *
+    * Scale shape: the per-source count and the 1-row (N, ΣW) totals are
+    * metadata-sized aggregates whose results broadcast back; the corpus
+    * itself is touched by ONE narrow filter pass (scan → broadcast-join
+    * rate → hash compare), and the final per-source count is a
+    * map-combinable aggregate over ~#sources keys. The 100 TB fact table
+    * never shuffles. */
+  private def qMixDomains(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cnt = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("w", substring(col("source"), 4, 10).cast(LongType) + 1)
+    val tot = cnt.agg(
+      sum(col("n_src")).cast(LongType).as("n_tot"),
+      sum(col("w")).cast(LongType).as("w_tot"))
+    val rates = cnt.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_src"),
+        least(lit(4096L), expr("n_tot * w * 2048 DIV (w_tot * n_src)"))
+          .as("rate_4096"))
+    val kept = docs
+      .join(broadcast(rates.select(col("source"), col("rate_4096"))), Seq("source"))
+      .filter(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 3), 16, 10)
+          .cast(LongType) < col("rate_4096"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_src").cast(LongType).as("n_total"),
+        col("rate_4096").cast(LongType).as("rate_4096"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("source")
   }
 }
