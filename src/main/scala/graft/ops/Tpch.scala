@@ -52,10 +52,77 @@ object Tpch {
     "q_tpch_q17" -> qTpchQ17,
     "q_tpch_q19" -> qTpchQ19,
     "q_tpch_q21" -> qTpchQ21,
-    "q_tpch_q22" -> qTpchQ22
+    "q_tpch_q22" -> qTpchQ22,
+    "q_tpch_q2" -> qTpchQ2,
+    "q_tpch_q9" -> qTpchQ9,
+    "q_tpch_q11" -> qTpchQ11,
+    "q_tpch_q20" -> qTpchQ20
   )
 
   val oracle: Map[String, String] = Map(
+    "q_tpch_q2" ->
+      """WITH ps AS (
+           SELECT l_partkey, l_suppkey,
+                  min(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cost_c
+           FROM lineitem GROUP BY l_partkey, l_suppkey),
+         eu AS (
+           SELECT s_suppkey, s_name, s_acctbal, n_name
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'),
+         pse AS (SELECT * FROM ps JOIN eu ON l_suppkey = s_suppkey),
+         mn AS (SELECT l_partkey AS mk, min(cost_c) AS mincost FROM pse GROUP BY 1)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost_c
+         FROM pse JOIN mn ON l_partkey = mk AND cost_c = mincost
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         LIMIT 100""",
+    "q_tpch_q9" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                            - CAST(0.10 AS DECIMAL(4,2)) *
+                              CAST(p_retailprice AS DECIMAL(12,2)) *
+                              CAST(l_quantity AS DECIMAL(12,2)))
+                     AS DECIMAL(38,6)) AS VARCHAR) AS profit
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN part     ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%bolt%'
+         GROUP BY n_name, year(o_orderdate)
+         ORDER BY n_name, o_year DESC""",
+    "q_tpch_q11" ->
+      """WITH asia AS (
+           SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+         pv AS (
+           SELECT l_partkey,
+                  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                       AS BIGINT) AS value_c
+           FROM lineitem JOIN asia ON l_suppkey = s_suppkey
+           GROUP BY l_partkey),
+         tot AS (SELECT SUM(value_c) AS t, count(*) AS np FROM pv)
+         SELECT l_partkey AS p_partkey, value_c
+         FROM pv, tot WHERE value_c * np > 2 * t
+         ORDER BY value_c DESC, p_partkey""",
+    "q_tpch_q20" ->
+      """WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+         pq AS (
+           SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+           FROM lineitem JOIN red ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate <  TIMESTAMP '1997-01-01'
+           GROUP BY l_partkey, l_suppkey),
+         pt AS (SELECT l_partkey, SUM(q) AS tq FROM pq GROUP BY 1),
+         dom AS (SELECT DISTINCT l_suppkey FROM pq JOIN pt USING (l_partkey)
+                 WHERE q * 10 > tq * 3)
+         SELECT s_suppkey, s_name, n_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         JOIN dom ON s_suppkey = l_suppkey
+         ORDER BY s_suppkey""",
     "q_tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS n_late
          FROM orders
@@ -559,5 +626,118 @@ object Tpch {
       .agg(count(lit(1)).as("numcust"), sum(col("bal")).as("tb"))
       .orderBy("cntrycode")
       .select(col("cntrycode"), col("numcust"), decStr(col("tb")).as("totacctbal"))
+  }
+
+  /** TPC-H Q2 (minimum-cost supplier), adapted: the fixture has no
+    * partsupp, so lineitem history is the part↔supplier bridge — a
+    * supplier's "cost" for a part is the minimum extended price it ever
+    * shipped it at (×100 cents as int64, so the min and the equality
+    * join-back are exact integer ops, never double compares). The
+    * classic correlated `= (SELECT min …)` becomes: per-(part,supplier)
+    * min → per-part min → equi join-back on (partkey, cost).
+    * One lineitem shuffle on (partkey, suppkey) builds the bridge; the
+    * EUROPE supplier set (dim-sized) broadcasts BEFORE the per-part min
+    * so the re-aggregate runs on the pruned bridge; part broadcasts at
+    * the end. The LIMIT's ordering is fully deterministic: (acctbal,
+    * n_name, s_name) is unique per supplier and partkey breaks the rest. */
+  private def qTpchQ2(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min((dec(col("l_extendedprice"), 12, 2) * 100).cast(LongType)).as("cost_c"))
+    val eu = Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val pse = ps.join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+    val mn = pse.groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("cost_c")).as("mincost"))
+    pse.join(mn, col("l_partkey") === col("mk") && col("cost_c") === col("mincost"))
+      .join(broadcast(Tables.part(s, d)
+          .filter(col("p_size").between(10, 20) && col("p_type") === "STANDARD")),
+        col("l_partkey") === col("p_partkey"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("cost_c"))
+  }
+
+  /** TPC-H Q9 (product-type profit), adapted: no ps_supplycost, so line
+    * cost is 10 % of the part's retail price per unit — profit =
+    * extprice·(1−disc) − 0.10·retail·qty, every term decimal-exact
+    * (scales 4 and 6; the mixed-scale subtraction is exact, and the sum
+    * is pinned to DECIMAL(38,6) on both engines before rendering).
+    * Plan: the ONLY shuffle is lineitem⋈orders on orderkey (then the
+    * groupBy re-shuffles the collapsed aggregate); part (name-filtered,
+    * ~12 % survive), supplier and nation all broadcast. At 100 TB the
+    * two facts co-partition on orderkey and the dims never move. */
+  private def qTpchQ9(s: SparkSession, d: String): DataFrame = {
+    val cost = lit(0.10).cast(DecimalType(4, 2)) *
+      dec(col("p_retailprice"), 12, 2) * dec(col("l_quantity"), 12, 2)
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("%bolt%"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(sum((revenue - cost).cast(DecimalType(38, 6))).as("p"))
+      .orderBy(col("n_name"), col("o_year").desc)
+      .select(col("n_name"), col("o_year"), decStr(col("p"), 6).as("profit"))
+  }
+
+  /** TPC-H Q11 (important stock), adapted: per-part "inventory value" is
+    * the cents sum of extended price shipped by ASIA-region suppliers;
+    * "important" is a SCALE-FREE threshold — value > 2× the mean part
+    * value (the canonical fixed fraction degenerates to an empty result
+    * as part count grows; mean-relative keeps the query meaningful from
+    * sf0.001 through 100 TB). The supplier set broadcasts as a semi-
+    * filter into the scan; one partkey shuffle aggregates; the (total,
+    * count) scalar returns as a 1-row broadcast and the HAVING compare
+    * is cross-multiplied into pure int64 arithmetic. */
+  private def qTpchQ11(s: SparkSession, d: String): DataFrame = {
+    val asia = Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"))
+    val pv = Tables.lineitem(s, d)
+      .join(broadcast(asia), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum((dec(col("l_extendedprice"), 12, 2) * 100).cast(LongType)).as("value_c"))
+    val tot = pv.agg(sum(col("value_c")).as("t"), count(lit(1)).as("np"))
+    pv.crossJoin(broadcast(tot))
+      .filter(col("value_c") * col("np") > col("t") * 2)
+      .orderBy(col("value_c").desc, col("l_partkey"))
+      .select(col("l_partkey").as("p_partkey"), col("value_c"))
+  }
+
+  /** TPC-H Q20 (potential part promotion), adapted: no partsupp
+    * availqty, so a supplier "dominates" a part when it shipped > 30 %
+    * of that part's total 1996 volume of 'red…' parts — the same
+    * nested-aggregate → semi-join → supplier-list shape as the original
+    * (qty sums as int64, threshold cross-multiplied: 10·q > 3·tq).
+    * The red-part filter broadcasts into the date-pruned scan; ONE
+    * (partkey, suppkey) shuffle builds the pair sums; the per-part
+    * total re-aggregates the collapsed pairs; the dominant-supplier set
+    * is dim-sized and the final supplier⋈nation join is all-broadcast. */
+  private def qTpchQ20(s: SparkSession, d: String): DataFrame = {
+    val pq = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01"))
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("red%"))
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast(LongType)).cast(LongType).as("q"))
+    val pt = pq.groupBy(col("l_partkey").as("ptk")).agg(sum(col("q")).as("tq"))
+    val dom = pq.join(pt, col("l_partkey") === col("ptk"))
+      .filter(col("q") * 10 > col("tq") * 3)
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(dom), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .orderBy(col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
   }
 }

@@ -65,6 +65,19 @@ class PlanSuite extends SparkSuite {
     }
   }
 
+  test("tpch q2/q9/q20 broadcast every dim side; the facts never nested-loop") {
+    for (q <- Seq("q_tpch_q2", "q_tpch_q9", "q_tpch_q20")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(1500)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: ${p.take(1500)}")
+    }
+  }
+
+  test("tpch q20 semi-joins both the red-part filter and the dominant-supplier set") {
+    assert(planOf("q_tpch_q20").contains("LeftSemi"))
+  }
+
   test("global band join is rewritten to a bucketed equi join by RewriteRangeJoin") {
     val p = planOf("q_join_band_global")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
@@ -120,11 +133,14 @@ class PlanSuite extends SparkSuite {
     // (q_cluster_kmeans broadcasts the k=8-row centroid table into each
     // Lloyd assignment step — the canonical distributed k-means join;
     // q_tpch_q15 and q_tpch_q22 cross in 1-row max / (count,sum) scalar
-    // aggregates — broadcast scalars like q_anomaly_iqr)
+    // aggregates — broadcast scalars like q_anomaly_iqr; q_tpch_q11's
+    // (total, count) threshold is the same 1-row broadcast scalar)
     val byDesign = Set("q_sim_knn", "q_sim_label", "q_sim_ivf", "q_dedup_embed", "q_join_cross",
       "q_dedup_simhash", "q_str_fuzzy", "q_text_heavy", "q_gap_interp",
       "q_text_tfidf", "q_sim_quant", "q_anomaly_iqr", "q_rfm", "q_cluster_kmeans",
-      "q_tpch_q15", "q_tpch_q22",
+      "q_tpch_q15", "q_tpch_q22", "q_tpch_q11",
+      // q_mix_domains crosses in its 1-row (n_tot, w_tot) scalar the same way
+      "q_mix_domains",
       // graph kernels cross in 1-row scalars: the vertex count (pagerank)
       // and the mean edge weight (triangle threshold)
       "q_graph_pagerank", "q_graph_triangles",
