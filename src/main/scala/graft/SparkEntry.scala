@@ -28,7 +28,8 @@ object SparkEntry {
       (ops.TrainingOps.queries, ops.TrainingOps.oracle),
       (ops.Quality.queries, ops.Quality.oracle),
       (ops.Tpch.queries, ops.Tpch.oracle),
-      (ops.Graph.queries, ops.Graph.oracle)
+      (ops.Graph.queries, ops.Graph.oracle),
+      (ops.Features.queries, ops.Features.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

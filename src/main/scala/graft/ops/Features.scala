@@ -1,0 +1,248 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.Tables
+import graft.Dsl.dec
+
+/** Retrieval / feature-engineering tier (round 4, SURVEY.md §2.J
+  * extension): the operators that sit between a cleaned corpus and a
+  * training or serving job —
+  *
+  *  - context-window CHUNKING of documents (overlapping token windows,
+  *    the RAG / pretraining shard-prep step);
+  *  - an INVERTED INDEX projection (token → df + bounded postings list,
+  *    the batch side of a search/retrieval build);
+  *  - user PATH mining over the event stream (top event-type trigrams,
+  *    the product-analytics "navigation paths" report);
+  *  - per-group MIN-MAX feature scaling to integer per-mille (the
+  *    featurization normalizer, exact under any partitioning);
+  *  - HASHED feature buckets (the feature-hashing trick, md5-derived so
+  *    both engines agree bit-for-bit);
+  *  - exact Pearson CORRELATION + OLS regression per group from decimal
+  *    sums (the profiling statistics `corr`/`regr_slope`/`regr_intercept`
+  *    expose, computed order-independently).
+  *
+  * Determinism (SURVEY.md §2.0): everything integer or decimal-exact up
+  * to a final shared-IEEE double expression (corr/slope/intercept follow
+  * the proven q_agg_stats pattern: exact decimal sums, then an identical
+  * double formula and round(.,4) on both engines).
+  *
+  * Scale notes (100 TB):
+  *  - chunking and hashing are narrow, shuffle-free, codegen'd projections;
+  *  - the inverted index bounds per-token state BEFORE aggregation
+  *    (row_number ≤ 8 under the token partitioning, which the df count
+  *    and the join then REUSE — one exchange for the whole build);
+  *  - min-max scaling broadcasts a groups-sized aggregate back over the
+  *    fact table — the fact side never shuffles;
+  *  - path mining shuffles once by user (the window), then the trigram
+  *    count is map-side combinable and the top-20 is TakeOrdered.
+  */
+object Features {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_docs" -> qChunkDocs,
+    "q_index_inverted" -> qIndexInverted,
+    "q_event_path" -> qEventPath,
+    "q_feat_scale" -> qFeatScale,
+    "q_feat_hash" -> qFeatHash,
+    "q_agg_corr" -> qAggCorr
+  )
+
+  /** Shared IEEE-double formula text for corr/slope/intercept — the SAME
+    * string is compiled by Spark and DuckDB, so every multiply/divide/sqrt
+    * happens in the same order on the same correctly-rounded doubles. */
+  private val covTxt = "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))"
+  private val varxTxt = "(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))"
+  private val varyTxt = "(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))"
+  private val corrTxt = s"round($covTxt / sqrt($varxTxt * $varyTxt), 4)"
+  private val slopeTxt = s"round($covTxt / $varxTxt, 4)"
+  private val interceptTxt =
+    s"round((CAST(sy AS DOUBLE) - ($covTxt / $varxTxt) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4)"
+
+  val oracle: Map[String, String] = Map(
+    "q_chunk_docs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         c AS (SELECT doc_id, w, len(w) AS ntok,
+                      unnest(generate_series(0, (len(w) + 23) // 24 - 1)) AS ci
+               FROM d)
+         SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+                CAST(least(32, ntok - ci * 24) AS BIGINT) AS n_tok,
+                w[ci * 24 + 1] AS first_tok,
+                w[ci * 24 + least(32, ntok - ci * 24)] AS last_tok
+         FROM c ORDER BY doc_id, chunk_id""",
+    "q_index_inverted" ->
+      """WITH words AS (SELECT DISTINCT doc_id, w FROM
+                          (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+                        WHERE len(w) > 0),
+         df AS (SELECT w, count(*) AS df FROM words GROUP BY w),
+         p AS (SELECT w, array_to_string(list_slice(array_agg(doc_id ORDER BY doc_id), 1, 8), ',') AS postings
+               FROM words GROUP BY w)
+         SELECT df.w AS token, CAST(df.df AS BIGINT) AS df, p.postings
+         FROM df JOIN p ON df.w = p.w
+         WHERE df.df >= 5 ORDER BY df.df DESC, token LIMIT 100""",
+    "q_event_path" ->
+      """WITH s AS (SELECT user_id, event_type,
+                           lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+                           lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+                    FROM events)
+         SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS cnt
+         FROM s WHERE e3 IS NOT NULL
+         GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20""",
+    "q_feat_scale" ->
+      """WITH c AS (SELECT event_id, event_type,
+                           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                    FROM events),
+         mm AS (SELECT event_type, MIN(cents) AS mn, MAX(cents) AS mx FROM c GROUP BY 1)
+         SELECT c.event_id, c.event_type, c.cents,
+                CASE WHEN mm.mx = mm.mn THEN CAST(0 AS BIGINT)
+                     ELSE ((c.cents - mm.mn) * 1000) // (mm.mx - mm.mn) END AS norm_x1000
+         FROM c JOIN mm ON c.event_type = mm.event_type
+         WHERE c.event_id % 20 = 0 ORDER BY c.event_id""",
+    "q_feat_hash" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents WHERE doc_id % 10 = 0)
+         SELECT doc_id,
+                CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % 64 AS bucket,
+                count(*) AS cnt
+         FROM w WHERE len(w) > 0
+         GROUP BY 1, 2 ORDER BY doc_id, bucket""",
+    "q_agg_corr" ->
+      s"""WITH s AS (SELECT l_returnflag AS rf, count(*) AS n,
+                   SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+                   SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+                   SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+            FROM lineitem GROUP BY 1)
+         SELECT rf, CAST(n AS BIGINT) AS n, $corrTxt AS corr_qp,
+                $slopeTxt AS slope, $interceptTxt AS intercept
+         FROM s ORDER BY rf"""
+  )
+
+  /** Overlapping token chunks: 32-token windows on a 24-token stride
+    * (8-token overlap), one chunk per stride start below ntok — the
+    * context-window prep a pretraining/RAG shard writer runs. Pure
+    * narrow projection (split → sequence → explode): no shuffle at all
+    * before the output sort, so at 100 TB it scales linearly with input
+    * bytes and pipelines into the shard write. */
+  private def qChunkDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("ntok"))
+      .select(col("doc_id"), col("w"), col("ntok"),
+        explode(expr("sequence(0, CAST((ntok + 23) DIV 24 AS INT) - 1)")).as("ci"))
+      .select(
+        col("doc_id"),
+        col("ci").cast(LongType).as("chunk_id"),
+        expr("CAST(least(32, ntok - ci * 24) AS BIGINT)").as("n_tok"),
+        expr("element_at(w, CAST(ci * 24 + 1 AS INT))").as("first_tok"),
+        expr("element_at(w, CAST(ci * 24 + least(32, ntok - ci * 24) AS INT))").as("last_tok"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Inverted-index projection: token → document frequency + the first 8
+    * posting doc_ids, for tokens with df ≥ 5, top-100 by df. The posting
+    * list is bounded BEFORE aggregation: row_number ≤ 8 under the token
+    * partitioning caps per-token state at 8 rows no matter how skewed the
+    * token distribution is (a stopword with 10⁹ postings would otherwise
+    * OOM a collect_list). The df count and the final join both reuse the
+    * same token hash partitioning — one exchange end-to-end. */
+  private def qIndexInverted(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+    val byTok = Window.partitionBy(col("w")).orderBy(col("doc_id"))
+    val posts = words
+      .withColumn("rn", row_number().over(byTok))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
+      .filter(col("rn") <= 8)
+      .groupBy(col("w"), col("df"))
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+    posts
+      .filter(col("df") >= 5)
+      .select(col("w").as("token"), col("df"), col("postings"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(100)
+  }
+
+  /** Top-20 event-type trigram paths across all users — the product-
+    * analytics navigation-paths report. Ordering inside a user is raw
+    * nanosecond `ts` then event_id (both engines see identical int64 ns,
+    * so ties are impossible to diverge on). One shuffle by user for the
+    * window; the path count is map-side combinable; top-20 is
+    * TakeOrderedAndProject. */
+  private def qEventPath(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("e3", lead(col("event_type"), 2).over(byUser))
+      .filter(col("e3").isNotNull)
+      .groupBy(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path"))
+      .limit(20)
+  }
+
+  /** Per-event-type min-max scaling of the value column to integer
+    * per-mille — the deterministic featurization normalizer (float
+    * (x−min)/(max−min) would be engine-identical here too, but the
+    * integer form survives ANY reordering and re-quantization). The
+    * min/max aggregate is groups-sized and broadcasts back over the fact
+    * table: the fact side never shuffles. Output sliced to 5 % of events
+    * (event_id % 20) to keep the declared result bounded. */
+  private def qFeatScale(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        (dec(col("value"), 12, 2) * 100).cast(LongType).as("cents"))
+    val mm = c.groupBy(col("event_type").as("et"))
+      .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    c.join(broadcast(mm), col("event_type") === col("et"))
+      .filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), col("event_type"), col("cents"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(expr("((cents - mn) * 1000) DIV (mx - mn)")).as("norm_x1000"))
+      .orderBy("event_id")
+  }
+
+  /** Feature hashing: tokens → 64 hash buckets (md5-derived, so Spark and
+    * DuckDB agree on every bucket id), per-doc bucket counts — the sparse
+    * fixed-width featurization used when a vocabulary is unbounded.
+    * Narrow explode + one map-combinable aggregate; output restricted to
+    * every 10th doc to bound the declared result. */
+  private def qFeatHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"),
+        (conv(substring(md5(col("w")), 1, 4), 16, 10).cast(LongType) % 64).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "bucket")
+
+  /** Exact Pearson correlation + OLS slope/intercept of extendedprice on
+    * quantity per returnflag. All five sums are exact decimals (order-
+    * independent under any partitioning — engine-native corr() on doubles
+    * is NOT); the final formula is one shared IEEE-double expression
+    * (identical text compiled by both engines) rounded to 4 dp. One
+    * map-combinable aggregate over the fact table — the profiling shape
+    * that still works when lineitem is 100 TB. */
+  private def qAggCorr(s: SparkSession, d: String): DataFrame = {
+    val q = dec(col("l_quantity"), 12, 2)
+    val p = dec(col("l_extendedprice"), 12, 2)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).as("sx"), sum(p).as("sy"),
+        sum(q * p).as("sxy"), sum(q * q).as("sxx"), sum(p * p).as("syy"))
+      .select(col("rf"), col("n").cast(LongType).as("n"),
+        expr(corrTxt).as("corr_qp"),
+        expr(slopeTxt).as("slope"),
+        expr(interceptTxt).as("intercept"))
+      .orderBy("rf")
+  }
+}

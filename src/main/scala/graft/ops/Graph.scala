@@ -44,7 +44,8 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_triangles" -> qGraphTriangles,
-    "q_graph_degree" -> qGraphDegree
+    "q_graph_degree" -> qGraphDegree,
+    "q_graph_sssp" -> qGraphSssp
   )
 
   private val edgeSql =
@@ -65,7 +66,28 @@ object Graph {
          LEFT JOIN ow ON ow.src = e.src
          GROUP BY n.id)"""
 
+  private def ssspStepSql(prev: String, out: String): String =
+    s"""$out AS MATERIALIZED (
+         SELECT id, MIN(dist) AS dist FROM (
+           SELECT id, dist FROM $prev
+           UNION ALL
+           SELECT e.dst AS id, $prev.dist + e.cost AS dist
+           FROM $prev JOIN e ON e.src = $prev.id)
+         GROUP BY id)"""
+
   val oracle: Map[String, String] = Map(
+    "q_graph_sssp" ->
+      s"""WITH e0 AS MATERIALIZED ($edgeSql),
+          e AS (SELECT src, dst, GREATEST(1, 1000000 // w) AS cost FROM e0),
+          n AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+          d0 AS (SELECT id, CASE WHEN id = 0 THEN 0 ELSE 1000000000000000 END AS dist FROM n),
+          ${ssspStepSql("d0", "d1")},
+          ${ssspStepSql("d1", "d2")},
+          ${ssspStepSql("d2", "d3")},
+          ${ssspStepSql("d3", "d4")}
+          SELECT id AS nationkey,
+                 CASE WHEN dist >= 1000000000000000 THEN -1 ELSE dist END AS dist
+          FROM d4 ORDER BY nationkey""",
     "q_graph_pagerank" ->
       s"""WITH e AS MATERIALIZED ($edgeSql),
           n AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
@@ -184,6 +206,50 @@ object Graph {
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("v"))
       .groupBy(col("v"))
       .agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Bellman-Ford single-source shortest path kernel: `iterations` relax
+    * rounds unrolled into one lazy plan. Each round is one UNION of the
+    * current distances with the edge-relaxed candidates followed by a
+    * vertex-keyed MIN — a single map-combinable exchange per round, the
+    * Pregel superstep (same shape as [[pagerank]]). Unreached vertices
+    * carry the 10¹⁵ sentinel (min-safe: any real path is shorter; sums
+    * with edge costs stay far from Long overflow). Integer costs make the
+    * result exact under any partitioning.
+    *
+    * @param vertices one column `id: Long`
+    * @param edgeList columns `src, dst, cost: Long` (directed, positive)
+    * @param source   the source vertex id
+    * @return `(id, dist)` — 10¹⁵ sentinel where unreached
+    */
+  def shortestPaths(vertices: DataFrame, edgeList: DataFrame, source: Long,
+      iterations: Int): DataFrame = {
+    val inf = 1000000000000000L
+    val d0 = vertices.select(col("id"),
+      when(col("id") === source, lit(0L)).otherwise(lit(inf)).as("dist"))
+    def relax(d: DataFrame): DataFrame = {
+      val cand = edgeList
+        .join(d.select(col("id").as("rid"), col("dist").as("rd")),
+          col("src") === col("rid"))
+        .select(col("dst").as("id"), (col("rd") + col("cost")).as("dist"))
+      d.select(col("id"), col("dist")).union(cand)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+    }
+    (1 to iterations).foldLeft(d0)((d, _) => relax(d))
+  }
+
+  /** Single-source shortest paths from nation 0 over the trade graph,
+    * edge cost = 1e6 DIV weight floored at 1 (heavier trade = closer), 4
+    * Bellman-Ford rounds. -1 marks unreached vertices in the output. */
+  private def qGraphSssp(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d).select(col("src"), col("dst"),
+      greatest(lit(1L), expr("1000000 DIV w")).as("cost"))
+    shortestPaths(
+      Tables.nation(s, d).select(col("n_nationkey").cast(LongType).as("id")),
+      e, 0L, 4)
+      .select(col("id").as("nationkey"),
+        when(col("dist") >= 1000000000000000L, lit(-1L)).otherwise(col("dist")).as("dist"))
+      .orderBy("nationkey")
   }
 
   /** Top-10 nations by 3-iteration PageRank over the trade graph (ties

