@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNWRAPPED: the default logger
+// strategy prefixes every line with "[info] ", which corrupts the one
+// machine-readable JSON line graft.Bench prints for the bench harness
+// (three rounds of BENCH_r*.json show parsed:null with the prefix in
+// place). Spark's own logging goes to stderr (log4j2 SYSTEM_ERR
+// appender), so stdout stays clean for the JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -48,7 +48,10 @@ object Bench {
       w.println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}""")
       w.close()
     } catch { case _: Throwable => }
-    val budget = 1400
+    // Tail-window math: the harness keeps the last ~2000 chars of stdout;
+    // after this line only sbt's "[success] …" (~70 chars) follows, so
+    // 1700 keeps the whole JSON inside the window with margin.
+    val budget = 1700
     val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":{"""
     val sb = new StringBuilder(head)
     var first = true
