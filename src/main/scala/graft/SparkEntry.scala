@@ -29,7 +29,8 @@ object SparkEntry {
       (ops.Quality.queries, ops.Quality.oracle),
       (ops.Tpch.queries, ops.Tpch.oracle),
       (ops.Graph.queries, ops.Graph.oracle),
-      (ops.Features.queries, ops.Features.oracle)
+      (ops.Features.queries, ops.Features.oracle),
+      (ops.Mining.queries, ops.Mining.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

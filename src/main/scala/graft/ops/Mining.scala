@@ -1,0 +1,235 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.Tables
+import graft.Dsl.dec
+
+/** Corpus-mining tier (SURVEY.md §2.J extension, round 4): the
+  * statistics-driven curation operators between dedup and featurization —
+  *
+  *  - exact cross-document SPAN dedup (word-8-gram granularity, the
+  *    "exact substring deduplication" of Lee et al. 2022): per document,
+  *    the fraction of 8-gram positions whose gram also appears in at
+  *    least one OTHER document;
+  *  - PMI COLLOCATION mining (top bigrams by pointwise mutual
+  *    information, the phrase-table / tokenizer-merge precursor);
+  *  - MAD robust outlier detection per event type (median absolute
+  *    deviation — the robust z-score every telemetry pipeline runs;
+  *    resistant to the heavy tails that wreck stddev fences);
+  *  - WINSORIZATION of a revenue measure per group at the dyadic
+  *    12.5/87.5 percentiles (outlier clipping before training).
+  *
+  * Determinism (SURVEY.md §2.0): all integer / fixed-point. Medians and
+  * dyadic percentiles of integer cents interpolate on .5 / k·(1/8) steps,
+  * so doubling (×2, ×4, ×8) makes every emitted statistic an exact
+  * BIGINT in both engines — same discipline as q_anomaly_iqr's ×4
+  * quartiles and q_agg_argmax's scaled ordering key.
+  *
+  * Scale notes (100 TB):
+  *  - span dedup shuffles gram-hash rows (16-byte md5 + doc id), never
+  *    text; the doc-frequency aggregate is map-side combinable after the
+  *    (doc, gram) distinct, and the position join re-shuffles only hash
+  *    pairs. This IS the linear-work exact algorithm — the suffix-array
+  *    alternative cannot distribute without a global sort of the corpus;
+  *  - PMI joins the bigram table to the unigram table on the word key
+  *    UNHINTED: a natural-language vocabulary is heavy-tailed but
+  *    bounded, so the planner's size estimate (broadcast at fixture
+  *    scale, shuffle at web scale) should decide, not a hint;
+  *  - MAD and winsorization broadcast groups-sized aggregates back over
+  *    the fact table — the fact side shuffles only for its own
+  *    per-group sort (median is sort-based in both engines).
+  */
+object Mining {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_span" -> qDedupSpan,
+    "q_text_pmi" -> qTextPmi,
+    "q_anomaly_mad" -> qAnomalyMad,
+    "q_feat_clip" -> qFeatClip
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_span" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                    WHERE len(string_split(text, ' ')) >= 8),
+         g AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(ws) - 6),
+                             i -> md5(array_to_string(ws[i:i+7], ' ')))) AS h
+               FROM w),
+         df AS (SELECT h, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, h FROM g) GROUP BY h)
+         SELECT g.doc_id, count(*) AS n_grams,
+                CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                (CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+                  // count(*) AS dup_x1000
+         FROM g JOIN df ON g.h = df.h
+         GROUP BY g.doc_id ORDER BY g.doc_id""",
+    "q_text_pmi" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         n AS (SELECT count(*) AS n_tok FROM t),
+         uni AS (SELECT w, count(*) AS cu FROM t GROUP BY w),
+         p AS (SELECT string_split(text, ' ') AS ws FROM documents
+               WHERE len(string_split(text, ' ')) >= 2),
+         bi AS (SELECT w1, w2, count(*) AS cb FROM (
+                  SELECT unnest(ws[1:len(ws)-1]) AS w1,
+                         unnest(ws[2:len(ws)]) AS w2 FROM p)
+                GROUP BY w1, w2 HAVING count(*) >= 5)
+         SELECT bi.w1, bi.w2, bi.cb, u1.cu AS c1, u2.cu AS c2,
+                (bi.cb * n.n_tok * 1000000) // (u1.cu * u2.cu) AS pmi_x1m
+         FROM bi
+         JOIN uni u1 ON bi.w1 = u1.w
+         JOIN uni u2 ON bi.w2 = u2.w
+         CROSS JOIN n
+         ORDER BY pmi_x1m DESC, bi.w1, bi.w2 LIMIT 20""",
+    "q_anomaly_mad" ->
+      """WITH e AS (SELECT event_type,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                    FROM events),
+         m AS (SELECT event_type, CAST(median(cents) * 2 AS BIGINT) AS med2
+               FROM e GROUP BY 1),
+         d AS (SELECT e.event_type, abs(e.cents * 2 - m.med2) AS dev2, m.med2
+               FROM e JOIN m USING (event_type)),
+         md AS (SELECT event_type, CAST(median(dev2) * 2 AS BIGINT) AS mad4
+                FROM d GROUP BY 1)
+         SELECT d.event_type, count(*) AS n, MAX(d.med2) AS med2, MAX(md.mad4) AS mad4,
+                CAST(SUM(CASE WHEN d.dev2 * 2 > 3 * md.mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+         FROM d JOIN md USING (event_type)
+         GROUP BY d.event_type ORDER BY d.event_type""",
+    "q_feat_clip" ->
+      """WITH l AS (SELECT l_returnflag AS flag,
+                           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                    FROM lineitem),
+         p AS (SELECT flag,
+                      CAST(percentile_cont(0.125) WITHIN GROUP (ORDER BY cents) * 8 AS BIGINT) AS lo8,
+                      CAST(percentile_cont(0.875) WITHIN GROUP (ORDER BY cents) * 8 AS BIGINT) AS hi8
+               FROM l GROUP BY flag)
+         SELECT l.flag, count(*) AS n, MAX(p.lo8) AS lo8, MAX(p.hi8) AS hi8,
+                CAST(SUM(CASE WHEN 8 * l.cents < p.lo8 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+                CAST(SUM(CASE WHEN 8 * l.cents > p.hi8 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+                CAST(SUM(CASE WHEN 8 * l.cents < p.lo8 THEN p.lo8
+                              WHEN 8 * l.cents > p.hi8 THEN p.hi8
+                              ELSE 8 * l.cents END) AS BIGINT) AS sum_clip8
+         FROM l JOIN p USING (flag)
+         GROUP BY l.flag ORDER BY l.flag"""
+  )
+
+  /** Word-8-gram positions of every document: (doc_id, h) with one row
+    * per POSITION (within-doc repeats kept — span accounting needs
+    * them), h = md5 of the space-joined gram so the shuffled rows are
+    * fixed-width keys, never text. Docs under 8 words have no 8-gram
+    * positions and drop out, exactly as the oracle's length filter. */
+  private def spanGrams(docs: DataFrame): DataFrame =
+    docs.withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 7),
+           i -> md5(concat_ws(' ', slice(ws, i, 8))))""")).as("h"))
+
+  /** Exact cross-document span dedup (Lee et al. 2022 at 8-gram
+    * granularity): a position is DUPLICATED when its gram occurs in >= 2
+    * distinct documents; per doc we report total positions, duplicated
+    * positions, and the ×1000 duplicated fraction — the signal the
+    * curation pipeline thresholds to drop boilerplate-heavy documents.
+    * Two shuffles on the gram hash — (doc, gram)-distinct → per-gram doc
+    * frequency (map-side combinable), then the position stream re-joined
+    * to the frequency table — and one per-doc rollup; text never leaves
+    * the scan. */
+  private def qDedupSpan(s: SparkSession, d: String): DataFrame = {
+    val g = spanGrams(Tables.documents(s, d))
+    val df = g.distinct().groupBy(col("h")).agg(count(lit(1)).as("df"))
+    g.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("df") >= 2, 1L).otherwise(0L)).cast(LongType).as("n_dup"))
+      .withColumn("dup_x1000", expr("(n_dup * 1000) DIV n_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** Top-20 bigram collocations by integer PMI surrogate
+    * cb·N·10⁶ DIV (c1·c2) (monotone in true PMI for fixed N; exact, so
+    * near-ties cannot reorder across engines — log-space PMI would
+    * drift). The bigram/unigram joins are UNHINTED by design: vocabulary
+    * tables are broadcastable here but web-corpus vocabularies need the
+    * shuffle path — the size estimate decides. The 1-row token total
+    * crosses in as a broadcast scalar; the final top-20 is
+    * TakeOrderedAndProject. int64 headroom: cb·N·10⁶ needs cb·N < 9·10¹²
+    * — at larger corpus scales promote the product to DECIMAL(38,0) on
+    * both engines. */
+  private def qTextPmi(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(explode(split(col("text"), " ")).as("w"))
+    val n = toks.agg(count(lit(1)).as("n_tok"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val bi = docs.withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+           i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"""))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= 5)
+    bi.join(uni.select(col("w").as("w1"), col("cu").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("cb"), col("c1"), col("c2"),
+        expr("(cb * n_tok * 1000000) DIV (c1 * c2)").as("pmi_x1m"))
+      .orderBy(desc("pmi_x1m"), col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  /** MAD robust outliers per event type: med2 = 2·median(cents),
+    * mad4 = 2·median(|2·cents − med2|) (both exact BIGINTs — integer
+    * medians step in halves), outlier when dev > 3·MAD compared at ×4
+    * scale with no division. Two types-sized aggregates broadcast back
+    * over the fact table; the fact table itself shuffles once per median
+    * (sort-based in both engines). */
+  private def qAnomalyMad(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_type"),
+      (dec(col("value")) * 100).cast(LongType).as("cents"))
+    val m = e.groupBy(col("event_type"))
+      .agg(expr("CAST(median(cents) * 2 AS BIGINT)").as("med2"))
+    val dev = e.join(broadcast(m), Seq("event_type"))
+      .withColumn("dev2", abs(col("cents") * 2 - col("med2")))
+    val md = dev.groupBy(col("event_type"))
+      .agg(expr("CAST(median(dev2) * 2 AS BIGINT)").as("mad4"))
+    dev.join(broadcast(md), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           max(col("med2")).as("med2"),
+           max(col("mad4")).as("mad4"),
+           sum(when(col("dev2") * 2 > lit(3) * col("mad4"), 1L).otherwise(0L))
+             .cast(LongType).as("n_out"))
+      .orderBy("event_type")
+  }
+
+  /** Winsorization per return flag at the DYADIC 12.5/87.5 percentiles
+    * (eighths interpolate exactly in binary — 0.05/0.95 would not; the
+    * ×8 comparison scale then needs no division, the q_anomaly_iqr
+    * discipline). Emits clip counts and the winsorized ×8-cents sum —
+    * the before/after a feature pipeline logs. The groups-sized fence
+    * table broadcasts back; at 100 TB the sum promotes to DECIMAL(38,0)
+    * like q_agg_histogram's. */
+  private def qFeatClip(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+      (dec(col("l_extendedprice"), 12, 2) * 100).cast(LongType).as("cents"))
+    val p = l.groupBy(col("flag")).agg(
+      expr("CAST(percentile(cents, 0.125D) * 8 AS BIGINT)").as("lo8"),
+      expr("CAST(percentile(cents, 0.875D) * 8 AS BIGINT)").as("hi8"))
+    l.join(broadcast(p), Seq("flag"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+           max(col("lo8")).as("lo8"),
+           max(col("hi8")).as("hi8"),
+           sum(when(col("cents") * 8 < col("lo8"), 1L).otherwise(0L))
+             .cast(LongType).as("n_lo"),
+           sum(when(col("cents") * 8 > col("hi8"), 1L).otherwise(0L))
+             .cast(LongType).as("n_hi"),
+           sum(when(col("cents") * 8 < col("lo8"), col("lo8"))
+             .when(col("cents") * 8 > col("hi8"), col("hi8"))
+             .otherwise(col("cents") * 8)).cast(LongType).as("sum_clip8"))
+      .orderBy("flag")
+  }
+}
