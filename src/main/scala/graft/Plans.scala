@@ -38,7 +38,12 @@ object Plans {
     "q_cluster_kmeans",  // broadcast centroids, posexplode centroid update
     "q_join_band_global", // RewriteRangeJoin: keyless band → bucketed equi join
     "q_tpch_q8",         // 7-table market share: every dim broadcast, one fact shuffle
-    "q_tpch_q21"         // EXISTS/NOT-EXISTS pair rewritten as one per-order aggregate
+    "q_tpch_q21",        // EXISTS/NOT-EXISTS pair rewritten as one per-order aggregate
+    "q_graph_sssp",      // 4 unrolled Bellman-Ford relax rounds, one exchange each
+    "q_dedup_span",      // exact span dedup: gram-hash shuffles, text stays at the scan
+    "q_text_pmi",        // unhinted vocab joins + 1-row token-total broadcast scalar
+    "q_index_inverted",  // postings bounded BEFORE aggregation, one exchange reused
+    "q_feat_scale"       // groups-sized min-max broadcast back, fact never shuffles
   )
 
   def main(args: Array[String]): Unit = {

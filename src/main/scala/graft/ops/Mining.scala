@@ -132,17 +132,26 @@ object Mining {
     * distinct documents; per doc we report total positions, duplicated
     * positions, and the ×1000 duplicated fraction — the signal the
     * curation pipeline thresholds to drop boilerplate-heavy documents.
-    * Two shuffles on the gram hash — (doc, gram)-distinct → per-gram doc
-    * frequency (map-side combinable), then the position stream re-joined
-    * to the frequency table — and one per-doc rollup; text never leaves
-    * the scan. */
+    *
+    * ONE corpus pass: the position stream collapses immediately to
+    * (h, doc_id, c) counts — a map-side-combinable aggregate, so the
+    * corpus-scale explode is scanned exactly once and everything after
+    * moves 24-byte rows. The per-gram doc frequency is then a COUNT
+    * WINDOW over the gram hash on that collapsed table (fine-grained
+    * partitioning — one partition per distinct gram), and the per-doc
+    * rollup weights each gram by its position count. The window form
+    * replaces a self-join that would either re-explode the corpus (2×
+    * the 100 TB scan) or force materializing the gram table; a
+    * boilerplate gram hot enough to skew the window partition skews the
+    * equivalent join shuffle identically, so nothing is lost. */
   private def qDedupSpan(s: SparkSession, d: String): DataFrame = {
-    val g = spanGrams(Tables.documents(s, d))
-    val df = g.distinct().groupBy(col("h")).agg(count(lit(1)).as("df"))
-    g.join(df, Seq("h"))
+    import org.apache.spark.sql.expressions.Window
+    spanGrams(Tables.documents(s, d))
+      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-           sum(when(col("df") >= 2, 1L).otherwise(0L)).cast(LongType).as("n_dup"))
+      .agg(sum(col("c")).cast(LongType).as("n_grams"),
+           sum(when(col("df") >= 2, col("c")).otherwise(0L)).cast(LongType).as("n_dup"))
       .withColumn("dup_x1000", expr("(n_dup * 1000) DIV n_grams"))
       .orderBy("doc_id")
   }
