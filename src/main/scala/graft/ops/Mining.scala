@@ -169,8 +169,16 @@ object Mining {
   private def qTextPmi(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val toks = docs.select(explode(split(col("text"), " ")).as("w"))
-    val n = toks.agg(count(lit(1)).as("n_tok"))
-    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    // The unigram table is referenced three times (token total + both
+    // join probes) and Spark does not common-subexpression distinct
+    // DataFrame references — left lazy it would re-scan the corpus per
+    // reference (measured: 4 parquet scans). It is vocabulary-sized, so
+    // materialize it once; on a cluster this is a persist() of a few MB.
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cu")).localCheckpoint()
+    // the corpus token total is the SUM of the vocabulary-sized unigram
+    // table — a separate count over the token stream would re-scan the
+    // corpus for one number
+    val n = uni.agg(sum(col("cu")).cast(LongType).as("n_tok"))
     val bi = docs.withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 2)
       .select(explode(expr(
