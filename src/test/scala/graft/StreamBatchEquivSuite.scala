@@ -588,6 +588,29 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("streaming freshness monitor (complete mode per-type max event time) == batch q_dq_freshness") {
+    // the q_dq_freshness lag panel as a live stream: per-type max event
+    // time + count in complete mode; lag vs the global max computed on
+    // the drained table exactly as the batch query computes it
+    val got = runStream(rowsByTime, "t_fresh", "complete") { df =>
+      df.groupBy(col("event_type"))
+        .agg(max(unix_micros(col("t"))).as("max_us"), count(lit(1)).as("n"))
+    }
+    val gmax = got.agg(max("max_us")).as[Long].head()
+    val lags = got.select(col("event_type"), (lit(gmax) - col("max_us")).as("lag_us"), col("n"))
+      .as[(String, Long, Long)].collect()
+      .map { case (et, lag, n) => et -> ((lag, n)) }.toMap
+    val want = SparkEntry.queries("q_dq_freshness")(spark, sf0001)
+      .select(col("event_type"), col("lag_us"), col("n"))
+      .as[(String, Long, Long)].collect()
+    assert(want.nonEmpty)
+    want.foreach { case (et, lagUs, n) =>
+      val (gotLag, gotN) = lags(et)
+      assert(gotN == n, s"count mismatch for $et")
+      assert(gotLag == lagUs, s"lag mismatch for $et: stream $gotLag vs batch $lagUs")
+    }
+  }
+
   test("late data beyond the watermark is dropped, never duplicated") {
     val maxT = rowsByArrival.map(_.t.getTime).max
     val sentinel = Ev(-1L, -1L, "sentinel", 0.0, new Timestamp(maxT + 86400L * 1000 * 40))
