@@ -30,7 +30,8 @@ object SparkEntry {
       (ops.Tpch.queries, ops.Tpch.oracle),
       (ops.Graph.queries, ops.Graph.oracle),
       (ops.Features.queries, ops.Features.oracle),
-      (ops.Mining.queries, ops.Mining.oracle)
+      (ops.Mining.queries, ops.Mining.oracle),
+      (ops.Formats.queries, ops.Formats.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -29,6 +29,7 @@ object Aggregations {
     "q_agg_grouping_sets" -> qAggGroupingSets,
     "q_agg_collect" -> qAggCollect,
     "q_agg_stats" -> qAggStats,
+    "q_agg_regr" -> qAggRegr,
     "q_agg_pivot" -> qAggPivot,
     "q_agg_median" -> qAggMedian,
     "q_agg_argmax" -> qAggArgmax,
@@ -124,6 +125,24 @@ object Aggregations {
                 round(sqrt((CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                       / (CAST(cnt AS DOUBLE) * (CAST(cnt AS DOUBLE) - 1.0))), 4) AS sd_qty
          FROM a ORDER BY l_returnflag""",
+    "q_agg_regr" ->
+      """WITH a AS (
+           SELECT l_returnflag, count(*) AS cnt,
+                  SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+                  SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+                  SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+                  SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+           FROM lineitem GROUP BY l_returnflag),
+         b AS (
+           SELECT l_returnflag, cnt,
+                  (CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+                  CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+           FROM a)
+         SELECT l_returnflag, cnt,
+                round(slope, 4) AS slope,
+                round((syd - slope * sxd) / CAST(cnt AS DOUBLE), 4) AS icept
+         FROM b ORDER BY l_returnflag""",
     "q_agg_approx_quantile" ->
       """SELECT o_orderstatus,
                 quantile_disc(o_totalprice, 0.5) AS p50,
@@ -344,6 +363,38 @@ object Aggregations {
         col("l_returnflag"), col("cnt"),
         round(varD, 4).as("var_qty"),
         round(sqrt(varD), 4).as("sd_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Least-squares regression aggregate (regr_slope / regr_intercept
+    * class): price regressed on quantity per return flag. Same exactness
+    * recipe as q_agg_stats — the five sufficient statistics (n, Σx, Σy,
+    * Σx², Σxy) are exact decimal sums (order-independent, partial-agg
+    * friendly: ONE map-side-combined shuffle of 5 numbers per group at
+    * any scale), and only the final slope/intercept arithmetic drops to
+    * IEEE doubles, as the identical expression tree the oracle evaluates
+    * (§2.0.2/.7; round 4dp). Engine-native regr_slope stays available but
+    * aggregates raw doubles — order-dependent at scale, so not oracle-safe. */
+  private def qAggRegr(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast(DecimalType(12, 2))
+    val y = col("l_extendedprice").cast(DecimalType(12, 2))
+    val nD = col("cnt").cast("double")
+    val slope =
+      (nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+        (nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double"))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+      .select(
+        col("l_returnflag"), col("cnt"), slope.as("slope"),
+        col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"))
+      .select(
+        col("l_returnflag"), col("cnt"),
+        round(col("slope"), 4).as("slope"),
+        round((col("syd") - col("slope") * col("sxd")) / col("cnt").cast("double"), 4).as("icept"))
       .orderBy("l_returnflag")
   }
 }

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Source/sink format surface (SURVEY.md §2.A "sinks" / "CSV-JSON source"
+  * rows, previously design-only): each query is a full write→read
+  * round-trip through a non-parquet format — the engine writes the fixture
+  * table out in the target format, reads it back with an explicit schema,
+  * and aggregates the re-read copy. The DuckDB oracle aggregates the
+  * parquet original, so a hash match proves the round-trip is LOSSLESS
+  * (types, values, row count) — the actual claim a source/sink needs.
+  *
+  * Type discipline: doubles are cast to DECIMAL before the write (decimal
+  * text renders exactly; raw double→text→double round-trips are a
+  * format-dependent gamble), timestamps to DATE where the query only
+  * needs day precision, and every read supplies the schema explicitly —
+  * schema inference on a 100 TB lake is both slow (extra pass) and
+  * drift-prone.
+  *
+  * Scale notes: writes are distributed (one file per partition, no driver
+  * collect); reads are splittable scans (CSV/JSON split by line, ORC by
+  * stripe), so the round-trip parallelizes on both sides. The tiny
+  * coalesce(4) keeps fixture output tidy and is NOT part of the design —
+  * at scale the natural partitioning stands.
+  */
+object Formats {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_csv" -> qSourceCsv,
+    "q_source_json" -> qSourceJson,
+    "q_source_orc" -> qSourceOrc
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_source_csv" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total,
+                MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+                strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS min_day,
+                strftime(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS max_day
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_source_json" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+                CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total,
+                MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_source_orc" ->
+      """SELECT p_brand, count(*) AS cnt,
+                CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total,
+                CAST(SUM(p_size) AS BIGINT) AS sum_size
+         FROM part GROUP BY p_brand ORDER BY p_brand"""
+  )
+
+  /** Deterministic per-(sf, table) scratch dir under java.io.tmpdir;
+    * mode("overwrite") makes re-runs idempotent. */
+  private def roundtripDir(d: String, name: String): String = {
+    val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_roundtrip/${sf}_$name"
+  }
+
+  /** CSV sink + source: orders → headered CSV → explicit-schema read. */
+  private def qSourceCsv(s: SparkSession, d: String): DataFrame = {
+    val out = roundtripDir(d, "orders_csv")
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"),
+        to_date(col("o_orderdate")).as("od"))
+      .coalesce(4)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("price", DecimalType(12, 2)),
+      StructField("od", DateType)))
+    s.read.schema(schema).option("header", "true").csv(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("price")).cast(DecimalType(38, 2)).cast(StringType).as("total"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        date_format(min(col("od")), "yyyy-MM-dd").as("min_day"),
+        date_format(max(col("od")), "yyyy-MM-dd").as("max_day"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** JSON-lines sink + source: customer → JSON → explicit-schema read
+    * (the genre's log-ingestion format). */
+  private def qSourceJson(s: SparkSession, d: String): DataFrame = {
+    val out = roundtripDir(d, "customer_json")
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast(DecimalType(12, 2)).as("acct"))
+      .coalesce(4)
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_mktsegment", StringType),
+      StructField("acct", DecimalType(12, 2))))
+    s.read.schema(schema).json(out)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("acct")).cast(DecimalType(38, 2)).cast(StringType).as("total"),
+        min(col("c_custkey")).as("min_key"),
+        max(col("c_custkey")).as("max_key"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** ORC sink + source: part → ORC → explicit-schema read (the other
+    * columnar container Spark ships natively). */
+  private def qSourceOrc(s: SparkSession, d: String): DataFrame = {
+    val out = roundtripDir(d, "part_orc")
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"), col("p_brand"), col("p_size"),
+        col("p_retailprice").cast(DecimalType(12, 2)).as("price"))
+      .coalesce(4)
+      .write.mode("overwrite").orc(out)
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_brand", StringType),
+      StructField("p_size", IntegerType),
+      StructField("price", DecimalType(12, 2))))
+    s.read.schema(schema).orc(out)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("price")).cast(DecimalType(38, 2)).cast(StringType).as("total"),
+        sum(col("p_size")).cast(LongType).as("sum_size"))
+      .orderBy("p_brand")
+  }
+}

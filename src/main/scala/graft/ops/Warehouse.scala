@@ -36,6 +36,8 @@ object Warehouse {
     "q_stream_topk" -> qStreamTopk,
     "q_stream_chained" -> qStreamChained,
     "q_multimodal_decode" -> qMultimodalDecode,
+    "q_multimodal_resize" -> qMultimodalResize,
+    "q_multimodal_frames" -> qMultimodalFrames,
     "q_dashboard_daily" -> qDashboardDaily,
     "q_anomaly_iqr" -> qAnomalyIqr,
     "q_profile" -> qProfile,
@@ -145,6 +147,24 @@ object Warehouse {
                 CAST(SUM(48 + (nb * 7) % 432) AS BIGINT) AS sum_height,
                 CAST(SUM(nb // 100 + 1) AS BIGINT) AS sum_frames
          FROM dec GROUP BY source ORDER BY source""",
+    "q_multimodal_resize" ->
+      """WITH b AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS nb
+                    FROM documents)
+         SELECT media_id, CAST(nb AS BIGINT) AS nbytes,
+                CAST(CASE WHEN nb <= 64 THEN nb
+                          ELSE LEAST(64, (nb - 1) // (nb // 64) + 1) END AS BIGINT) AS resized
+         FROM b ORDER BY media_id""",
+    "q_multimodal_frames" ->
+      """WITH b AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS nb
+                    FROM documents WHERE octet_length(encode(text)) > 0),
+         f AS (SELECT media_id,
+                      LEAST((nb * k) // 4 + 16, nb) - (nb * k) // 4 AS flen
+               FROM b CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k))
+         SELECT media_id, count(*) AS n_frames,
+                CAST(SUM(flen) AS BIGINT) AS sum_flen,
+                CAST(MIN(flen) AS BIGINT) AS min_flen,
+                CAST(MAX(flen) AS BIGINT) AS max_flen
+         FROM f GROUP BY media_id ORDER BY media_id""",
     "q_dashboard_daily" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, user_id, event_id, event_type, value
                     FROM events),
@@ -433,6 +453,53 @@ object Warehouse {
         sum(col("n_frames")).cast(LongType).as("sum_frames"))
       .orderBy("source")
   }
+
+  /** Documents recast as the opaque-payload media table (the fixture ships
+    * no binary column; UTF-8 text bytes stand in for the blob). */
+  private def mediaAssets(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(
+        col("doc_id").as("media_id"),
+        lit("application/x-fake").as("mime"),
+        col("text").cast(BinaryType).as("payload"))
+      .as[graft.multimodal.Multimodal.MediaRow]
+  }
+
+  /** Multimodal resize stage: `Multimodal.resize` (STUB codec — byte
+    * subsampling to a 64-byte budget; real deployments swap in a pixel
+    * resampler) inside the same iterator-to-iterator mapPartitions shape
+    * as the decode stage. Emits (original, resized) byte sizes per asset;
+    * the oracle replays the subsample-count arithmetic on octet_length,
+    * so the partition-local transform is exact end to end. */
+  private def qMultimodalResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaAssets(s, d).mapPartitions { it =>
+      // per-partition setup would initialize the real codec here, once
+      it.map { r =>
+        val rs = graft.multimodal.Multimodal.resize(r.payload, 64)
+        (r.media_id, r.payload.length.toLong, rs.length.toLong)
+      }
+    }.toDF("media_id", "nbytes", "resized")
+      .orderBy("media_id")
+  }
+
+  /** Multimodal frame-sampling stage: `Multimodal.sampleFrames` (STUB
+    * codec — 4 evenly-spaced 16-byte windows; real deployments swap in
+    * ffmpeg keyframe extraction) as a flatMap generator — one row per
+    * sampled frame, re-aggregated per asset. Frame payloads never cross
+    * the aggregation (length projected first), so the wide stage moves
+    * integers, not media bytes. */
+  private def qMultimodalFrames(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal.sampleFrames(mediaAssets(s, d), 4)
+      .select(col("media_id"), length(col("frame")).cast(LongType).as("flen"))
+      .groupBy(col("media_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(col("flen")).cast(LongType).as("sum_flen"),
+        min(col("flen")).as("min_flen"),
+        max(col("flen")).as("max_flen"))
+      .orderBy("media_id")
 
   /** The composed daily ADS dashboard — the genre's flagship serving
     * output: PV, exact UV, purchase count, GMV in integer cents, and
