@@ -200,6 +200,27 @@ class InvariantSuite extends SparkSuite {
     })
   }
 
+  test("resize/frameSample closed forms match the q_multimodal_* oracle arithmetic") {
+    // the DuckDB oracles replay these stubs as closed-form integer
+    // arithmetic on octet_length; pin the equivalence so a stub edit
+    // can't silently diverge from the shipped oracle SQL
+    check(Prop.forAll { (bytes: Array[Byte]) =>
+      val n = bytes.length
+      val expected = if (n <= 64) n else math.min(64, (n - 1) / (n / 64) + 1)
+      Multimodal.resize(bytes, 64).length == expected
+    })
+    check(Prop.forAll { (bytes: Array[Byte]) =>
+      val n = bytes.length.toLong
+      val expected =
+        if (n == 0) Seq.empty
+        else (0 until 4).map { k =>
+          val start = n * k / 4
+          (math.min(start + 16, n) - start).toInt
+        }
+      Multimodal.frameSample(bytes, 4).map(_.length) == expected
+    })
+  }
+
   test("jaccard reference property: engine matches a pure-Scala computation") {
     def shingleSet(text: String): Set[String] =
       text.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet

@@ -242,4 +242,23 @@ class OperatorUnitSuite extends SparkSuite {
       assert(math.abs(dsd - sDev) < 5e-4, s"sd mismatch for $flag: $dsd vs $sDev")
     }
   }
+
+  test("q_agg_regr exact-sums formula matches engine-native regr_slope/regr_intercept") {
+    val dir = sf0001
+    val declared = SparkEntry.queries("q_agg_regr")(spark, dir)
+      .select("l_returnflag", "slope", "icept")
+      .as[(String, Double, Double)].collect().map { case (k, m, b) => k -> ((m, b)) }.toMap
+    val native = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        regr_slope(col("l_extendedprice"), col("l_quantity")).as("m"),
+        regr_intercept(col("l_extendedprice"), col("l_quantity")).as("b"))
+      .as[(String, Double, Double)].collect()
+    assert(native.nonEmpty)
+    native.foreach { case (flag, m, b) =>
+      val (dm, db) = declared(flag)
+      assert(math.abs(dm - m) < 5e-4, s"slope mismatch for $flag: $dm vs $m")
+      assert(math.abs(db - b) < 5e-2, s"intercept mismatch for $flag: $db vs $b")
+    }
+  }
 }

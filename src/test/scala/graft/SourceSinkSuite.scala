@@ -43,6 +43,15 @@ class SourceSinkSuite extends SparkSuite {
     assert(a == b)
   }
 
+  test("ORC source: schema-first read roundtrips exactly") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    sample.write.mode("overwrite").orc(dir)
+    val back = spark.read.schema(evSchema).orc(dir)
+    val a = sample.as[(Long, Long, String, Double, String)].collect().toSet
+    val b = back.as[(Long, Long, String, Double, String)].collect().toSet
+    assert(a == b)
+  }
+
   test("schema evolution: mergeSchema unifies old and new parquet files, old rows null-extended") {
     // a lake table gains a column mid-life; readers must see the union
     // schema with nulls for pre-evolution files
