@@ -31,7 +31,8 @@ object Formats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_csv" -> qSourceCsv,
     "q_source_json" -> qSourceJson,
-    "q_source_orc" -> qSourceOrc
+    "q_source_orc" -> qSourceOrc,
+    "q_source_partitioned" -> qSourcePartitioned
   )
 
   val oracle: Map[String, String] = Map(
@@ -51,7 +52,13 @@ object Formats {
       """SELECT p_brand, count(*) AS cnt,
                 CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total,
                 CAST(SUM(p_size) AS BIGINT) AS sum_size
-         FROM part GROUP BY p_brand ORDER BY p_brand"""
+         FROM part GROUP BY p_brand ORDER BY p_brand""",
+    "q_source_partitioned" ->
+      """SELECT source, count(*) AS cnt,
+                CAST(SUM(n_chars) AS BIGINT) AS chars,
+                MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         FROM documents WHERE lang IN ('en', 'de')
+         GROUP BY source ORDER BY source"""
   )
 
   /** Deterministic per-(sf, table) scratch dir under java.io.tmpdir;
@@ -59,6 +66,32 @@ object Formats {
   private def roundtripDir(d: String, name: String): String = {
     val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
     s"${sys.props("java.io.tmpdir")}/graft_roundtrip/${sf}_$name"
+  }
+
+  /** Hive-partitioned parquet layout: documents written
+    * `partitionBy("lang")` (one directory per language), read back with a
+    * partition-column filter. The filter never touches file contents —
+    * it prunes whole directories at planning time (`PartitionFilters` in
+    * the scan, pinned by the PlanSuite test), which is THE dominant
+    * I/O lever on a 100 TB lake: a 2-of-5-partition predicate skips 60%
+    * of the bytes before a single task launches. The oracle filters the
+    * flat parquet original, so the hash match also proves the
+    * partitioned layout loses no rows (lang itself is projected away —
+    * it lives in directory names, not the data files). */
+  private def qSourcePartitioned(s: SparkSession, d: String): DataFrame = {
+    val out = roundtripDir(d, "documents_bylang")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("n_chars")).cast(LongType).as("chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("source")
   }
 
   /** CSV sink + source: orders → headered CSV → explicit-schema read. */

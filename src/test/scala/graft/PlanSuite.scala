@@ -27,6 +27,15 @@ class PlanSuite extends SparkSuite {
     assert(!p.contains("l_extendedprice") && !p.contains("l_discount"))
   }
 
+  test("partitioned layout: lang filter becomes PartitionFilters, not a data filter") {
+    val p = planOf("q_source_partitioned")
+    // the lang IN predicate must prune directories at planning time —
+    // appearing under PartitionFilters, leaving no lang filter over rows
+    val scanSection = p.slice(p.indexOf("PartitionFilters"), p.length)
+    assert(p.contains("PartitionFilters"), p.take(2000))
+    assert(scanSection.take(200).contains("lang"), scanSection.take(400))
+  }
+
   test("dim-lookup join broadcasts the small side") {
     val p = planOf("q_join_broadcast")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
