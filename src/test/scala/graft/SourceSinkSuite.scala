@@ -68,6 +68,44 @@ class SourceSinkSuite extends SparkSuite {
     assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(30L), 4L -> Some(40L)))
   }
 
+  test("JSON source corrupt-record modes: PERMISSIVE isolates, DROPMALFORMED drops, FAILFAST throws") {
+    // log ingestion meets malformed lines; the engine must expose all
+    // three contracts, not silently coerce
+    val dir = Files.createTempDirectory("graft-corrupt").toString
+    val lines = Seq(
+      """{"id": 1, "v": "a"}""",
+      """{"id": 2, "v": "b"}""",
+      """{"id": 3, "v": """, // truncated — malformed
+      """not json at all""")
+    Files.write(java.nio.file.Paths.get(dir, "part-0.json"),
+      String.join("\n", lines: _*).getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache()
+    assert(permissive.count() == 4)
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 2)
+    assert(permissive.filter(col("_corrupt_record").isNull)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    permissive.unpersist()
+
+    val dropped = spark.read
+      .schema(StructType(schema.fields.dropRight(1)))
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() == 2)
+
+    val failfast = spark.read
+      .schema(StructType(schema.fields.dropRight(1)))
+      .option("mode", "FAILFAST").json(dir)
+    val e = intercept[org.apache.spark.SparkException](failfast.collect())
+    assert(e.getMessage.contains("FAILFAST") || e.getCause != null)
+  }
+
   test("partitioned parquet sink: partition pruning skips other partitions") {
     val dir = Files.createTempDirectory("graft-part").toString
     Tables.events(spark, sf0001)
