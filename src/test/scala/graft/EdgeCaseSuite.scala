@@ -86,6 +86,22 @@ class EdgeCaseSuite extends SparkSuite {
     assert(out == Set((1L, 1L, "a"), (2L, 1L, "b"), (3L, 3L, "c"), (4L, 3L, "d")))
   }
 
+  test("format sinks degrade cleanly on empty input: write then schema-first read give zero rows") {
+    // a legitimate filter can produce an empty day at scale; the
+    // write→read path must yield an empty table, not throw
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("lang", StringType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    empty.write.mode("overwrite").partitionBy("lang").parquet(s"$dir/p")
+    assert(spark.read.schema(schema).parquet(s"$dir/p").count() == 0)
+    empty.write.mode("overwrite").option("header", "true").csv(s"$dir/c")
+    assert(spark.read.schema(schema).option("header", "true").csv(s"$dir/c").count() == 0)
+    empty.write.mode("overwrite").json(s"$dir/j")
+    assert(spark.read.schema(schema).json(s"$dir/j").count() == 0)
+  }
+
   test("shingle arrays: doc shorter than k yields no row; duplicates collapse") {
     val docs = Seq((1L, "a b"), (2L, "x y z x y z")).toDF("doc_id", "text")
     val arr = Dedup.docShingleArrays(docs).as[(Long, Seq[String], Long)].collect()
