@@ -148,7 +148,8 @@ class ScaleOpsSuite extends SparkSuite {
       ops.StreamingAnalogs.queries, ops.Dedup.queries, ops.TextSim.queries,
       ops.Advanced.queries, ops.Warehouse.queries, ops.ScaleOps.queries,
       ops.TrainingOps.queries, ops.Quality.queries, ops.Tpch.queries,
-      ops.Graph.queries, ops.Features.queries, ops.Mining.queries)
+      ops.Graph.queries, ops.Features.queries, ops.Mining.queries,
+      ops.Formats.queries)
     assert(perModule.map(_.size).sum == q.size,
       "duplicate query names across modules would be silently shadowed")
   }
