@@ -25,7 +25,8 @@ object ScalarFuncs {
     "q_cast_types" -> qCastTypes,
     "q_array_funcs" -> qArrayFuncs,
     "q_json_extract" -> qJsonExtract,
-    "q_json_variant" -> qJsonVariant
+    "q_json_variant" -> qJsonVariant,
+    "q_map_explode" -> qMapExplode
   )
 
   val oracle: Map[String, String] = Map(
@@ -104,7 +105,18 @@ object ScalarFuncs {
                 MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                 MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
          FROM events WHERE event_type = 'purchase'
-         GROUP BY user_id ORDER BY user_id"""
+         GROUP BY user_id ORDER BY user_id""",
+    "q_map_explode" ->
+      """WITH b AS (SELECT event_type, props, unnest(json_keys(props)) AS k
+                    FROM events),
+         kv AS (SELECT event_type, k, json_extract_string(props, '$.' || k) AS v
+                FROM b
+                UNION ALL
+                SELECT event_type, 'etype', event_type FROM events)
+         SELECT event_type, k, count(*) AS n, COUNT(DISTINCT v) AS nv,
+                MIN(TRY_CAST(v AS BIGINT)) AS minv,
+                MAX(TRY_CAST(v AS BIGINT)) AS maxv
+         FROM kv GROUP BY event_type, k ORDER BY event_type, k"""
   )
 
   private def qStrFuncs(s: SparkSession, d: String): DataFrame =
@@ -227,6 +239,32 @@ object ScalarFuncs {
         max(k).as("max_k"))
       .orderBy("user_id")
   }
+
+  /** MapType surface as a declared query (previously internal-test only):
+    * `from_json` → map<string,string>, `map_concat` with a constructed
+    * literal-key map, `explode` of the map into (key, value) rows,
+    * re-aggregated per (event_type, key). The oracle replays the map as
+    * dynamic-path JSON extraction over `json_keys` plus the synthetic
+    * entry; values compare as their raw JSON token text on both sides
+    * (numeric props render identically), and min/max cast via try_cast
+    * so non-numeric values null out identically. Narrow until the final
+    * aggregation — the explode multiplies rows by map size before one
+    * map-side-combined shuffle. */
+  private def qMapExplode(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_type"),
+        map_concat(
+          from_json(col("props"), MapType(StringType, StringType)),
+          map(lit("etype"), col("event_type"))).as("m"))
+      .select(col("event_type"), explode(col("m")))
+      .groupBy(col("event_type"), col("key").as("k"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("value")).as("nv"),
+        min(expr("try_cast(value AS BIGINT)")).as("minv"),
+        max(expr("try_cast(value AS BIGINT)")).as("maxv"))
+      .orderBy("event_type", "k")
 
   private def qJsonExtract(s: SparkSession, d: String): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast(LongType)
