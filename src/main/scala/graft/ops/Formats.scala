@@ -32,7 +32,8 @@ object Formats {
     "q_source_csv" -> qSourceCsv,
     "q_source_json" -> qSourceJson,
     "q_source_orc" -> qSourceOrc,
-    "q_source_partitioned" -> qSourcePartitioned
+    "q_source_partitioned" -> qSourcePartitioned,
+    "q_source_binary" -> qSourceBinary
   )
 
   val oracle: Map[String, String] = Map(
@@ -58,7 +59,13 @@ object Formats {
                 CAST(SUM(n_chars) AS BIGINT) AS chars,
                 MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
          FROM documents WHERE lang IN ('en', 'de')
-         GROUP BY source ORDER BY source"""
+         GROUP BY source ORDER BY source""",
+    "q_source_binary" ->
+      """SELECT doc_id % 4 AS bucket, count(*) AS cnt,
+                CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+                MIN(md5(text)) AS h_min, MAX(md5(text)) AS h_max
+         FROM documents GROUP BY 1 ORDER BY bucket"""
   )
 
   /** Deterministic per-(sf, table) scratch dir under java.io.tmpdir;
@@ -92,6 +99,50 @@ object Formats {
         min(col("doc_id")).as("min_id"),
         max(col("doc_id")).as("max_id"))
       .orderBy("source")
+  }
+
+  /** binaryFile source — the multimodal/raw-object ingest path: a crawler
+    * or media pipeline lands one FILE per object on the lake, and the
+    * engine's first job reads those raw bytes into a table. The write
+    * side here is a distributed foreachPartition landing each document's
+    * UTF-8 bytes as its own `doc_<id>.txt` (the object-store layout);
+    * the read side is `spark.read.format("binaryFile")` with a
+    * pathGlobFilter, which yields (path, modificationTime, length,
+    * content) rows — splittable across files, one task per file batch
+    * (`maxPartitionBytes` sizes the batches at scale). The doc_id is
+    * recovered from the filename, and the aggregate carries count, byte
+    * totals, and per-bucket min/max MD5 of the CONTENT — the oracle
+    * computes the same digests from the parquet text, so the hash match
+    * proves the bytes survived the file round-trip intact (the actual
+    * claim an ingest path needs to prove). */
+  private def qSourceBinary(s: SparkSession, d: String): DataFrame = {
+    val out = roundtripDir(d, "documents_bin")
+    val dir = new java.io.File(out)
+    if (dir.exists()) dir.listFiles().foreach(_.delete()) else dir.mkdirs()
+    Tables.documents(s, d)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, f"doc_${r.getLong(0)}%06d.txt"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(out)
+      .select(
+        regexp_extract(element_at(split(col("path"), "/"), -1), "doc_(\\d+)", 1)
+          .cast(LongType).as("doc_id"),
+        col("length"),
+        md5(col("content")).as("h"))
+      .groupBy((col("doc_id") % 4).as("bucket"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("length")).cast(LongType).as("total_bytes"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        min(col("h")).as("h_min"),
+        max(col("h")).as("h_max"))
+      .orderBy("bucket")
   }
 
   /** CSV sink + source: orders → headered CSV → explicit-schema read. */

@@ -40,6 +40,7 @@ import graft.Dsl._
 object Tpch {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q1" -> qTpchQ1,
     "q_tpch_q4" -> qTpchQ4,
     "q_tpch_q6" -> qTpchQ6,
     "q_tpch_q7" -> qTpchQ7,
@@ -60,6 +61,22 @@ object Tpch {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_base_price,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                     AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+                              (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
+                     AS DECIMAL(38,6)) AS VARCHAR) AS sum_charge,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
     "q_tpch_q2" ->
       """WITH ps AS (
            SELECT l_partkey, l_suppkey,
@@ -313,6 +330,37 @@ object Tpch {
   private def revenue: Column =
     dec(col("l_extendedprice"), 12, 2) *
       (lit(1).cast(DecimalType(4, 2)) - dec(col("l_discount"), 4, 2))
+
+  /** TPC-H Q1 (pricing summary report): THE scan-aggregate benchmark — a
+    * single pass over the fact table into a tiny (returnflag, linestatus)
+    * group space. The shipdate predicate pushes to the parquet scan; the
+    * four money sums ride ONE partial+final hash aggregate (map-side
+    * combine reduces the shuffle to n_groups rows per partition — at
+    * 100 TB the exchange carries kilobytes). All sums are decimal-exact
+    * (scale pinned 2/2/4/6 then VARCHAR); the canonical avg columns are
+    * omitted — they are sum/count quotients of emitted columns, and
+    * cross-engine decimal-division rounding is the one part of Q1 that
+    * is not bit-reproducible. */
+  private def qTpchQ1(s: SparkSession, d: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(4, 2))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"), 12, 2)).as("sq"),
+        sum(dec(col("l_extendedprice"), 12, 2)).as("sb"),
+        sum(revenue).as("sd"),
+        sum(revenue * (one + dec(col("l_tax"), 4, 2))).as("sc"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        decStr(col("sq"), 2).as("sum_qty"),
+        decStr(col("sb"), 2).as("sum_base_price"),
+        decStr(col("sd"), 4).as("sum_disc_price"),
+        decStr(col("sc"), 6).as("sum_charge"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
 
   /** TPC-H Q4 (order-priority checking), adapted: the fixture has no
     * l_commitdate/l_receiptdate, so "late" is re-expressed as an order
