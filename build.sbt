@@ -18,6 +18,10 @@ run / fork := true
 // place). Spark's own logging goes to stderr (log4j2 SYSTEM_ERR
 // appender), so stdout stays clean for the JSON.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Drop the trailing "[success] Total time: …" line so the JSON line Bench
+// prints is the LAST stdout line — harness parsers that take only the
+// final line then succeed too.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -20,13 +20,16 @@ object Tables {
 
   /** Read one fixture table.
     *
-    * `events.ts` is parquet `TIMESTAMP(NANOS,false)`, which Spark's reader
-    * rejects (`PARQUET_TYPE_ILLEGAL`) unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true`. We set it at runtime (this
-    * works on an already-built session) so the driver-created session in
-    * Verify/Bench works too. `ts` then surfaces as LongType nanos; we expose
-    * a derived µs timestamp column `t` via integer division (never `/1000` +
-    * cast — double rounding can shift the value by 1µs).
+    * `events.ts` history: the original fixtures wrote parquet
+    * `TIMESTAMP(NANOS,false)` (read as LongType nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong`); the 2026-08-13 regeneration
+    * writes `TIMESTAMP(MICROS,false)`, which Spark reads natively as
+    * TIMESTAMP_NTZ. Every consumer (and every oracle comment about the
+    * `ts DIV 1000` µs-truncation rule) was written against the int64-ns
+    * contract, so we reconstruct it here at the single load point:
+    * `ts` = int64 epoch NANOseconds (µs-aligned now), `t` = the µs
+    * TimestampType. The NTZ→Timestamp cast is wall-value-preserving
+    * because every session pins spark.sql.session.timeZone=UTC.
     */
   /** Tables whose consumers are CPU-bound per input row (shingle explosion,
     * 64-dim dot products) — for these the one-task single-row-group scan
@@ -40,9 +43,9 @@ object Tables {
     Engine.init(spark)
     val raw =
       if (name == "events") {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+          .withColumn("t", col("ts").cast(TimestampType))
+          .withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
       } else {
         spark.read.parquet(s"$dir/$name.parquet")
       }
