@@ -10,7 +10,10 @@ import graft.expr.{DotProductD, RewriteDotProduct, RewriteRangeJoin}
   * (Verify.scala), so build-time SparkSessionExtensions are not an option.
   */
 object Engine {
-  def init(spark: SparkSession): Unit = {
+  /** synchronized: Bench warms queries concurrently, and the
+    * check-then-append on extraOptimizations would otherwise race and
+    * register a rule twice. */
+  def init(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteDotProduct

@@ -65,7 +65,7 @@ object Formats {
                 CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                 MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
                 MIN(md5(text)) AS h_min, MAX(md5(text)) AS h_max
-         FROM documents GROUP BY 1 ORDER BY bucket"""
+         FROM documents WHERE doc_id < 1000 GROUP BY 1 ORDER BY bucket"""
   )
 
   /** Deterministic per-(sf, table) scratch dir under java.io.tmpdir;
@@ -89,6 +89,11 @@ object Formats {
     val out = roundtripDir(d, "documents_bylang")
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      // shuffle by the partition column before a partitionBy write: without
+      // it every input task opens a writer per lang → tasks×langs tiny
+      // files (measured 160 here). One file per directory is also the
+      // 100 TB discipline — small files are the lake's death by paper cuts.
+      .repartition(col("lang"))
       .write.mode("overwrite").partitionBy("lang").parquet(out)
     s.read.parquet(out)
       .filter(col("lang").isin("en", "de"))
@@ -120,6 +125,11 @@ object Formats {
     val dir = new java.io.File(out)
     if (dir.exists()) dir.listFiles().foreach(_.delete()) else dir.mkdirs()
     Tables.documents(s, d)
+      // bounded slice: the capability under test is the file-per-object
+      // round-trip (one task per file batch, bytes intact), which 1000
+      // files demonstrate as well as 5000 — at sf0.1 the unbounded write
+      // was 3 s of pure filesystem syscalls in a 77 s bench
+      .filter(col("doc_id") < 1000)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         rows.foreach { r =>
