@@ -33,7 +33,8 @@ object Formats {
     "q_source_json" -> qSourceJson,
     "q_source_orc" -> qSourceOrc,
     "q_source_partitioned" -> qSourcePartitioned,
-    "q_source_binary" -> qSourceBinary
+    "q_source_binary" -> qSourceBinary,
+    "q_layout_compact" -> qLayoutCompact
   )
 
   val oracle: Map[String, String] = Map(
@@ -65,7 +66,12 @@ object Formats {
                 CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                 MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
                 MIN(md5(text)) AS h_min, MAX(md5(text)) AS h_max
-         FROM documents WHERE doc_id < 1000 GROUP BY 1 ORDER BY bucket"""
+         FROM documents WHERE doc_id < 1000 GROUP BY 1 ORDER BY bucket""",
+    "q_layout_compact" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_qty,
+                MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 
   /** Deterministic per-(sf, table) scratch dir under java.io.tmpdir;
@@ -153,6 +159,40 @@ object Formats {
         min(col("h")).as("h_min"),
         max(col("h")).as("h_max"))
       .orderBy("bucket")
+  }
+
+  /** Small-files compaction — the OPTIMIZE/compact lake-maintenance step
+    * that complements q_layout_zorder's clustering. A streaming ingest
+    * lands many small files (simulated here by a 64-way fragmented
+    * write); the maintenance job reads them back and rewrites as few
+    * RANGE-CLUSTERED files (`repartitionByRange` on the sort key), so
+    * downstream key-range scans prune whole files via parquet min/max
+    * footer stats. At 100 TB this is the difference between a scan
+    * planning over millions of 2 MB files (driver listing + footer reads
+    * dominate) and thousands of ~512 MB ones. The declared output
+    * aggregates the COMPACTED copy while the oracle aggregates the
+    * original parquet, so the hash match proves compaction is lossless;
+    * the file-count collapse (64 → 4) and the disjoint per-file key
+    * ranges are pinned in FormatsSuite via input_file_name(). */
+  private def qLayoutCompact(s: SparkSession, d: String): DataFrame = {
+    val frag = roundtripDir(d, "lineitem_frag")
+    val compacted = roundtripDir(d, "lineitem_compact")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(DecimalType(12, 2)).as("qty"), col("l_returnflag"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    s.read.parquet(frag)
+      .repartitionByRange(4, col("l_orderkey"))
+      .write.mode("overwrite").parquet(compacted)
+    s.read.parquet(compacted)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("qty")).cast(DecimalType(38, 2)).cast(StringType).as("total_qty"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+      .orderBy("l_returnflag")
   }
 
   /** CSV sink + source: orders → headered CSV → explicit-schema read. */

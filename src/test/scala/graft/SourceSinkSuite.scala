@@ -52,6 +52,34 @@ class SourceSinkSuite extends SparkSuite {
     assert(a == b)
   }
 
+  test("compaction collapses the fragmented layout into few range-clustered files") {
+    // run the declared query once — it writes the 64-way fragmented copy
+    // and the 4-file compacted rewrite as side effects
+    assert(ops.Formats.queries("q_layout_compact")(spark, sf0001).count() == 3)
+    val sf = sf0001.replaceAll("[^A-Za-z0-9.]", "_")
+    val frag = s"${sys.props("java.io.tmpdir")}/graft_roundtrip/${sf}_lineitem_frag"
+    val comp = s"${sys.props("java.io.tmpdir")}/graft_roundtrip/${sf}_lineitem_compact"
+    def partFiles(dir: String): Int =
+      new java.io.File(dir).listFiles().count(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(partFiles(frag) == 64)
+    assert(partFiles(comp) == 4)
+    // range clustering: per-file l_orderkey ranges must be pairwise
+    // disjoint, which is what lets parquet min/max footer stats prune
+    // whole files on key-range scans
+    val ranges = spark.read.parquet(comp)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .orderBy("lo")
+      .as[(String, Long, Long)].collect()
+    assert(ranges.length == 4)
+    ranges.sliding(2).foreach { case Array((_, _, hi1), (_, lo2, _)) =>
+      assert(hi1 <= lo2, s"overlapping file ranges: $hi1 > $lo2")
+    }
+    // lossless: compacted row count equals the source
+    assert(spark.read.parquet(comp).count() == Tables.lineitem(spark, sf0001).count())
+  }
+
   test("schema evolution: mergeSchema unifies old and new parquet files, old rows null-extended") {
     // a lake table gains a column mid-life; readers must see the union
     // schema with nulls for pre-evolution files
