@@ -44,7 +44,8 @@ object Plans {
     "q_text_pmi",        // unhinted vocab joins + 1-row token-total broadcast scalar
     "q_index_inverted",  // postings bounded BEFORE aggregation, one exchange reused
     "q_feat_scale",      // groups-sized min-max broadcast back, fact never shuffles
-    "q_source_partitioned" // hive-partitioned layout: PartitionFilters directory pruning
+    "q_source_partitioned", // hive-partitioned layout: PartitionFilters directory pruning
+    "q_layout_compact"   // small-files compaction: range-clustered rewrite, footer-stat pruning
   )
 
   def main(args: Array[String]): Unit = {
