@@ -20,6 +20,24 @@ class EdgeCaseSuite extends SparkSuite {
   private def oneDoc =
     Seq((1L, "a b c d e f")).toDF("doc_id", "text")
 
+  test("events loader contract: ts is µs-aligned epoch nanos and t is its exact timestamp") {
+    // the 2026-08-13 fixture regeneration changed the parquet physical
+    // type under us once (NANOS → MICROS); this pins the reconstructed
+    // contract every ts consumer assumes, so a future regeneration that
+    // breaks it fails HERE with a named assertion, not in 40 queries
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf0001)
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    assert(ev.schema("t").dataType == org.apache.spark.sql.types.TimestampType)
+    val bad = ev.filter(
+      col("ts") % 1000 =!= 0 ||
+      col("t") =!= expr("timestamp_micros(ts DIV 1000)")).count()
+    assert(bad == 0)
+    // values are real 2024 event times, not zero/garbage
+    val (lo, hi) = ev.agg(min("ts"), max("ts")).as[(Long, Long)].head()
+    assert(lo > 1700000000L * 1000000000L && hi < 1800000000L * 1000000000L)
+  }
+
   test("dedup joins: empty corpus gives empty pairs, one doc gives no pairs") {
     assert(Dedup.prefixPairs(emptyDocs).count() == 0)
     assert(Dedup.minhashPairs(emptyDocs).count() == 0)
