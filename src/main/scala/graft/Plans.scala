@@ -45,7 +45,9 @@ object Plans {
     "q_index_inverted",  // postings bounded BEFORE aggregation, one exchange reused
     "q_feat_scale",      // groups-sized min-max broadcast back, fact never shuffles
     "q_source_partitioned", // hive-partitioned layout: PartitionFilters directory pruning
-    "q_layout_compact"   // small-files compaction: range-clustered rewrite, footer-stat pruning
+    "q_layout_compact",  // small-files compaction: range-clustered rewrite, footer-stat pruning
+    "q_dedup_contain",   // containment filter over the shared inverted-index core
+    "q_text_drift"       // one corpus pass, vocabulary-scale pair join after
   )
 
   def main(args: Array[String]): Unit = {

@@ -20,6 +20,10 @@ import graft.Tables
   *    signature per doc; oracle-matched end to end via an md5-derived
   *    shingle hash (spec-pinned in both engines), plus unit tests on the
   *    planted near-dup pairs.
+  *
+  * Plus the asymmetric measure: CONTAINMENT (|A∩B|/min) over the same
+  * inverted-index core — catches a snippet duplicated inside a much
+  * longer page, which union-normalized Jaccard structurally misses.
   */
 object Dedup {
 
@@ -29,6 +33,7 @@ object Dedup {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_prefix" -> qDedupPrefix,
+    "q_dedup_contain" -> qDedupContain,
     "q_dedup_cluster" -> qDedupCluster
   )
 
@@ -54,6 +59,22 @@ object Dedup {
     "q_dedup_near" -> nearOracle,
     "q_dedup_minhash" -> nearOracle,
     "q_dedup_prefix" -> nearOracle,
+    // containment: same shingle CTEs as the Jaccard oracle, but the filter
+    // normalizes by the SMALLER set — the asymmetric measure that catches
+    // a short doc embedded in a long one, which Jaccard's union-normalized
+    // ratio structurally misses
+    "q_dedup_contain" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM tok),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM pos),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+         SELECT d1, d2, inter, least(x.n, y.n) AS minsz
+         FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         WHERE inter * 10 >= 9 * least(x.n, y.n)
+         ORDER BY d1, d2""",
     // replays the full simhash pipeline: md5-derived 64-bit shingle hash
     // (two hex halves), per-bit ±1 vote, sign fold with tie→1 (v >= 0),
     // then all pairs at hamming distance <= 12 over the two 32-bit
@@ -219,8 +240,21 @@ object Dedup {
     * cache: per-doc shingles are already distinct there, so the inverted
     * index is one explode + groupBy(shingle), and per-doc set sizes come
     * straight off the cached `n` column instead of a second aggregate. */
-  def nearPairs(s: SparkSession, d: String): DataFrame = {
-    val arrays = cachedDocArrays(s, d)
+  def nearPairs(s: SparkSession, d: String): DataFrame =
+    interCounts(s, d)
+      .withColumn("unionsz", col("n1") + col("n2") - col("inter"))
+      .filter(col("inter") * 10 >= col("unionsz") * 8)
+      .select(col("d1"), col("d2"), col("inter"), col("unionsz"))
+
+  /** All co-occurring doc pairs with their shingle-set intersection size
+    * and both set sizes: (d1, d2, inter, n1, n2) — the shared core of the
+    * inverted-index ground truth. Jaccard (q_dedup_near) and containment
+    * (q_dedup_contain) are just different integer filters over it. */
+  private def interCounts(s: SparkSession, d: String): DataFrame =
+    interCountsOf(cachedDocArrays(s, d))
+
+  /** [[interCounts]] over any pre-materialized shingle-array table. */
+  def interCountsOf(arrays: DataFrame): DataFrame = {
     val raw = arrays.select(col("doc_id"), explode(col("sa")).as("s"))
     val inv = raw.groupBy(col("s")).agg(sort_array(collect_set(col("doc_id"))).as("ds"))
     val sz = arrays.select(col("doc_id"), col("n"))
@@ -235,9 +269,6 @@ object Dedup {
     inter
       .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
       .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
-      .withColumn("unionsz", col("n1") + col("n2") - col("inter"))
-      .filter(col("inter") * 10 >= col("unionsz") * 8)
-      .select(col("d1"), col("d2"), col("inter"), col("unionsz"))
       .orderBy("d1", "d2")
   }
 
@@ -341,6 +372,31 @@ object Dedup {
       .distinct()
     verifyByArrays(candidates, arrays).orderBy("d1", "d2")
   }
+
+  /** CONTAINMENT near-dup detection: |A∩B| / min(|A|,|B|) >= 0.9 — the
+    * asymmetric companion to Jaccard. A 100-shingle snippet verbatim
+    * inside a 10,000-shingle page has Jaccard ~0.01 (invisible to
+    * q_dedup_near's union-normalized filter) but containment 1.0; corpus
+    * pipelines run BOTH measures because quotes, boilerplate wrappers,
+    * and re-posts duplicate content at very different lengths. Shares the
+    * inverted-index inter-count core with q_dedup_near (one integer
+    * filter swap: ×min instead of ×union), so the 100 TB shape is
+    * identical — and the LSH family does NOT transfer here (MinHash
+    * estimates Jaccard, not containment), which is why the exact
+    * inverted-index path earns its keep. Integer-only filter:
+    * inter·10 >= 9·min(n1,n2). */
+  private def qDedupContain(s: SparkSession, d: String): DataFrame =
+    containFilter(interCounts(s, d)).orderBy("d1", "d2")
+
+  /** Containment >= 0.9 pairs over any (doc_id, text) DataFrame —
+    * exercised on constructed snippet-in-page corpora in MiningSuite. */
+  def containPairs(docs: DataFrame): DataFrame =
+    containFilter(interCountsOf(docShingleArrays(docs)))
+
+  private def containFilter(ic: DataFrame): DataFrame =
+    ic.filter(col("inter") * 10 >= least(col("n1"), col("n2")) * 9)
+      .select(col("d1"), col("d2"), col("inter"),
+        least(col("n1"), col("n2")).as("minsz"))
 
   /** Dedup cluster selection — the FINAL stage of corpus dedup: group the
     * near-dup pairs into connected components and pick one canonical doc

@@ -18,7 +18,8 @@ import graft.Tables
   * format-dependent gamble), timestamps to DATE where the query only
   * needs day precision, and every read supplies the schema explicitly —
   * schema inference on a 100 TB lake is both slow (extra pass) and
-  * drift-prone.
+  * drift-prone. (q_source_evolve is the deliberate exception: resolving
+  * two on-disk schema generations via mergeSchema IS its capability.)
   *
   * Scale notes: writes are distributed (one file per partition, no driver
   * collect); reads are splittable scans (CSV/JSON split by line, ORC by
@@ -34,6 +35,7 @@ object Formats {
     "q_source_orc" -> qSourceOrc,
     "q_source_partitioned" -> qSourcePartitioned,
     "q_source_binary" -> qSourceBinary,
+    "q_source_evolve" -> qSourceEvolve,
     "q_layout_compact" -> qLayoutCompact
   )
 
@@ -67,6 +69,21 @@ object Formats {
                 MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
                 MIN(md5(text)) AS h_min, MAX(md5(text)) AS h_max
          FROM documents WHERE doc_id < 1000 GROUP BY 1 ORDER BY bucket""",
+    "q_source_evolve" ->
+      """WITH u AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+                  CAST(NULL AS VARCHAR) AS pri
+           FROM orders WHERE o_orderkey % 2 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus,
+                  CAST(o_totalprice AS DECIMAL(12,2)), o_orderpriority
+           FROM orders WHERE o_orderkey % 2 = 1)
+         SELECT o_orderstatus, count(*) AS cnt,
+                CAST(SUM(CASE WHEN pri IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+                CAST(SUM(CASE WHEN pri IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+                CAST(CAST(SUM(price) AS DECIMAL(38,2)) AS VARCHAR) AS total
+         FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_layout_compact" ->
       """SELECT l_returnflag, count(*) AS cnt,
                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_qty,
@@ -159,6 +176,44 @@ object Formats {
         min(col("h")).as("h_min"),
         max(col("h")).as("h_max"))
       .orderBy("bucket")
+  }
+
+  /** SCHEMA EVOLUTION on a parquet lake: generation 1 lands without the
+    * priority column, generation 2 (a later producer release) adds it.
+    * `mergeSchema` unions the footers at read time — old files surface
+    * the new column as NULL, no rewrite of 50 PB of history required.
+    * This is the lake reality every long-lived pipeline hits; the
+    * mergeSchema read is the Spark-native answer to it (schema merging is
+    * a planning-time footer union, NOT a data pass — per-file cost is one
+    * footer read, same as any scan). The aggregate counts rows per
+    * generation via the evolved column's NULL-ness and sums the price
+    * across both, and the oracle rebuilds the same two-generation union
+    * from the parquet original — a hash match proves the evolved read
+    * loses neither rows nor the new column's values. The explicit
+    * .schema(...) discipline used by every other source query is
+    * deliberately ABSENT here: resolving generations is the capability
+    * under test. */
+  private def qSourceEvolve(s: SparkSession, d: String): DataFrame = {
+    val out = roundtripDir(d, "orders_evolve")
+    val o = Tables.orders(s, d)
+    val price = col("o_totalprice").cast(DecimalType(12, 2)).as("price")
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), price)
+      .coalesce(2)
+      .write.mode("overwrite").parquet(s"$out/v1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), price,
+        col("o_orderpriority").as("pri"))
+      .coalesce(2)
+      .write.mode("overwrite").parquet(s"$out/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("pri").isNull, 1L).otherwise(0L)).cast(LongType).as("n_v1"),
+        sum(when(col("pri").isNotNull, 1L).otherwise(0L)).cast(LongType).as("n_v2"),
+        sum(col("price")).cast(DecimalType(38, 2)).cast(StringType).as("total"))
+      .orderBy("o_orderstatus")
   }
 
   /** Small-files compaction — the OPTIMIZE/compact lake-maintenance step

@@ -19,7 +19,10 @@ import graft.Dsl.dec
   *    deviation — the robust z-score every telemetry pipeline runs;
   *    resistant to the heavy tails that wreck stddev fences);
   *  - WINSORIZATION of a revenue measure per group at the dyadic
-  *    12.5/87.5 percentiles (outlier clipping before training).
+  *    12.5/87.5 percentiles (outlier clipping before training);
+  *  - cross-corpus VOCABULARY DRIFT (per language pair: shared/one-sided
+  *    vocabulary and >2× frequency-ratio shifts via exact integer
+  *    cross-multiplication — the training-mix monitoring signal).
   *
   * Determinism (SURVEY.md §2.0): all integer / fixed-point. Medians and
   * dyadic percentiles of integer cents interpolate on .5 / k·(1/8) steps,
@@ -47,7 +50,8 @@ object Mining {
     "q_dedup_span" -> qDedupSpan,
     "q_text_pmi" -> qTextPmi,
     "q_anomaly_mad" -> qAnomalyMad,
-    "q_feat_clip" -> qFeatClip
+    "q_feat_clip" -> qFeatClip,
+    "q_text_drift" -> qTextDrift
   )
 
   val oracle: Map[String, String] = Map(
@@ -97,6 +101,23 @@ object Mining {
                 CAST(SUM(CASE WHEN d.dev2 * 2 > 3 * md.mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_out
          FROM d JOIN md USING (event_type)
          GROUP BY d.event_type ORDER BY d.event_type""",
+    "q_text_drift" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+         c AS (SELECT lang, w, count(*) AS c FROM t GROUP BY lang, w),
+         tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY lang),
+         v AS (SELECT c.lang, c.w, c.c, tot.t FROM c JOIN tot ON c.lang = tot.lang),
+         pr AS (SELECT x.lang AS l1, y.lang AS l2, count(*) AS n_common,
+                       CAST(SUM(CASE WHEN x.c * y.t > 2 * y.c * x.t
+                                       OR y.c * x.t > 2 * x.c * y.t
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_shift
+                FROM v x JOIN v y ON x.w = y.w AND x.lang < y.lang
+                GROUP BY x.lang, y.lang),
+         vocab AS (SELECT lang, count(*) AS nv FROM c GROUP BY lang)
+         SELECT pr.l1, pr.l2, a.nv AS nv1, b.nv AS nv2, pr.n_common,
+                a.nv - pr.n_common AS n_only_1, b.nv - pr.n_common AS n_only_2,
+                pr.n_shift
+         FROM pr JOIN vocab a ON pr.l1 = a.lang JOIN vocab b ON pr.l2 = b.lang
+         ORDER BY pr.l1, pr.l2""",
     "q_feat_clip" ->
       """WITH l AS (SELECT l_returnflag AS flag,
                            CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
@@ -220,6 +241,53 @@ object Mining {
            sum(when(col("dev2") * 2 > lit(3) * col("mad4"), 1L).otherwise(0L))
              .cast(LongType).as("n_out"))
       .orderBy("event_type")
+  }
+
+  /** Cross-corpus VOCABULARY DRIFT: for every language pair, how far apart
+    * are the unigram distributions — shared vocabulary, one-sided
+    * vocabulary, and the count of shared tokens whose relative frequency
+    * differs by more than 2× (the distribution-shift signal a training-mix
+    * pipeline monitors before re-weighting domains; KL/JSD would carry the
+    * same signal but through libm logs, which rule §2.0.7 bans from
+    * oracle-matched output). The 2× ratio test is EXACT integer
+    * cross-multiplication — c₁·t₂ > 2·c₂·t₁ — no division, no floats;
+    * int64 headroom: count·total < 2⁶² holds to ~10⁹-token corpora per
+    * group, then promote to DECIMAL(38,0).
+    *
+    * Scale shape: the heavy pass is one map-side-combinable (lang, word)
+    * count over the token stream; everything after is vocabulary-scale.
+    * The pair join is on the word key UNHINTED (same reasoning as PMI:
+    * bounded but heavy-tailed vocabularies — the size estimate picks
+    * broadcast vs shuffle), and with L languages each word fans out to at
+    * most L·(L−1)/2 pairs — group count, not corpus count. */
+  private def qTextDrift(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      // three consumers (totals, both join probes) — materialize the
+      // vocabulary-sized table once rather than re-scanning the corpus
+      .localCheckpoint()
+    val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).cast(LongType).as("t"))
+    val v = cnt.join(tot, Seq("lang"))
+    val x = v.select(col("lang").as("l1"), col("w"), col("c").as("c1"), col("t").as("t1"))
+    val y = v.select(col("lang").as("l2"), col("w"), col("c").as("c2"), col("t").as("t2"))
+    val pr = x.join(y, Seq("w"))
+      .filter(col("l1") < col("l2"))
+      .groupBy(col("l1"), col("l2"))
+      .agg(
+        count(lit(1)).as("n_common"),
+        sum(when(col("c1") * col("t2") > lit(2) * col("c2") * col("t1") ||
+                 col("c2") * col("t1") > lit(2) * col("c1") * col("t2"), 1L)
+          .otherwise(0L)).cast(LongType).as("n_shift"))
+    val vocab = cnt.groupBy(col("lang")).agg(count(lit(1)).as("nv"))
+    pr
+      .join(vocab.select(col("lang").as("l1"), col("nv").as("nv1")), Seq("l1"))
+      .join(vocab.select(col("lang").as("l2"), col("nv").as("nv2")), Seq("l2"))
+      .select(col("l1"), col("l2"), col("nv1"), col("nv2"), col("n_common"),
+        (col("nv1") - col("n_common")).as("n_only_1"),
+        (col("nv2") - col("n_common")).as("n_only_2"),
+        col("n_shift"))
+      .orderBy("l1", "l2")
   }
 
   /** Winsorization per return flag at the DYADIC 12.5/87.5 percentiles

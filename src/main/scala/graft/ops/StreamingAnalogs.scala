@@ -25,6 +25,7 @@ object StreamingAnalogs {
     "q_stream_late" -> qStreamLate,
     "q_stream_stateful" -> qStreamStateful,
     "q_stream_interval_join" -> qStreamIntervalJoin,
+    "q_stream_outer_join" -> qStreamOuterJoin,
     "q_stream_uv" -> qStreamUv,
     "q_cdc_compact" -> qCdcCompact
   )
@@ -96,6 +97,18 @@ object StreamingAnalogs {
          JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type = 'purchase') b
            ON a.user_id = b.user_id AND b.t > a.t AND b.t <= a.t + INTERVAL 1 HOUR
          GROUP BY a.user_id ORDER BY a.user_id""",
+    "q_stream_outer_join" ->
+      """WITH c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events
+                    WHERE event_type = 'click'),
+         p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events
+               WHERE event_type = 'purchase'),
+         j AS (SELECT c.user_id, c.event_id, p.t AS tp
+               FROM c LEFT JOIN p
+                 ON c.user_id = p.user_id AND p.t > c.t AND p.t <= c.t + INTERVAL 1 HOUR),
+         per AS (SELECT user_id, event_id, count(tp) AS np FROM j GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_clicks, CAST(SUM(np) AS BIGINT) AS n_pairs,
+                CAST(SUM(CASE WHEN np = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+         FROM per GROUP BY user_id ORDER BY user_id""",
     "q_stream_uv" ->
       """SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
                 COUNT(DISTINCT user_id) AS uv, count(*) AS pv
@@ -295,6 +308,31 @@ object StreamingAnalogs {
       ev.filter(col("event_type") === "purchase"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("cnt"))
+      .orderBy("user_id")
+  }
+
+  /** LEFT OUTER stream-stream interval join analog: every click keeps a
+    * row even when no purchase follows within the hour. In streaming this
+    * is the genuinely harder interval-join shape — Spark may emit the
+    * null-extended row only after BOTH watermarks pass the click's join
+    * bound (state and latency bounded by interval + watermark delay;
+    * pinned against batch by the equivalence suite). The analog rolls the
+    * joined rows up per user: clicks, matched pairs, and clicks that
+    * never converted — the unmatched count is exactly what the inner form
+    * (q_stream_interval_join) cannot express. count(t_purch) counts only
+    * non-null matches, so the per-click rollup needs no null flag. */
+  private def qStreamOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    StreamOps.clickToPurchaseLeft(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .groupBy(col("user_id"), col("click_id"))
+      .agg(count(col("t_purch")).as("np"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        sum(col("np")).cast(LongType).as("n_pairs"),
+        sum(when(col("np") === 0, 1L).otherwise(0L)).cast(LongType).as("n_unmatched"))
       .orderBy("user_id")
   }
 }

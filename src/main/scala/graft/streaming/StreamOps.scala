@@ -242,7 +242,7 @@ object StreamOps {
         col("t_purch") > col("t_click") &&
         col("t_purch") <= col("t_click") + expr("INTERVAL 1 HOUR"),
       "left_outer")
-      .select(col("click_id"), col("t_purch"))
+      .select(col("user_id"), col("click_id"), col("t_purch"))
   }
 
   /** KEYLESS stream-stream band join: purchase → error within 10 min

@@ -86,4 +86,46 @@ class MiningSuite extends SparkSuite {
     assert(bad == 0, "winsorized sum must lie inside the fence envelope")
     out.unpersist()
   }
+
+  test("dedup_contain: snippet-in-page found at containment 1.0 where Jaccard misses it") {
+    import spark.implicits._
+    // doc 2 is doc 1's 5 leading words verbatim inside 20 words of filler:
+    // shingle sets |A|=3, |B|=20, inter=3 → containment 1.0, Jaccard 3/20
+    val snippet = "alpha beta gamma delta epsilon"
+    val page = snippet + " f1 f2 f3 f4 f5 f6 f7 f8 f9 f10 f11 f12 f13 f14 f15 f16 f17 f18"
+    val docs = Seq((1L, snippet), (2L, page)).toDF("doc_id", "text")
+    val contain = ops.Dedup.containPairs(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(contain == Seq((1L, 2L, 3L, 3L)), s"got $contain")
+    val jaccard = ops.Dedup.jaccardPairs(ops.Dedup.shingles(docs)).count()
+    assert(jaccard == 0, "union-normalized Jaccard must NOT flag the pair")
+  }
+
+  test("dedup_contain subsumes symmetric near-dups: every Jaccard>=0.9 pair is contained") {
+    // J >= 0.9 ⇒ inter/min >= inter/union... >= 0.9; on the fixture corpus
+    // the q_dedup_near pairs at J >= 0.9 must all reappear in contain
+    import spark.implicits._
+    val near = SparkEntry.queries("q_dedup_near")(spark, sf0001)
+      .filter(col("inter") * 10 >= col("unionsz") * 9)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val contain = SparkEntry.queries("q_dedup_contain")(spark, sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(near.subsetOf(contain), s"missing: ${near -- contain}")
+  }
+
+  test("text_drift: vocabulary accounting is exact and pairs cover all lang pairs") {
+    val out = SparkEntry.queries("q_text_drift")(spark, sf0001).cache()
+    val langs = Tables.documents(spark, sf0001)
+      .select("lang").distinct().count().toInt
+    assert(out.count() == langs.toLong * (langs - 1) / 2, "one row per unordered pair")
+    out.collect().foreach { r =>
+      val (nv1, nv2) = (r.getAs[Long]("nv1"), r.getAs[Long]("nv2"))
+      val common = r.getAs[Long]("n_common")
+      assert(r.getAs[Long]("n_only_1") == nv1 - common)
+      assert(r.getAs[Long]("n_only_2") == nv2 - common)
+      assert(common <= math.min(nv1, nv2))
+      assert(r.getAs[Long]("n_shift") <= common, "shifted tokens are shared tokens")
+    }
+    out.unpersist()
+  }
 }
