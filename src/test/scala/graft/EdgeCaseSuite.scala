@@ -43,6 +43,8 @@ class EdgeCaseSuite extends SparkSuite {
     assert(Dedup.minhashPairs(emptyDocs).count() == 0)
     assert(Dedup.prefixPairs(oneDoc).count() == 0)
     assert(Dedup.minhashPairs(oneDoc).count() == 0)
+    assert(Dedup.containPairs(emptyDocs).count() == 0)
+    assert(Dedup.containPairs(oneDoc).count() == 0)
   }
 
   test("connectedComponents: empty edge list gives empty labels; self-loop is a singleton") {
