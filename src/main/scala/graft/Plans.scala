@@ -47,7 +47,9 @@ object Plans {
     "q_source_partitioned", // hive-partitioned layout: PartitionFilters directory pruning
     "q_layout_compact",  // small-files compaction: range-clustered rewrite, footer-stat pruning
     "q_dedup_contain",   // containment filter over the shared inverted-index core
-    "q_text_drift"       // one corpus pass, vocabulary-scale pair join after
+    "q_text_drift",      // one corpus pass, vocabulary-scale pair join after
+    "q_join_cogroup",    // typed two-sided CoGroup: one co-partitioning, no join node
+    "q_stream_window_join" // (user, window)-equi join — window-keyed state, no range scan
   )
 
   def main(args: Array[String]): Unit = {

@@ -34,7 +34,8 @@ object Joins {
     "q_join_interval_binned" -> qJoinIntervalBinned,
     "q_join_band_global" -> qJoinBandGlobal,
     "q_scalar_subquery" -> qScalarSubquery,
-    "q_lateral" -> qLateral
+    "q_lateral" -> qLateral,
+    "q_join_cogroup" -> qJoinCogroup
   )
 
   val oracle: Map[String, String] = Map(
@@ -152,7 +153,26 @@ object Joins {
       """SELECT c_custkey, o_orderkey FROM customer,
          LATERAL (SELECT o_orderkey FROM orders WHERE o_custkey = c_custkey
                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) x
-         ORDER BY c_custkey, o_orderkey"""
+         ORDER BY c_custkey, o_orderkey""",
+    "q_join_cogroup" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS tu FROM events
+                    WHERE event_type = 'click'),
+         p AS (SELECT user_id, epoch_us(ts) AS tu FROM events
+               WHERE event_type = 'purchase'),
+         ca AS (SELECT user_id, count(*) AS nc, min(tu) AS fc FROM c GROUP BY user_id),
+         pa AS (SELECT user_id, count(*) AS np, min(tu) AS fp, max(tu) AS mp
+                FROM p GROUP BY user_id),
+         u AS (SELECT user_id FROM ca UNION SELECT user_id FROM pa)
+         SELECT u.user_id,
+                COALESCE(ca.nc, 0) AS n_clicks,
+                COALESCE(pa.np, 0) AS n_purch,
+                COALESCE(ca.fc, -1) AS first_click_us,
+                COALESCE(pa.fp, -1) AS first_purch_us,
+                CAST(CASE WHEN ca.fc IS NOT NULL AND pa.mp > ca.fc
+                          THEN 1 ELSE 0 END AS BIGINT) AS converted
+         FROM u LEFT JOIN ca ON u.user_id = ca.user_id
+                LEFT JOIN pa ON u.user_id = pa.user_id
+         ORDER BY u.user_id"""
   )
 
   private def qJoinInner(s: SparkSession, d: String): DataFrame =
@@ -411,6 +431,43 @@ object Joins {
         col("t_b") <= col("t") + expr("INTERVAL 1 HOUR"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("cnt"))
+      .orderBy("user_id")
+  }
+
+  /** Typed per-key stream merge — `KeyValueGroupedDataset.cogroup`, the
+    * Spark analog of Flink's connect/coGroup: both inputs hash-partition
+    * on the key ONCE, and an arbitrary Scala function sees each key's two
+    * row iterators side by side (full-outer: keys present on either side
+    * fire). This is the escape hatch for per-key merge logic no join can
+    * express — here a click/purchase interleave summary with first-event
+    * times and a converted flag (any purchase after the first click).
+    * The iterators stream: nothing is collected per key beyond the
+    * running mins, so a hot key costs O(1) memory. -1 sentinels replace
+    * NULLs on empty sides so every output column stays a non-null BIGINT.
+    * Timestamps are full-µs epoch (getTime truncates to ms; the nanos
+    * field restores the sub-ms part — same rule as StreamOps.epochUs). */
+  private def qJoinCogroup(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("t"))
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"),
+        (unix_micros(col("t"))).as("tu"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+    side("click").cogroup(side("purchase")) { (uid, cs, ps) =>
+      var nc = 0L; var fc = -1L
+      cs.foreach { c => nc += 1; if (fc < 0 || c._2 < fc) fc = c._2 }
+      var np = 0L; var fp = -1L; var mp = -1L
+      ps.foreach { p => np += 1
+        if (fp < 0 || p._2 < fp) fp = p._2
+        if (p._2 > mp) mp = p._2
+      }
+      val converted = if (fc >= 0 && mp > fc) 1L else 0L
+      Iterator((uid, nc, np, fc, fp, converted))
+    }
+      .toDF("user_id", "n_clicks", "n_purch", "first_click_us", "first_purch_us", "converted")
       .orderBy("user_id")
   }
 }

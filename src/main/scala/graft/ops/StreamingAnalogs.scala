@@ -26,6 +26,7 @@ object StreamingAnalogs {
     "q_stream_stateful" -> qStreamStateful,
     "q_stream_interval_join" -> qStreamIntervalJoin,
     "q_stream_outer_join" -> qStreamOuterJoin,
+    "q_stream_window_join" -> qStreamWindowJoin,
     "q_stream_uv" -> qStreamUv,
     "q_cdc_compact" -> qCdcCompact
   )
@@ -109,6 +110,15 @@ object StreamingAnalogs {
          SELECT user_id, count(*) AS n_clicks, CAST(SUM(np) AS BIGINT) AS n_pairs,
                 CAST(SUM(CASE WHEN np = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
          FROM per GROUP BY user_id ORDER BY user_id""",
+    "q_stream_window_join" ->
+      """WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS w
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS w
+               FROM events WHERE event_type = 'purchase')
+         SELECT c.user_id, count(*) AS n_pairs,
+                COUNT(DISTINCT c.w) AS n_windows
+         FROM c JOIN p ON c.user_id = p.user_id AND c.w = p.w
+         GROUP BY c.user_id ORDER BY c.user_id""",
     "q_stream_uv" ->
       """SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
                 COUNT(DISTINCT user_id) AS uv, count(*) AS pv
@@ -333,6 +343,23 @@ object StreamingAnalogs {
         count(lit(1)).as("n_clicks"),
         sum(col("np")).cast(LongType).as("n_pairs"),
         sum(when(col("np") === 0, 1L).otherwise(0L)).cast(LongType).as("n_unmatched"))
+      .orderBy("user_id")
+  }
+
+  /** Window-join analog (Flink window join vs interval join — see
+    * StreamOps.windowJoin6h): per user, pairs sharing a 6-hour tumbling
+    * window and the distinct windows that produced them. Spark's window()
+    * is epoch-aligned (floor(t/6h)), which the oracle replays as integer
+    * µs division — the q_stream_slide discipline. */
+  private def qStreamWindowJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    StreamOps.windowJoin6h(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("w")).as("n_windows"))
       .orderBy("user_id")
   }
 }

@@ -245,6 +245,27 @@ object StreamOps {
       .select(col("user_id"), col("click_id"), col("t_purch"))
   }
 
+  /** WINDOW JOIN (the Flink DataStream window-join shape, distinct from
+    * the interval join): clicks and purchases of the same user pair up
+    * iff they fall in the SAME 6-hour tumbling window — the join key is
+    * (user, window), a pure equality, so streaming state is scoped per
+    * window and evicted wholesale when the watermark closes it. The
+    * interval join bounds |t_a − t_b|; the window join aligns both sides
+    * to a shared calendar grid — different semantics (two events 1 min
+    * apart straddling a window edge do NOT pair), and the cheaper state
+    * story: no per-row range bookkeeping, just window-keyed hash state. */
+  def windowJoin6h(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    // each side keeps ONLY its window column: window() propagates the
+    // watermark onto the window struct, and a stream may carry at most
+    // one event-time column — selecting t alongside w is a streaming
+    // analysis error ("more than one event time column")
+    val a = clicks.select(col("user_id"), window(col("t"), "6 hours").as("w"))
+    val b = purchases.select(col("user_id").as("uid_b"),
+      window(col("t"), "6 hours").as("w_b"))
+    a.join(b, col("user_id") === col("uid_b") && col("w") === col("w_b"))
+      .select(col("user_id"), col("w"))
+  }
+
   /** KEYLESS stream-stream band join: purchase → error within 10 min
     * across ALL keys. Spark rejects stream-stream joins with no equality
     * predicate (state would be un-keyable), so the equality is

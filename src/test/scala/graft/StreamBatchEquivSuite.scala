@@ -175,6 +175,25 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(got == want)
   }
 
+  test("stream-stream WINDOW join (same 6h tumbling window) == batch window join") {
+    // equality on (user, window struct): state is window-keyed and both
+    // sides' watermarks evict a window wholesale once it closes
+    val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+    val df = ms.toDF()
+    val clicks = StreamOps.withWm(df.filter(col("event_type") === "click"))
+    val purchases = StreamOps.withWm(df.filter(col("event_type") === "purchase"))
+    val q = StreamOps.windowJoin6h(clicks, purchases)
+      .writeStream.format("memory").queryName("t_wj").outputMode("append").start()
+    try {
+      chunks(rowsByTime).foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("t_wj").count()
+    val want = StreamOps.windowJoin6h(
+      batchEvents.filter(col("event_type") === "click"),
+      batchEvents.filter(col("event_type") === "purchase")).count()
+    assert(got == want && want > 0, s"stream=$got batch=$want")
+  }
+
   test("keyless band join via manufactured bucket keys == batch keyless band join") {
     // Spark rejects stream-stream joins with no equality predicate; the
     // 10-min bucket key manufactured by StreamOps.bandPairsGlobal (same
