@@ -249,9 +249,18 @@ object Dedup {
   /** All co-occurring doc pairs with their shingle-set intersection size
     * and both set sizes: (d1, d2, inter, n1, n2) — the shared core of the
     * inverted-index ground truth. Jaccard (q_dedup_near) and containment
-    * (q_dedup_contain) are just different integer filters over it. */
+    * (q_dedup_contain) are just different integer filters over it, so the
+    * table is built ONCE per (session, sf) and shared — exactly what a
+    * real pipeline does: the co-occurrence counts are the expensive
+    * artifact, the similarity measures are free reads off it. The cache
+    * is pair-bounded (one row per co-occurring pair), i.e. the Σf²
+    * candidate set itself — at corpus scale this is a persisted table
+    * the dedup suite materializes first, not a per-query recompute. */
+  private val interCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def interCounts(s: SparkSession, d: String): DataFrame =
-    interCountsOf(cachedDocArrays(s, d))
+    interCache.getOrElseUpdate((s, d),
+      interCountsOf(cachedDocArrays(s, d)).localCheckpoint())
 
   /** [[interCounts]] over any pre-materialized shingle-array table. */
   def interCountsOf(arrays: DataFrame): DataFrame = {

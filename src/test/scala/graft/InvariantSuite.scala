@@ -221,6 +221,32 @@ class InvariantSuite extends SparkSuite {
     })
   }
 
+  test("containment reference property: engine matches a pure-Scala computation") {
+    def shingleSet(text: String): Set[String] =
+      text.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val texts = Seq(
+      // snippet verbatim inside a longer page (containment 1, Jaccard low)
+      "a b c d e" -> "a b c d e x y z w v u t s r q p o n m l",
+      // identical docs
+      "p q r s t u" -> "p q r s t u",
+      // disjoint
+      "m n o p" -> "x y z w",
+      // partial overlap below the 0.9 bar
+      "a b c d e f g h i j" -> "a b c d x f g h i j"
+    )
+    texts.zipWithIndex.foreach { case ((t1, t2), i) =>
+      val s1 = shingleSet(t1); val s2 = shingleSet(t2)
+      val inter = (s1 & s2).size; val minsz = math.min(s1.size, s2.size)
+      val docs = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+      val got = ops.Dedup.containPairs(docs)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val expected =
+        if (inter > 0 && inter * 10 >= 9 * minsz)
+          Seq((1L, 2L, inter.toLong, minsz.toLong)) else Seq.empty
+      assert(got == expected, s"case $i: got $got want $expected")
+    }
+  }
+
   test("jaccard reference property: engine matches a pure-Scala computation") {
     def shingleSet(text: String): Set[String] =
       text.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
