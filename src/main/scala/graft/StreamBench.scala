@@ -67,7 +67,11 @@ object StreamBench {
     val all = Seq(
       drive("tumbling_agg")(StreamOps.tumblingDaily),
       drive("exact_uv_dedup_agg")(StreamOps.dailyUv),
-      drive("dropDuplicates")(StreamOps.dedupStreaming))
+      drive("dropDuplicates")(StreamOps.dedupStreaming),
+      // the stream-stream join shape: window-keyed two-sided state
+      drive("window_join")(df => StreamOps.windowJoin6h(
+        df.filter(col("event_type") === "click"),
+        df.filter(col("event_type") === "purchase"))))
     println(f"""{"metric":"stream_events_per_sec","n_events":$nEvents,${
       all.map { case (k, v) => f""""$k":${v}%.0f""" }.mkString(",")}}""")
     spark.stop()
