@@ -52,10 +52,32 @@ object Quality {
     "q_layout_zorder" -> qLayoutZorder,
     "q_skyline" -> qSkyline,
     "q_incr_agg" -> qIncrAgg,
-    "q_dq_freshness" -> qDqFreshness
+    "q_dq_freshness" -> qDqFreshness,
+    "q_table_diff" -> qTableDiff
   )
 
   val oracle: Map[String, String] = Map(
+    "q_table_diff" ->
+      """WITH v1 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                            CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                     FROM orders),
+         v2 AS (SELECT k, st,
+                       CASE WHEN k % 5 = 0 THEN cents + 100000 ELSE cents END AS cents
+                FROM v1 WHERE k % 7 <> 0
+                UNION ALL
+                SELECT k + 10000000, st, cents FROM v1 WHERE k % 11 = 0),
+         j AS (SELECT COALESCE(a.st, b.st) AS st,
+                      CASE WHEN a.k IS NULL THEN 'added'
+                           WHEN b.k IS NULL THEN 'removed'
+                           WHEN a.cents <> b.cents THEN 'changed'
+                           ELSE 'unchanged' END AS cls
+               FROM v1 a FULL JOIN v2 b ON a.k = b.k)
+         SELECT st,
+                CAST(SUM(CASE WHEN cls = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+                CAST(SUM(CASE WHEN cls = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                CAST(SUM(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                CAST(SUM(CASE WHEN cls = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+         FROM j GROUP BY st ORDER BY st""",
     "q_dq_freshness" ->
       """WITH t AS (SELECT event_type, MAX(epoch_us(ts)) AS max_us, count(*) AS n
                     FROM events GROUP BY 1),
@@ -315,6 +337,46 @@ object Quality {
           .when(col("d.o_custkey").isNull, "keep")
           .otherwise("update").as("action"))
       .orderBy("c_custkey")
+  }
+
+  /** SNAPSHOT DIFF — the data-regression-test primitive: reconcile two
+    * versions of a table into per-group added/removed/changed/unchanged
+    * counts. This is what a pipeline runs after a backfill, a code
+    * change, or a vendor re-delivery ("did anything move that
+    * shouldn't?"), and it complements the change-ORIENTED operators
+    * (CDC compaction consumes a changelog; this DERIVES one from two
+    * snapshots). v2 is manufactured deterministically from orders:
+    * keys %7=0 removed, %5=0 repriced, %11=0 re-inserted under new
+    * keys. Shape at 100 TB: ONE co-partitioned full-outer join on the
+    * key (both sides hash-shuffle once, AQE splits skew), then a
+    * groups-sized aggregate — same dataflow as q_merge_upsert, but
+    * classifying instead of merging. Values compared as integer cents;
+    * at width, compare a hash of the non-key columns so the shuffle
+    * rows stay fixed-size. */
+  private def qTableDiff(s: SparkSession, d: String): DataFrame = {
+    val v1 = Tables.orders(s, d).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      (dec(col("o_totalprice"), 12, 2) * 100).cast(LongType).as("cents"))
+    val v2 = v1.filter(col("k") % 7 =!= 0)
+      .select(col("k"), col("st"),
+        when(col("k") % 5 === 0, col("cents") + 100000L).otherwise(col("cents")).as("cents"))
+      .unionByName(v1.filter(col("k") % 11 === 0)
+        .select((col("k") + 10000000L).as("k"), col("st"), col("cents")))
+    val a = v1.as("a"); val b = v2.as("b")
+    a.join(b, col("a.k") === col("b.k"), "full_outer")
+      .select(
+        coalesce(col("a.st"), col("b.st")).as("st"),
+        when(col("a.k").isNull, "added")
+          .when(col("b.k").isNull, "removed")
+          .when(col("a.cents") =!= col("b.cents"), "changed")
+          .otherwise("unchanged").as("cls"))
+      .groupBy(col("st"))
+      .agg(
+        sum(when(col("cls") === "added", 1L).otherwise(0L)).cast(LongType).as("n_added"),
+        sum(when(col("cls") === "removed", 1L).otherwise(0L)).cast(LongType).as("n_removed"),
+        sum(when(col("cls") === "changed", 1L).otherwise(0L)).cast(LongType).as("n_changed"),
+        sum(when(col("cls") === "unchanged", 1L).otherwise(0L)).cast(LongType).as("n_unchanged"))
+      .orderBy("st")
   }
 
   private def revenue: Column =
