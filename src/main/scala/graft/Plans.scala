@@ -49,7 +49,8 @@ object Plans {
     "q_dedup_contain",   // containment filter over the shared inverted-index core
     "q_text_drift",      // one corpus pass, vocabulary-scale pair join after
     "q_join_cogroup",    // typed two-sided CoGroup: one co-partitioning, no join node
-    "q_stream_window_join" // (user, window)-equi join — window-keyed state, no range scan
+    "q_stream_window_join", // (user, window)-equi join — window-keyed state, no range scan
+    "q_table_diff"       // snapshot diff: one co-partitioned full-outer classify
   )
 
   def main(args: Array[String]): Unit = {

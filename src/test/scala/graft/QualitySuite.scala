@@ -181,6 +181,24 @@ class QualitySuite extends SparkSuite {
     assert(got == canonical, "aggregate-reuse rewrite changed Q18's result")
   }
 
+  test("q_table_diff: both snapshots' row counts are conserved by the classification") {
+    val out = q("q_table_diff").cache()
+    val orders = Tables.orders(spark, sf0001).select(col("o_orderkey").as("k"))
+    val nV1 = orders.count()
+    // v2 by construction: v1 minus %7 keys, plus re-inserted %11 keys
+    val nV2 = orders.filter(col("k") % 7 =!= 0).count() +
+      orders.filter(col("k") % 11 === 0).count()
+    val sums = out.agg(
+      sum(col("n_added")), sum(col("n_removed")),
+      sum(col("n_changed")), sum(col("n_unchanged"))).collect()(0)
+    val (add, rem, chg, unch) =
+      (sums.getLong(0), sums.getLong(1), sums.getLong(2), sums.getLong(3))
+    assert(rem + chg + unch == nV1, "every v1 key classified exactly once")
+    assert(add + chg + unch == nV2, "every v2 key classified exactly once")
+    assert(add > 0 && rem > 0 && chg > 0 && unch > 0, "all classes exercised")
+    out.unpersist()
+  }
+
   test("q_tpch_q10 smoke: revenue-descending top-20 of returned items") {
     val out = q("q_tpch_q10").collect()
     assert(out.nonEmpty && out.length <= 20)
