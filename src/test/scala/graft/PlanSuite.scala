@@ -202,4 +202,32 @@ class PlanSuite extends SparkSuite {
     assert(p.contains("HashAggregate"))
     assert(p.contains("partial_"), "expected map-side partial aggregation")
   }
+
+  test("typed cogroup: one CoGroup node, one exchange per input side") {
+    val p = planOf("q_join_cogroup")
+    assert(p.contains("CoGroup"), p.take(2000))
+    // two input exchanges + the final orderBy exchange — nothing extra
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 3, p.take(3000))
+  }
+
+  test("snapshot diff: a single full-outer join, no broadcast of either snapshot") {
+    val p = planOf("q_table_diff")
+    assert(p.contains("FullOuter"), p.take(2000))
+    // both versions are table-scale: the merge key join must co-partition,
+    // never ship a whole snapshot
+    assert(!p.contains("BroadcastHashJoin FullOuter"), p.take(3000))
+  }
+
+  test("vocabulary drift: pair joins broadcast, the corpus is never sort-merge joined") {
+    val p = planOf("q_text_drift")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("containment reads the materialized candidate table, not the corpus") {
+    val p = planOf("q_dedup_contain")
+    // interCounts is checkpoint-shared with q_dedup_near: the measure is a
+    // filter over the materialized pair counts — no parquet scan remains
+    assert(!p.contains("Scan parquet"), p.take(3000))
+  }
 }
