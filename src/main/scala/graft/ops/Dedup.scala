@@ -34,7 +34,8 @@ object Dedup {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_prefix" -> qDedupPrefix,
     "q_dedup_contain" -> qDedupContain,
-    "q_dedup_cluster" -> qDedupCluster
+    "q_dedup_cluster" -> qDedupCluster,
+    "q_dedup_purge" -> qDedupPurge
   )
 
   /** Shared oracle for near / minhash: exact word-3-shingle Jaccard >= 0.8
@@ -124,7 +125,33 @@ object Dedup {
          comp AS (SELECT node AS doc_id, min(lbl) AS canonical FROM reach GROUP BY node)
          SELECT canonical, count(*) AS cluster_size,
                 CAST(count(*) - 1 AS BIGINT) AS n_removed
-         FROM comp GROUP BY canonical ORDER BY canonical"""
+         FROM comp GROUP BY canonical ORDER BY canonical""",
+    // same component closure as the cluster oracle; the purge keeps every
+    // doc that is not a non-canonical member of some component
+    "q_dedup_purge" ->
+      """WITH RECURSIVE
+         tok AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM tok),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM pos),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+         pairs AS (SELECT d1, d2 FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+                   WHERE inter * 10 >= 8 * (x.n + y.n - inter)),
+         edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+         reach(node, lbl) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node),
+         gone AS (SELECT node AS doc_id FROM reach
+                  GROUP BY node HAVING node <> min(lbl))
+         SELECT d.lang,
+                CAST(SUM(CASE WHEN g.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(SUM(CASE WHEN g.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_purged,
+                CAST(SUM(CASE WHEN g.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+         FROM documents d LEFT JOIN gone g ON d.doc_id = g.doc_id
+         GROUP BY d.lang ORDER BY d.lang"""
   )
 
   /** Word-k-shingles per doc WITH duplicates: (doc_id, s). One narrow
@@ -425,6 +452,33 @@ object Dedup {
       .agg(count(lit(1)).as("cluster_size"))
       .withColumn("n_removed", (col("cluster_size") - 1).cast("long"))
       .orderBy("canonical")
+
+  /** Near-dup PURGE — the stage that actually shrinks the corpus: drop
+    * every non-canonical member of a near-dup component (keep = the
+    * minimum doc id, q_dedup_cluster's canonical) and report the
+    * retained corpus per language. This is what the training run reads —
+    * detection (pairs), selection (components), and REMOVAL compose into
+    * one lazy plan here: LSH candidates → exact verify → min-label
+    * components → LEFT ANTI join back onto the corpus. The anti join
+    * probes with the component-member table (pair-graph-sized, typically
+    * ≪ corpus — only docs WITH a near-dup appear), so at 100 TB the
+    * corpus never shuffles: AQE broadcasts the removal list, the
+    * documents scan streams through it once. */
+  private def qDedupPurge(s: SparkSession, d: String): DataFrame = {
+    val removed = connectedComponents(
+      minhashPairsOf(cachedDocArrays(s, d)).select(col("d1"), col("d2")))
+      .filter(col("node") =!= col("lbl"))
+      .select(col("node").as("doc_id"), lit(1).as("gone"))
+    Tables.documents(s, d)
+      .join(removed, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("gone").isNull, 1L).otherwise(0L)).cast("long").as("n_kept"),
+        sum(when(col("gone").isNull, 0L).otherwise(1L)).cast("long").as("n_purged"),
+        sum(when(col("gone").isNull, col("n_chars")).otherwise(0L)).cast("long")
+          .as("chars_kept"))
+      .orderBy("lang")
+  }
 
   /** Connected components over an undirected edge list: returns
     * (node, lbl) where lbl is the component's minimum node id.

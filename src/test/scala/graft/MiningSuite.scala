@@ -113,6 +113,21 @@ class MiningSuite extends SparkSuite {
     assert(near.subsetOf(contain), s"missing: ${near -- contain}")
   }
 
+  test("dedup_purge reconciles with dedup_cluster: totals conserved, purged = sum of (size-1)") {
+    val purge = SparkEntry.queries("q_dedup_purge")(spark, sf0001).cache()
+    val sums = purge.agg(
+      sum(col("n_kept")), sum(col("n_purged"))).collect()(0)
+    val (kept, purged) = (sums.getLong(0), sums.getLong(1))
+    val total = Tables.documents(spark, sf0001).count()
+    assert(kept + purged == total, "every doc is either kept or purged")
+    val clusterRemoved = SparkEntry.queries("q_dedup_cluster")(spark, sf0001)
+      .agg(sum(col("n_removed"))).collect()(0).getLong(0)
+    assert(purged == clusterRemoved,
+      "purge must drop exactly the non-canonical cluster members")
+    assert(purged > 0, "fixture has planted near-dups — purge must fire")
+    purge.unpersist()
+  }
+
   test("text_drift: vocabulary accounting is exact and pairs cover all lang pairs") {
     val out = SparkEntry.queries("q_text_drift")(spark, sf0001).cache()
     val langs = Tables.documents(spark, sf0001)
