@@ -552,15 +552,23 @@ object Dedup {
     labels
   }
 
-  /** SimHash-64 over shingles: per-bit ±1 vote, then ALL pairs at hamming
+  /** SimHash-64 over shingles: per-bit ±1 vote, then all pairs at hamming
     * distance <= 12 — exact semantics, a well-defined function of the
-    * threshold. The signature table is tiny (one i64 per doc), so the pair
-    * scan is a broadcast nested-loop with the bit_count filter inside the
-    * join condition (codegen'd; ~n²/2 cheap XOR+popcount evals, no shuffle,
-    * no candidate materialization). At cluster scale (n >> 10⁶) swap the
-    * pair scan for banded LSH with ⌈64/(hd_max+1)⌉ = 13 banks of ≤5 bits,
-    * which pigeonhole-guarantees recall at hd <= 12 — at fixture scale the
-    * exact scan is both faster and simpler.
+    * threshold. The EXECUTED pair stage is pigeonhole-banded hamming LSH:
+    * the 64-bit signature splits into ⌈64/(hd_max+1)⌉ = 13 banks (twelve
+    * 5-bit banks + one 4-bit bank). A pair at hd <= 12 has at most 12
+    * dirty banks, so at least one bank matches exactly — candidate
+    * generation by equi-join on (bank, bank_bits) is RECALL-EXACT at the
+    * hd <= 12 threshold, no approximation. Candidates then pass the exact
+    * bit_count(sig1^sig2) <= 12 verify, so precision is exact too: the
+    * banded path returns byte-identical pairs to an all-pairs scan
+    * (property-tested in InvariantSuite on random corpora). Cost shape at
+    * corpus scale: 13n banked rows of (int, int, long, long) hash-joined
+    * on (bank, bits) — shuffles signatures only, never text, never the
+    * O(n²) pair space. A broadcast nested-loop all-pairs branch is kept
+    * for genuinely tiny inputs (< 200 docs) where a shuffle costs more
+    * than n²/2 codegen'd XOR+popcounts; every fixture sf (500-5000 docs)
+    * executes the banded path.
     * The vote+fold runs as the native single-pass SimHashAgg
     * (TypedImperativeAggregate — one 256-byte buffer per doc instead of 64
     * separate sum aggregates). Per-shingle 64-bit hashes are derived from
@@ -585,12 +593,48 @@ object Dedup {
           conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
     val sigAgg = Bridge.column(
       graft.expr.SimHashAgg(Bridge.expression(col("h"))).toAggregateExpression())
-    val sigs = sh.groupBy(col("doc_id")).agg(sigAgg.as("sig"))
+    // localCheckpoint: the signature table (16 bytes/doc) feeds both sides
+    // of the candidate self-join — without it the shingle explode + agg
+    // would run twice. At cluster scale this is checkpoint-to-DFS; the
+    // one-liner is the local[n] analog (same pattern as q_dedup_lsh).
+    val sigs = sh.groupBy(col("doc_id")).agg(sigAgg.as("sig")).localCheckpoint()
+    // parquet count(*) is metadata-served — a cheap branch guard
+    val nDocs = s.read.parquet(s"$d/documents.parquet").count()
+    val pairs =
+      if (nDocs < 200) simhashPairsNaive(sigs) else simhashPairsBanded(sigs)
+    pairs.orderBy("d1", "d2")
+  }
+
+  /** All-pairs hd<=12 scan: broadcast nested-loop with the popcount filter
+    * inside the join condition. O(n²/2) codegen'd XOR+popcounts, no
+    * shuffle — only sane for tiny n; kept as the small-input branch and as
+    * the ground-truth side of the banded==naive property test. */
+  private[graft] def simhashPairsNaive(sigs: DataFrame): DataFrame = {
     val a = sigs.select(col("doc_id").as("d1"), col("sig").as("sig1"))
     val b = sigs.select(col("doc_id").as("d2"), col("sig").as("sig2"))
     a.join(broadcast(b),
         col("d1") < col("d2") && expr("bit_count(sig1 ^ sig2) <= 12"))
       .select(col("d1"), col("d2"), expr("bit_count(sig1 ^ sig2)").as("hd"))
-      .orderBy("d1", "d2")
+  }
+
+  /** Pigeonhole-banded hamming LSH pair stage, recall-exact at hd <= 12:
+    * banks 0..11 take bits [5i, 5i+5), bank 12 takes bits [60, 64). Any
+    * pair with <= 12 differing bits leaves >= 1 bank untouched (13 banks,
+    * 12 dirty bits), so the (bank, bits) equi-join surfaces every true
+    * pair; the exact popcount verify then removes false candidates. The
+    * bit_count filter runs BEFORE distinct so the dedup shuffle carries
+    * only verified pairs (a pair matching in k banks appears k times). */
+  private[graft] def simhashPairsBanded(sigs: DataFrame): DataFrame = {
+    val banked = sigs
+      .select(col("doc_id"), col("sig"), explode(expr("sequence(0, 12)")).as("bank"))
+      .withColumn("bkey", expr(
+        "CASE WHEN bank < 12 THEN shiftrightunsigned(sig, bank * 5) & 31" +
+          " ELSE shiftrightunsigned(sig, 60) & 15 END"))
+    val a = banked.select(col("bank"), col("bkey"), col("doc_id").as("d1"), col("sig").as("sig1"))
+    val b = banked.select(col("bank"), col("bkey"), col("doc_id").as("d2"), col("sig").as("sig2"))
+    a.join(b, Seq("bank", "bkey"))
+      .where(col("d1") < col("d2") && expr("bit_count(sig1 ^ sig2) <= 12"))
+      .select(col("d1"), col("d2"), expr("bit_count(sig1 ^ sig2)").as("hd"))
+      .distinct()
   }
 }

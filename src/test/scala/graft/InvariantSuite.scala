@@ -100,6 +100,29 @@ class InvariantSuite extends SparkSuite {
       s"simhash covered $covered of ${near.size} planted pairs")
   }
 
+  test("banded hamming LSH == all-pairs scan on random signature corpora") {
+    // Pigeonhole banding (13 banks × <=5 bits) is provably recall-exact at
+    // hd <= 12; this pins the implementation to the proof. Random corpus +
+    // planted near-pairs at every distance 0..16 so both sides of the
+    // threshold are exercised (13..16 must NOT surface; 0..12 must).
+    val rnd = new scala.util.Random(42)
+    val base = Seq.tabulate(300)(i => (i.toLong, rnd.nextLong()))
+    val planted = Seq.tabulate(17) { hd =>
+      val (id, sig) = base(rnd.nextInt(base.size))
+      val flips = rnd.shuffle((0 until 64).toList).take(hd)
+      (1000L + hd, flips.foldLeft(sig)((s, b) => s ^ (1L << b)))
+    }
+    val sigs = (base ++ planted).toDF("doc_id", "sig")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val naive = pairs(Dedup.simhashPairsNaive(sigs))
+    val banded = pairs(Dedup.simhashPairsBanded(sigs))
+    assert(banded == naive,
+      s"banded\\naive=${(banded -- naive).take(5)} naive\\banded=${(naive -- banded).take(5)}")
+    // the hd<=12 planted pairs guarantee the comparison is non-vacuous
+    assert(naive.size >= 13, s"only ${naive.size} true pairs in corpus")
+  }
+
   test("IVF kNN recall >= 0.6 vs exact kNN") {
     val exact = SparkEntry.queries("q_sim_knn")(spark, sf0001)
       .select("qid", "nid").as[(Long, Long)].collect().toSet

@@ -144,8 +144,11 @@ class PlanSuite extends SparkSuite {
     // q_tpch_q15 and q_tpch_q22 cross in 1-row max / (count,sum) scalar
     // aggregates — broadcast scalars like q_anomaly_iqr; q_tpch_q11's
     // (total, count) threshold is the same 1-row broadcast scalar)
+    // (q_dedup_simhash used to be on this list for its all-pairs NLJ pair
+    // scan; the executed path is now the banded hamming LSH equi-join, so
+    // it must pass the sweep like any other query)
     val byDesign = Set("q_sim_knn", "q_sim_label", "q_sim_ivf", "q_dedup_embed", "q_join_cross",
-      "q_dedup_simhash", "q_str_fuzzy", "q_text_heavy", "q_gap_interp",
+      "q_str_fuzzy", "q_text_heavy", "q_gap_interp",
       "q_text_tfidf", "q_sim_quant", "q_anomaly_iqr", "q_rfm", "q_cluster_kmeans",
       "q_tpch_q15", "q_tpch_q22", "q_tpch_q11",
       // q_mix_domains crosses in its 1-row (n_tot, w_tot) scalar the same way
@@ -206,8 +209,23 @@ class PlanSuite extends SparkSuite {
   test("typed cogroup: one CoGroup node, one exchange per input side") {
     val p = planOf("q_join_cogroup")
     assert(p.contains("CoGroup"), p.take(2000))
-    // two input exchanges + the final orderBy exchange — nothing extra
-    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 3, p.take(3000))
+    // Count SHUFFLE exchanges specifically ("Exchange hashpartitioning" /
+    // "Exchange rangepartitioning") — a bare "Exchange" substring also
+    // matches BroadcastExchange and AQE wrapper names, which would let a
+    // real extra shuffle hide behind a renamed broadcast node.
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    // two input hash exchanges + the final orderBy range exchange
+    assert(shuffles <= 3, s"$shuffles shuffle exchanges\n" + p.take(3000))
+  }
+
+  test("simhash pair stage is the banded-LSH equi-join, not a broadcast NLJ") {
+    val p = planOf("q_dedup_simhash")
+    // recall-exact pigeonhole banding: candidates come from an equi-join
+    // on (bank, bkey) — any nested-loop/cartesian here means the O(n²)
+    // all-pairs branch leaked back into the executed path
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    assert(p.contains("bank"), p.take(3000))
   }
 
   test("snapshot diff: a single full-outer join, no broadcast of either snapshot") {
