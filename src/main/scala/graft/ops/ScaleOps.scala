@@ -120,8 +120,12 @@ object ScaleOps {
     * is a treeAggregate of partition-local filters); only the final
     * ~`n·10` bits land on the driver and ship back as a broadcast — the
     * exact lifecycle of an injected runtime filter. The probe-side filter
-    * is a deterministic UDF over the broadcast bitset; rows that survive
-    * still go through the exact equi join, so false positives drop out. */
+    * is Spark's native `BloomFilterMightContain` expression over the
+    * serialized bitset (the same predicate injected runtime filters use),
+    * built through Bridge — it stays inside whole-stage codegen, unlike a
+    * Scala UDF which would box every probe key and fence the codegen
+    * stage. Rows that survive still go through the exact equi join, so
+    * false positives drop out. */
   def qJoinBloom(s: SparkSession, d: String): DataFrame = {
     val urgent = Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
@@ -130,11 +134,21 @@ object ScaleOps {
     // two-column scan); 1% fpp keeps the bitset ~1.2 KB per 1k keys.
     val expected = math.max(urgent.count(), 1000L)
     val bloom = urgent.stat.bloomFilter("o_orderkey", expected, 0.01)
-    val bloomB = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bloomB.value.mightContain(k))
+    // stat.bloomFilter inserts long keys via putLong; MightContain probes
+    // via mightContainLong on the deserialized sketch — same key space.
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val probe = Bridge.column(BloomFilterMightContain(
+      Literal(bytes, org.apache.spark.sql.types.BinaryType),
+      Bridge.expression(col("l_orderkey"))))
     Tables.lineitem(s, d)
       .select("l_orderkey", "l_returnflag", "l_quantity")
-      .filter(mightContain(col("l_orderkey")))
+      .filter(probe)
       .join(urgent, col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_returnflag")
       .agg(

@@ -114,11 +114,14 @@ class PlanSuite extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
-  test("bloom runtime filter sits on the probe side before the join") {
+  test("bloom runtime filter sits on the probe side before the join, codegen'd") {
     val p = planOf("q_join_bloom")
-    // the broadcast-bitset UDF must appear as a Filter in the probe-side
-    // scan stage (pre-shuffle pruning), and the exact join must remain
-    assert("Filter .*UDF".r.findFirstIn(p).isDefined, p.take(2000))
+    // the native BloomFilterMightContain predicate must appear as a Filter
+    // in the probe-side scan stage (pre-shuffle pruning) — and as a native
+    // expression, NOT a Scala UDF (which would fence whole-stage codegen
+    // and box every probe key); the exact join must remain
+    assert("Filter .*might_contain".r.findFirstIn(p).isDefined, p.take(2000))
+    assert(!"Filter .*UDF".r.findFirstIn(p).isDefined, p.take(2000))
     assert(p.contains("Join") || p.contains("HashJoin"), p.take(2000))
   }
 
