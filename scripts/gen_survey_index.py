@@ -15,7 +15,9 @@ import pathlib
 import re
 import sys
 
-ROOT = pathlib.Path('/root/repo')
+# repo root derived from this script's own location, so the tool works
+# from any checkout path
+ROOT = pathlib.Path(__file__).resolve().parents[1]
 ORDER = ['Relational', 'Aggregations', 'Joins', 'Windows', 'ScalarFuncs',
          'Udfs', 'StreamingAnalogs', 'Dedup', 'TextSim', 'Advanced',
          'Warehouse', 'ScaleOps', 'TrainingOps', 'Quality', 'Tpch',
@@ -51,8 +53,13 @@ def main(dump_dir):
 
     p = ROOT / 'SURVEY.md'
     s = p.read_text()
-    start = s.index('### 2.M Complete declared-query index')
-    end = s.index('\n---\n\n## 3. Query lifecycle')
+    try:
+        start = s.index('### 2.M Complete declared-query index')
+        end = s.index('\n---\n\n## 3. Query lifecycle')
+    except ValueError:
+        sys.exit('SURVEY.md section markers not found ("### 2.M Complete '
+                 'declared-query index" .. "## 3. Query lifecycle") — '
+                 'refusing to rewrite; fix the headings or this script first')
     p.write_text(s[:start] + block + s[end:])
     print(f'{len(names)} declared / {len(oracles & set(names))} matched; '
           f'no-oracle: {no_oracle}')

@@ -36,6 +36,7 @@ object Warehouse {
     "q_stream_topk" -> qStreamTopk,
     "q_stream_chained" -> qStreamChained,
     "q_multimodal_decode" -> qMultimodalDecode,
+    "q_multimodal_png" -> qMultimodalPng,
     "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_frames" -> qMultimodalFrames,
     "q_dashboard_daily" -> qDashboardDaily,
@@ -147,6 +148,12 @@ object Warehouse {
                 CAST(SUM(48 + (nb * 7) % 432) AS BIGINT) AS sum_height,
                 CAST(SUM(nb // 100 + 1) AS BIGINT) AS sum_frames
          FROM dec GROUP BY source ORDER BY source""",
+    "q_multimodal_png" ->
+      """SELECT source, count(*) AS n_assets,
+                CAST(SUM(8 + doc_id % 24) AS BIGINT) AS sum_width,
+                CAST(SUM(8 + (doc_id * 7) % 16) AS BIGINT) AS sum_height,
+                CAST(3 * count(*) AS BIGINT) AS sum_channels
+         FROM documents GROUP BY source ORDER BY source""",
     "q_multimodal_resize" ->
       """WITH b AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS nb
                     FROM documents)
@@ -451,6 +458,54 @@ object Warehouse {
         sum(col("width")).cast(LongType).as("sum_width"),
         sum(col("height")).cast(LongType).as("sum_height"),
         sum(col("n_frames")).cast(LongType).as("sum_frames"))
+      .orderBy("source")
+  }
+
+  /** Multimodal decode with a REAL codec: payloads are genuine PNG bytes
+    * (encoded executor-side with java.awt headless + javax.imageio — the
+    * fixture ships no binary column, so the encode stage doubles as the
+    * deterministic payload generator: dims are a closed form of doc_id,
+    * pixels a closed form of (doc_id, x, y)) and the decode stage parses
+    * the actual PNG container back through `ImageIO.read`, extracting
+    * (width, height, channels) from the decoded image — no stub. PNG is
+    * lossless, so decode(encode(w, h)) round-trips dims exactly and the
+    * DuckDB oracle can stay the closed-form arithmetic on doc_id. Both
+    * stages are iterator-to-iterator mapPartitions: payloads are born and
+    * die inside one task, never shuffle, and the wide stage aggregates
+    * 3 longs per asset. */
+  private def qMultimodalPng(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+    val pngs = docs.mapPartitions { it =>
+      it.map { case (id, source) =>
+        val w = (8 + id % 24).toInt
+        val h = (8 + (id * 7) % 16).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, (id * 2654435761L).toInt + x * 31 + y); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, source, bos.toByteArray)
+      }
+    }
+    val feats = pngs.mapPartitions { it =>
+      it.map { case (_, source, payload) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        (source, img.getWidth.toLong, img.getHeight.toLong,
+          img.getColorModel.getNumComponents.toLong)
+      }
+    }.toDF("source", "w", "h", "ch")
+    feats.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("w")).cast(LongType).as("sum_width"),
+        sum(col("h")).cast(LongType).as("sum_height"),
+        sum(col("ch")).cast(LongType).as("sum_channels"))
       .orderBy("source")
   }
 

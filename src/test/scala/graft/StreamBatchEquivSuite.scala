@@ -393,6 +393,64 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(store.toMap == want)
   }
 
+  test("JDBC serving sink: foreachBatch upsert into embedded Derby is exactly-once under replay") {
+    // The genre's ADS serving hop (stream → OLAP/KV serving store): a
+    // foreachBatch JDBC upsert with executor-side connections. Derby ships
+    // on Spark's classpath (metastore dependency) and runs embedded
+    // in-memory — the honest in-sandbox stand-in for ClickHouse/HBase.
+    // The upsert is DELETE+INSERT per key inside one transaction: applying
+    // the same batch twice (the injected retry below) converges to the
+    // same table state, which is the exactly-once sink contract a real
+    // serving store needs under Structured Streaming's at-least-once
+    // foreachBatch replays.
+    val url = "jdbc:derby:memory:graftserving;create=true"
+    locally {
+      val c = java.sql.DriverManager.getConnection(url)
+      try c.createStatement().execute(
+        "CREATE TABLE serving (user_id BIGINT NOT NULL, event_type VARCHAR(64) NOT NULL, " +
+          "first_id BIGINT NOT NULL, PRIMARY KEY (user_id, event_type))")
+      finally c.close()
+    }
+    def upsert(batch: DataFrame): Unit =
+      batch.select("user_id", "event_type", "first_id").foreachPartition {
+        (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val conn = java.sql.DriverManager.getConnection(url)
+          try {
+            conn.setAutoCommit(false)
+            val del = conn.prepareStatement(
+              "DELETE FROM serving WHERE user_id = ? AND event_type = ?")
+            val ins = conn.prepareStatement(
+              "INSERT INTO serving VALUES (?, ?, ?)")
+            rows.foreach { r =>
+              del.setLong(1, r.getLong(0)); del.setString(2, r.getString(1))
+              del.executeUpdate()
+              ins.setLong(1, r.getLong(0)); ins.setString(2, r.getString(1))
+              ins.setLong(3, r.getLong(2))
+              ins.executeUpdate()
+            }
+            conn.commit()
+          } finally conn.close()
+      }
+    val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+    val q = StreamOps.dedupFirst(ms.toDF())
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsert(batch)
+        upsert(batch) // injected retry: foreachBatch is at-least-once
+        ()
+      }.start()
+    try {
+      chunks(rowsByArrival).foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    // read back THROUGH the JDBC source — round-trips both directions
+    val got = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "serving").load()
+      .as[(Long, String, Long)].collect().map(t => ((t._1, t._2), t._3)).toMap
+    val want = StreamOps.dedupFirst(batchEvents)
+      .as[(Long, String, Long)].collect().map(t => ((t._1, t._2), t._3)).toMap
+    assert(got == want && want.nonEmpty)
+  }
+
   test("Trigger.AvailableNow: one-shot catch-up run drains the backlog then stops itself") {
     // the scheduled-batch operating mode: process everything available,
     // commit, terminate — same incremental semantics as a live stream
