@@ -2,10 +2,18 @@
 """Local pre-flight mirror of the driver's t2 compare (SURVEY.md §5.1).
 
 Usage: oracle_check.py <sfDir> <verifyOutDir>
+       oracle_check.py --partition-sweep <sfDir> [workDir]
 
 For each query dir under <verifyOutDir>: load the Spark-written parquet,
 run the query's oracle SQL (from oracle_sql.json) in DuckDB over views named
 per table, sort columns by name, stringify every cell, compare row-for-row.
+
+--partition-sweep re-proves partition-order independence mechanically:
+it runs graft.Verify TWICE (SPARK_GRAFT_CPUS=4 and =7, which sets
+spark.sql.shuffle.partitions) and asserts every query's result rows are
+identical between the two dumps — any query whose output depends on
+partition count or intra-partition order fails here before the driver
+ever sees it.
 DEV TOOL ONLY — the shipped Scala library has no Python dependency.
 """
 import json
@@ -85,5 +93,45 @@ def main(sf_dir, out_dir):
     sys.exit(1 if n_fail else 0)
 
 
+def partition_sweep(sf_dir, work_dir):
+    import os
+    import pathlib
+    import shutil
+    import subprocess
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    dumps = {}
+    for cpus in ("4", "7"):
+        out = f"{work_dir}/psweep_{cpus}"
+        shutil.rmtree(out, ignore_errors=True)
+        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
+        r = subprocess.run(
+            ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out}"],
+            cwd=repo, env=env, capture_output=True, text=True)
+        if r.returncode != 0:
+            sys.exit(f"Verify run with CPUS={cpus} failed:\n{r.stdout[-3000:]}")
+        dumps[cpus] = out
+    n_pass = n_fail = 0
+    queries = sorted(d for d in os.listdir(dumps["4"])
+                     if os.path.isdir(os.path.join(dumps["4"], d)))
+    for name in queries:
+        rows = []
+        for cpus, out in dumps.items():
+            tbl = pq.read_table(f"{out}/{name}")
+            tbl = tbl.select(sorted(tbl.column_names))
+            rows.append([[cell(v) for v in row]
+                         for row in tbl.to_pandas().astype(object).values.tolist()])
+        if rows[0] == rows[1]:
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: result differs between shuffle.partitions=4 and =7")
+    print(f"== partition sweep: {n_pass} identical, {n_fail} differ ==")
+    sys.exit(1 if n_fail else 0)
+
+
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    if sys.argv[1] == "--partition-sweep":
+        work = sys.argv[3] if len(sys.argv) > 3 else "/tmp"
+        partition_sweep(sys.argv[2], work)
+    else:
+        main(sys.argv[1], sys.argv[2])

@@ -20,6 +20,7 @@ object StreamingAnalogs {
     "q_stream_tumble" -> qStreamTumble,
     "q_stream_slide" -> qStreamSlide,
     "q_stream_session" -> qStreamSession,
+    "q_stream_session_merge" -> qStreamSessionMerge,
     "q_stream_session_dyn" -> qStreamSessionDyn,
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_late" -> qStreamLate,
@@ -57,6 +58,13 @@ object StreamingAnalogs {
          per AS (SELECT user_id, sess, count(*) AS len FROM sid GROUP BY user_id, sess)
          SELECT user_id, count(*) AS n_sessions, max(len) AS max_len, CAST(SUM(len) AS BIGINT) AS n_events
          FROM per GROUP BY user_id ORDER BY user_id""",
+    "q_stream_session_merge" ->
+      """WITH b AS (SELECT event_id AS user_id FROM events WHERE event_id % 10 = 0)
+         SELECT user_id,
+                CAST(CASE WHEN user_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_sessions,
+                CAST(2 AS BIGINT) AS max_len,
+                CAST(CASE WHEN user_id % 2 = 0 THEN 3 ELSE 2 END AS BIGINT) AS n_events
+         FROM b ORDER BY user_id""",
     "q_stream_session_dyn" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu,
                            epoch_us(ts) + CASE WHEN event_type = 'purchase'
@@ -162,6 +170,38 @@ object StreamingAnalogs {
         max(col("len")).as("max_len"),
         sum(col("len")).cast(LongType).as("n_events"))
       .orderBy("user_id")
+
+  /** Session-boundary EQUALITY edge, under the driver's own oracle gate
+    * (VERDICT r4 #7): the fixture timestamps never land exactly on a
+    * previous event's session end, so q_stream_session can't distinguish
+    * merge-at-equality from split-at-equality. This query manufactures
+    * the edge from fixture data: every 10th event seeds an isolated
+    * per-event chain (user = event_id) of [t, t+30:00] — the echo lands
+    * EXACTLY at the gap boundary and must MERGE (a split engine would
+    * report 2 sessions of length 1) — and even-id chains add a third
+    * event at t+60:00.000001, exactly 1 µs past the merged session's end,
+    * which must SPLIT. The oracle is the closed form of the generator:
+    * odd chains → one 2-event session, even chains → [2, 1]. */
+  private def qStreamSessionMerge(s: SparkSession, d: String): DataFrame = {
+    val chains = Tables.events(s, d)
+      .filter(col("event_id") % 10 === 0)
+      .select(col("event_id").as("user_id"), col("t").as("t0"))
+      .select(col("user_id"), explode(
+        when(col("user_id") % 2 === 0, array(
+          col("t0"),
+          col("t0") + expr("make_interval(0, 0, 0, 0, 0, 30, 0)"),
+          col("t0") + expr("make_interval(0, 0, 0, 0, 1, 0, 0.000001)")))
+        .otherwise(array(
+          col("t0"),
+          col("t0") + expr("make_interval(0, 0, 0, 0, 0, 30, 0)")))).as("t"))
+    StreamOps.sessionPerUser(chains)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("len")).as("max_len"),
+        sum(col("len")).cast(LongType).as("n_events"))
+      .orderBy("user_id")
+  }
 
   /** Dynamic-gap sessions (purchase = 60 min, else 30 min): the session
     * break happens only when an event starts STRICTLY past the running
