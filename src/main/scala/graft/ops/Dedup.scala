@@ -282,12 +282,33 @@ object Dedup {
     * artifact, the similarity measures are free reads off it. The cache
     * is pair-bounded (one row per co-occurring pair), i.e. the Σf²
     * candidate set itself — at corpus scale this is a persisted table
-    * the dedup suite materializes first, not a per-query recompute. */
+    * the dedup suite materializes first, not a per-query recompute.
+    *
+    * Bench methodology note: the cache makes per-query timings
+    * order-dependent — whichever of q_dedup_near / q_dedup_contain /
+    * q_dedup_cluster runs FIRST pays the full inverted-index build;
+    * later ones read the checkpoint. Bench's untimed warmup pass absorbs
+    * this (all four run once before the timed loop), so timed samples
+    * see steady state. [[clearCaches]] releases both cache layers for
+    * long-lived sessions. */
   private val interCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def interCounts(s: SparkSession, d: String): DataFrame =
     interCache.getOrElseUpdate((s, d),
       interCountsOf(cachedDocArrays(s, d)).localCheckpoint())
+
+  /** Drop every checkpointed shingle-array and inter-count table this
+    * module has accumulated (explicit lifecycle hook for long-lived
+    * sessions — entries are otherwise held for the life of the session,
+    * which is correct for the bench/verify harness but not for a
+    * server embedding the library). */
+  def clearCaches(): Unit = {
+    for (cache <- Seq(arraysCache, interCache); (k, df) <- cache) {
+      cache.remove(k)
+      // localCheckpoint data lives in block storage until unpersisted
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+  }
 
   /** [[interCounts]] over any pre-materialized shingle-array table. */
   def interCountsOf(arrays: DataFrame): DataFrame = {

@@ -444,8 +444,7 @@ object Joins {
     * The iterators stream: nothing is collected per key beyond the
     * running mins, so a hot key costs O(1) memory. -1 sentinels replace
     * NULLs on empty sides so every output column stays a non-null BIGINT.
-    * Timestamps are full-µs epoch (getTime truncates to ms; the nanos
-    * field restores the sub-ms part — same rule as StreamOps.epochUs). */
+    * Timestamps are taken as full-µs epoch via unix_micros(t). */
   private def qJoinCogroup(s: SparkSession, d: String): DataFrame = {
     val sp = s
     import sp.implicits._

@@ -65,7 +65,7 @@ object Quality {
                        CASE WHEN k % 5 = 0 THEN cents + 100000 ELSE cents END AS cents
                 FROM v1 WHERE k % 7 <> 0
                 UNION ALL
-                SELECT k + 10000000, st, cents FROM v1 WHERE k % 11 = 0),
+                SELECT k + 4398046511104, st, cents FROM v1 WHERE k % 11 = 0),
          j AS (SELECT COALESCE(a.st, b.st) AS st,
                       CASE WHEN a.k IS NULL THEN 'added'
                            WHEN b.k IS NULL THEN 'removed'
@@ -361,7 +361,11 @@ object Quality {
       .select(col("k"), col("st"),
         when(col("k") % 5 === 0, col("cents") + 100000L).otherwise(col("cents")).as("cents"))
       .unionByName(v1.filter(col("k") % 11 === 0)
-        .select((col("k") + 10000000L).as("k"), col("st"), col("cents")))
+        // re-inserted keys live above bit 42 (2^42 ≈ 4.4e12): real
+        // o_orderkey tops out at ~24M·sf, so synthetic keys can't collide
+        // with real ones until sf ≈ 180,000 (~180 PB) — the old +1e7
+        // offset collided from sf ≈ 2. Same constant in the oracle.
+        .select((col("k") + (1L << 42)).as("k"), col("st"), col("cents")))
     val a = v1.as("a"); val b = v2.as("b")
     a.join(b, col("a.k") === col("b.k"), "full_outer")
       .select(
