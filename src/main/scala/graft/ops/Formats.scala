@@ -36,6 +36,7 @@ object Formats {
     "q_source_partitioned" -> qSourcePartitioned,
     "q_source_binary" -> qSourceBinary,
     "q_source_evolve" -> qSourceEvolve,
+    "q_source_jdbc" -> qSourceJdbc,
     "q_layout_compact" -> qLayoutCompact
   )
 
@@ -84,6 +85,11 @@ object Formats {
                 CAST(SUM(CASE WHEN pri IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
                 CAST(CAST(SUM(price) AS DECIMAL(38,2)) AS VARCHAR) AS total
          FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_source_jdbc" ->
+      """SELECT s_nationkey, count(*) AS cnt,
+                CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total,
+                MIN(s_suppkey) AS min_key, MAX(s_suppkey) AS max_key
+         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
     "q_layout_compact" ->
       """SELECT l_returnflag, count(*) AS cnt,
                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_qty,
@@ -176,6 +182,37 @@ object Formats {
         min(col("h")).as("h_min"),
         max(col("h")).as("h_max"))
       .orderBy("bucket")
+  }
+
+  /** JDBC source/sink round-trip — the genre's dim-table ingest (MySQL/
+    * ClickHouse-shaped serving stores; embedded Derby stands in, the one
+    * RDBMS on Spark's classpath). The write is Spark's distributed JDBC
+    * sink (one connection per partition, batched inserts); the read back
+    * is a PARTITIONED JDBC scan — partitionColumn/numPartitions split the
+    * key range into 4 stride predicates so 4 tasks read concurrently,
+    * which is the actual scale lever for JDBC ingest (a single-connection
+    * read serializes the whole table through one task). Bounds are fixed
+    * constants: they shape the stride only — out-of-range rows still land
+    * in the edge partitions, so correctness never depends on them. The
+    * oracle aggregates the parquet original; a hash match proves the
+    * round-trip loses neither rows nor decimal precision. */
+  private def qSourceJdbc(s: SparkSession, d: String): DataFrame = {
+    val db = "graftjdbc_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val props = new java.util.Properties()
+    Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"),
+        col("s_acctbal").cast(DecimalType(12, 2)).as("acctbal"))
+      .write.mode("overwrite")
+      .jdbc(url, "supplier_rt", props)
+    s.read.jdbc(url, "supplier_rt", "s_suppkey", 0L, 1000000L, 4, props)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("acctbal")).cast(DecimalType(38, 2)).cast(StringType).as("total"),
+        min(col("s_suppkey")).as("min_key"),
+        max(col("s_suppkey")).as("max_key"))
+      .orderBy("s_nationkey")
   }
 
   /** SCHEMA EVOLUTION on a parquet lake: generation 1 lands without the
