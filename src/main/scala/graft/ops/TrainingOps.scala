@@ -27,6 +27,7 @@ object TrainingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> qPackSequences,
     "q_text_tfidf" -> qTextTfidf,
+    "q_text_rarity" -> qTextRarity,
     "q_sim_quant" -> qSimQuant,
     "q_decontam" -> qDecontam,
     "q_text_repetition" -> qTextRepetition,
@@ -59,6 +60,21 @@ object TrainingOps {
                     ORDER BY tf.tf * ((n.n_docs * 1000000) // df.df) DESC, tf.w) AS rnk
            FROM tf JOIN df ON tf.w = df.w CROSS JOIN n)
          WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q_text_rarity" ->
+      """WITH words AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+         tf AS (SELECT doc_id, lang, w, count(*) AS tf FROM words WHERE len(w) > 0
+                GROUP BY doc_id, lang, w),
+         df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         per AS (SELECT doc_id, lang,
+                        SUM(tf * ((n.n_docs * 1000000) // df.df)) // SUM(tf) AS mean_rarity
+                 FROM tf JOIN df USING (w) CROSS JOIN n
+                 GROUP BY doc_id, lang)
+         SELECT lang, count(*) AS n_docs,
+                CAST(SUM(CASE WHEN mean_rarity > 50000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+                CAST(MAX(mean_rarity) AS BIGINT) AS max_rarity,
+                CAST(MIN(mean_rarity) AS BIGINT) AS min_rarity
+         FROM per GROUP BY lang ORDER BY lang""",
     "q_sim_quant" ->
       """WITH q AS (SELECT vec_id,
                            list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 127)) AS qv
@@ -223,6 +239,43 @@ object TrainingOps {
       .select(col("doc_id"), col("rnk").cast(LongType).as("rnk"),
         col("w").as("word"), col("tf"), col("df"), col("score"))
       .orderBy("doc_id", "rnk")
+  }
+
+  /** Perplexity-PROXY quality filter — the integer-exact analog of the
+    * LM-perplexity pass every pretraining corpus runs (CCNet-style):
+    * docs dominated by corpus-rare tokens score high and get flagged.
+    * True perplexity needs log-probs, whose libm last-ulp differences
+    * make cross-engine floors unreproducible; the proxy keeps the SAME
+    * monotone ordering signal with exact integer arithmetic — per-token
+    * rarity = (N·10⁶) DIV df (scaled inverse document frequency), per-doc
+    * score = token-weighted mean rarity. Shape at 100 TB: tf shuffles on
+    * (doc, word), df is a word-keyed partial-combine count broadcast back
+    * into the probe (vocabulary-bounded, unlike shingles), then one
+    * doc-keyed and one lang-keyed aggregate — no pair joins anywhere. */
+  private def qTextRarity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val perDoc = tf.join(broadcast(df), Seq("w"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        sum(expr("tf * ((n_docs * 1000000) DIV df)")).as("rar_sum"),
+        sum(col("tf")).as("ntok"))
+      .withColumn("mean_rarity", expr("rar_sum DIV ntok"))
+    perDoc.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("mean_rarity") > 50000000L, 1L).otherwise(0L))
+          .cast(LongType).as("n_flagged"),
+        max(col("mean_rarity")).as("max_rarity"),
+        min(col("mean_rarity")).as("min_rarity"))
+      .orderBy("lang")
   }
 
   /** Quantized exact top-k similarity: embeddings quantized to integer

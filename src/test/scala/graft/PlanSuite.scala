@@ -221,6 +221,19 @@ class PlanSuite extends SparkSuite {
     assert(shuffles <= 3, s"$shuffles shuffle exchanges\n" + p.take(3000))
   }
 
+  test("jdbc source reads as a partitioned scan (4 stride predicates, not 1 connection)") {
+    val p = planOf("q_source_jdbc")
+    // JDBCRelation renders its partition count; a single-partition scan
+    // would serialize the whole table through one task and one connection
+    assert(p.contains("numPartitions=4"), p.take(3000))
+  }
+
+  test("text rarity: vocabulary stats broadcast, corpus never pair-joins") {
+    val p = planOf("q_text_rarity")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("simhash pair stage is the banded-LSH equi-join, not a broadcast NLJ") {
     val p = planOf("q_dedup_simhash")
     // recall-exact pigeonhole banding: candidates come from an equi-join
