@@ -50,7 +50,11 @@ object Plans {
     "q_text_drift",      // one corpus pass, vocabulary-scale pair join after
     "q_join_cogroup",    // typed two-sided CoGroup: one co-partitioning, no join node
     "q_stream_window_join", // (user, window)-equi join — window-keyed state, no range scan
-    "q_table_diff"       // snapshot diff: one co-partitioned full-outer classify
+    "q_table_diff",      // snapshot diff: one co-partitioned full-outer classify
+    "q_dedup_simhash",   // pigeonhole-banded hamming LSH + exact popcount verify
+    "q_source_jdbc",     // partitioned JDBC scan: 4 stride predicates, 4 connections
+    "q_text_rarity",     // perplexity-proxy filter: vocab broadcast, no pair joins
+    "q_multimodal_png"   // real PNG encode/decode in iterator mapPartitions stages
   )
 
   def main(args: Array[String]): Unit = {
