@@ -167,7 +167,9 @@ class PlanSuite extends SparkSuite {
       // 1-row global max — another broadcast scalar
       "q_dq_freshness",
       // PMI crosses in the 1-row corpus token total, like q_text_tfidf
-      "q_text_pmi")
+      "q_text_pmi",
+      // rarity crosses in the 1-row corpus doc count, like q_text_tfidf
+      "q_text_rarity")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString()
       val bad = (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")) &&
