@@ -3,6 +3,7 @@
 
 Usage: oracle_check.py <sfDir> <verifyOutDir>
        oracle_check.py --partition-sweep <sfDir> [workDir]
+       oracle_check.py --strategy-sweep <sfDir> [workDir]
 
 For each query dir under <verifyOutDir>: load the Spark-written parquet,
 run the query's oracle SQL (from oracle_sql.json) in DuckDB over views named
@@ -14,6 +15,11 @@ spark.sql.shuffle.partitions) and asserts every query's result rows are
 identical between the two dumps — any query whose output depends on
 partition count or intra-partition order fails here before the driver
 ever sees it.
+
+--strategy-sweep does the same with the PLANNER varied instead: one dump
+with default join strategies, one with autoBroadcastJoinThreshold=-1
+(every broadcast hash join becomes a shuffle join) — any query whose
+result depends on the physical join strategy fails here.
 DEV TOOL ONLY — the shipped Scala library has no Python dependency.
 """
 import json
@@ -93,45 +99,64 @@ def main(sf_dir, out_dir):
     sys.exit(1 if n_fail else 0)
 
 
-def partition_sweep(sf_dir, work_dir):
+def variant_sweep(sf_dir, work_dir, tag, variants):
+    """Run graft.Verify once per (label, env-overrides) variant and assert
+    every query's result rows are identical across all dumps."""
     import os
     import pathlib
     import shutil
     import subprocess
     repo = pathlib.Path(__file__).resolve().parents[1]
-    dumps = {}
-    for cpus in ("4", "7"):
-        out = f"{work_dir}/psweep_{cpus}"
+    dumps = []
+    for label, extra_env in variants:
+        out = f"{work_dir}/{tag}_{label}"
         shutil.rmtree(out, ignore_errors=True)
-        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
+        env = dict(os.environ, **extra_env)
         r = subprocess.run(
             ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out}"],
             cwd=repo, env=env, capture_output=True, text=True)
         if r.returncode != 0:
-            sys.exit(f"Verify run with CPUS={cpus} failed:\n{r.stdout[-3000:]}")
-        dumps[cpus] = out
+            sys.exit(f"Verify run [{label}] failed:\n{r.stdout[-3000:]}")
+        dumps.append((label, out))
     n_pass = n_fail = 0
-    queries = sorted(d for d in os.listdir(dumps["4"])
-                     if os.path.isdir(os.path.join(dumps["4"], d)))
+    queries = sorted(d for d in os.listdir(dumps[0][1])
+                     if os.path.isdir(os.path.join(dumps[0][1], d)))
     for name in queries:
         rows = []
-        for cpus, out in dumps.items():
+        for _, out in dumps:
             tbl = pq.read_table(f"{out}/{name}")
             tbl = tbl.select(sorted(tbl.column_names))
             rows.append([[cell(v) for v in row]
                          for row in tbl.to_pandas().astype(object).values.tolist()])
-        if rows[0] == rows[1]:
+        if all(r == rows[0] for r in rows[1:]):
             n_pass += 1
         else:
             n_fail += 1
-            print(f"FAIL {name}: result differs between shuffle.partitions=4 and =7")
-    print(f"== partition sweep: {n_pass} identical, {n_fail} differ ==")
+            print(f"FAIL {name}: result differs across {tag} variants "
+                  f"({', '.join(l for l, _ in dumps)})")
+    print(f"== {tag} sweep: {n_pass} identical, {n_fail} differ ==")
     sys.exit(1 if n_fail else 0)
+
+
+def partition_sweep(sf_dir, work_dir):
+    variant_sweep(sf_dir, work_dir, "psweep",
+                  [("4", {"SPARK_GRAFT_CPUS": "4"}),
+                   ("7", {"SPARK_GRAFT_CPUS": "7"})])
+
+
+def strategy_sweep(sf_dir, work_dir):
+    variant_sweep(sf_dir, work_dir, "ssweep",
+                  [("default", {}),
+                   ("nobcast", {"SPARK_GRAFT_CONF":
+                                "spark.sql.autoBroadcastJoinThreshold=-1"})])
 
 
 if __name__ == "__main__":
     if sys.argv[1] == "--partition-sweep":
         work = sys.argv[3] if len(sys.argv) > 3 else "/tmp"
         partition_sweep(sys.argv[2], work)
+    elif sys.argv[1] == "--strategy-sweep":
+        work = sys.argv[3] if len(sys.argv) > 3 else "/tmp"
+        strategy_sweep(sys.argv[2], work)
     else:
         main(sys.argv[1], sys.argv[2])

@@ -17,12 +17,20 @@ object Verify {
       sys.exit(1)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_CONF="k=v;k=v" — extra session confs for the
+    // determinism sweeps (e.g. autoBroadcastJoinThreshold=-1 proves
+    // results don't depend on the planner's join-strategy choice)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
