@@ -47,6 +47,26 @@ class EdgeCaseSuite extends SparkSuite {
     assert(Dedup.containPairs(oneDoc).count() == 0)
   }
 
+  test("simhash pair stages: empty and 1-row signature tables give empty pairs") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "sig")
+    val one = Seq((1L, 0x0123456789abcdefL)).toDF("doc_id", "sig")
+    assert(Dedup.simhashPairsBanded(empty).count() == 0)
+    assert(Dedup.simhashPairsNaive(empty).count() == 0)
+    assert(Dedup.simhashPairsBanded(one).count() == 0)
+    assert(Dedup.simhashPairsNaive(one).count() == 0)
+    // identical signatures pair at hd=0 through both stages
+    val twin = Seq((1L, 42L), (2L, 42L)).toDF("doc_id", "sig")
+    assert(Dedup.simhashPairsBanded(twin).as[(Long, Long, Long)].head() == ((1L, 2L, 0L)))
+  }
+
+  test("Dedup.clearCaches releases the shared checkpoint caches and results rebuild") {
+    // warm both cache layers, clear, re-run — same answer, no throw
+    val before = SparkEntry.queries("q_dedup_near")(spark, sf0001).count()
+    Dedup.clearCaches()
+    val after = SparkEntry.queries("q_dedup_near")(spark, sf0001).count()
+    assert(before == after)
+  }
+
   test("connectedComponents: empty edge list gives empty labels; self-loop is a singleton") {
     assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("d1", "d2")).count() == 0)
     val self = Dedup.connectedComponents(Seq((7L, 7L)).toDF("d1", "d2"))
