@@ -89,6 +89,74 @@ class EventGenSourceSuite extends SparkSuite {
     assert(ids == ((9000L, 9000L, 8999L)), ids.toString)
   }
 
+  test("end-to-end lifecycle: generator source → stateful window agg → JDBC serving store, exactly-once across restart AND sink replay") {
+    // The genre's full ODS→DWD→ADS path in one executable test: the
+    // Kafka-analog DSv2 source feeds an event-time tumbling aggregation
+    // whose updates land in a Derby serving table via a transactional
+    // foreachBatch upsert. The stream is stopped after draining a 6000-row
+    // log, then restarted FROM THE SAME CHECKPOINT against a log grown to
+    // 14000 rows — offsets and aggregation state both recover — and every
+    // batch is applied to the sink TWICE (injected at-least-once replay).
+    // The serving table must still converge exactly to the batch answer.
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-e2e-ckpt").toString
+    val url = "jdbc:derby:memory:graftlifecycle;create=true"
+    locally {
+      val c = java.sql.DriverManager.getConnection(url)
+      try c.createStatement().execute(
+        "CREATE TABLE serving (ws BIGINT NOT NULL, event_type VARCHAR(64) NOT NULL, " +
+          "cnt BIGINT NOT NULL, PRIMARY KEY (ws, event_type))")
+      finally c.close()
+    }
+    def upsert(batch: DataFrame): Unit =
+      batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val del = conn.prepareStatement(
+            "DELETE FROM serving WHERE ws = ? AND event_type = ?")
+          val ins = conn.prepareStatement("INSERT INTO serving VALUES (?, ?, ?)")
+          rows.foreach { r =>
+            del.setLong(1, r.getLong(0)); del.setString(2, r.getString(1))
+            del.executeUpdate()
+            ins.setLong(1, r.getLong(0)); ins.setString(2, r.getString(1))
+            ins.setLong(3, r.getLong(2))
+            ins.executeUpdate()
+          }
+          conn.commit()
+        } finally conn.close()
+      }
+    def dailyCounts(df: DataFrame): DataFrame = df
+      .withColumn("t", timestamp_micros(col("ts_micros")))
+      .groupBy(window(col("t"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("w.start")).as("ws"), col("event_type"), col("cnt"))
+    def run(rows: Long): Unit = {
+      val q = dailyCounts(spark.readStream.format("graft.sources.EventGenSource")
+          .option("rows", rows).option("partitions", 4).option("users", 50)
+          .option("maxRowsPerBatch", 1000).load())
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          upsert(batch); upsert(batch) // injected replay
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try assert(q.awaitTermination(120000), "stream did not drain") finally q.stop()
+    }
+    run(6000)
+    run(14000) // same checkpoint, grown log: resume, don't reprocess
+    val got = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "serving").load()
+      .as[(Long, String, Long)].collect()
+      .map { case (ws, et, c) => ((ws, et), c) }.toMap
+    val want = dailyCounts(gen(14000))
+      .as[(Long, String, Long)].collect()
+      .map { case (ws, et, c) => ((ws, et), c) }.toMap
+    assert(got == want && want.nonEmpty)
+    assert(got.values.sum == 14000L)
+  }
+
   test("checksum sink: commit protocol aggregates tasks; checksum is partitioning-independent") {
     import graft.sources.ChecksumSink
     gen(8000, 4).write.format("graft.sources.ChecksumSink")
