@@ -55,6 +55,22 @@ class RangeJoinRuleSuite extends SparkSuite {
     assert(want.contains((1L, 11L)) && want.contains((3L, 13L)))
   }
 
+  test("SQL-surface parity: a spark.sql band join gets the same rewrite") {
+    // the optimizer rule must serve SQL users identically to DataFrame
+    // users — extensions are session-level, not API-level
+    aRows.toDF("ida", "ta").createOrReplaceTempView("band_a")
+    bRows.toDF("idb", "tb").createOrReplaceTempView("band_b")
+    val df = spark.sql(
+      """SELECT ida, idb FROM band_a JOIN band_b
+         ON ta < tb AND tb <= ta + INTERVAL 1 HOUR""")
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    val got = df.as[(Long, Long)].collect().toSet
+    val want = bandJoin().select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("rule leaves equi-keyed interval joins alone") {
     val a = aRows.toDF("ida", "ta").withColumn("k", col("ida") % 2)
     val b = bRows.toDF("idb", "tb").withColumn("kb", col("idb") % 2)
