@@ -37,6 +37,8 @@ object Formats {
     "q_source_binary" -> qSourceBinary,
     "q_source_evolve" -> qSourceEvolve,
     "q_source_jdbc" -> qSourceJdbc,
+    "q_source_xml" -> qSourceXml,
+    "q_bucket_join" -> qBucketJoin,
     "q_layout_compact" -> qLayoutCompact
   )
 
@@ -58,6 +60,19 @@ object Formats {
                 CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total,
                 CAST(SUM(p_size) AS BIGINT) AS sum_size
          FROM part GROUP BY p_brand ORDER BY p_brand""",
+    "q_source_xml" ->
+      """SELECT p_type, count(*) AS cnt,
+                CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total,
+                CAST(SUM(p_size) AS BIGINT) AS sum_size,
+                MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key
+         FROM part GROUP BY p_type ORDER BY p_type""",
+    "q_bucket_join" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_qty,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_price,
+                COUNT(DISTINCT o_custkey) AS n_cust
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_source_partitioned" ->
       """SELECT source, count(*) AS cnt,
                 CAST(SUM(n_chars) AS BIGINT) AS chars,
@@ -360,5 +375,115 @@ object Formats {
         sum(col("price")).cast(DecimalType(38, 2)).cast(StringType).as("total"),
         sum(col("p_size")).cast(LongType).as("sum_size"))
       .orderBy("p_brand")
+  }
+
+  /** XML sink + source (Spark 4's built-in XML data source — the config/
+    * B2B-feed interchange format the genre still ingests from legacy
+    * ERP exports). Write side renders one `<part>` element per row under
+    * a root tag; read side is rowTag-delimited element scanning with an
+    * explicit schema (XML carries no types — inference on a lake-scale
+    * feed would be a full extra pass AND a drift hazard, so the schema
+    * is law here like every other source query). XML files split per
+    * FILE, not per element — the 4-file write keeps read parallelism
+    * honest at fixture scale; a production feed lands many files. */
+  private def qSourceXml(s: SparkSession, d: String): DataFrame = {
+    val out = roundtripDir(d, "part_xml")
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"), col("p_type"), col("p_size"),
+        col("p_retailprice").cast(DecimalType(12, 2)).as("price"))
+      .coalesce(4)
+      .write.mode("overwrite").format("xml")
+      .option("rootTag", "parts").option("rowTag", "part")
+      .save(out)
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_type", StringType),
+      StructField("p_size", IntegerType),
+      StructField("price", DecimalType(12, 2))))
+    s.read.schema(schema).format("xml").option("rowTag", "part").load(out)
+      .groupBy(col("p_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("price")).cast(DecimalType(38, 2)).cast(StringType).as("total"),
+        sum(col("p_size")).cast(LongType).as("sum_size"),
+        min(col("p_partkey")).as("min_key"),
+        max(col("p_partkey")).as("max_key"))
+      .orderBy("p_type")
+  }
+
+  /** Bucketed tables created once per (session, sf) and shared by every
+    * q_bucket_join call — bucketing's whole value proposition is paying
+    * the layout shuffle ONCE and amortizing it over every downstream
+    * join, so the cache IS the semantics, not an optimization shortcut
+    * (same first-query-pays pattern as Dedup.interCache, noted in Bench
+    * methodology). saveAsTable(overwrite) keeps re-runs idempotent even
+    * when a previous JVM left the warehouse directory behind. */
+  private val bucketCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+
+  private def bucketedTables(s: SparkSession, d: String): (String, String) =
+    bucketCache.synchronized {
+      bucketCache.getOrElseUpdate((s, d), {
+        val sf = d.replaceAll("[^A-Za-z0-9]", "_")
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_bucketed")
+        val ot = s"graft_bucketed.orders_b_$sf"
+        val lt = s"graft_bucketed.lineitem_b_$sf"
+        // a fresh JVM's in-memory catalog has no entry for the table, but
+        // the managed LOCATION from a previous JVM may still exist on disk
+        // — saveAsTable then refuses with LOCATION_ALREADY_EXISTS. Drop
+        // both the (possibly absent) catalog entry and the stale location.
+        val dbLoc = java.nio.file.Paths.get(
+          new java.net.URI(s.catalog.getDatabase("graft_bucketed").locationUri).getPath)
+        Seq(ot, lt).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = dbLoc.resolve(t.split('.').last).toFile
+          if (loc.exists()) {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete()
+            }
+            rm(loc)
+          }
+        }
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+          .write.format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable(ot)
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            col("l_quantity").cast(DecimalType(12, 2)).as("qty"),
+            col("l_extendedprice").cast(DecimalType(12, 2)).as("price"))
+          .write.format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable(lt)
+        (ot, lt)
+      })
+    }
+
+  /** Co-located (bucketed) join — the storage-side half of the shuffle
+    * story. Both tables were written `bucketBy(8, <join key>)`, so the
+    * join consumes pre-shuffled data IN PLACE: under a sort-merge plan
+    * neither side exchanges (pinned in BucketingSuite; the strategy
+    * sweep's broadcast-off pass exercises exactly that shape through
+    * this declared query). At 100 TB this is the difference between an
+    * hourly pipeline re-shuffling the fact table on every run and
+    * reading bucket-aligned files — one layout shuffle at write time
+    * amortized over every subsequent join on that key (the same
+    * contract Delta/Iceberg bucket transforms feed Spark's storage-
+    * partitioned joins). The aggregate hash-matching the plain-parquet
+    * oracle proves the bucketed layout loses no rows. */
+  private def qBucketJoin(s: SparkSession, d: String): DataFrame = {
+    val (ot, lt) = bucketedTables(s, d)
+    s.table(lt)
+      .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("qty")).cast(DecimalType(38, 2)).cast(StringType).as("total_qty"),
+        sum(col("price")).cast(DecimalType(38, 2)).cast(StringType).as("total_price"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy("o_orderstatus")
   }
 }

@@ -81,6 +81,22 @@ class BucketingSuite extends SparkSuite with BeforeAndAfterAll {
     }
   }
 
+  test("declared q_bucket_join consumes bucketed tables with no join-side shuffle") {
+    withNoBroadcast {
+      val j = SparkEntry.queries("q_bucket_join")(spark, sf0001)
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // everything BELOW the join (the section after the SMJ node in the
+      // rendered tree) must be exchange-free: both inputs arrive bucket-
+      // aligned from storage. Exchanges above it (the countDistinct
+      // aggregate) are expected and allowed.
+      val joinSection = plan.split("SortMergeJoin")(1)
+      assert(!joinSection.contains("Exchange"),
+        s"q_bucket_join must not shuffle either join input:\n$plan")
+      assert(j.count() > 0)
+    }
+  }
+
   test("single-table aggregation on the bucket key also skips its exchange") {
     withNoBroadcast {
       val agg = spark.table(s"$db.orders_b")
