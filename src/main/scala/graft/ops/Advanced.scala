@@ -35,10 +35,29 @@ object Advanced {
     "q_join_salted" -> qJoinSalted,
     "q_streak" -> qStreak,
     "q_funnel_session" -> qFunnelSession,
-    "q_attribution" -> qAttribution
+    "q_attribution" -> qAttribution,
+    "q_ab_metrics" -> qAbMetrics
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ab_metrics" ->
+      """WITH u AS (
+           SELECT user_id % 2 AS variant, user_id,
+                  count(*) AS n_events,
+                  count(*) FILTER (event_type = 'purchase') AS n_purch,
+                  CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2)))
+                    FILTER (event_type = 'purchase'), 0) * 100 AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2)
+         SELECT variant,
+                count(*) AS n_users,
+                CAST(SUM(n_events) AS BIGINT) AS n_events,
+                CAST(count(*) FILTER (n_purch > 0) AS BIGINT) AS n_converted,
+                CAST(SUM(n_purch) AS BIGINT) AS n_purchases,
+                CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+                CAST((count(*) FILTER (n_purch > 0)) * 1000 // count(*) AS BIGINT) AS conv_pm,
+                CAST(CASE WHEN SUM(n_purch) > 0
+                     THEN SUM(cents) // SUM(n_purch) ELSE 0 END AS BIGINT) AS aov_cents
+         FROM u GROUP BY variant ORDER BY variant""",
     "q_attribution" ->
       """WITH t AS (
            SELECT event_type, value,
@@ -433,5 +452,50 @@ object Advanced {
         count(lit(1)).as("n_purchases"),
         (sum(dec(col("value"), 12, 2)) * 100).cast(LongType).as("cents"))
       .orderBy("first_touch")
+  }
+
+  /** A/B experiment readout — the genre's experimentation ADS table. The
+    * variant assignment is a deterministic hash of the unit of
+    * randomization (user_id % 2 stands in for the production
+    * murmur(user_id, salt) % buckets; BOTH are stable under re-runs,
+    * which is the property that matters). Two-stage aggregate: per-user
+    * rollup FIRST (events shuffle once on user_id, map-side combinable),
+    * then the per-variant cohort stats over 1 row per user — at 100 TB
+    * the per-variant stage sees |users| rows, not |events|, and the
+    * variant cardinality (2) never skews a shuffle because the heavy
+    * stage is keyed by user. Ratios are integer per-mille / cents
+    * (truncating division, matching DuckDB `//`) — the engine's
+    * cross-partition determinism discipline; downstream significance
+    * testing belongs in the serving layer, the engine's job is exact
+    * cohort counts. */
+  private def qAbMetrics(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy((col("user_id") % 2).as("variant"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"),
+        coalesce(
+          (sum(when(col("event_type") === "purchase", dec(col("value"), 12, 2))) * 100)
+            .cast(LongType),
+          lit(0L)).as("cents"))
+    perUser
+      .groupBy(col("variant"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("n_events")).cast(LongType).as("n_events"),
+        sum(when(col("n_purch") > 0, 1L).otherwise(0L)).cast(LongType).as("n_converted"),
+        sum(col("n_purch")).cast(LongType).as("n_purchases"),
+        sum(col("cents")).cast(LongType).as("revenue_cents"))
+      .select(
+        col("variant"),
+        col("n_users"),
+        col("n_events"),
+        col("n_converted"),
+        col("n_purchases"),
+        col("revenue_cents"),
+        expr("n_converted * 1000 DIV n_users").as("conv_pm"),
+        when(col("n_purchases") > 0, expr("revenue_cents DIV n_purchases"))
+          .otherwise(lit(0L)).as("aov_cents"))
+      .orderBy("variant")
   }
 }
