@@ -366,6 +366,102 @@ object StreamOps {
   case class CepState(lastType: String, lastTu: Long)
   case class CepHit(user_id: Long, purchase_tu: Long, error_tu: Long)
 
+  // ---- streaming near-dup dedup: MinHash-LSH in keyed state ----------
+  // The realtime twin of the batch MinHash family (ops.Dedup): a document
+  // stream is near-dup-checked ON ARRIVAL against everything already
+  // seen, without ever joining the stream to itself. Signatures are
+  // computed per-row in Catalyst (no shuffle, no stream aggregation);
+  // each doc explodes to its 16 LSH band buckets; keyed state per bucket
+  // holds the (doc_id, signature) residents, and a new arrival emits a
+  // candidate pair for every resident whose full-signature agreement
+  // clears the threshold. At stream scale state is bounded by bucket
+  // occupancy (the same Σn_b² discipline as the batch LSH join) and
+  // production eviction hangs off an event-time timeout per bucket —
+  // dedup against "the last 30 days" is a TTL, not a growing set.
+
+  case class SigDoc(doc_id: Long, sig: Seq[Long])
+  case class BandDoc(bucket: String, doc_id: Long, sig: Seq[Long])
+  case class BucketState(docs: Seq[SigDoc])
+  case class DupCand(d1: Long, d2: Long, n_agree: Int)
+
+  /** Per-row MinHash(32) signatures — the same hash family as the batch
+    * path (`xxhash64(member, xxhash64(shingle))` over word-3-shingles,
+    * member index an int literal) but folded per row with higher-order
+    * array functions instead of explode+groupBy, because a streaming
+    * SELECT must stay shuffle-free. Bit-equality with the batch
+    * signatures is pinned in StreamBatchEquivSuite. Docs with fewer than
+    * 3 tokens carry no shingle and are dropped, matching the batch
+    * contract. Works on batch and streaming frames alike. */
+  def minhashSigRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .withColumn("sh",
+        expr("transform(sequence(1, size(tok) - 2), i -> xxhash64(concat_ws(' ', slice(tok, i, 3))))"))
+      .withColumn("sig",
+        expr("transform(sequence(0, 31), m -> array_min(transform(sh, h -> xxhash64(m, h))))"))
+      .select(col("doc_id"), col("sig"))
+
+  /** Explode each signed doc to its 16 LSH band buckets (2 sig members
+    * per band — the same 16×2 banding as the batch q_dedup_minhash). */
+  def minhashBandDocs(docs: DataFrame): Dataset[BandDoc] = {
+    import docs.sparkSession.implicits._
+    val bandCols = (0 until 16).map { b =>
+      concat_ws(":", lit(b), col("sig").getItem(2 * b), col("sig").getItem(2 * b + 1))
+    }
+    minhashSigRows(docs)
+      .select(explode(array(bandCols: _*)).as("bucket"), col("doc_id"), col("sig"))
+      .as[BandDoc]
+  }
+
+  /** Streaming near-dup detection: keyed state per LSH bucket accumulates
+    * resident (doc_id, sig); each arrival is compared against residents
+    * and emits (d1 < d2, n_agree) for full-signature agreement >= 16/32
+    * (estimated Jaccard >= 0.5). Within a batch rows are processed in
+    * doc_id order, so each same-bucket pair is emitted exactly once per
+    * bucket it shares (cross-bucket duplicates are the consumer's
+    * `distinct`, same as the batch LSH candidate join). The emitted SET
+    * is arrival-order independent — agreement is symmetric and every
+    * co-resident pair is compared when its later member arrives. */
+  def streamingNearDup(docs: DataFrame): Dataset[DupCand] = {
+    import docs.sparkSession.implicits._
+    minhashBandDocs(docs)
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[BandDoc], state: GroupState[BucketState]) => {
+          var seen = state.getOption.map(_.docs).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[DupCand]
+          rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            if (!seen.exists(_.doc_id == r.doc_id)) {
+              seen.foreach { p =>
+                val agree = (0 until 32).count(i => p.sig(i) == r.sig(i))
+                if (agree >= 16)
+                  out += DupCand(math.min(p.doc_id, r.doc_id),
+                    math.max(p.doc_id, r.doc_id), agree)
+              }
+              seen :+= SigDoc(r.doc_id, r.sig)
+            }
+          }
+          state.update(BucketState(seen))
+          out.result().iterator
+        })
+  }
+
+  /** Batch comparator for [[streamingNearDup]]: LSH bucket self-join →
+    * distinct candidates → full-signature agreement filter. Same bucket
+    * derivation, same agreement arithmetic, no state. */
+  def nearDupByAgreementBatch(docs: DataFrame): DataFrame = {
+    val b = minhashBandDocs(docs).toDF()
+    val cand = b.select(col("bucket"), col("doc_id").as("d1"), col("sig").as("s1"))
+      .join(b.select(col("bucket"), col("doc_id").as("d2"), col("sig").as("s2")), Seq("bucket"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("s1"), col("s2"))
+      .distinct()
+    cand
+      .withColumn("n_agree", expr("size(filter(sequence(0, 31), i -> s1[i] = s2[i]))"))
+      .filter(col("n_agree") >= 16)
+      .select(col("d1"), col("d2"), col("n_agree"))
+  }
+
   def cepPurchaseError(ev: Dataset[CepEv], gapUs: Long = 600000000L): Dataset[CepHit] = {
     import ev.sparkSession.implicits._
     ev.groupByKey(_.user_id)

@@ -688,6 +688,47 @@ class StreamBatchEquivSuite extends SparkSuite {
     }
   }
 
+  test("per-row minhash signatures are bit-identical to the batch explode+groupBy build") {
+    val docsDf = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val rowSigs = StreamOps.minhashSigRows(docsDf)
+    // the ops.Dedup construction: explode shingles, hash once, 32 member
+    // mins via groupBy — the shape the batch LSH family runs on
+    val sh = docsDf.select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(tok) - 2), i -> concat_ws(' ', slice(tok, i, 3)))")).as("s"))
+      .withColumn("h0", xxhash64(col("s")))
+    val aggs = (0 until 32).map(i => min(xxhash64(lit(i), col("h0"))).as(s"h$i"))
+    val aggSigs = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until 32).map(i => col(s"h$i")): _*).as("sig"))
+    assert(rowSigs.count() > 0)
+    assert(rowSigs.exceptAll(aggSigs).count() == 0 &&
+      aggSigs.exceptAll(rowSigs).count() == 0,
+      "per-row HOF signatures must equal the explode+groupBy signatures bit-for-bit")
+  }
+
+  test("streaming MinHash-LSH near-dup equals the batch LSH agreement join") {
+    val docsDf = Tables.documents(spark, sf0001).select("doc_id", "lang", "text")
+    val docs = docsDf.orderBy("doc_id").as[Doc].collect().toSeq
+    val ms = MemoryStream(Encoders.product[Doc], spark.sqlContext)
+    val q = StreamOps.streamingNearDup(ms.toDF())
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      // three arrival chunks: pairs split across chunk boundaries prove
+      // the bucket state genuinely carries residents between batches
+      docs.grouped(math.max(1, docs.size / 3 + 1)).foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("neardup_stream").distinct()
+    val batch = StreamOps.nearDupByAgreementBatch(docsDf).distinct()
+    assert(batch.count() > 0, "fixture must contain at least one near-dup pair")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed near-dup pair set must equal the batch LSH agreement join")
+  }
+
   test("late data beyond the watermark is dropped, never duplicated") {
     val maxT = rowsByArrival.map(_.t.getTime).max
     val sentinel = Ev(-1L, -1L, "sentinel", 0.0, new Timestamp(maxT + 86400L * 1000 * 40))
