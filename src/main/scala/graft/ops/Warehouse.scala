@@ -37,6 +37,7 @@ object Warehouse {
     "q_stream_chained" -> qStreamChained,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_multimodal_png" -> qMultimodalPng,
+    "q_multimodal_wav" -> qMultimodalWav,
     "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_frames" -> qMultimodalFrames,
     "q_dashboard_daily" -> qDashboardDaily,
@@ -153,6 +154,13 @@ object Warehouse {
                 CAST(SUM(8 + doc_id % 24) AS BIGINT) AS sum_width,
                 CAST(SUM(8 + (doc_id * 7) % 16) AS BIGINT) AS sum_height,
                 CAST(3 * count(*) AS BIGINT) AS sum_channels
+         FROM documents GROUP BY source ORDER BY source""",
+    "q_multimodal_wav" ->
+      """SELECT source, count(*) AS n_assets,
+                CAST(SUM(80 + doc_id % 160) AS BIGINT) AS total_samples,
+                CAST(MAX(1000 + doc_id % 2000) AS BIGINT) AS max_peak,
+                CAST(SUM((80 + doc_id % 160) * (1000 + doc_id % 2000)) AS BIGINT) AS total_abs,
+                CAST(8000 AS BIGINT) AS rate
          FROM documents GROUP BY source ORDER BY source""",
     "q_multimodal_resize" ->
       """WITH b AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS nb
@@ -506,6 +514,74 @@ object Warehouse {
         sum(col("w")).cast(LongType).as("sum_width"),
         sum(col("h")).cast(LongType).as("sum_height"),
         sum(col("ch")).cast(LongType).as("sum_channels"))
+      .orderBy("source")
+  }
+
+  /** Audio twin of [[qMultimodalPng]] — a REAL codec (javax.sound WAV,
+    * headless-safe) in the same iterator-to-iterator two-stage shape.
+    * Encode: a deterministic square wave per doc (n, amplitude, period
+    * all closed forms of doc_id) rendered to 16-bit mono PCM and wrapped
+    * through AudioSystem's WAV writer executor-side. Decode: the WAV
+    * header + frames re-parsed with AudioSystem, features (frame count,
+    * rate, peak, Σ|sample|) computed from the DECODED samples. PCM WAV is
+    * lossless, and a square wave's |sample| is its amplitude everywhere,
+    * so Σ|s| = n·a exactly — the DuckDB oracle stays closed-form
+    * arithmetic on doc_id while the executed path exercises a genuine
+    * container round-trip. Payloads are born and die inside one task;
+    * only 4 longs per asset reach the aggregate. */
+  private def qMultimodalWav(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+    val wavs = docs.mapPartitions { it =>
+      it.map { case (id, source) =>
+        val n = (80 + id % 160).toInt
+        val a = (1000 + id % 2000).toInt
+        val p = (8 + 2 * (id % 8)).toInt
+        val pcm = new Array[Byte](n * 2)
+        var j = 0
+        while (j < n) {
+          val v = if (j % p < p / 2) a else -a
+          pcm(2 * j) = (v & 0xff).toByte
+          pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+          j += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (id, source, bos.toByteArray)
+      }
+    }
+    val feats = wavs.mapPartitions { it =>
+      it.map { case (_, source, payload) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val n = ais.getFrameLength.toInt
+        val rate = ais.getFormat.getSampleRate.toLong
+        val bytes = ais.readAllBytes()
+        var peak = 0L
+        var sumAbs = 0L
+        var j = 0
+        while (j < n) {
+          val v = ((bytes(2 * j) & 0xff) | (bytes(2 * j + 1) << 8)).toShort.toLong
+          val av = math.abs(v)
+          sumAbs += av
+          if (av > peak) peak = av
+          j += 1
+        }
+        (source, n.toLong, rate, peak, sumAbs)
+      }
+    }.toDF("source", "n_samples", "rate", "peak", "sum_abs")
+    feats.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_samples")).cast(LongType).as("total_samples"),
+        max(col("peak")).cast(LongType).as("max_peak"),
+        sum(col("sum_abs")).cast(LongType).as("total_abs"),
+        max(col("rate")).cast(LongType).as("rate"))
       .orderBy("source")
   }
 
