@@ -51,10 +51,25 @@ object Mining {
     "q_text_pmi" -> qTextPmi,
     "q_anomaly_mad" -> qAnomalyMad,
     "q_feat_clip" -> qFeatClip,
-    "q_text_drift" -> qTextDrift
+    "q_text_drift" -> qTextDrift,
+    "q_text_vocab_growth" -> qTextVocabGrowth
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_vocab_growth" ->
+      """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+         dd AS (SELECT doc_id, LEAST(9, doc_id * 10 // (m + 1)) AS decile,
+                       string_split(text, ' ') AS ws
+                FROM documents, mx),
+         tok AS (SELECT DISTINCT decile, ws[i] || ' ' || ws[i+1] AS tok
+                 FROM (SELECT decile, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                       FROM dd)),
+         fs AS (SELECT tok, MIN(decile) AS first_decile FROM tok GROUP BY tok),
+         nn AS (SELECT first_decile AS decile, count(*) AS n_new
+                FROM fs GROUP BY first_decile)
+         SELECT decile, CAST(n_new AS BIGINT) AS n_new,
+                CAST(SUM(n_new) OVER (ORDER BY decile) AS BIGINT) AS vocab_cum
+         FROM nn ORDER BY decile""",
     "q_dedup_span" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
                     WHERE len(string_split(text, ' ')) >= 8),
@@ -316,5 +331,39 @@ object Mining {
              .when(col("cents") * 8 > col("hi8"), col("hi8"))
              .otherwise(col("cents") * 8)).cast(LongType).as("sum_clip8"))
       .orderBy("flag")
+  }
+
+  /** VOCABULARY GROWTH curve (Heaps-law monitoring): how many NEW
+    * distinct bigram types each ingest decile contributes, plus the
+    * cumulative vocabulary — the corpus-curation signal that tells a
+    * training-data pipeline when additional data stops buying lexical
+    * coverage (bigrams, because the fixture's unigram vocabulary
+    * saturates in the first decile; at web scale the same query runs on
+    * any n). "Ingest order" is doc_id; deciles cut its key space via one
+    * broadcast max (scalar aggregate, never a collect). The heavy stage
+    * is the (type → first decile) aggregate: bigrams shuffle once keyed
+    * by type (map-side combinable MIN), after a per-partition DISTINCT
+    * (decile, type) pre-shrink; document text never shuffles. The
+    * cumulative sum runs over ≤10 rows — a single-partition window over
+    * an already-tiny aggregate, not a scale hazard. */
+  private def qTextVocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val mx = docs.agg(max(col("doc_id")).as("m"))
+    val dd = docs.crossJoin(broadcast(mx))
+      .select(least(lit(9L), expr("doc_id * 10 DIV (m + 1)")).as("decile"),
+        split(col("text"), " ").as("ws"))
+      .select(col("decile"), explode(
+        expr("transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', ws[i-1], ws[i]))")).as("tok"))
+      .distinct()
+    val firstSeen = dd.groupBy(col("tok")).agg(min(col("decile")).as("decile"))
+    val perDecile = firstSeen.groupBy(col("decile")).agg(count(lit(1)).as("n_new"))
+    perDecile
+      .withColumn("vocab_cum",
+        sum(col("n_new")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("decile"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("decile"), col("n_new").cast(LongType).as("n_new"),
+        col("vocab_cum").cast(LongType).as("vocab_cum"))
+      .orderBy("decile")
   }
 }
