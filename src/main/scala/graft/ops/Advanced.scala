@@ -36,10 +36,35 @@ object Advanced {
     "q_streak" -> qStreak,
     "q_funnel_session" -> qFunnelSession,
     "q_attribution" -> qAttribution,
+    "q_attribution_linear" -> qAttributionLinear,
     "q_ab_metrics" -> qAbMetrics
   )
 
   val oracle: Map[String, String] = Map(
+    "q_attribution_linear" ->
+      """WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                            epoch_us(ts) AS tu, event_id, event_type,
+                            CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                     FROM events),
+         p AS (SELECT user_id, day, tu, event_id AS pid, cents FROM ev
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, day, tu AS ctu, event_id AS cid, event_type FROM ev
+               WHERE event_type IN ('click', 'view')),
+         j AS (SELECT p.pid, p.cents, c.event_type, c.ctu, c.cid
+               FROM p JOIN c ON p.user_id = c.user_id AND p.day = c.day
+                            AND (c.ctu < p.tu OR (c.ctu = p.tu AND c.cid < p.pid))),
+         j2 AS (SELECT *, count(*) OVER (PARTITION BY pid) AS n,
+                       row_number() OVER (PARTITION BY pid ORDER BY ctu, cid) AS rn
+                FROM j),
+         cr AS (SELECT event_type,
+                       cents // n + CASE WHEN rn = 1 THEN cents % n ELSE 0 END AS credit
+                FROM j2),
+         direct AS (SELECT 'direct' AS event_type, cents AS credit FROM p
+                    WHERE pid NOT IN (SELECT DISTINCT pid FROM j)),
+         allc AS (SELECT * FROM cr UNION ALL SELECT * FROM direct)
+         SELECT event_type, count(*) AS n_credits,
+                CAST(SUM(credit) AS BIGINT) AS credited_cents
+         FROM allc GROUP BY event_type ORDER BY event_type""",
     "q_ab_metrics" ->
       """WITH u AS (
            SELECT user_id % 2 AS variant, user_id,
@@ -452,6 +477,47 @@ object Advanced {
         count(lit(1)).as("n_purchases"),
         (sum(dec(col("value"), 12, 2)) * 100).cast(LongType).as("cents"))
       .orderBy("first_touch")
+  }
+
+  /** LINEAR multi-touch attribution — the fair-share complement to
+    * [[qAttribution]]'s first-touch model: each purchase's cents are
+    * split EQUALLY across the same-user-same-day touches (click/view)
+    * that precede it, in exact integer arithmetic — base = cents DIV n
+    * to every touch, remainder to the EARLIEST touch (ties broken by
+    * event_id), purchases with no prior touch credited to 'direct'.
+    * Credit is conserved to the cent: Σcredits == Σpurchase cents by
+    * construction (InvariantSuite pins it), which is the property a
+    * revenue-attribution table must have and a float model can't give.
+    * Scale: the purchase×touch join keys on (user, day) — per-key work
+    * bounded by a user-day's activity, the same discipline as funnel/
+    * retention; both window functions run inside the purchase key. */
+  private def qAttributionLinear(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("user_id"), to_date(col("t")).as("day"), unix_micros(col("t")).as("tu"),
+      col("event_id"), col("event_type"),
+      (dec(col("value"), 12, 2) * 100).cast(LongType).as("cents"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("day"), col("tu"), col("event_id").as("pid"), col("cents"))
+    val c = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("day"), col("tu").as("ctu"),
+        col("event_id").as("cid"), col("event_type"))
+    val j = p.join(c, Seq("user_id", "day"))
+      .filter(col("ctu") < col("tu") || (col("ctu") === col("tu") && col("cid") < col("pid")))
+      .select(col("pid"), col("cents"), col("event_type"), col("ctu"), col("cid"))
+    val byP = Window.partitionBy(col("pid"))
+    val j2 = j
+      .withColumn("n", count(lit(1)).over(byP))
+      .withColumn("rn", row_number().over(byP.orderBy(col("ctu"), col("cid"))))
+    val cr = j2.select(col("event_type"),
+      (expr("cents DIV n") +
+        when(col("rn") === 1, col("cents") % col("n")).otherwise(lit(0L))).as("credit"))
+    val direct = p.join(j.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+      .select(lit("direct").as("event_type"), col("cents").as("credit"))
+    cr.unionByName(direct)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit")).cast(LongType).as("credited_cents"))
+      .orderBy("event_type")
   }
 
   /** A/B experiment readout — the genre's experimentation ADS table. The

@@ -34,6 +34,16 @@ class InvariantSuite extends SparkSuite {
     assert(sessSum == total)
   }
 
+  test("linear attribution conserves revenue to the cent") {
+    val credited = SparkEntry.queries("q_attribution_linear")(spark, sf0001)
+      .agg(sum("credited_cents")).as[Long].head()
+    val purchases = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .agg(sum((col("value").cast("decimal(12,2)") * 100).cast("long"))).as[Long].head()
+    assert(credited == purchases,
+      s"credits $credited must equal purchase cents $purchases exactly")
+  }
+
   test("topk(3) per nation is a subset of topk(5)") {
     def topk(k: Int) = {
       import org.apache.spark.sql.expressions.Window
