@@ -52,10 +52,23 @@ object Mining {
     "q_anomaly_mad" -> qAnomalyMad,
     "q_feat_clip" -> qFeatClip,
     "q_text_drift" -> qTextDrift,
-    "q_text_vocab_growth" -> qTextVocabGrowth
+    "q_text_vocab_growth" -> qTextVocabGrowth,
+    "q_basket_lift" -> qBasketLift
   )
 
   val oracle: Map[String, String] = Map(
+    "q_basket_lift" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         n AS (SELECT count(DISTINCT o) AS nb FROM b),
+         c1 AS (SELECT p, count(*) AS c FROM b GROUP BY p),
+         pr AS (SELECT a.p AS p1, x.p AS p2, count(*) AS c12
+                FROM b a JOIN b x ON a.o = x.o AND a.p < x.p
+                GROUP BY 1, 2
+                HAVING count(*) >= 2)
+         SELECT p1, p2, c12,
+                CAST(c12 * nb * 1000 // (ca.c * cb.c) AS BIGINT) AS lift_x1000
+         FROM pr JOIN c1 ca ON pr.p1 = ca.p JOIN c1 cb ON pr.p2 = cb.p, n
+         ORDER BY lift_x1000 DESC, p1, p2 LIMIT 20""",
     "q_text_vocab_growth" ->
       """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
          dd AS (SELECT doc_id, LEAST(9, doc_id * 10 // (m + 1)) AS decile,
@@ -331,6 +344,37 @@ object Mining {
              .when(col("cents") * 8 > col("hi8"), col("hi8"))
              .otherwise(col("cents") * 8)).cast(LongType).as("sum_clip8"))
       .orderBy("flag")
+  }
+
+  /** MARKET-BASKET association mining (co-purchase lift) — the
+    * recommendation-feed precursor every commerce warehouse computes:
+    * part pairs co-occurring in >= 2 orders, ranked by lift in exact
+    * integer cross-multiplication (c12·N·1000 DIV c1·c2 — no float
+    * probability ratios). The pair stage is the ORDER-KEYED self-join:
+    * pair blow-up is bounded per order key by basket size (same
+    * discipline as q_join_theta), never a cross join over the part
+    * space; at 100 TB a pathological mega-basket would be capped or
+    * salted, and the support filter (HAVING c12 >= 2) kills the long
+    * tail before the lift join. Per-part counts join back unhinted —
+    * |parts|-sized, the planner broadcasts while it fits. */
+  private def qBasketLift(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val nb = b.agg(countDistinct(col("o")).as("nb"))
+    val c1 = b.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val pr = b.as("a").join(b.as("x"),
+        col("a.o") === col("x.o") && col("a.p") < col("x.p"))
+      .groupBy(col("a.p").as("p1"), col("x.p").as("p2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 2)
+    pr
+      .join(c1.select(col("p").as("p1"), col("c").as("c1n")), Seq("p1"))
+      .join(c1.select(col("p").as("p2"), col("c").as("c2n")), Seq("p2"))
+      .crossJoin(broadcast(nb))
+      .select(col("p1"), col("p2"), col("c12"),
+        expr("c12 * nb * 1000 DIV (c1n * c2n)").as("lift_x1000"))
+      .orderBy(col("lift_x1000").desc, col("p1"), col("p2"))
+      .limit(20)
   }
 
   /** VOCABULARY GROWTH curve (Heaps-law monitoring): how many NEW

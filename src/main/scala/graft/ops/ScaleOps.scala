@@ -42,10 +42,24 @@ object ScaleOps {
     "q_agg_sketch_merge" -> qAggSketchMerge,
     "q_topk_native" -> qTopkNative,
     "q_sample_group" -> qSampleGroup,
+    "q_sample_systematic" -> qSampleSystematic,
     "q_agg_bitmap" -> qAggBitmap
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_systematic" ->
+      """WITH ev AS (SELECT event_type, event_id, epoch_us(ts) AS tu,
+                            CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                     FROM events),
+         c AS (SELECT event_type, event_id, cents,
+                      SUM(cents) OVER (PARTITION BY event_type ORDER BY tu, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum,
+                      SUM(cents) OVER (PARTITION BY event_type) AS total
+               FROM ev)
+         SELECT event_type, event_id, cents, CAST(cum AS BIGINT) AS cum
+         FROM c
+         WHERE cum // GREATEST(total // 50, 1) > (cum - cents) // GREATEST(total // 50, 1)
+         ORDER BY event_type, event_id""",
     "q_join_bloom" ->
       """SELECT l_returnflag, count(*) AS n,
                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty
@@ -311,5 +325,34 @@ object ScaleOps {
         col("o_orderpriority").as("mode_priority"),
         col("cnt"))
       .orderBy("o_orderstatus")
+  }
+
+  /** Weighted SYSTEMATIC (PPS) sampling — the deterministic complement
+    * to hash sampling when inclusion probability must be proportional to
+    * a size measure (revenue here): walk each stratum in a fixed order,
+    * emit the row each time the running cents total crosses a stride
+    * boundary (stride = total DIV 50 → ~50 picks per stratum, every
+    * pick reproducible with no RNG). Heavy rows can cross several
+    * boundaries but emit once — the standard PPS-without-replacement
+    * systematic design. One window pass per stratum; at 100 TB the
+    * ordering key becomes a content hash so the same walk runs
+    * per-partition with per-partition totals (no global sort), but the
+    * crossing arithmetic is unchanged. Zero-cents rows can never cross a
+    * boundary and are structurally excluded. */
+  private def qSampleSystematic(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_type"), col("event_id"), unix_micros(col("t")).as("tu"),
+      (dec(col("value"), 12, 2) * 100).cast(org.apache.spark.sql.types.LongType).as("cents"))
+    val byType = Window.partitionBy(col("event_type"))
+    val c = ev
+      .withColumn("cum", sum(col("cents")).over(
+        byType.orderBy(col("tu"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("cents")).over(byType))
+    c.filter(expr(
+        "cum DIV greatest(total DIV 50, 1) > (cum - cents) DIV greatest(total DIV 50, 1)"))
+      .select(col("event_type"), col("event_id"), col("cents"),
+        col("cum").cast(org.apache.spark.sql.types.LongType).as("cum"))
+      .orderBy("event_type", "event_id")
   }
 }
