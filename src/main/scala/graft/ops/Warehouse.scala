@@ -43,10 +43,22 @@ object Warehouse {
     "q_dashboard_daily" -> qDashboardDaily,
     "q_anomaly_iqr" -> qAnomalyIqr,
     "q_profile" -> qProfile,
-    "q_rfm" -> qRfm
+    "q_rfm" -> qRfm,
+    "q_score_decay" -> qScoreDecay
   )
 
   val oracle: Map[String, String] = Map(
+    "q_score_decay" ->
+      """WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS m FROM events),
+         ev AS (SELECT user_id,
+                       date_diff('day', CAST(ts AS DATE), m) AS age,
+                       CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                FROM events, mx),
+         sc AS (SELECT user_id, count(*) AS n_events,
+                       CAST(SUM(cents * (1048576 >> age)) AS BIGINT) AS score
+                FROM ev GROUP BY user_id)
+         SELECT user_id, n_events, score FROM sc
+         ORDER BY score DESC, user_id LIMIT 25""",
     "q_recursive_cte" ->
       """WITH RECURSIVE h(k, root, depth) AS (
            SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 10
@@ -761,6 +773,35 @@ object Warehouse {
     * comparisons run at ×4 scale with no division. Boundary ties code
     * identically on both engines because the fence values are exact.
     * Output is the 4×4×4 segment census with per-segment exact cents. */
+  /** Recency-DECAYED engagement score — the freshness-weighted twin of
+    * [[qRfm]]: every event's cents are weighted by a half-life-per-day
+    * decay computed as a DYADIC shift (2²⁰ >> age_days) instead of the
+    * usual exp(-λ·age) — bit-identical in any engine, any partitioning,
+    * no transcendental drift (the same dyadic-exactness argument as the
+    * ×4 quartile discipline elsewhere in this module). The reference day
+    * is the corpus max (one broadcast scalar); the score aggregate is
+    * map-side combinable on user_id; top-25 is a global sort-limit over
+    * the per-user table, not the fact table. At 30-day fixture spans the
+    * 20-bit budget keeps every weight a positive integer down to age 20
+    * and zero past it — a production pipeline picks the budget to match
+    * its retention window. */
+  private def qScoreDecay(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("user_id"), to_date(col("t")).as("day"),
+      (dec(col("value"), 12, 2) * 100).cast(LongType).as("cents"))
+    val mx = ev.agg(max(col("day")).as("m"))
+    ev.crossJoin(broadcast(mx))
+      .withColumn("age", datediff(col("m"), col("day")))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("cents") * expr("shiftright(1048576L, cast(age AS int))"))
+          .cast(LongType).as("score"))
+      .orderBy(col("score").desc, col("user_id"))
+      .limit(25)
+      .select(col("user_id"), col("n_events"), col("score"))
+  }
+
   private def qRfm(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("orders_rfm")
     s.sql(

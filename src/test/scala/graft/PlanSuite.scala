@@ -169,7 +169,11 @@ class PlanSuite extends SparkSuite {
       // PMI crosses in the 1-row corpus token total, like q_text_tfidf
       "q_text_pmi",
       // rarity crosses in the 1-row corpus doc count, like q_text_tfidf
-      "q_text_rarity")
+      "q_text_rarity",
+      // vocab growth and score decay cross in 1-row max-key/max-day
+      // scalars; basket lift crosses in the 1-row basket count — all
+      // broadcast scalars like q_text_tfidf
+      "q_text_vocab_growth", "q_score_decay", "q_basket_lift")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString()
       val bad = (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")) &&
