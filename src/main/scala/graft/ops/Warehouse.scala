@@ -38,6 +38,7 @@ object Warehouse {
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_multimodal_png" -> qMultimodalPng,
     "q_multimodal_wav" -> qMultimodalWav,
+    "q_multimodal_gif" -> qMultimodalGif,
     "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_frames" -> qMultimodalFrames,
     "q_dashboard_daily" -> qDashboardDaily,
@@ -167,6 +168,17 @@ object Warehouse {
                 CAST(SUM(8 + (doc_id * 7) % 16) AS BIGINT) AS sum_height,
                 CAST(3 * count(*) AS BIGINT) AS sum_channels
          FROM documents GROUP BY source ORDER BY source""",
+    "q_multimodal_gif" ->
+      """WITH a AS (SELECT source, doc_id, 2 + doc_id % 6 AS n FROM documents),
+         f AS (SELECT source, n, (n + 1) // 2 AS n_sampled,
+                      list_sum(list_transform(range(0, (n + 1) // 2),
+                               j -> 8 + ((doc_id + 2 * j) % 8))) AS sum_w
+               FROM a)
+         SELECT source, count(*) AS n_assets,
+                CAST(SUM(n) AS BIGINT) AS total_frames,
+                CAST(SUM(n_sampled) AS BIGINT) AS total_sampled,
+                CAST(SUM(sum_w) AS BIGINT) AS total_sampled_width
+         FROM f GROUP BY source ORDER BY source""",
     "q_multimodal_wav" ->
       """SELECT source, count(*) AS n_assets,
                 CAST(SUM(80 + doc_id % 160) AS BIGINT) AS total_samples,
@@ -526,6 +538,77 @@ object Warehouse {
         sum(col("w")).cast(LongType).as("sum_width"),
         sum(col("h")).cast(LongType).as("sum_height"),
         sum(col("ch")).cast(LongType).as("sum_channels"))
+      .orderBy("source")
+  }
+
+  /** Video-analog of [[qMultimodalPng]] — a REAL multi-frame container
+    * (animated GIF through ImageIO's sequence writer, headless-safe) for
+    * the frame-sampling stage: encode n frames per asset executor-side,
+    * decode the container back (getNumImages forces a full parse), and
+    * FRAME-SAMPLE every 2nd frame, reading the sampled frames' decoded
+    * widths. Frame count and per-frame dims survive GIF's palette
+    * quantization losslessly, so the oracle stays closed-form arithmetic
+    * on doc_id while the executed path exercises a genuine multi-frame
+    * container round-trip — the same claim q_multimodal_frames makes
+    * with the stub codec, now under a real parser. Payloads never
+    * shuffle; 3 longs per asset reach the aggregate. */
+  private def qMultimodalGif(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+    val gifs = docs.mapPartitions { it =>
+      it.map { case (id, source) =>
+        val n = (2 + id % 6).toInt
+        val h = (6 + id % 4).toInt
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < n) {
+          val w = (8 + (id + f) % 8).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, (x * 31 + y * 7 + f * 13) << 8); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        writer.dispose()
+        (id, source, bos.toByteArray)
+      }
+    }
+    val feats = gifs.mapPartitions { it =>
+      it.map { case (_, source, payload) =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload)))
+        val n = reader.getNumImages(true)
+        var sumW = 0L
+        var k = 0
+        var i = 0
+        while (i < n) {
+          sumW += reader.read(i).getWidth
+          k += 1
+          i += 2
+        }
+        reader.dispose()
+        (source, n.toLong, k.toLong, sumW)
+      }
+    }.toDF("source", "n_frames", "n_sampled", "sum_w")
+    feats.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_frames")).cast(LongType).as("total_frames"),
+        sum(col("n_sampled")).cast(LongType).as("total_sampled"),
+        sum(col("sum_w")).cast(LongType).as("total_sampled_width"))
       .orderBy("source")
   }
 
