@@ -54,7 +54,12 @@ object Plans {
     "q_dedup_simhash",   // pigeonhole-banded hamming LSH + exact popcount verify
     "q_source_jdbc",     // partitioned JDBC scan: 4 stride predicates, 4 connections
     "q_text_rarity",     // perplexity-proxy filter: vocab broadcast, no pair joins
-    "q_multimodal_png"   // real PNG encode/decode in iterator mapPartitions stages
+    "q_multimodal_png",  // real PNG encode/decode in iterator mapPartitions stages
+    "q_bucket_join",     // co-located bucketed join: no join-side exchange
+    "q_basket_lift",     // order-keyed pair self-join, support filter before lift join
+    "q_attribution_linear", // (user, day)-keyed purchase×touch join, windows in-key
+    "q_sample_systematic",  // one window pass per stratum, stride-crossing picks
+    "q_score_decay"      // dyadic decay weights, map-combinable user aggregate
   )
 
   def main(args: Array[String]): Unit = {
