@@ -28,5 +28,7 @@ object Engine {
     }
     Bridge.registerFunction(spark, "dot_product_d",
       exprs => DotProductD(exprs.head, exprs(1)))
+    Bridge.registerFunction(spark, "minhash_sigs",
+      exprs => graft.expr.MinHashSigs(exprs.head))
   }
 }

@@ -386,20 +386,22 @@ object StreamOps {
 
   /** Per-row MinHash(32) signatures — the same hash family as the batch
     * path (`xxhash64(member, xxhash64(shingle))` over word-3-shingles,
-    * member index an int literal) but folded per row with higher-order
-    * array functions instead of explode+groupBy, because a streaming
-    * SELECT must stay shuffle-free. Bit-equality with the batch
-    * signatures is pinned in StreamBatchEquivSuite. Docs with fewer than
-    * 3 tokens carry no shingle and are dropped, matching the batch
-    * contract. Works on batch and streaming frames alike. */
-  def minhashSigRows(docs: DataFrame): DataFrame =
+    * member index an int literal) but folded per row, because a
+    * streaming SELECT must stay shuffle-free. The fold runs through the
+    * native codegen'd [[graft.expr.MinHashSigs]] expression (one pass
+    * over the shingle array, zero boxing); bit-equality with BOTH the
+    * batch explode+groupBy signatures and the interpreted higher-order-
+    * function composition is pinned in StreamBatchEquivSuite. Docs with
+    * fewer than 3 tokens carry no shingle and are dropped, matching the
+    * batch contract. Works on batch and streaming frames alike. */
+  def minhashSigRows(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val sh = expr("transform(sequence(1, size(tok) - 2), i -> concat_ws(' ', slice(tok, i, 3)))")
     docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
       .filter(size(col("tok")) >= 3)
-      .withColumn("sh",
-        expr("transform(sequence(1, size(tok) - 2), i -> xxhash64(concat_ws(' ', slice(tok, i, 3))))"))
-      .withColumn("sig",
-        expr("transform(sequence(0, 31), m -> array_min(transform(sh, h -> xxhash64(m, h))))"))
-      .select(col("doc_id"), col("sig"))
+      .select(col("doc_id"),
+        Bridge.column(graft.expr.MinHashSigs(Bridge.expression(sh))).as("sig"))
+  }
 
   /** Explode each signed doc to its 16 LSH band buckets (2 sig members
     * per band — the same 16×2 banding as the batch q_dedup_minhash). */

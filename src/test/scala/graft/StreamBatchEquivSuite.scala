@@ -704,7 +704,18 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(rowSigs.count() > 0)
     assert(rowSigs.exceptAll(aggSigs).count() == 0 &&
       aggSigs.exceptAll(rowSigs).count() == 0,
-      "per-row HOF signatures must equal the explode+groupBy signatures bit-for-bit")
+      "native per-row signatures must equal the explode+groupBy signatures bit-for-bit")
+    // third construction: the interpreted higher-order-function fold —
+    // the executable spec the native MinHashSigs expression replaces
+    val hofSigs = docsDf.select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .withColumn("sh",
+        expr("transform(sequence(1, size(tok) - 2), i -> xxhash64(concat_ws(' ', slice(tok, i, 3))))"))
+      .select(col("doc_id"),
+        expr("transform(sequence(0, 31), m -> array_min(transform(sh, h -> xxhash64(m, h))))").as("sig"))
+    assert(rowSigs.exceptAll(hofSigs).count() == 0 &&
+      hofSigs.exceptAll(rowSigs).count() == 0,
+      "native signatures must equal the interpreted HOF composition bit-for-bit")
   }
 
   test("streaming MinHash-LSH near-dup equals the batch LSH agreement join") {
