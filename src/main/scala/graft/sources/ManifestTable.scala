@@ -1,0 +1,178 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal transactional MANIFEST-LOG table format — the ACID dataflow
+  * (Delta/Iceberg's core protocol) in miniature, on public Spark +
+  * java.nio only. The sandbox has no lake-format jars (SURVEY §2.A), so
+  * this closes the gap the honest way: by implementing the protocol
+  * rather than describing it.
+  *
+  * Layout:
+  * {{{
+  *   <table>/data/<uuid>-part-*.parquet   -- immutable data files
+  *   <table>/manifests/v%08d.manifest     -- newline-separated file list
+  * }}}
+  *
+  * Protocol:
+  *  - WRITE: the DataFrame lands distributed into a staging dir; the
+  *    committer moves the part files into data/ under a fresh UUID
+  *    prefix. Staged/moved files are INVISIBLE until a manifest
+  *    references them, so a crashed writer leaves no partial state —
+  *    readers are isolated by construction, and orphans are garbage,
+  *    not corruption.
+  *  - COMMIT: publish manifest version N+1 via `Files.createLink`
+  *    (hard link), which FAILS if the target exists — the filesystem's
+  *    compare-and-swap. A losing concurrent committer re-reads the new
+  *    latest manifest and retries (append) — optimistic concurrency,
+  *    exactly the Delta commit loop. (POSIX rename would silently
+  *    REPLACE an existing version and lose the race winner's commit;
+  *    the hard-link publish is the part naive implementations get
+  *    wrong. On object stores without atomic create-if-absent this
+  *    step is exactly what a commit/log service replaces — the
+  *    protocol shape is unchanged.)
+  *  - READ: pick the requested (or latest) manifest, read exactly its
+  *    files. Snapshots are immutable → time travel is just reading an
+  *    older manifest; concurrent commits never disturb an in-flight
+  *    reader (snapshot isolation).
+  *  - VACUUM: delete data files referenced by NO manifest (crashed
+  *    writers' orphans) — never files a live snapshot lists.
+  *
+  * Scale notes: data files and the Spark write/read path are fully
+  * distributed; only the manifest (a file LIST, KB-scale per thousands
+  * of files) passes through the committer, same as any log-store
+  * format. Manifest size growth is the known cost of the design —
+  * production formats checkpoint/compact the log; the protocol here is
+  * per-snapshot-complete so each manifest stands alone.
+  */
+object ManifestTable {
+
+  private def manifestDir(table: String): Path = Paths.get(table, "manifests")
+  private def dataDir(table: String): Path = Paths.get(table, "data")
+
+  private def versionOf(p: Path): Long = {
+    val n = p.getFileName.toString
+    n.stripPrefix("v").stripSuffix(".manifest").toLong
+  }
+
+  /** Latest committed version, if any manifest exists. */
+  def latestVersion(table: String): Option[Long] = {
+    val md = manifestDir(table)
+    if (!Files.isDirectory(md)) return None
+    val vs = Files.list(md).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d{8}\\.manifest"))
+      .map(versionOf).toSeq
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** The file list of a committed snapshot. */
+  def snapshotFiles(table: String, version: Long): Seq[String] = {
+    val m = manifestDir(table).resolve(f"v$version%08d.manifest")
+    Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  /** Read a snapshot (latest by default; pass a version for time
+    * travel). An empty table (no commits) reads as an error — callers
+    * create tables by committing. */
+  def read(spark: SparkSession, table: String, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    val files = snapshotFiles(table, v)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Stage `df` as immutable data files under data/, NOT yet visible.
+    * Returns the staged file paths. */
+  private def stage(df: DataFrame, table: String): Seq[String] = {
+    val id = UUID.randomUUID().toString
+    val staging = Paths.get(table, s"staging-$id")
+    df.write.parquet(staging.toString)
+    Files.createDirectories(dataDir(table))
+    val moved = Files.list(staging).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .zipWithIndex
+      .map { case (f, i) =>
+        val dst = dataDir(table).resolve(s"$id-part-$i.parquet")
+        Files.move(f, dst, StandardCopyOption.ATOMIC_MOVE)
+        dst.toString
+      }.toSeq
+    Files.list(staging).iterator().asScala.foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(staging)
+    moved
+  }
+
+  /** Publish `files` as version `v` — the CAS. True iff this committer
+    * won the version. */
+  private def publish(table: String, v: Long, files: Seq[String]): Boolean = {
+    val md = manifestDir(table)
+    Files.createDirectories(md)
+    val tmp = md.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, files.mkString("\n").getBytes("UTF-8"))
+    val target = md.resolve(f"v$v%08d.manifest")
+    try {
+      Files.createLink(target, tmp) // atomic create-if-absent
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Append `df` as a new snapshot: stage, then optimistic commit loop —
+    * on losing the CAS, re-read the NEW latest file list and retry so
+    * the loser's rows land on top of the winner's (never instead of).
+    * Returns the committed version. */
+  def append(spark: SparkSession, table: String, df: DataFrame,
+      maxRetries: Int = 20): Long = {
+    val staged = stage(df, table)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(table)
+      val prev = base.map(snapshotFiles(table, _)).getOrElse(Seq.empty)
+      val v = base.getOrElse(-1L) + 1
+      if (publish(table, v, prev ++ staged)) return v
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
+  }
+
+  /** Replace the table contents with `df` (the snapshot still leaves
+    * every older version readable — overwrite rewrites the FILE LIST,
+    * not history). */
+  def overwrite(spark: SparkSession, table: String, df: DataFrame,
+      maxRetries: Int = 20): Long = {
+    val staged = stage(df, table)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = latestVersion(table).getOrElse(-1L) + 1
+      if (publish(table, v, staged)) return v
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
+  }
+
+  /** Delete data files referenced by NO manifest — crashed or aborted
+    * writers' orphans. Never touches a file any snapshot lists, so
+    * time travel keeps working for every committed version. Returns the
+    * number of files removed. */
+  def vacuum(table: String): Int = {
+    val md = manifestDir(table)
+    val referenced: Set[String] =
+      if (!Files.isDirectory(md)) Set.empty
+      else Files.list(md).iterator().asScala
+        .filter(_.getFileName.toString.matches("v\\d{8}\\.manifest"))
+        .flatMap(m => Files.readAllLines(m).asScala)
+        .toSet
+    val dd = dataDir(table)
+    if (!Files.isDirectory(dd)) return 0
+    val orphans = Files.list(dd).iterator().asScala
+      .filter(f => !referenced.contains(f.toString)).toSeq
+    orphans.foreach(Files.deleteIfExists(_))
+    orphans.size
+  }
+}
