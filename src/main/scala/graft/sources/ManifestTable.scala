@@ -70,10 +70,24 @@ object ManifestTable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** The file list of a committed snapshot. */
+  /** The file list of a committed snapshot (metadata lines excluded). */
   def snapshotFiles(table: String, version: Long): Seq[String] = {
     val m = manifestDir(table).resolve(f"v$version%08d.manifest")
-    Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty)
+    Files.readAllLines(m).asScala.toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+  }
+
+  /** A committed snapshot's metadata (`#key=value` header lines). */
+  def snapshotMeta(table: String, version: Long): Map[String, String] = {
+    val m = manifestDir(table).resolve(f"v$version%08d.manifest")
+    Files.readAllLines(m).asScala.toSeq
+      .filter(_.startsWith("#"))
+      .flatMap { l =>
+        l.stripPrefix("#").split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }
+      }.toMap
   }
 
   /** Read a snapshot (latest by default; pass a version for time
@@ -109,11 +123,13 @@ object ManifestTable {
 
   /** Publish `files` as version `v` — the CAS. True iff this committer
     * won the version. */
-  private def publish(table: String, v: Long, files: Seq[String]): Boolean = {
+  private def publish(table: String, v: Long, files: Seq[String],
+      meta: Map[String, String] = Map.empty): Boolean = {
     val md = manifestDir(table)
     Files.createDirectories(md)
     val tmp = md.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp, files.mkString("\n").getBytes("UTF-8"))
+    val header = meta.toSeq.sortBy(_._1).map { case (k, x) => s"#$k=$x" }
+    Files.write(tmp, (header ++ files).mkString("\n").getBytes("UTF-8"))
     val target = md.resolve(f"v$v%08d.manifest")
     try {
       Files.createLink(target, tmp) // atomic create-if-absent
@@ -156,6 +172,57 @@ object ManifestTable {
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
   }
 
+  /** MERGE INTO (upsert) as a transactional snapshot: read the latest
+    * snapshot, full-outer-merge `updates` on `key` (update rows win,
+    * unmatched updates insert, unmatched targets survive), commit the
+    * merged state as an OVERWRITE snapshot. Same dataflow as the
+    * declared q_merge_upsert, now landing atomically — readers see the
+    * whole merge or none of it, and the pre-merge snapshot stays
+    * time-travelable. Both inputs must share one schema. */
+  def merge(spark: SparkSession, table: String, updates: DataFrame,
+      key: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val current = read(spark, table)
+    val cols = current.columns
+    val u = updates.select(cols.map(col): _*)
+    val merged = current.as("t")
+      .join(u.as("u"), current(key) === u(key), "full_outer")
+      .select(cols.map { c =>
+        org.apache.spark.sql.functions
+          .coalesce(col(s"u.$c"), col(s"t.$c")).as(c)
+      }: _*)
+    overwrite(spark, table, merged)
+  }
+
+  /** Exactly-once streaming sink commit: append `df` tagged with the
+    * micro-batch id, SKIPPING the append when that batch id is already
+    * committed — the foreachBatch replay-after-failure case. The check
+    * and the commit are not one atomic step for MULTIPLE writers; for
+    * the single-writer foreachBatch contract (Structured Streaming runs
+    * one committer per query) the recheck inside the publish loop is
+    * sufficient: a replayed batch can only re-observe its own prior
+    * commit. Returns the committed version, or None if the batch was
+    * already in. */
+  def idempotentAppend(spark: SparkSession, table: String, df: DataFrame,
+      batchId: Long): Option[Long] = {
+    def committed: Long = latestVersion(table)
+      .flatMap(v => snapshotMeta(table, v).get("lastBatchId")).map(_.toLong)
+      .getOrElse(-1L)
+    if (committed >= batchId) return None
+    val staged = stage(df, table)
+    var attempt = 0
+    while (attempt < 20) {
+      if (committed >= batchId) return None // lost a race to our own replay
+      val base = latestVersion(table)
+      val prev = base.map(snapshotFiles(table, _)).getOrElse(Seq.empty)
+      val v = base.getOrElse(-1L) + 1
+      if (publish(table, v, prev ++ staged, Map("lastBatchId" -> batchId.toString)))
+        return Some(v)
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race 20 times on $table")
+  }
+
   /** Delete data files referenced by NO manifest — crashed or aborted
     * writers' orphans. Never touches a file any snapshot lists, so
     * time travel keeps working for every committed version. Returns the
@@ -167,6 +234,7 @@ object ManifestTable {
       else Files.list(md).iterator().asScala
         .filter(_.getFileName.toString.matches("v\\d{8}\\.manifest"))
         .flatMap(m => Files.readAllLines(m).asScala)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
         .toSet
     val dd = dataDir(table)
     if (!Files.isDirectory(dd)) return 0

@@ -69,6 +69,47 @@ class ManifestTableSuite extends SparkSuite {
       "overwrite must not orphan files any snapshot still lists")
   }
 
+  test("MERGE upsert lands atomically: updates win, inserts land, history survives") {
+    val t = freshTable()
+    ManifestTable.append(spark, t, range(0, 10)) // v0: id 0..9, v = 2*id
+    val updates = spark.range(5, 12).select(col("id"), lit(-1L).as("v"))
+    val v1 = ManifestTable.merge(spark, t, updates, "id")
+    assert(v1 == 1L)
+    val now = ManifestTable.read(spark, t)
+    assert(now.count() == 12)
+    assert(now.filter(col("v") === -1L).count() == 7, "updates+inserts must carry the new value")
+    assert(now.filter(col("id") < 5 && col("v") =!= col("id") * 2).count() == 0,
+      "unmatched target rows must survive unchanged")
+    assert(ManifestTable.read(spark, t, Some(0L)).filter(col("v") === -1L).count() == 0,
+      "the pre-merge snapshot must stay time-travelable")
+  }
+
+  test("streaming foreachBatch into the manifest table is exactly-once under batch replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.{DataFrame, Encoders}
+    val t = freshTable()
+    val ms = MemoryStream(Encoders.scalaLong, spark.sqlContext)
+    val q = ms.toDF().writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val batch = df.select(col("value").as("id"), (col("value") * 2).as("v"))
+        ManifestTable.idempotentAppend(spark, t, batch, id)
+        // injected failure-replay: the sink sees the SAME batch again
+        assert(ManifestTable.idempotentAppend(spark, t, batch, id).isEmpty,
+          "replaying a committed batch must be a no-op")
+        ()
+      }
+      .start()
+    try {
+      Seq(0L until 50L, 50L until 80L, 80L until 100L).foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(ManifestTable.read(spark, t).count() == 100,
+      "each micro-batch must land exactly once despite the replay")
+    assert(ManifestTable.vacuum(t) >= 0)
+    assert(ManifestTable.read(spark, t).count() == 100)
+  }
+
   test("concurrent appends both land: the CAS loser retries on top of the winner") {
     val t = freshTable()
     ManifestTable.append(spark, t, range(0, 10))
