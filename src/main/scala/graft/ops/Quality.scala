@@ -53,10 +53,24 @@ object Quality {
     "q_skyline" -> qSkyline,
     "q_incr_agg" -> qIncrAgg,
     "q_dq_freshness" -> qDqFreshness,
-    "q_table_diff" -> qTableDiff
+    "q_table_diff" -> qTableDiff,
+    "q_table_manifest" -> qTableManifest
   )
 
   val oracle: Map[String, String] = Map(
+    "q_table_manifest" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                              CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                       FROM orders WHERE o_orderkey % 3 = 0),
+         upd AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) + 11 AS cents
+                 FROM orders WHERE o_orderkey % 6 = 0 OR o_orderkey % 3 = 1),
+         merged AS (SELECT k, st, cents FROM base WHERE k NOT IN (SELECT k FROM upd)
+                    UNION ALL SELECT k, st, cents FROM upd)
+         SELECT st AS o_orderstatus, count(*) AS cnt,
+                CAST(SUM(cents) AS BIGINT) AS total_cents,
+                MIN(k) AS min_key, MAX(k) AS max_key
+         FROM merged GROUP BY st ORDER BY st""",
     "q_table_diff" ->
       """WITH v1 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
                             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
@@ -589,5 +603,37 @@ object Quality {
         (col("gmax") - col("max_us")).as("lag_us"),
         when(col("gmax") - col("max_us") > 3600000000L, lit(1L)).otherwise(lit(0L)).as("stale"))
       .orderBy("event_type")
+  }
+
+  /** The transactional table format END TO END under the oracle gate:
+    * commit a base snapshot of orders into a ManifestTable, MERGE an
+    * update set (half the base keys repriced, a disjoint key class
+    * inserted), read the POST-MERGE SNAPSHOT back and aggregate it. The
+    * oracle recomputes the merged state relationally from the parquet
+    * original, so the hash match proves the staged-write → CAS-commit →
+    * snapshot-read cycle loses nothing and applies update-wins
+    * semantics exactly (the dataflow q_merge_upsert verifies, now
+    * through the atomic table layer). A fresh temp table per call keeps
+    * re-runs independent; at scale the same protocol runs against a
+    * lake path with a log-store CAS. */
+  private def qTableManifest(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val t = java.nio.file.Files.createTempDirectory("graft_manifest_q").toString
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      (dec(col("o_totalprice"), 12, 2) * 100).cast(LongType).as("cents"))
+    ManifestTable.append(s, t, o.filter(col("k") % 3 === 0))
+    ManifestTable.merge(s, t,
+      o.filter(col("k") % 6 === 0 || col("k") % 3 === 1)
+        .withColumn("cents", col("cents") + 11),
+      "k")
+    ManifestTable.read(s, t)
+      .groupBy(col("st").as("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("cents")).cast(LongType).as("total_cents"),
+        min(col("k")).as("min_key"),
+        max(col("k")).as("max_key"))
+      .orderBy("o_orderstatus")
   }
 }
