@@ -72,8 +72,36 @@ object StreamBench {
       drive("window_join")(df => StreamOps.windowJoin6h(
         df.filter(col("event_type") === "click"),
         df.filter(col("event_type") === "purchase"))))
-    println(f"""{"metric":"stream_events_per_sec","n_events":$nEvents,${
-      all.map { case (k, v) => f""""$k":${v}%.0f""" }.mkString(",")}}""")
+
+    // document-stream probe: MinHash-LSH near-dup in keyed state. The
+    // replicated corpus makes every replica an exact dup of its
+    // original — deliberately the WORST case for bucket state (each
+    // bucket holds `docReplays` copies of its residents and every
+    // arrival emits pairs against all of them), so the rate below is a
+    // floor, not a showcase.
+    val docReplays = 5
+    val docsIn = s"$root/docs"
+    val docsBase = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
+    (0 until docReplays).foreach { r =>
+      docsBase.select((col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+        col("lang"), col("text"))
+        .coalesce(1).write.mode("append").parquet(docsIn)
+    }
+    val nDocs = spark.read.parquet(docsIn).count()
+    val dSchema = spark.read.parquet(docsIn).schema
+    val dCkpt = s"$root/ckpt-neardup"
+    val t0 = System.nanoTime()
+    val q = StreamOps.streamingNearDup(
+        spark.readStream.schema(dSchema).parquet(docsIn))
+      .writeStream.format("noop").outputMode("append")
+      .option("checkpointLocation", dCkpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nd = "neardup_docs_per_sec" -> (nDocs / ((System.nanoTime() - t0) / 1e9))
+
+    println(f"""{"metric":"stream_events_per_sec","n_events":$nEvents,"n_docs":$nDocs,${
+      (all :+ nd).map { case (k, v) => f""""$k":${v}%.0f""" }.mkString(",")}}""")
     spark.stop()
   }
 }
