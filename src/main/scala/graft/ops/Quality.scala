@@ -54,10 +54,28 @@ object Quality {
     "q_incr_agg" -> qIncrAgg,
     "q_dq_freshness" -> qDqFreshness,
     "q_table_diff" -> qTableDiff,
-    "q_table_manifest" -> qTableManifest
+    "q_table_manifest" -> qTableManifest,
+    "q_dq_drift" -> qDqDrift
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dq_drift" ->
+      """WITH ev AS (SELECT event_type,
+                            CASE WHEN EXTRACT(day FROM CAST(ts AS TIMESTAMP)) <= 15
+                                 THEN 0 ELSE 1 END AS half,
+                            LEAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // 1000, 9) AS bin
+                     FROM events),
+         c AS (SELECT event_type, bin,
+                      count(*) FILTER (half = 0) AS oa,
+                      count(*) FILTER (half = 1) AS ob
+               FROM ev GROUP BY event_type, bin),
+         n AS (SELECT event_type, SUM(oa) AS na, SUM(ob) AS nb FROM c GROUP BY event_type)
+         SELECT c.event_type, CAST(MAX(n.na) AS BIGINT) AS n_a, CAST(MAX(n.nb) AS BIGINT) AS n_b,
+                CAST(SUM(ABS(c.oa * n.nb - c.ob * n.na)) AS BIGINT) AS tvd_num,
+                CAST(SUM(ABS(c.oa * n.nb - c.ob * n.na)) * 1000
+                     // (2 * MAX(n.na) * MAX(n.nb)) AS BIGINT) AS tvd_pm
+         FROM c JOIN n ON c.event_type = n.event_type
+         GROUP BY c.event_type ORDER BY c.event_type""",
     "q_table_manifest" ->
       """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
                               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
@@ -605,6 +623,41 @@ object Quality {
       .orderBy("event_type")
   }
 
+  /** DISTRIBUTION DRIFT monitor — the data-quality check between two
+    * periods that catches a silently shifted metric before it poisons
+    * downstream aggregates (the integer stand-in for PSI/KL, which need
+    * logs the determinism discipline bans): per event_type, the event
+    * value binned into 10 fixed cents-buckets, first vs second half of
+    * the month, and the TOTAL VARIATION distance between the two
+    * empirical distributions in exact cross-multiplied integers —
+    * tvd = Σ|oA·nB − oB·nA| / (2·nA·nB), emitted as the numerator plus
+    * a per-mille. One shuffle keyed (type, bin), counts map-combinable;
+    * the per-type totals are a tiny second aggregate joined back —
+    * at 100 TB both stages stay bounded by type×bin cardinality. */
+  private def qDqDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_type"),
+      when(dayofmonth(col("t")) <= 15, 0).otherwise(1).as("half"),
+      (dec(col("value"), 12, 2) * 100).cast(LongType).as("cents"))
+      .select(col("event_type"), col("half"),
+        least(expr("cents DIV 1000"), lit(9L)).as("bin"))
+    val c = ev.groupBy(col("event_type"), col("bin"))
+      .agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("oa"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("ob"))
+    val n = c.groupBy(col("event_type"))
+      .agg(sum(col("oa")).as("na"), sum(col("ob")).as("nb"))
+    c.join(n, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("na")).cast(LongType).as("n_a"),
+        max(col("nb")).cast(LongType).as("n_b"),
+        sum(abs(col("oa") * col("nb") - col("ob") * col("na"))).cast(LongType).as("tvd_num"),
+        expr("CAST(SUM(ABS(oa * nb - ob * na)) * 1000 DIV (2 * MAX(na) * MAX(nb)) AS BIGINT)")
+          .as("tvd_pm"))
+      .orderBy("event_type")
+  }
+
   /** The transactional table format END TO END under the oracle gate:
     * commit a base snapshot of orders into a ManifestTable, MERGE an
     * update set (half the base keys repriced, a disjoint key class
@@ -618,7 +671,11 @@ object Quality {
     * lake path with a log-store CAS. */
   private def qTableManifest(s: SparkSession, d: String): DataFrame = {
     import graft.sources.ManifestTable
-    val t = java.nio.file.Files.createTempDirectory("graft_manifest_q").toString
+    // deterministic scratch table, wiped per call: a re-run must start
+    // from v0 (appending onto a previous run's snapshots would change
+    // the answer), and bench/sweep re-runs must not leak temp dirs
+    val t = s"${sys.props("java.io.tmpdir")}/graft_manifest_q/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
     val o = Tables.orders(s, d).select(
       col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
       (dec(col("o_totalprice"), 12, 2) * 100).cast(LongType).as("cents"))
