@@ -110,6 +110,64 @@ class ManifestTableSuite extends SparkSuite {
     assert(ManifestTable.read(spark, t).count() == 100)
   }
 
+  test("model check: random append/overwrite/merge sequences match an in-memory model") {
+    // seeded random op sequences against a trivially-correct Map model;
+    // every committed version's snapshot is re-read and compared, so a
+    // protocol bug anywhere in the stage/commit/read cycle surfaces as
+    // a concrete failing (seed, step)
+    for (seed <- Seq(7L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      val t = freshTable()
+      var model = Map.empty[Long, Long]
+      var history = Vector.empty[Map[Long, Long]]
+      var nextKey = 0L
+      def df(m: Map[Long, Long]) =
+        if (m.isEmpty) spark.range(0).select(col("id"), col("id").as("v"))
+        else m.toSeq.toDF("id", "v")
+      for (step <- 0 until 10) {
+        rnd.nextInt(3) match {
+          case 0 => // append a batch of FRESH keys (keeps the table key-unique)
+            val rows = (0 until 1 + rnd.nextInt(20))
+              .map(i => (nextKey + i) -> rnd.nextLong(1000)).toMap
+            nextKey += 25
+            ManifestTable.append(spark, t, df(rows))
+            model = model ++ rows
+          case 1 => // overwrite with a fresh set
+            val rows = (0 until 1 + rnd.nextInt(10))
+              .map(i => (nextKey + i) -> rnd.nextLong(1000)).toMap
+            nextKey += 15
+            ManifestTable.overwrite(spark, t, df(rows))
+            model = rows
+          case 2 if model.nonEmpty => // merge: update some existing + insert some new
+            val upd = model.keys.toSeq.sorted
+              .filter(_ => rnd.nextBoolean()).map(_ -> rnd.nextLong(1000)).toMap
+            val ins = (0 until rnd.nextInt(5))
+              .map(i => (nextKey + i) -> rnd.nextLong(1000)).toMap
+            nextKey += 10
+            val changes = upd ++ ins
+            if (changes.nonEmpty) {
+              ManifestTable.merge(spark, t, df(changes), "id")
+              model = model ++ changes
+            } else {
+              ManifestTable.append(spark, t, df(Map(nextKey -> 1L))); model += nextKey -> 1L
+              nextKey += 1
+            }
+          case _ => // merge on an empty table degenerates to append
+            ManifestTable.append(spark, t, df(Map(nextKey -> 1L))); model += nextKey -> 1L
+            nextKey += 1
+        }
+        history :+= model
+        val got = ManifestTable.read(spark, t).as[(Long, Long)].collect().toMap
+        assert(got == model, s"seed=$seed step=$step: snapshot diverged from model")
+      }
+      // time travel: every historical version must replay its model state
+      val histV = rnd.nextInt(history.size)
+      val gotOld = ManifestTable.read(spark, t, Some(histV.toLong))
+        .as[(Long, Long)].collect().toMap
+      assert(gotOld == history(histV), s"seed=$seed: version $histV diverged from history")
+    }
+  }
+
   test("concurrent appends both land: the CAS loser retries on top of the winner") {
     val t = freshTable()
     ManifestTable.append(spark, t, range(0, 10))
