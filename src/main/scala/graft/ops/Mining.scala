@@ -61,8 +61,10 @@ object Mining {
       """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
          n AS (SELECT count(DISTINCT o) AS nb FROM b),
          c1 AS (SELECT p, count(*) AS c FROM b GROUP BY p),
+         sz AS (SELECT o FROM b GROUP BY o HAVING count(*) <= 64),
          pr AS (SELECT a.p AS p1, x.p AS p2, count(*) AS c12
                 FROM b a JOIN b x ON a.o = x.o AND a.p < x.p
+                WHERE a.o IN (SELECT o FROM sz)
                 GROUP BY 1, 2
                 HAVING count(*) >= 2)
          SELECT p1, p2, c12,
@@ -374,7 +376,13 @@ object Mining {
     val c1 = baskets.select(explode(col("ps")).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("c"))
     val pr = baskets
-      .filter(size(col("ps")) >= 2)
+      // mega-basket cap, mirrored in the oracle (so it is part of the
+      // SEMANTICS, not silent truncation): a basket of s items emits
+      // s²/2 pairs, and a pathological 10k-item basket would emit 50M —
+      // baskets past 64 items carry no association signal (every pair's
+      // support inflates) and are excluded by contract on BOTH engines.
+      // Fixture baskets are ≤7 items, so the cap is pure scale armor.
+      .filter(size(col("ps")).between(2, 64))
       .select(explode(expr(
         """flatten(transform(ps, (x, i) ->
              transform(slice(ps, i + 2, size(ps) - i - 1), y -> struct(x AS p1, y AS p2))))"""))

@@ -110,6 +110,40 @@ class ManifestTableSuite extends SparkSuite {
     assert(ManifestTable.read(spark, t).count() == 100)
   }
 
+  test("lifecycle: generator source → exactly-once manifest ingest across restart AND replay") {
+    // the ingest half of the genre lifecycle landing in the
+    // transactional table: the Kafka-analog DSv2 source streams into
+    // idempotentAppend, every batch applied TWICE (at-least-once sink
+    // replay), the stream stopped after 6000 rows and restarted from
+    // the SAME checkpoint against a log grown to 14000 — offsets resume,
+    // replays skip, and the table converges to exactly one copy of the log
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.DataFrame
+    val ckpt = Files.createTempDirectory("graft-manifest-ckpt").toString
+    val t = freshTable()
+    def run(rows: Long): Unit = {
+      val q = spark.readStream.format("graft.sources.EventGenSource")
+        .option("rows", rows).option("partitions", 4).option("users", 50)
+        .option("maxRowsPerBatch", 2000).load()
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          ManifestTable.idempotentAppend(spark, t, batch, id)
+          ManifestTable.idempotentAppend(spark, t, batch, id) // injected replay
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try assert(q.awaitTermination(120000), "stream did not drain") finally q.stop()
+    }
+    run(6000)
+    run(14000) // same checkpoint: resume from offset 6000, don't reprocess
+    val (n, distinct) = ManifestTable.read(spark, t)
+      .agg(count(lit(1)), countDistinct(col("event_id"))).as[(Long, Long)].head()
+    assert(n == 14000L && distinct == 14000L,
+      s"expected exactly one copy of the 14000-row log, got $n rows / $distinct ids")
+  }
+
   test("model check: random append/overwrite/merge sequences match an in-memory model") {
     // seeded random op sequences against a trivially-correct Map model;
     // every committed version's snapshot is re-read and compared, so a
