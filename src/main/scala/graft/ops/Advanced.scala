@@ -37,10 +37,24 @@ object Advanced {
     "q_funnel_session" -> qFunnelSession,
     "q_attribution" -> qAttribution,
     "q_attribution_linear" -> qAttributionLinear,
-    "q_ab_metrics" -> qAbMetrics
+    "q_ab_metrics" -> qAbMetrics,
+    "q_cohort_ltv" -> qCohortLtv
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+                            CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                     FROM events),
+         f AS (SELECT user_id, MIN(day) AS d0 FROM ev GROUP BY user_id),
+         j AS (SELECT ev.user_id, f.d0,
+                      date_diff('day', f.d0, ev.day) // 7 AS age_w,
+                      CASE WHEN ev.event_type = 'purchase' THEN ev.cents ELSE 0 END AS rev
+               FROM ev JOIN f ON ev.user_id = f.user_id)
+         SELECT strftime(d0, '%Y-%m-%d') AS cohort_day, CAST(age_w AS BIGINT) AS age_w,
+                COUNT(DISTINCT user_id) AS n_users,
+                CAST(SUM(rev) AS BIGINT) AS rev_cents
+         FROM j GROUP BY d0, age_w ORDER BY cohort_day, age_w""",
     "q_attribution_linear" ->
       """WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                             epoch_us(ts) AS tu, event_id, event_type,
@@ -477,6 +491,35 @@ object Advanced {
         count(lit(1)).as("n_purchases"),
         (sum(dec(col("value"), 12, 2)) * 100).cast(LongType).as("cents"))
       .orderBy("first_touch")
+  }
+
+  /** Cohort LTV matrix — the revenue twin of [[qRetention]]: per
+    * (first-seen-day cohort, age-in-weeks) cell, active users and
+    * purchase revenue in exact cents. This is the ADS curve a
+    * subscription/education business reads daily ("how much has the
+    * Jan-02 cohort earned by week 3"). Age buckets are floor(days/7) in
+    * BOTH engines — DuckDB's date_diff('week') counts ISO week-boundary
+    * crossings and would silently disagree, the kind of cross-engine
+    * semantic trap the oracle gate exists to catch. Shape: first-seen
+    * is one user-keyed aggregate joined back (broadcast while user
+    * count allows, shuffle-hash beyond — planner's call); the matrix
+    * aggregate is map-side combinable over (cohort, age). */
+  private def qCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("user_id"), to_date(col("t")).as("day"), col("event_type"),
+      (dec(col("value"), 12, 2) * 100).cast(LongType).as("cents"))
+    val f = ev.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+    ev.join(f, Seq("user_id"))
+      .select(col("user_id"), col("d0"),
+        expr("datediff(day, d0) DIV 7").as("age_w"),
+        when(col("event_type") === "purchase", col("cents")).otherwise(lit(0L)).as("rev"))
+      .groupBy(col("d0"), col("age_w"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("rev")).cast(LongType).as("rev_cents"))
+      .select(date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"),
+        col("age_w").cast(LongType).as("age_w"), col("n_users"), col("rev_cents"))
+      .orderBy("cohort_day", "age_w")
   }
 
   /** LINEAR multi-touch attribution — the fair-share complement to

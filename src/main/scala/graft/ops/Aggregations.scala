@@ -32,12 +32,25 @@ object Aggregations {
     "q_agg_regr" -> qAggRegr,
     "q_agg_pivot" -> qAggPivot,
     "q_agg_median" -> qAggMedian,
+    "q_agg_weighted_median" -> qAggWeightedMedian,
     "q_agg_argmax" -> qAggArgmax,
     "q_agg_approx_quantile" -> qAggApproxQuantile,
     "q_agg_unpivot" -> qAggUnpivot
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_weighted_median" ->
+      """WITH x AS (SELECT l_returnflag AS f,
+                           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+                           CAST(l_quantity AS BIGINT) AS w
+                    FROM lineitem),
+         c2 AS (SELECT f, c, w,
+                       SUM(w) OVER (PARTITION BY f ORDER BY c ROWS UNBOUNDED PRECEDING) AS cw,
+                       SUM(w) OVER (PARTITION BY f) AS tot
+                FROM x)
+         SELECT f AS l_returnflag, MIN(c) AS wmedian_cents,
+                CAST(MAX(tot) AS BIGINT) AS total_weight
+         FROM c2 WHERE cw * 2 >= tot GROUP BY f ORDER BY f""",
     "q_agg_global" ->
       """SELECT CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
                 strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
@@ -395,6 +408,35 @@ object Aggregations {
         col("l_returnflag"), col("cnt"),
         round(col("slope"), 4).as("slope"),
         round((col("syd") - col("slope") * col("sxd")) / col("cnt").cast("double"), 4).as("icept"))
+      .orderBy("l_returnflag")
+  }
+
+  /** WEIGHTED median (lower): smallest value whose cumulative weight
+    * reaches half the group total — the robust center every pricing /
+    * latency dashboard wants when rows carry unequal mass (here: price
+    * weighted by quantity). Integer-exact and ORDER-PROOF: ties on the
+    * value can permute the running sum within their tie group, but a
+    * tie group crosses the half-total threshold iff its LAST row does,
+    * so MIN(value) over crossing rows is identical under any intra-tie
+    * order — no interpolation, no floats, same answer both engines.
+    * One per-group sort (the window) + a map-combinable final
+    * aggregate; at scale this is the sort-based median discipline
+    * q_agg_median already uses, generalized to weights. */
+  private def qAggWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("f"),
+      (dec(col("l_extendedprice"), 12, 2) * 100).cast(LongType).as("c"),
+      col("l_quantity").cast(LongType).as("w"))
+    val byF = Window.partitionBy(col("f"))
+    val c2 = x
+      .withColumn("cw", sum(col("w")).over(
+        byF.orderBy(col("c")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("w")).over(byF))
+    c2.filter(col("cw") * 2 >= col("tot"))
+      .groupBy(col("f"))
+      .agg(min(col("c")).as("wmedian_cents"), max(col("tot")).cast(LongType).as("total_weight"))
+      .select(col("f").as("l_returnflag"), col("wmedian_cents"), col("total_weight"))
       .orderBy("l_returnflag")
   }
 }
