@@ -147,4 +147,38 @@ class SourceSinkSuite extends SparkSuite {
       .filter(date_format(col("t"), "yyyy-MM-dd") === "2024-01-15").count()
     assert(pruned.count() == want)
   }
+
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    // the daily-backfill lake op: re-land ONE day/language without
+    // rewriting (or dropping!) the sibling partitions — static overwrite
+    // mode would truncate the whole table first, the classic backfill
+    // footgun dynamic mode exists to prevent
+    val out = java.nio.file.Files.createTempDirectory("graft-dyn-ovw").toString
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+    docs.repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val beforeOther = spark.read.parquet(out)
+      .filter(col("lang") =!= "en").agg(count(lit(1)), sum("n_chars"))
+      .as[(Long, Long)].head()
+    val old = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      docs.filter(col("lang") === "en")
+        .withColumn("n_chars", col("n_chars") + 1000000L)
+        .repartition(col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val afterOther = spark.read.parquet(out)
+      .filter(col("lang") =!= "en").agg(count(lit(1)), sum("n_chars"))
+      .as[(Long, Long)].head()
+    assert(afterOther == beforeOther, "untouched partitions must survive byte-for-byte")
+    val en = spark.read.parquet(out).filter(col("lang") === "en")
+    assert(en.count() == docs.filter(col("lang") === "en").count())
+    assert(en.filter(col("n_chars") < 1000000L).count() == 0,
+      "the touched partition must be fully replaced by the new rows")
+  }
 }
