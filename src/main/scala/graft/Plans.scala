@@ -59,7 +59,11 @@ object Plans {
     "q_basket_lift",     // order-keyed pair self-join, support filter before lift join
     "q_attribution_linear", // (user, day)-keyed purchase×touch join, windows in-key
     "q_sample_systematic",  // one window pass per stratum, stride-crossing picks
-    "q_score_decay"      // dyadic decay weights, map-combinable user aggregate
+    "q_score_decay",     // dyadic decay weights, map-combinable user aggregate
+    "q_table_manifest",  // manifest-table commit/merge/read cycle, snapshot scan
+    "q_dq_drift",        // (type, bin)-keyed counts, tiny totals joined back
+    "q_cohort_ltv",      // first-seen agg joined back, matrix agg map-combinable
+    "q_agg_weighted_median" // one per-group sort window + final aggregate
   )
 
   def main(args: Array[String]): Unit = {
