@@ -55,6 +55,7 @@ object Quality {
     "q_dq_freshness" -> qDqFreshness,
     "q_table_diff" -> qTableDiff,
     "q_table_manifest" -> qTableManifest,
+    "q_manifest_diff" -> qManifestDiff,
     "q_dq_drift" -> qDqDrift
   )
 
@@ -76,6 +77,26 @@ object Quality {
                      // (2 * MAX(n.na) * MAX(n.nb)) AS BIGINT) AS tvd_pm
          FROM c JOIN n ON c.event_type = n.event_type
          GROUP BY c.event_type ORDER BY c.event_type""",
+    "q_manifest_diff" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+                              CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                       FROM orders WHERE o_orderkey % 3 = 0),
+         upd AS (SELECT o_orderkey AS k,
+                        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) + 11 AS cents
+                 FROM orders WHERE o_orderkey % 6 = 0 OR o_orderkey % 3 = 1),
+         merged AS (SELECT k, cents FROM base WHERE k NOT IN (SELECT k FROM upd)
+                    UNION ALL SELECT k, cents FROM upd),
+         diff AS (SELECT COALESCE(m.k, b.k) AS k,
+                         CASE WHEN b.k IS NULL THEN 'inserted'
+                              WHEN m.cents <> b.cents THEN 'changed'
+                              ELSE 'unchanged' END AS cls,
+                         COALESCE(m.cents, 0) - COALESCE(b.cents, 0) AS delta,
+                         COALESCE(m.cents, 0) AS newc
+                  FROM merged m FULL OUTER JOIN base b ON m.k = b.k)
+         SELECT cls, count(*) AS n,
+                CAST(SUM(delta) AS BIGINT) AS delta_cents,
+                CAST(SUM(newc) AS BIGINT) AS new_cents
+         FROM diff GROUP BY cls ORDER BY cls""",
     "q_table_manifest" ->
       """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
                               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
@@ -621,6 +642,45 @@ object Quality {
         (col("gmax") - col("max_us")).as("lag_us"),
         when(col("gmax") - col("max_us") > 3600000000L, lit(1L)).otherwise(lit(0L)).as("stale"))
       .orderBy("event_type")
+  }
+
+  /** TIME-TRAVEL DIFF — what changed between two committed versions of
+    * a transactional table, read through the manifest log's snapshot
+    * isolation: version 0 (the base append) and version 1 (the MERGE)
+    * of the same table q_table_manifest builds, full-outer-joined on
+    * the key and classified inserted/changed/unchanged with exact cent
+    * deltas. This is the audit query every CDC/backfill pipeline runs
+    * after a merge ("what did that commit actually do"), and it is only
+    * possible because older versions stay readable — the oracle
+    * recomputes both versions relationally, so the hash match proves
+    * the log preserved v0 EXACTLY while v1 superseded it. One
+    * co-partitioned full-outer join on the key; both sides are
+    * snapshot scans. */
+  private def qManifestDiff(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val t = s"${sys.props("java.io.tmpdir")}/graft_manifest_diff/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey").as("k"),
+      (dec(col("o_totalprice"), 12, 2) * 100).cast(LongType).as("cents"))
+    ManifestTable.append(s, t, o.filter(col("k") % 3 === 0))           // v0
+    ManifestTable.merge(s, t,
+      o.filter(col("k") % 6 === 0 || col("k") % 3 === 1)
+        .withColumn("cents", col("cents") + 11), "k")                  // v1
+    val v0 = ManifestTable.read(s, t, Some(0L)).as("b")
+    val v1 = ManifestTable.read(s, t, Some(1L)).as("m")
+    v1.join(v0, col("m.k") === col("b.k"), "full_outer")
+      .select(
+        when(col("b.k").isNull, "inserted")
+          .when(col("m.cents") =!= col("b.cents"), "changed")
+          .otherwise("unchanged").as("cls"),
+        (coalesce(col("m.cents"), lit(0L)) - coalesce(col("b.cents"), lit(0L))).as("delta"),
+        coalesce(col("m.cents"), lit(0L)).as("newc"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("delta")).cast(LongType).as("delta_cents"),
+        sum(col("newc")).cast(LongType).as("new_cents"))
+      .orderBy("cls")
   }
 
   /** DISTRIBUTION DRIFT monitor — the data-quality check between two

@@ -167,7 +167,7 @@ object Warehouse {
                 CAST(SUM(8 + doc_id % 24) AS BIGINT) AS sum_width,
                 CAST(SUM(8 + (doc_id * 7) % 16) AS BIGINT) AS sum_height,
                 CAST(3 * count(*) AS BIGINT) AS sum_channels
-         FROM documents GROUP BY source ORDER BY source""",
+         FROM documents WHERE doc_id < 2000 GROUP BY source ORDER BY source""",
     "q_multimodal_gif" ->
       """WITH a AS (SELECT source, doc_id, 2 + doc_id % 6 AS n FROM documents
                     WHERE doc_id < 2000),
@@ -508,7 +508,12 @@ object Warehouse {
     * 3 longs per asset. */
   private def qMultimodalPng(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // bounded slice like the GIF/binary queries: the capability under
+    // test is the real-codec round-trip, demonstrated identically by
+    // 2000 assets; the full-corpus form was codec-bound and its bench
+    // sample the noisiest of the whole surface (sf<=0.04 still covered)
     val docs = Tables.documents(s, d)
+      .filter(col("doc_id") < 2000)
       .select(col("doc_id"), col("source")).as[(Long, String)]
     val pngs = docs.mapPartitions { it =>
       it.map { case (id, source) =>
