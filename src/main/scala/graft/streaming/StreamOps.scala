@@ -366,6 +366,48 @@ object StreamOps {
   case class CepState(lastType: String, lastTu: Long)
   case class CepHit(user_id: Long, purchase_tu: Long, error_tu: Long)
 
+  // ---- streaming SCD2 dimension versioning ---------------------------
+  // The realtime twin of the batch q_scd2 compaction: a CDC changelog
+  // stream maintains a slowly-changing-dimension with one open version
+  // per key held in state; each arriving higher version CLOSES the
+  // previous one (emits it with valid_to = new version − 1) and takes
+  // its place. A version=Int.MaxValue sentinel flushes the open row
+  // (valid_to = −1, is_current per op) and clears the key's state — the
+  // end-of-changelog close-out a batch job gets for free and a stream
+  // must be told about. State is O(1) per key; at stream scale eviction
+  // of never-updated keys hangs off an event-time timeout.
+
+  case class ChangeRow(k: Long, version: Int, op: String, priceCents: Long)
+  case class Scd2Out(k: Long, version: Int, op: String, priceCents: Long,
+      valid_to: Int, is_current: Int)
+
+  def scd2Stream(chg: Dataset[ChangeRow]): Dataset[Scd2Out] = {
+    import chg.sparkSession.implicits._
+    chg.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[ChangeRow], state: GroupState[ChangeRow]) => {
+          val sorted = rows.toSeq.sortBy(_.version)
+          val out = Seq.newBuilder[Scd2Out]
+          var cur = state.getOption
+          sorted.foreach { r =>
+            if (r.version == Int.MaxValue) {
+              cur.foreach(c => out += Scd2Out(c.k, c.version, c.op, c.priceCents,
+                -1, if (c.op != "D") 1 else 0))
+              cur = None
+            } else {
+              cur.foreach(c => out += Scd2Out(c.k, c.version, c.op, c.priceCents,
+                r.version - 1, 0))
+              cur = Some(r)
+            }
+          }
+          cur match {
+            case Some(c) => state.update(c)
+            case None => if (state.exists) state.remove()
+          }
+          out.result().iterator
+        })
+  }
+
   // ---- streaming near-dup dedup: MinHash-LSH in keyed state ----------
   // The realtime twin of the batch MinHash family (ops.Dedup): a document
   // stream is near-dup-checked ON ARRIVAL against everything already

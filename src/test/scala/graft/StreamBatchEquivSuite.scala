@@ -688,6 +688,46 @@ class StreamBatchEquivSuite extends SparkSuite {
     }
   }
 
+  test("streaming SCD2 versioning equals the batch lead() compaction") {
+    import org.apache.spark.sql.expressions.Window
+    // the q_scd2 changelog in cents (D rows carry a -1 price sentinel)
+    val o = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey").as("k"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val chg = o.select(col("k"), lit(1).as("version"), lit("I").as("op"), col("cents"))
+      .unionByName(o.filter(col("k") % 5 === 0)
+        .select(col("k"), lit(2).as("version"), lit("U").as("op"),
+          (col("cents") + 100000L).as("cents")))
+      .unionByName(o.filter(col("k") % 7 === 0)
+        .select(col("k"), lit(3).as("version"), lit("D").as("op"), lit(-1L).as("cents")))
+    val batch = chg
+      .withColumn("nxtv", lead(col("version"), 1)
+        .over(Window.partitionBy(col("k")).orderBy(col("version"))))
+      .select(col("k"), col("version"), col("op"), col("cents").as("priceCents"),
+        coalesce(col("nxtv") - 1, lit(-1)).as("valid_to"),
+        when(col("nxtv").isNull && col("op") =!= "D", 1).otherwise(0).as("is_current"))
+    val rows = chg.as[(Long, Int, String, Long)].collect()
+      .map { case (k, v, op, c) => StreamOps.ChangeRow(k, v, op, c) }.toSeq
+    val ms = MemoryStream(Encoders.product[StreamOps.ChangeRow], spark.sqlContext)
+    val q = StreamOps.scd2Stream(ms.toDS()).writeStream
+      .format("memory").queryName("scd2_stream").outputMode("append").start()
+    try {
+      // replay version-by-version (CDC arrives in commit order), then
+      // the end-of-changelog sentinel per key flushes open versions
+      Seq(1, 2, 3).foreach { v =>
+        ms.addData(rows.filter(_.version == v)); q.processAllAvailable()
+      }
+      ms.addData(rows.map(_.k).distinct
+        .map(k => StreamOps.ChangeRow(k, Int.MaxValue, "F", 0L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("scd2_stream")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streaming SCD2 rows must equal the batch compaction exactly")
+  }
+
   test("per-row minhash signatures are bit-identical to the batch explode+groupBy build") {
     val docsDf = Tables.documents(spark, sf0001).select("doc_id", "text")
     val rowSigs = StreamOps.minhashSigRows(docsDf)
