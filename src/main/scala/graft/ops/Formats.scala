@@ -38,6 +38,7 @@ object Formats {
     "q_source_evolve" -> qSourceEvolve,
     "q_source_jdbc" -> qSourceJdbc,
     "q_source_xml" -> qSourceXml,
+    "q_source_text" -> qSourceText,
     "q_bucket_join" -> qBucketJoin,
     "q_layout_compact" -> qLayoutCompact
   )
@@ -66,6 +67,12 @@ object Formats {
                 CAST(SUM(p_size) AS BIGINT) AS sum_size,
                 MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key
          FROM part GROUP BY p_type ORDER BY p_type""",
+    "q_source_text" ->
+      """SELECT event_type, count(*) AS cnt,
+                CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+                MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+                COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_bucket_join" ->
       """SELECT o_orderstatus, count(*) AS cnt,
                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_qty,
@@ -410,6 +417,47 @@ object Formats {
         min(col("p_partkey")).as("min_key"),
         max(col("p_partkey")).as("max_key"))
       .orderBy("p_type")
+  }
+
+  /** Raw LOG-LINE ingest — the genre's actual ODS landing path (a
+    * Flink education warehouse eats nginx/app logs before anything
+    * else): events rendered as syslog-ish lines
+    * `ts|level|event_id=.. user=.. type=.. cents=..`, landed via the
+    * text sink, read back as unstructured lines and parsed with
+    * regexp_extract — no schema, no delimiter contract, the parse IS
+    * the query. Cents are written as integers so the round-trip stays
+    * exact (raw-double text is a format gamble, per the module
+    * discipline). Lines split per file; the aggregate hash-matching
+    * the parquet oracle proves the render→parse cycle loses nothing.
+    * At scale this is a splittable line scan with the regexps inside
+    * whole-stage codegen — the standard DWD parse job. */
+  private def qSourceText(s: SparkSession, d: String): DataFrame = {
+    val out = roundtripDir(d, "events_log")
+    Tables.events(s, d)
+      .select(concat_ws("|",
+        date_format(col("t"), "yyyy-MM-dd HH:mm:ss"),
+        lit("INFO"),
+        concat(lit("event_id="), col("event_id")),
+        concat(lit("user="), col("user_id")),
+        concat(lit("type="), col("event_type")),
+        concat(lit("cents="),
+          (col("value").cast(DecimalType(12, 2)) * 100).cast(LongType))).as("value"))
+      .coalesce(4)
+      .write.mode("overwrite").text(out)
+    s.read.text(out)
+      .select(
+        regexp_extract(col("value"), "event_id=(\\d+)", 1).cast(LongType).as("event_id"),
+        regexp_extract(col("value"), "user=(\\d+)", 1).cast(LongType).as("user_id"),
+        regexp_extract(col("value"), "type=(\\w+)", 1).as("event_type"),
+        regexp_extract(col("value"), "cents=(-?\\d+)", 1).cast(LongType).as("cents"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("cents")).cast(LongType).as("cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
   }
 
   /** Bucketed tables created once per (session, sf) and shared by every
