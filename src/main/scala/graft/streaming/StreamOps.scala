@@ -394,6 +394,9 @@ object StreamOps {
               cur.foreach(c => out += Scd2Out(c.k, c.version, c.op, c.priceCents,
                 -1, if (c.op != "D") 1 else 0))
               cur = None
+            } else if (cur.exists(_.version >= r.version)) {
+              // at-least-once CDC: a redelivered (or stale) version must
+              // not close the open row against itself — idempotent skip
             } else {
               cur.foreach(c => out += Scd2Out(c.k, c.version, c.op, c.priceCents,
                 r.version - 1, 0))

@@ -110,6 +110,25 @@ class ManifestTableSuite extends SparkSuite {
     assert(ManifestTable.read(spark, t).count() == 100)
   }
 
+  test("edge cases: empty appends commit readable versions; bad version reads throw; empty vacuum is a no-op") {
+    val t = freshTable()
+    // vacuum before any commit: nothing to do, nothing to break
+    assert(ManifestTable.vacuum(t) == 0)
+    // read before any commit: a clear error, not an empty result
+    intercept[IllegalStateException] { ManifestTable.read(spark, t) }
+    // an EMPTY append is a legitimate commit (a micro-batch with no
+    // rows must still advance the log for batch-id idempotence)
+    val v0 = ManifestTable.append(spark, t, range(0, 0))
+    assert(v0 == 0L)
+    assert(ManifestTable.read(spark, t).count() == 0)
+    val v1 = ManifestTable.append(spark, t, range(0, 10))
+    assert(v1 == 1L && ManifestTable.read(spark, t).count() == 10)
+    // time travel to the empty version still works
+    assert(ManifestTable.read(spark, t, Some(0L)).count() == 0)
+    // a version that never existed fails loudly
+    intercept[Exception] { ManifestTable.read(spark, t, Some(99L)).count() }
+  }
+
   test("lifecycle: generator source → exactly-once manifest ingest across restart AND replay") {
     // the ingest half of the genre lifecycle landing in the
     // transactional table: the Kafka-analog DSv2 source streams into

@@ -712,10 +712,14 @@ class StreamBatchEquivSuite extends SparkSuite {
     val q = StreamOps.scd2Stream(ms.toDS()).writeStream
       .format("memory").queryName("scd2_stream").outputMode("append").start()
     try {
-      // replay version-by-version (CDC arrives in commit order), then
-      // the end-of-changelog sentinel per key flushes open versions
+      // replay version-by-version (CDC arrives in commit order) with
+      // every chunk delivered TWICE — at-least-once transport; the
+      // duplicate deliveries must be idempotently skipped — then the
+      // end-of-changelog sentinel per key flushes open versions
       Seq(1, 2, 3).foreach { v =>
-        ms.addData(rows.filter(_.version == v)); q.processAllAvailable()
+        val chunk = rows.filter(_.version == v)
+        ms.addData(chunk); q.processAllAvailable()
+        ms.addData(chunk); q.processAllAvailable()
       }
       ms.addData(rows.map(_.k).distinct
         .map(k => StreamOps.ChangeRow(k, Int.MaxValue, "F", 0L)))
