@@ -771,8 +771,12 @@ class StreamBatchEquivSuite extends SparkSuite {
       .outputMode("append").start()
     try {
       // three arrival chunks: pairs split across chunk boundaries prove
-      // the bucket state genuinely carries residents between batches
+      // the bucket state genuinely carries residents between batches;
+      // every chunk is delivered TWICE (at-least-once transport) — the
+      // per-bucket resident check must skip redelivered docs, so the
+      // raw emitted multiset (not just the distinct set) is unchanged
       docs.grouped(math.max(1, docs.size / 3 + 1)).foreach { c =>
+        ms.addData(c); q.processAllAvailable()
         ms.addData(c); q.processAllAvailable()
       }
     } finally q.stop()
@@ -782,6 +786,18 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(streamed.exceptAll(batch).count() == 0 &&
       batch.exceptAll(streamed).count() == 0,
       "streamed near-dup pair set must equal the batch LSH agreement join")
+    // idempotence, strictly: the RAW emission count (one row per
+    // qualifying pair per shared bucket) must equal the batch-side
+    // co-residence count — redelivered docs emitted nothing extra
+    val b = StreamOps.minhashBandDocs(docsDf).toDF()
+    val perBucket = b.select(col("bucket"), col("doc_id").as("d1"), col("sig").as("s1"))
+      .join(b.select(col("bucket"), col("doc_id").as("d2"), col("sig").as("s2")), Seq("bucket"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("n_agree", expr("size(filter(sequence(0, 31), i -> s1[i] = s2[i]))"))
+      .filter(col("n_agree") >= 16)
+      .count()
+    assert(spark.table("neardup_stream").count() == perBucket,
+      "redelivered chunks must not re-emit pairs (raw emission count changed)")
   }
 
   test("late data beyond the watermark is dropped, never duplicated") {
