@@ -34,6 +34,18 @@ class InvariantSuite extends SparkSuite {
     assert(sessSum == total)
   }
 
+  test("systematic sampling: every stratum sampled, picks bounded by the stride count") {
+    val out = SparkEntry.queries("q_sample_systematic")(spark, sf0001)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(out.keySet.size == 5, s"all 5 strata must be sampled: ${out.keySet}")
+    out.foreach { case (et, n) =>
+      // ~50 stride crossings per stratum; a heavy row crossing several
+      // boundaries emits once, so picks are in (0, 51]
+      assert(n >= 1 && n <= 51, s"$et picked $n rows, expected 1..51")
+    }
+  }
+
   test("linear attribution conserves revenue to the cent") {
     val credited = SparkEntry.queries("q_attribution_linear")(spark, sf0001)
       .agg(sum("credited_cents")).as[Long].head()
