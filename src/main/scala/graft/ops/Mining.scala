@@ -420,6 +420,12 @@ object Mining {
     val dd = docs.crossJoin(broadcast(mx))
       .select(least(lit(9L), expr("doc_id * 10 DIV (m + 1)")).as("decile"),
         split(col("text"), " ").as("ws"))
+      // one-token docs have no bigrams; without this guard
+      // sequence(1, 0) yields the DESCENDING [1, 0] and i=0 evaluates
+      // ws[-1] — an INVALID_ARRAY_INDEX crash under ANSI mode (the
+      // oracle's generate_series(1, 0) is empty, so it filters
+      // implicitly)
+      .filter(size(col("ws")) >= 2)
       .select(col("decile"), explode(
         expr("transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', ws[i-1], ws[i]))")).as("tok"))
       .distinct()

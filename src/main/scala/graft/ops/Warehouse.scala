@@ -56,7 +56,8 @@ object Warehouse {
                        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
                 FROM events, mx),
          sc AS (SELECT user_id, count(*) AS n_events,
-                       CAST(SUM(cents * (1048576 >> age)) AS BIGINT) AS score
+                       CAST(SUM(cents * (CASE WHEN age >= 21 THEN 0
+                                              ELSE 1048576 >> age END)) AS BIGINT) AS score
                 FROM ev GROUP BY user_id)
          SELECT user_id, n_events, score FROM sc
          ORDER BY score DESC, user_id LIMIT 25""",
@@ -890,7 +891,12 @@ object Warehouse {
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("cents") * expr("shiftright(1048576L, cast(age AS int))"))
+        // explicit zero beyond the 20-bit budget: Java shifts mask the
+        // count mod 64, so an unclamped age >= 64 (multi-year corpus)
+        // would WRAP to a nonzero weight and diverge from the oracle's
+        // true arithmetic shift
+        sum(col("cents") * expr(
+          "CASE WHEN age >= 21 THEN 0L ELSE shiftright(1048576L, cast(age AS int)) END"))
           .cast(LongType).as("score"))
       .orderBy(col("score").desc, col("user_id"))
       .limit(25)

@@ -60,13 +60,22 @@ object ManifestTable {
     n.stripPrefix("v").stripSuffix(".manifest").toLong
   }
 
+  /** List a directory's entries, CLOSING the stream — `Files.list`
+    * holds an open directory fd until closed, and latestVersion runs on
+    * every read and every commit-loop retry, so an unclosed stream leaks
+    * an fd per call in a long-lived driver. */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   /** Latest committed version, if any manifest exists. */
   def latestVersion(table: String): Option[Long] = {
     val md = manifestDir(table)
     if (!Files.isDirectory(md)) return None
-    val vs = Files.list(md).iterator().asScala
+    val vs = listDir(md)
       .filter(_.getFileName.toString.matches("v\\d{8}\\.manifest"))
-      .map(versionOf).toSeq
+      .map(versionOf)
     if (vs.isEmpty) None else Some(vs.max)
   }
 
@@ -108,15 +117,15 @@ object ManifestTable {
     val staging = Paths.get(table, s"staging-$id")
     df.write.parquet(staging.toString)
     Files.createDirectories(dataDir(table))
-    val moved = Files.list(staging).iterator().asScala
+    val moved = listDir(staging)
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .zipWithIndex
       .map { case (f, i) =>
         val dst = dataDir(table).resolve(s"$id-part-$i.parquet")
         Files.move(f, dst, StandardCopyOption.ATOMIC_MOVE)
         dst.toString
-      }.toSeq
-    Files.list(staging).iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    listDir(staging).foreach(Files.deleteIfExists(_))
     Files.deleteIfExists(staging)
     moved
   }
@@ -159,7 +168,15 @@ object ManifestTable {
 
   /** Replace the table contents with `df` (the snapshot still leaves
     * every older version readable — overwrite rewrites the FILE LIST,
-    * not history). */
+    * not history).
+    *
+    * Concurrency contract: overwrite is LAST-WRITER-WINS by definition
+    * — `df` does not depend on the current snapshot, so retrying the
+    * same file list after a lost CAS is the intended semantics (the
+    * final state is one of the contending writers' full payloads,
+    * never a torn mix). Snapshot-DEPENDENT writes must NOT route
+    * through overwrite directly; `merge` recomputes from the fresh
+    * snapshot on every CAS loss for exactly that reason. */
   def overwrite(spark: SparkSession, table: String, df: DataFrame,
       maxRetries: Int = 20): Long = {
     val staged = stage(df, table)
@@ -178,20 +195,38 @@ object ManifestTable {
     * merged state as an OVERWRITE snapshot. Same dataflow as the
     * declared q_merge_upsert, now landing atomically — readers see the
     * whole merge or none of it, and the pre-merge snapshot stays
-    * time-travelable. Both inputs must share one schema. */
+    * time-travelable. Both inputs must share one schema.
+    *
+    * Conflict handling (the Delta commit-loop discipline, not just its
+    * publish step): the merged state is a function of the base
+    * snapshot, so on LOSING the CAS this committer's staged result is
+    * stale — it would silently drop the winner's rows if republished.
+    * The loop therefore pins the base version it merged against,
+    * publishes at base+1 only, and on a CAS loss RE-READS the new
+    * latest snapshot and RECOMPUTES the merge before retrying. A lost
+    * attempt's staged files become orphans for vacuum, the same
+    * garbage class as a crashed writer's. */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
-      key: String): Long = {
+      key: String, maxRetries: Int = 20): Long = {
     import org.apache.spark.sql.functions.col
-    val current = read(spark, table)
-    val cols = current.columns
-    val u = updates.select(cols.map(col): _*)
-    val merged = current.as("t")
-      .join(u.as("u"), current(key) === u(key), "full_outer")
-      .select(cols.map { c =>
-        org.apache.spark.sql.functions
-          .coalesce(col(s"u.$c"), col(s"t.$c")).as(c)
-      }: _*)
-    overwrite(spark, table, merged)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(table).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot in $table"))
+      val current = read(spark, table, Some(base))
+      val cols = current.columns
+      val u = updates.select(cols.map(col): _*)
+      val merged = current.as("t")
+        .join(u.as("u"), current(key) === u(key), "full_outer")
+        .select(cols.map { c =>
+          org.apache.spark.sql.functions
+            .coalesce(col(s"u.$c"), col(s"t.$c")).as(c)
+        }: _*)
+      val staged = stage(merged, table)
+      if (publish(table, base + 1, staged)) return base + 1
+      attempt += 1 // lost the race: recompute against the new snapshot
+    }
+    throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
   }
 
   /** Exactly-once streaming sink commit: append `df` tagged with the
@@ -225,21 +260,33 @@ object ManifestTable {
 
   /** Delete data files referenced by NO manifest — crashed or aborted
     * writers' orphans. Never touches a file any snapshot lists, so
-    * time travel keeps working for every committed version. Returns the
-    * number of files removed. */
-  def vacuum(table: String): Int = {
+    * time travel keeps working for every committed version.
+    *
+    * `retentionMs` guards the stage-then-publish window: a writer moves
+    * files into data/ BEFORE its manifest exists, so an unguarded
+    * vacuum racing an in-flight commit would delete the staged files
+    * and let the subsequent publish commit a manifest of dangling paths
+    * (corrupt snapshot) — the hazard production formats close with a
+    * retention window. Files younger than `retentionMs` (by mtime) are
+    * skipped; the default (10 min) comfortably exceeds any commit
+    * loop's stage-to-publish gap. Pass 0 ONLY when no writer can be in
+    * flight (tests, single-threaded maintenance). Returns the number of
+    * files removed. */
+  def vacuum(table: String, retentionMs: Long = 10 * 60 * 1000L): Int = {
     val md = manifestDir(table)
     val referenced: Set[String] =
       if (!Files.isDirectory(md)) Set.empty
-      else Files.list(md).iterator().asScala
+      else listDir(md)
         .filter(_.getFileName.toString.matches("v\\d{8}\\.manifest"))
         .flatMap(m => Files.readAllLines(m).asScala)
         .filter(l => l.nonEmpty && !l.startsWith("#"))
         .toSet
     val dd = dataDir(table)
     if (!Files.isDirectory(dd)) return 0
-    val orphans = Files.list(dd).iterator().asScala
-      .filter(f => !referenced.contains(f.toString)).toSeq
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val orphans = listDir(dd)
+      .filter(f => !referenced.contains(f.toString))
+      .filter(f => Files.getLastModifiedTime(f).toMillis <= cutoff)
     orphans.foreach(Files.deleteIfExists(_))
     orphans.size
   }

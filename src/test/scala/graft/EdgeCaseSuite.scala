@@ -142,6 +142,42 @@ class EdgeCaseSuite extends SparkSuite {
     assert(spark.read.schema(schema).json(s"$dir/j").count() == 0)
   }
 
+  test("vocab growth: a one-token document is skipped, not an ANSI index crash") {
+    // sequence(1, size(ws)-1) with one token is sequence(1, 0) = [1, 0]
+    // (DESCENDING), so an unguarded transform evaluates ws[-1] →
+    // INVALID_ARRAY_INDEX under ANSI mode; the fixture just happens to
+    // have no such docs, so this synthetic corpus pins the guard
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-vocab").toString
+    Seq((0L, "solo", "en", "web", 4L), (1L, "", "en", "web", 0L),
+        (2L, "a b c", "en", "web", 5L), (3L, "d e", "en", "web", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.ops.Mining.queries("q_text_vocab_growth")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    // bigrams: doc2 → "a b","b c" (decile 5), doc3 → "d e" (decile 7);
+    // docs 0/1 contribute nothing and must not throw
+    assert(out.toSeq == Seq((5L, 2L, 2L), (7L, 1L, 3L)))
+  }
+
+  test("score decay: age >= 64 days weighs exactly zero, not a wrapped shift") {
+    // Java shifts mask the count mod 64: unclamped, 1048576L >> 84 =
+    // 1048576 >> 20 = 1, silently resurrecting year-old events; the
+    // clamp must zero everything past the 20-bit budget
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-decay").toString
+    Seq((0L, java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), 1L, "view", 100.0, "{}"),
+        (1L, java.sql.Timestamp.valueOf("2024-03-09 00:00:00"), 1L, "view", 500.0, "{}"), // age 84
+        (2L, java.sql.Timestamp.valueOf("2024-05-31 00:00:00"), 2L, "view", 10.0, "{}"))  // age 1
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val byUser = graft.ops.Warehouse.queries("q_score_decay")(spark, dir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // user 1: age-0 event 100.00 → 10000¢ * 2^20; age-84 event MUST be 0
+    assert(byUser(1L) == ((2L, 10000L * 1048576L)),
+      s"age-84 event must decay to exactly zero, got ${byUser(1L)}")
+    // user 2: age 1 → 1000¢ * 2^19
+    assert(byUser(2L) == ((1L, 1000L * 524288L)))
+  }
+
   test("shingle arrays: doc shorter than k yields no row; duplicates collapse") {
     val docs = Seq((1L, "a b"), (2L, "x y z x y z")).toDF("doc_id", "text")
     val arr = Dedup.docShingleArrays(docs).as[(Long, Seq[String], Long)].collect()

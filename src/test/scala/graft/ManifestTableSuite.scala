@@ -50,7 +50,11 @@ class ManifestTableSuite extends SparkSuite {
     assert(moved)
     assert(ManifestTable.read(spark, t).count() == 100,
       "uncommitted files must be invisible to readers")
-    val removed = ManifestTable.vacuum(t)
+    // default retention must SKIP the fresh orphan — it is
+    // indistinguishable from an in-flight commit's staged files
+    assert(ManifestTable.vacuum(t) == 0,
+      "default retention must not delete just-staged files")
+    val removed = ManifestTable.vacuum(t, retentionMs = 0L)
     assert(removed == 1, s"vacuum must remove exactly the orphan, removed $removed")
     assert(ManifestTable.read(spark, t).count() == 100,
       "vacuum must never touch committed files")
@@ -219,6 +223,34 @@ class ManifestTableSuite extends SparkSuite {
         .as[(Long, Long)].collect().toMap
       assert(gotOld == history(histV), s"seed=$seed: version $histV diverged from history")
     }
+  }
+
+  test("concurrent merges both land: the CAS loser recomputes against the winner's snapshot") {
+    // the lost-update hazard: merge's result is a FUNCTION of the base
+    // snapshot, so a loser that republished its stale staged files would
+    // silently erase the winner's rows. Four committers upsert DISJOINT
+    // key ranges concurrently; if any loser skipped the recompute, the
+    // final snapshot would be missing a whole committer's updates.
+    val t = freshTable()
+    ManifestTable.append(spark, t, range(0, 10)) // v0: id 0..9, v = 2*id
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = (0 until 4).map { k =>
+        Future(ManifestTable.merge(spark, t,
+          spark.range(100L * (k + 1), 100L * (k + 1) + 5)
+            .select(col("id"), lit(-1L * (k + 1)).as("v")), "id"))
+      }
+      val versions = Await.result(Future.sequence(futs), 120.seconds)
+      assert(versions.toSet.size == 4, s"every merge must win a distinct version: $versions")
+      val now = ManifestTable.read(spark, t)
+      assert(now.count() == 10 + 20, "no merge's inserts may be lost to the race")
+      for (k <- 0 until 4)
+        assert(now.filter(col("v") === -1L * (k + 1)).count() == 5,
+          s"committer $k's rows must survive every later CAS winner")
+      assert(now.filter(col("id") < 10 && col("v") =!= col("id") * 2).count() == 0,
+        "the base rows must survive all four merges unchanged")
+    } finally pool.shutdown()
   }
 
   test("concurrent appends both land: the CAS loser retries on top of the winner") {
