@@ -1,6 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Time one invocation of `run`; `Left(errorClass: message)` if it
+    * threw. Failures are EXPLICIT — an earlier version swallowed the
+    * exception and returned the (near-zero) elapsed time, so a broken
+    * query would silently bench as ~0 s and *flatter* the total; now a
+    * throwing query surfaces in the JSON `errors` field and its samples
+    * never enter the timings. (Unit-tested in BenchTimingSuite.) */
+  def timeOnce(run: () => Unit): Either[String, Double] = {
+    val t0 = System.nanoTime()
+    try { run(); Right((System.nanoTime() - t0) / 1e9) }
+    catch { case e: Throwable =>
+      Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+    }
+  }
+
+  /** Min-of-k steady-state estimate over `once` samples: two samples
+    * normally, a third only when the first two disagree by >2× (one
+    * plausibly hit a host stall). ANY thrown sample fails the query —
+    * a stall can inflate a timing but an exception means the query is
+    * broken, and min-of-k must never average over brokenness. */
+  def minOfK(once: () => Either[String, Double]): Either[String, Double] =
+    once().flatMap { s1 =>
+      once().flatMap { s2 =>
+        if (math.max(s1, s2) > 2.0 * math.min(s1, s2) && math.max(s1, s2) > 0.5)
+          once().map(s3 => math.min(math.min(s1, s2), s3))
+        else Right(math.min(s1, s2))
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -60,21 +89,17 @@ object Bench {
     // sample, never deflates it. k=2 normally; a 3rd pass only when the
     // two samples disagree by >2x (i.e. one of them plausibly hit a stall),
     // so the added wall-clock stays ~1 pass, not 2.
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
-    }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val s1 = timeOnce(name, fn)
-      val s2 = timeOnce(name, fn)
-      val sec =
-        if (math.max(s1, s2) > 2.0 * math.min(s1, s2) && math.max(s1, s2) > 0.5)
-          math.min(math.min(s1, s2), timeOnce(name, fn))
-        else math.min(s1, s2)
-      System.err.println(f"[bench] $name $sec%.2fs (samples $s1%.2f/$s2%.2f)")
-      name -> sec
-    }
+    val sampled: Map[String, Either[String, Double]] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val r = minOfK(() => timeOnce(() => { fn(spark, sfDir).count(); () }))
+        r match {
+          case Right(sec) => System.err.println(f"[bench] $name $sec%.2fs")
+          case Left(err) => System.err.println(s"[bench] $name FAILED: $err")
+        }
+        name -> r
+      }
+    val errors = sampled.collect { case (k, Left(e)) => k -> e }
+    val results = sampled.collect { case (k, Right(v)) => k -> v }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Full per-query detail goes to a file; the printed line must stay SHORT:
     // the driver records only the last ~2000 chars of stdout (r1's full-
@@ -82,17 +107,20 @@ object Bench {
     // the single stdout JSON line is capped well under that, slowest-first.
     val fullQs = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => f""""$k":$v%.3f""" }
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, e) => s""""$k":"${e.replace("\\", "\\\\").replace("\"", "'")}"""" }
+      .mkString("{", ",", "}")
     try {
       val detail = fullQs.mkString("{", ",", "}")
       val w = new java.io.PrintWriter("bench_detail.json")
-      w.println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}""")
+      w.println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"queries":$detail,"sf":"$sfDir"}""")
       w.close()
     } catch { case _: Throwable => }
     // Tail-window math: the harness keeps the last ~2000 chars of stdout;
     // after this line only sbt's "[success] …" (~70 chars) follows, so
     // 1700 keeps the whole JSON inside the window with margin.
     val budget = 1700
-    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":{"""
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","queries":{"""
     val sb = new StringBuilder(head)
     var first = true
     fullQs.foreach { e =>

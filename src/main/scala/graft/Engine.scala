@@ -28,6 +28,8 @@ object Engine {
     }
     Bridge.registerFunction(spark, "dot_product_d",
       exprs => DotProductD(exprs.head, exprs(1)))
+    Bridge.registerFunction(spark, "sq_dist_l",
+      exprs => graft.expr.SqDistL(exprs.head, exprs(1)))
     Bridge.registerFunction(spark, "minhash_sigs",
       exprs => graft.expr.MinHashSigs(exprs.head))
   }

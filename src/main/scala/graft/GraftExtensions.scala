@@ -29,5 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductD].getName, "dot_product_d"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductD(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sq_dist_l"),
+      new ExpressionInfo(classOf[graft.expr.SqDistL].getName, "sq_dist_l"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expr.SqDistL(exprs.head, exprs(1))))
   }
 }

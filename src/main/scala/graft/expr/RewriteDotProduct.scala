@@ -3,24 +3,31 @@ package graft.expr
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
 
 /** Engine optimizer rule (registered via `spark.experimental
   * .extraOptimizations`, see graft.Engine): rewrites the declarative
-  * dot-product idiom
+  * vector-kernel idioms
   *
   *   aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-  *             0D, (acc, v) -> acc + v)
+  *             0D, (acc, v) -> acc + v)                 -- float dot product
+  *   aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),
+  *             0L, (acc, v) -> acc + v)                 -- integer squared-L2
   *
-  * over float arrays into the native codegen'd [[DotProductD]] kernel.
-  * Users keep writing the pure built-in composition; the engine swaps in
-  * the fused loop. Semantics-preserving including nulls and unequal
-  * lengths (DotProductD mirrors the composition's null padding).
+  * into the native codegen'd kernels [[DotProductD]] and [[SqDistL]].
+  * Users keep writing the pure built-in compositions; the engine swaps in
+  * the fused loops. Semantics-preserving including nulls and unequal
+  * lengths (both kernels mirror the composition's null padding).
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
 
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
     case _ => false
   }
 
@@ -33,6 +40,20 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
     case LambdaFunction(Multiply(m1, m2, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _) =>
       (isDoubleCastOfVar(m1, x) && isDoubleCastOfVar(m2, y)) ||
         (isDoubleCastOfVar(m1, y) && isDoubleCastOfVar(m2, x))
+    case _ => false
+  }
+
+  /** (x - y) * (x - y) over the two lambda variables — both factors must
+    * be the SAME difference (either both x-y or both y-x; the square
+    * makes the orientation irrelevant, but a mixed (x-y)*(y-x) is the
+    * NEGATED square and must not match). */
+  private def isSqDiffLambda(f: Expression): Boolean = f match {
+    case LambdaFunction(
+          Multiply(Subtract(a1: NamedLambdaVariable, b1: NamedLambdaVariable, _),
+                   Subtract(a2: NamedLambdaVariable, b2: NamedLambdaVariable, _), _),
+          Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _) =>
+      a1.exprId == a2.exprId && b1.exprId == b2.exprId &&
+        Set(a1.exprId, b1.exprId) == Set(x.exprId, y.exprId)
     case _ => false
   }
 
@@ -55,5 +76,10 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
         if zero == 0.0d && isFloatArray(l) && isFloatArray(r) &&
           isProductLambda(prod) && isSumLambda(merge) && isIdentityFinish(finish) =>
       DotProductD(l, r)
+    case ArrayAggregate(
+          ZipWith(l, r, sq), Literal(zero, LongType), merge, finish)
+        if zero == 0L && isLongArray(l) && isLongArray(r) &&
+          isSqDiffLambda(sq) && isSumLambda(merge) && isIdentityFinish(finish) =>
+      SqDistL(l, r)
   }
 }

@@ -326,13 +326,44 @@ object Mining {
     * discipline). Emits clip counts and the winsorized ×8-cents sum —
     * the before/after a feature pipeline logs. The groups-sized fence
     * table broadcasts back; at 100 TB the sum promotes to DECIMAL(38,0)
-    * like q_agg_histogram's. */
+    * like q_agg_histogram's.
+    *
+    * The fences are EXACT percentiles computed off the value
+    * DISTRIBUTION, not off buffered rows: a (flag, cents) count
+    * aggregate (map-side combinable) feeds a cumulative-rank window
+    * whose size is bounded by the VALUE DOMAIN (distinct cents — ~10⁶
+    * for prices), never the row count, and the two order statistics
+    * each eighth needs are picked from the rank ranges. `percentile()`
+    * would buffer every group's values in a TypedImperativeAggregate —
+    * a per-group memory scale-killer at 100 TB. Interpolation stays
+    * bit-exact: with 0-indexed order statistics v[k], the fence×8 is
+    * 8·v[k] + r·(v[k+1]−v[k]) where k=(n−1) div 8, r=(n−1) mod 8 —
+    * pure integer arithmetic, equal to the definitional
+    * CAST(percentile(cents, 0.125)·8 AS BIGINT) (all intermediates
+    * < 2⁵³, so the double path it replaces was exact too). */
   private def qFeatClip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
     val l = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
       (dec(col("l_extendedprice"), 12, 2) * 100).cast(LongType).as("cents"))
-    val p = l.groupBy(col("flag")).agg(
-      expr("CAST(percentile(cents, 0.125D) * 8 AS BIGINT)").as("lo8"),
-      expr("CAST(percentile(cents, 0.875D) * 8 AS BIGINT)").as("hi8"))
+    val wOrd = Window.partitionBy(col("flag")).orderBy(col("cents"))
+    val wAll = Window.partitionBy(col("flag"))
+    val ranked = l.groupBy(col("flag"), col("cents")).agg(count(lit(1)).as("cnt"))
+      .withColumn("hi_rank", sum(col("cnt")).over(wOrd)) // ranks [lo_rank, hi_rank)
+      .withColumn("lo_rank", col("hi_rank") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    // v[k]: the unique cents whose rank range covers k (per-group constant
+    // k, so max(when(...)) picks exactly one value); v[k+1] is null only
+    // when k+1 = n, where r = 0 makes the interpolation term vanish
+    def pick(k: Column) = max(when(col("lo_rank") <= k && k < col("hi_rank"), col("cents")))
+    val k1 = expr("(n - 1) DIV 8");       val r1 = expr("(n - 1) % 8")
+    val k2 = expr("(7 * (n - 1)) DIV 8"); val r2 = expr("(7 * (n - 1)) % 8")
+    val p = ranked.groupBy(col("flag")).agg(
+      pick(k1).as("a1"), pick(k1 + 1).as("b1"), max(r1).as("r1"),
+      pick(k2).as("a2"), pick(k2 + 1).as("b2"), max(r2).as("r2"))
+      .select(col("flag"),
+        (col("a1") * 8 + col("r1") * (coalesce(col("b1"), col("a1")) - col("a1"))).as("lo8"),
+        (col("a2") * 8 + col("r2") * (coalesce(col("b2"), col("a2")) - col("a2"))).as("hi8"))
     l.join(broadcast(p), Seq("flag"))
       .groupBy(col("flag"))
       .agg(count(lit(1)).as("n"),

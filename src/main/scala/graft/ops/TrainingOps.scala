@@ -399,7 +399,11 @@ object TrainingOps {
     * from the first 8 vectors, two Lloyd rounds unrolled into one lazy
     * plan. ALL arithmetic is integer: vectors are int8-quantized
     * (floor(x·127); float→double and ·127 are mantissa-exact), distances
-    * are integer squared-L2 via codegen'd zip_with/aggregate, and
+    * are integer squared-L2 written as the declarative zip_with/aggregate
+    * idiom — which [[graft.expr.RewriteDotProduct]] rewrites to the
+    * native codegen'd [[graft.expr.SqDistL]] kernel (pinned in
+    * PlanSuite), so the assignment loop never pays interpreted-lambda
+    * overhead — and
     * centroid means use truncating integer division (Spark `DIV` ≡
     * DuckDB `//`, both truncate toward zero — verified). Float k-means is
     * famously irreproducible across reduction orders; the integer form

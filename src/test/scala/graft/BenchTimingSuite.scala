@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness's timing contract — no SparkSession needed.
+  * The load-bearing property: a THROWING query must surface as an
+  * explicit error, never as a near-zero timing sample that flatters
+  * the total (the silent-pass failure mode VERDICT r5 flagged). */
+class BenchTimingSuite extends AnyFunSuite {
+
+  test("timeOnce: success yields the elapsed seconds, failure yields the error") {
+    val ok = Bench.timeOnce(() => Thread.sleep(10))
+    assert(ok.isRight && ok.toOption.get >= 0.010)
+    val bad = Bench.timeOnce(() => throw new IllegalStateException("boom"))
+    assert(bad == Left("IllegalStateException: boom"))
+  }
+
+  test("timeOnce: a null exception message doesn't mask the error class") {
+    val bad = Bench.timeOnce(() => throw new NullPointerException())
+    assert(bad.isLeft && bad.swap.toOption.get.startsWith("NullPointerException"))
+  }
+
+  test("minOfK: agreeing samples take the min without a third pass") {
+    var calls = 0
+    val samples = Iterator(Right(1.0), Right(1.1))
+    val r = Bench.minOfK(() => { calls += 1; samples.next() })
+    assert(r == Right(1.0) && calls == 2)
+  }
+
+  test("minOfK: a >2x disagreement above 0.5s triggers exactly one tiebreak pass") {
+    var calls = 0
+    val samples = Iterator(Right(3.0), Right(1.0), Right(0.9))
+    val r = Bench.minOfK(() => { calls += 1; samples.next() })
+    assert(r == Right(0.9) && calls == 3)
+  }
+
+  test("minOfK: sub-0.5s jitter never pays a third pass even at >2x ratio") {
+    var calls = 0
+    val samples = Iterator(Right(0.4), Right(0.1))
+    val r = Bench.minOfK(() => { calls += 1; samples.next() })
+    assert(r == Right(0.1) && calls == 2)
+  }
+
+  test("minOfK: ANY thrown sample fails the query — min-of-k never averages over brokenness") {
+    // first sample throws: short-circuit, no more samples
+    var calls = 0
+    val r1 = Bench.minOfK { () => calls += 1; Left("X: broke") }
+    assert(r1 == Left("X: broke") && calls == 1)
+    // second sample throws after a fast success: still an error, and the
+    // fast success must NOT leak out as the query's timing
+    val s2 = Iterator(Right(0.001), Left("Y: broke"))
+    assert(Bench.minOfK(() => s2.next()) == Left("Y: broke"))
+    // tiebreak sample throws
+    val s3 = Iterator[Either[String, Double]](Right(3.0), Right(1.0), Left("Z: broke"))
+    assert(Bench.minOfK(() => s3.next()) == Left("Z: broke"))
+  }
+}

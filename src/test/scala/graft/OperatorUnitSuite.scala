@@ -133,6 +133,63 @@ class OperatorUnitSuite extends SparkSuite {
     assert(df.agg(sum("d")).as[Double].head() != 0.0)
   }
 
+  test("SqDistL matches the built-in zip_with/aggregate squared-L2 composition exactly") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextInt(255).toLong - 127),
+        Array.fill(64)(rnd.nextInt(255).toLong - 127))
+    }
+    val df = rows.toDF("id", "q", "c")
+    val native = Bridge.column(graft.expr.SqDistL(
+      Bridge.expression(col("q")), Bridge.expression(col("c"))))
+    val builtin = expr(
+      "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)")
+    val diffs = df.select(col("id"), native.as("a"), builtin.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diffs == 0)
+  }
+
+  test("SqDistL: empty arrays give 0; unequal lengths give NULL (zip_with padding)") {
+    val df = Seq(
+      (1L, Array.empty[Long], Array.empty[Long]),
+      (2L, Array(1L, 2L, 3L), Array(2L))
+    ).toDF("id", "q", "c")
+    val native = Bridge.column(graft.expr.SqDistL(
+      Bridge.expression(col("q")), Bridge.expression(col("c"))))
+    val got = df.select(col("id"), native.as("d")).as[(Long, Option[Long])].collect().toMap
+    assert(got(1L).contains(0L) && got(2L).isEmpty)
+  }
+
+  test("RewriteDotProduct: the squared-L2 idiom compiles to sq_dist_l; the negated square does not") {
+    Engine.init(spark)
+    // spark.range (not a Seq.toDF LocalRelation) so ConvertToLocalRelation
+    // cannot constant-fold the projection away before we inspect the plan
+    val df = spark.range(1).select(
+      array(col("id") + 1, col("id") + 2).as("q"),
+      array(col("id") + 3, col("id") + 5).as("c"))
+    val sq = df.select(expr(
+      "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)").as("d"))
+    assert(sq.queryExecution.optimizedPlan.toString().contains("sq_dist_l"))
+    assert(sq.as[Long].head() == 13L) // 4 + 9, rewrite preserves values
+    // (a-b)*(b-a) is the NEGATED square — must stay un-rewritten
+    val neg = df.select(expr(
+      "aggregate(zip_with(q, c, (a, b) -> (a - b) * (b - a)), 0L, (acc, v) -> acc + v)").as("d"))
+    assert(!neg.queryExecution.optimizedPlan.toString().contains("sq_dist_l"))
+    assert(neg.as[Long].head() == -13L)
+    // the mirrored orientation (b-a)*(b-a) IS the same square and rewrites
+    val mir = df.select(expr(
+      "aggregate(zip_with(q, c, (a, b) -> (b - a) * (b - a)), 0L, (acc, v) -> acc + v)").as("d"))
+    assert(mir.queryExecution.optimizedPlan.toString().contains("sq_dist_l"))
+    assert(mir.as[Long].head() == 13L)
+  }
+
+  test("sq_dist_l is SQL-callable after registration") {
+    Engine.init(spark)
+    Seq((Array(1L, 2L), Array(4L, 6L))).toDF("a", "b").createOrReplaceTempView("lvecs")
+    val r = spark.sql("SELECT sq_dist_l(a, b) AS d FROM lvecs").as[Long].head()
+    assert(r == 25L)
+  }
+
   test("SimHashAgg equals the 64-separate-sum reference formula") {
     val sh = graft.ops.Dedup.shingles(Tables.documents(spark, sf0001))
       .withColumn("h", xxhash64(col("s")))

@@ -102,6 +102,27 @@ class PlanSuite extends SparkSuite {
     assert(inCodegen.findFirstIn(p).isDefined, p.take(2000))
   }
 
+  test("feat_clip percentile fences come from the distribution, not buffered group values") {
+    // exact percentile() is a TypedImperativeAggregate that buffers every
+    // group's values in executor memory (ObjectHashAggregate) — a
+    // per-group scale-killer; the two-pass distribution form must keep
+    // the whole plan in hash aggregates + windows
+    val p = planOf("q_feat_clip")
+    assert(!p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("percentile"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("kmeans assignment distance runs as the native sq_dist_l kernel in codegen") {
+    // the hottest arithmetic in the clustering stage: k centroid
+    // distances per vector per Lloyd round — interpreted lambdas here
+    // cost ~10× per row·centroid and dominate at 100× scale
+    val p = planOf("q_cluster_kmeans", materialize = true)
+    val inCodegen = "\\*\\(\\d+\\) Project \\[.*sq_dist_l".r
+    assert(inCodegen.findFirstIn(p).isDefined, p.take(2000))
+    assert(!p.contains("ArrayAggregate"), "no interpreted lambda distance may remain")
+  }
+
   test("tfidf joins broadcast the vocabulary-sized tables, never sort-merge the corpus") {
     val p = planOf("q_text_tfidf")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p.take(2000))
