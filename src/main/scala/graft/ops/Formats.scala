@@ -33,6 +33,7 @@ object Formats {
     "q_source_csv" -> qSourceCsv,
     "q_source_json" -> qSourceJson,
     "q_source_orc" -> qSourceOrc,
+    "q_source_avro" -> qSourceAvro,
     "q_source_partitioned" -> qSourcePartitioned,
     "q_source_binary" -> qSourceBinary,
     "q_source_evolve" -> qSourceEvolve,
@@ -61,6 +62,11 @@ object Formats {
                 CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total,
                 CAST(SUM(p_size) AS BIGINT) AS sum_size
          FROM part GROUP BY p_brand ORDER BY p_brand""",
+    "q_source_avro" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+                CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+                MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_source_xml" ->
       """SELECT p_type, count(*) AS cnt,
                 CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total,
@@ -124,6 +130,34 @@ object Formats {
   private def roundtripDir(d: String, name: String): String = {
     val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
     s"${sys.props("java.io.tmpdir")}/graft_roundtrip/${sf}_$name"
+  }
+
+  /** Avro container-file round-trip through [[graft.sources.AvroSource]]
+    * — the engine's own DSv2 Avro bridge (no spark-avro connector ships
+    * in the runtime; the source is built on the Avro core jar directly).
+    * Exact cents travel as Avro `long` (the decimal-as-BIGINT transport
+    * discipline — Avro's own decimal logical type is bytes-backed and
+    * engine-version-sensitive, integers are not). Write is distributed
+    * (one container file per task, staged-invisible until task commit);
+    * read splits per file. The oracle aggregates the parquet original,
+    * so the hash match proves the Avro round-trip loses nothing. */
+  private def qSourceAvro(s: SparkSession, d: String): DataFrame = {
+    val out = roundtripDir(d, "lineitem_avro")
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_returnflag"),
+        (graft.Dsl.dec(col("l_quantity"), 12, 2) * 100).cast(LongType).as("qty_cents"))
+      .coalesce(4)
+      .write.format("graft.sources.AvroSource").mode("overwrite")
+      .option("path", out).save()
+    s.read.format("graft.sources.AvroSource").option("path", out).load()
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("qty_cents")).cast(LongType).as("cents"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+      .orderBy("l_returnflag")
   }
 
   /** Hive-partitioned parquet layout: documents written

@@ -1,0 +1,274 @@
+package graft.sources
+
+import java.io.File
+import java.nio.ByteBuffer
+import java.util
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Avro container-file DataSource V2 — read AND write — built directly
+  * on the Avro core jar (`avro-1.12.1.jar` ships in the runtime; the
+  * `spark-avro` connector does not, so this closes the genre's
+  * Kafka-adjacent Avro gap the honest way: by implementing the format
+  * bridge, not describing it).
+  *
+  * Usage:
+  * {{{
+  *   df.write.format("graft.sources.AvroSource")
+  *     .mode("overwrite").option("path", dir).save()
+  *   spark.read.format("graft.sources.AvroSource")
+  *     .option("path", dir).load()
+  * }}}
+  *
+  * Write path (fully distributed): each input partition's DataWriter
+  * streams its rows into ONE Avro container file, written under a
+  * UUID-tagged in-progress name and renamed into place only on task
+  * commit — a failed/speculative task leaves a `.inprogress` orphan,
+  * never a half-visible data file (the same staged-invisible discipline
+  * as [[ManifestTable]]). `mode("overwrite")` maps to the V2 truncate
+  * capability: committed `.avro` files are cleared on the driver before
+  * the new write lands. Nothing passes through the driver but the file
+  * list.
+  *
+  * Read path: schema inference opens ONE container header (Avro files
+  * carry their writer schema); splits are per-file — the natural
+  * granularity for the sink's own output, where file count == write
+  * parallelism. (Avro's sync-marker blocks would allow finer intra-file
+  * splits at scale; per-file splitting is what most engines do for
+  * sink-sized files and keeps the reader dependency-free.) Column
+  * pruning is pushed down (SupportsPushDownRequiredColumns): unread
+  * fields are skipped during decode — for a row format that saves the
+  * UTF8String/ByteBuffer materialization, not the IO.
+  *
+  * Type bridge (both directions): long/int/double/float/boolean/string/
+  * binary plus DATE (Avro `int` + date logical type) and TIMESTAMP
+  * (Avro `long` + timestamp-micros) — the Avro spec's standard logical
+  * encodings. Nullable fields map to `union(null, T)`. Decimals are
+  * deliberately out of scope: the engine's decimal discipline transports
+  * exact cents as BIGINT (see q_source_avro), which Avro covers natively.
+  */
+class AvroSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = AvroSource.pathOf(options.asScala.toMap)
+    val files = AvroSource.listAvro(dir)
+    require(files.nonEmpty, s"no .avro files under $dir to infer a schema from")
+    val r = new DataFileReader[GenericRecord](files.head, new GenericDatumReader[GenericRecord]())
+    try AvroSource.toSpark(r.getSchema) finally r.close()
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new AvroTable(AvroSource.pathOf(properties.asScala.toMap), schema)
+}
+
+object AvroSource {
+
+  private[sources] def pathOf(opts: Map[String, String]): String =
+    opts.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .getOrElse(throw new IllegalArgumentException("AvroSource requires option(\"path\", dir)"))
+
+  private[sources] def listAvro(dir: String): Seq[File] = {
+    val d = new File(dir)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().filter(f => f.isFile && f.getName.endsWith(".avro")).sortBy(_.getName).toSeq
+  }
+
+  /** Spark StructType → Avro record schema (nullable → union(null, T)). */
+  private[sources] def toAvro(schema: StructType, recordName: String): Schema = {
+    def leaf(dt: DataType): Schema = dt match {
+      case LongType => Schema.create(Schema.Type.LONG)
+      case IntegerType => Schema.create(Schema.Type.INT)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case StringType => Schema.create(Schema.Type.STRING)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case DateType =>
+        org.apache.avro.LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+      case TimestampType =>
+        org.apache.avro.LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+      case other => throw new IllegalArgumentException(
+        s"AvroSource does not support Spark type $other (supported: long/int/double/float/" +
+          "boolean/string/binary/date/timestamp)")
+    }
+    val fields = schema.fields.map { f =>
+      val base = leaf(f.dataType)
+      val t = if (f.nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base) else base
+      new Schema.Field(f.name, t, null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    Schema.createRecord(recordName, null, "graft.avro", false, fields.toList.asJava)
+  }
+
+  /** Avro record schema → Spark StructType (union(null, T) → nullable). */
+  private[sources] def toSpark(schema: Schema): StructType = {
+    require(schema.getType == Schema.Type.RECORD, s"top-level Avro schema must be a record, got $schema")
+    def leaf(s: Schema): DataType = (s.getType, Option(s.getLogicalType).map(_.getName)) match {
+      case (Schema.Type.INT, Some("date")) => DateType
+      case (Schema.Type.LONG, Some("timestamp-micros")) => TimestampType
+      case (Schema.Type.LONG, _) => LongType
+      case (Schema.Type.INT, _) => IntegerType
+      case (Schema.Type.DOUBLE, _) => DoubleType
+      case (Schema.Type.FLOAT, _) => FloatType
+      case (Schema.Type.BOOLEAN, _) => BooleanType
+      case (Schema.Type.STRING, _) => StringType
+      case (Schema.Type.BYTES, _) => BinaryType
+      case other => throw new IllegalArgumentException(s"AvroSource cannot map Avro type $other")
+    }
+    StructType(schema.getFields.asScala.map { f =>
+      f.schema().getType match {
+        case Schema.Type.UNION =>
+          val branches = f.schema().getTypes.asScala
+          val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+          require(nonNull.size == 1, s"only union(null, T) is supported, got ${f.schema()}")
+          StructField(f.name(), leaf(nonNull.head), nullable = branches.size > nonNull.size)
+        case _ => StructField(f.name(), leaf(f.schema()), nullable = false)
+      }
+    }.toArray)
+  }
+
+  /** One Spark value → the Avro-side representation. */
+  private[sources] def toAvroValue(dt: DataType, v: Any): AnyRef = v match {
+    case null => null
+    case u: UTF8String => u.toString
+    case b: Array[Byte] => ByteBuffer.wrap(b)
+    case other => other.asInstanceOf[AnyRef] // long/int/double/float/boolean/date-int/ts-long
+  }
+
+  /** One Avro value → the Spark internal representation. */
+  private[sources] def toSparkValue(dt: DataType, v: AnyRef): Any = v match {
+    case null => null
+    case s: org.apache.avro.util.Utf8 => UTF8String.fromString(s.toString)
+    case s: String => UTF8String.fromString(s)
+    case b: ByteBuffer =>
+      val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+    case other => other // long/int/double/float/boolean
+  }
+}
+
+private class AvroTable(dir: String, schema: StructType)
+  extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"avro($dir)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AvroScanBuilder(dir, schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AvroWriteBuilder(dir, info.schema())
+}
+
+// ---------------------------------------------------------------- read
+
+private class AvroScanBuilder(dir: String, full: StructType)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var pruned: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = pruned = requiredSchema
+  override def build(): Scan = new AvroScan(dir, pruned)
+}
+
+private case class AvroFilePartition(path: String) extends InputPartition
+
+private class AvroScan(dir: String, schema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    AvroSource.listAvro(dir).map(f => AvroFilePartition(f.getAbsolutePath): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory = new AvroReaderFactory(schema)
+}
+
+private class AvroReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[AvroFilePartition]
+    new PartitionReader[InternalRow] {
+      private val reader =
+        new DataFileReader[GenericRecord](new File(p.path), new GenericDatumReader[GenericRecord]())
+      private var rec: GenericRecord = _
+      override def next(): Boolean = {
+        if (!reader.hasNext) false else { rec = reader.next(rec); true }
+      }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(schema.fields.toSeq.map(f =>
+          AvroSource.toSparkValue(f.dataType, rec.get(f.name))))
+      override def close(): Unit = reader.close()
+    }
+  }
+}
+
+// --------------------------------------------------------------- write
+
+private class AvroWriteBuilder(dir: String, schema: StructType)
+  extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new AvroBatchWrite(dir, schema, doTruncate)
+  }
+}
+
+private class AvroBatchWrite(dir: String, schema: StructType, truncate: Boolean)
+  extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val d = new File(dir)
+    d.mkdirs()
+    if (truncate) AvroSource.listAvro(dir).foreach(_.delete())
+    // ship the Avro schema as its JSON string: org.apache.avro.Schema is
+    // not reliably serializable across all versions, the string always is
+    new AvroWriterFactory(dir, schema, AvroSource.toAvro(schema, "row").toString)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private case class AvroCommit(path: String) extends WriterCommitMessage
+
+private class AvroWriterFactory(dir: String, schema: StructType, avroJson: String)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val avroSchema = new Schema.Parser().parse(avroJson)
+      private val tmp = new File(dir, s".part-$partitionId-$taskId-${UUID.randomUUID()}.inprogress")
+      private val fin = new File(dir, f"part-$partitionId%05d-$taskId.avro")
+      private val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
+      w.create(avroSchema, tmp)
+
+      override def write(row: InternalRow): Unit = {
+        val rec = new GenericData.Record(avroSchema)
+        var i = 0
+        while (i < schema.fields.length) {
+          val f = schema.fields(i)
+          val v = if (row.isNullAt(i)) null else row.get(i, f.dataType)
+          rec.put(f.name, AvroSource.toAvroValue(f.dataType, v))
+          i += 1
+        }
+        w.append(rec)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        w.close()
+        if (!tmp.renameTo(fin))
+          throw new IllegalStateException(s"could not publish $tmp -> $fin")
+        AvroCommit(fin.getAbsolutePath)
+      }
+
+      override def abort(): Unit = { try w.close() catch { case _: Throwable => () }; tmp.delete() }
+      override def close(): Unit = ()
+    }
+}
