@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.{EmbeddingIndex, ManifestTable}
+
+/** The persisted-index lifecycle (EmbeddingIndex over ManifestTable):
+  * build once, serve warm reads from the committed snapshot with ZERO
+  * derivation work, extend incrementally for new keys only. */
+class IndexLifecycleSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def vecs(a: Long, b: Long): DataFrame =
+    spark.range(a, b).select(col("id").as("vec_id"),
+      (col("id") * 7 % 100).as("payload"))
+
+  test("cold build derives the full input; warm refresh derives NOTHING and reads the snapshot") {
+    val t = Files.createTempDirectory("graft-idx").toString
+    var derivedRows = -1L
+    def derive(in: DataFrame): DataFrame = {
+      derivedRows = in.count()
+      in.select(col("vec_id"), (col("payload") * 2).as("sig"))
+    }
+    val first = EmbeddingIndex.refresh(spark, t, vecs(0, 100), "vec_id")(derive)
+    assert(derivedRows == 100 && first.count() == 100)
+    assert(ManifestTable.latestVersion(t).contains(0L))
+
+    derivedRows = -1L
+    val warm = EmbeddingIndex.refresh(spark, t, vecs(0, 100), "vec_id")(derive)
+    assert(derivedRows == -1L, "warm refresh must never invoke the derivation")
+    assert(ManifestTable.latestVersion(t).contains(0L), "no new snapshot when nothing is missing")
+    // the served artifact is a scan of committed parquet, not a compute plan
+    val plan = warm.queryExecution.executedPlan.toString()
+    assert(plan.contains("Parquet") || plan.contains("parquet"), plan.take(1000))
+    assert(warm.count() == 100)
+  }
+
+  test("incremental refresh derives ONLY the new keys and appends one snapshot") {
+    val t = Files.createTempDirectory("graft-idx-incr").toString
+    var seen: Seq[Long] = Seq.empty
+    def derive(in: DataFrame): DataFrame = {
+      seen = in.select("vec_id").as[Long].collect().toSeq.sorted
+      in.select(col("vec_id"), (col("payload") * 2).as("sig"))
+    }
+    EmbeddingIndex.refresh(spark, t, vecs(0, 100), "vec_id")(derive)
+    // the corpus grows by 5 vectors
+    val grown = EmbeddingIndex.refresh(spark, t, vecs(0, 105), "vec_id")(derive)
+    assert(seen == (100L until 105L).toSeq,
+      s"only the 5 new keys may be derived, got $seen")
+    assert(ManifestTable.latestVersion(t).contains(1L))
+    assert(grown.count() == 105)
+    // the original 100 signature rows are the COMMITTED v0 bytes, untouched
+    assert(ManifestTable.read(spark, t, Some(0L)).count() == 100)
+    assert(grown.agg(sum(col("sig"))).as[Long].head() ==
+      (0L until 105L).map(i => i * 7 % 100 * 2).sum)
+  }
+
+  test("rebuild overwrites the artifact; history stays time-travelable") {
+    val t = Files.createTempDirectory("graft-idx-rebuild").toString
+    EmbeddingIndex.refresh(spark, t, vecs(0, 50), "vec_id")(
+      in => in.select(col("vec_id"), col("payload").as("sig")))
+    val rebuilt = EmbeddingIndex.rebuild(spark, t, vecs(0, 50))(
+      in => in.select(col("vec_id"), (col("payload") + 1000).as("sig")))
+    assert(rebuilt.agg(min(col("sig"))).as[Long].head() >= 1000L)
+    assert(ManifestTable.read(spark, t, Some(0L))
+      .agg(max(col("sig"))).as[Long].head() < 1000L,
+      "the pre-rebuild snapshot must stay readable")
+  }
+
+  test("q_dedup_lsh serves its signature table from the committed artifact on the warm path") {
+    // first call builds the artifact; the second must plan a parquet
+    // scan of it with NO dot_product_d signature recompute upstream
+    graft.ops.TextSim.queries("q_dedup_lsh")(spark, sf0001).count()
+    val t = EmbeddingIndex.tableFor(sf0001, "lsh_sigs")
+    val v = ManifestTable.latestVersion(t)
+    assert(v.nonEmpty, "the LSH signature artifact must be committed")
+    val warm = graft.ops.TextSim.queries("q_dedup_lsh")(spark, sf0001)
+    val n = warm.count()
+    assert(ManifestTable.latestVersion(t) == v, "warm run must not commit a new snapshot")
+    assert(n > 0)
+    // and the artifact holds one signature per vector
+    assert(ManifestTable.read(spark, t).count() ==
+      Tables.embeddings(spark, sf0001).count())
+  }
+
+  test("q_sim_ivf serves its cell assignments from the committed artifact on the warm path") {
+    graft.ops.TextSim.queries("q_sim_ivf")(spark, sf0001).count()
+    val t = EmbeddingIndex.tableFor(sf0001, "ivf_cells")
+    val v = ManifestTable.latestVersion(t)
+    assert(v.nonEmpty, "the IVF cell artifact must be committed")
+    graft.ops.TextSim.queries("q_sim_ivf")(spark, sf0001).count()
+    assert(ManifestTable.latestVersion(t) == v, "warm run must not commit a new snapshot")
+    val cells = ManifestTable.read(spark, t)
+    assert(cells.count() == Tables.embeddings(spark, sf0001).count())
+    // every cell id is one of the 16 deterministic coarse centroids
+    assert(cells.filter(col("cid") >= 16 || col("cid") < 0).count() == 0)
+  }
+}
