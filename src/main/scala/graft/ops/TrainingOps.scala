@@ -26,6 +26,7 @@ object TrainingOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> qPackSequences,
+    "q_bpe_vocab" -> qBpeVocab,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_rarity" -> qTextRarity,
     "q_sim_quant" -> qSimQuant,
@@ -38,9 +39,19 @@ object TrainingOps {
 
   val oracle: Map[String, String] = Map(
     "q_pack_sequences" ->
-      """WITH d AS (SELECT doc_id, lang, doc_id // 1000 AS shard,
-                           len(string_split(text, ' ')) AS ntok
-             FROM documents),
+      """WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         p0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM ws),
+         pairs AS (SELECT doc_id, i, w[i] || ' ' || w[i+1] AS pg FROM p0),
+         vocab AS (SELECT pg FROM (SELECT pg, count(*) AS c FROM pairs
+                                   GROUP BY pg ORDER BY c DESC, pg LIMIT 32)),
+         m AS (SELECT doc_id, i,
+                      i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+               FROM pairs JOIN vocab USING (pg)),
+         runs AS (SELECT doc_id, grp, count(*) AS L FROM m GROUP BY doc_id, grp),
+         mg AS (SELECT doc_id, SUM((L + 1) // 2) AS nm FROM runs GROUP BY doc_id),
+         d AS (SELECT ws.doc_id, lang, ws.doc_id // 1000 AS shard,
+                      len(w) - COALESCE(nm, 0) AS ntok
+               FROM ws LEFT JOIN mg ON ws.doc_id = mg.doc_id),
          c AS (SELECT lang, shard, ntok,
                       SUM(ntok) OVER (PARTITION BY lang, shard ORDER BY doc_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -48,6 +59,14 @@ object TrainingOps {
          SELECT lang, shard, CAST((cum - ntok) // 2048 AS BIGINT) AS bin,
                 count(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens
          FROM c GROUP BY lang, shard, bin ORDER BY lang, shard, bin""",
+    "q_bpe_vocab" ->
+      """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+         p0 AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM ws),
+         pairs AS (SELECT w[i] || ' ' || w[i+1] AS pair FROM p0),
+         v AS (SELECT pair, count(*) AS freq FROM pairs GROUP BY pair)
+         SELECT CAST(row_number() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS rnk,
+                pair, CAST(freq AS BIGINT) AS freq
+         FROM v ORDER BY freq DESC, pair LIMIT 32""",
     "q_text_tfidf" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          tf AS (SELECT doc_id, w, count(*) AS tf FROM words WHERE len(w) > 0 GROUP BY doc_id, w),
@@ -192,21 +211,76 @@ object TrainingOps {
          ORDER BY r.source"""
   )
 
+  /** Toy-BPE tokenizer cost model, shared by [[qPackSequences]] and
+    * declared as [[qBpeVocab]]'s merge table.
+    *
+    * Learn: the merge table is the corpus's top-32 adjacent-token
+    * bigrams (count desc, bigram asc — fully deterministic). Apply: ONE
+    * greedy left-to-right merge round — a position i merges iff its
+    * bigram is in the table and position i−1 didn't merge. Greedy
+    * selection is sequential on its face, but over BASE tokens it
+    * reduces exactly to gaps-and-islands: mergeable positions form
+    * maximal runs, and a run of length L yields ⌈L/2⌉ merges — so the
+    * whole tokenizer is explode → broadcast-join(32-row merge table) →
+    * one window per doc, no UDF, no sequential state, and the DuckDB
+    * oracle replays the identical algebra. Token count = base tokens −
+    * merges, the same accounting a real BPE's first merge round does;
+    * whitespace counting (the old proxy) systematically overcounts
+    * exactly the high-frequency collocations BPE compresses. */
+  private[graft] def bpeNtok(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+    val pairs = ws.filter(size(col("w")) >= 2) // sequence(1,0) is DESCENDING — guard 1-token docs
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("pg"))
+    val vocab = pairs.groupBy(col("pg")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("pg")).limit(32).select("pg")
+    val merges = pairs.join(broadcast(vocab), Seq("pg"))
+      .withColumn("grp", col("i") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("L"))
+      .groupBy(col("doc_id")).agg(sum(expr("(L + 1) DIV 2")).as("nm"))
+    ws.select(col("doc_id"), col("lang"), size(col("w")).cast(LongType).as("base"))
+      .join(merges, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        (col("base") - coalesce(col("nm"), lit(0L))).cast(LongType).as("ntok"))
+  }
+
+  /** The learned BPE merge table itself — rank, bigram, corpus frequency
+    * (the top-32 [[bpeNtok]] merges). A production pipeline commits this
+    * artifact next to the tokenized shards; here it is the declared,
+    * oracle-checked face of the tokenizer. */
+  private def qBpeVocab(s: SparkSession, d: String): DataFrame = {
+    val ws = Tables.documents(s, d).select(split(col("text"), " ").as("w"))
+    val pairs = ws.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("pair"))
+    // global sort-limit (distributed TakeOrdered) BEFORE the ranking
+    // window, so the single-partition row_number only ever sees 32 rows
+    pairs.groupBy(col("pair")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("pair")).limit(32)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("freq").desc, col("pair"))).cast(LongType))
+      .select(col("rnk"), col("pair"), col("freq").cast(LongType).as("freq"))
+      .orderBy("rnk")
+  }
+
   /** Greedy sequence packing into 2048-token context windows. A doc's bin
     * is the window its starting offset falls in (cum-before-doc DIV
     * budget) — the deterministic concat-and-chunk model used when shards
-    * are tokenized sequentially. Packing is inherently a prefix scan, so
-    * it runs per (lang, shard-of-1000-docs): each shard packs
-    * independently and in parallel — the same unit a distributed
+    * are tokenized sequentially. Token counts are TOKENIZER-FAITHFUL:
+    * the toy-BPE cost model of [[bpeNtok]] (learned merge table, greedy
+    * merge round), not the whitespace proxy — so window fill reflects
+    * what the tokenizer will actually emit. Packing is inherently a
+    * prefix scan, so it runs per (lang, shard-of-1000-docs): each shard
+    * packs independently and in parallel — the same unit a distributed
     * tokenizer would write, so no cross-shard coordination exists at any
     * scale (contrast a single global cumsum, which cannot distribute). */
   private def qPackSequences(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        expr("doc_id DIV 1000").as("shard"),
-        size(split(col("text"), " ")).cast(LongType).as("ntok"))
+    bpeNtok(Tables.documents(s, d))
+      .withColumn("shard", expr("doc_id DIV 1000"))
       .withColumn("cum", sum(col("ntok")).over(w))
       .withColumn("bin", expr("(cum - ntok) DIV 2048"))
       .groupBy(col("lang"), col("shard"), col("bin"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 /** Invariants for the training-data preparation tier (ops/TrainingOps). */
 class TrainingOpsSuite extends SparkSuite {
+  import spark.implicits._
 
   test("pack_sequences: bins partition every doc exactly once and respect the budget shape") {
     val out = SparkEntry.queries("q_pack_sequences")(spark, sf0001).cache()
@@ -138,5 +139,46 @@ class TrainingOpsSuite extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSeq
     assert(got == expected, s"distributed vs local k-means mismatch:\n$got\n$expected")
+  }
+
+  test("toy-BPE token counts equal a literal sequential greedy merge, doc by doc") {
+    // the relational tokenizer claims greedy left-to-right merging
+    // reduces to gaps-and-islands (⌈run/2⌉ merges per run); this replays
+    // the REAL sequential algorithm over every fixture doc with the same
+    // learned merge table and demands equality — if the reduction were
+    // wrong anywhere (overlap handling, run boundaries, ties), some doc
+    // would disagree
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    // the learned merge table, exactly as bpeNtok derives it
+    val vocab = docs.select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("pg"))
+      .groupBy("pg").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("pg")).limit(32)
+      .select("pg").as[String].collect().toSet
+
+    def sequentialGreedy(text: String): Long = {
+      val w = text.split(" ", -1)
+      var i = 0
+      var merges = 0L
+      while (i < w.length - 1) {
+        if (vocab.contains(s"${w(i)} ${w(i + 1)}")) { merges += 1; i += 2 }
+        else i += 1
+      }
+      w.length - merges
+    }
+
+    val expected = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> sequentialGreedy(t) }.toMap
+    val got = graft.ops.TrainingOps.bpeNtok(docs)
+      .select("doc_id", "ntok").as[(Long, Long)].collect().toMap
+    assert(got.size == expected.size)
+    val diffs = expected.collect { case (id, e) if got(id) != e => (id, e, got(id)) }
+    assert(diffs.isEmpty, s"docs where relational != sequential greedy: ${diffs.take(5)}")
+    // and the compression is real: the merge round must shrink the corpus
+    val base = docs.select(size(split(col("text"), " "))).as[Int].collect().map(_.toLong).sum
+    assert(got.values.sum < base, "the merge table must compress the corpus")
   }
 }
