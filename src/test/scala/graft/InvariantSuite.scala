@@ -311,4 +311,92 @@ class InvariantSuite extends SparkSuite {
       assert(got == expected, s"case $i")
     }
   }
+
+  // ---------------------------------------------------- 10× scale probes
+  //
+  // Empirical backing for the 100 TB claims on the dedup family: the
+  // candidate structures must grow LINEARLY in corpus size under the
+  // generative model real corpora follow (vocabulary grows with the
+  // corpus — Heaps' law — and duplication arrives at a fixed RATE), not
+  // quadratically as a fixed-vocabulary worst case would. A planted-dup
+  // corpus at 1× and 10× makes the growth exponent measurable.
+
+  /** Deterministic synthetic corpus: `n` docs of 12 tokens each, token
+    * ids drawn from a vocabulary proportional to n (Heaps-ish, so
+    * cross-doc shingle collisions stay at a constant RATE as the corpus
+    * grows), with every 20th doc a near-copy of its predecessor (the
+    * planted 5% dup rate, preserved at every scale). */
+  private def plantedCorpus(n: Int) = {
+    val base = (0 until n).map { i =>
+      if (i % 20 == 19 && i > 0) {
+        // planted near-dup: predecessor's text with one token changed
+        val prev = (0 until 12).map(j => s"t${EventGenSourceMix.mix((i - 1).toLong * 12 + j) % (n * 4)}")
+        (i.toLong, (prev.dropRight(1) :+ "CHANGED").mkString(" "))
+      } else
+        (i.toLong, (0 until 12).map(j => s"t${EventGenSourceMix.mix(i.toLong * 12 + j) % (n * 4)}").mkString(" "))
+    }
+    base.toDF("doc_id", "text")
+  }
+
+  test("scale probe: shingle-index candidate pairs grow linearly at 10x corpus size") {
+    // Σ C(f,2) over shingle doc-frequencies — the candidate count every
+    // inverted-index dedup stage (near/minhash/prefix) is bounded by
+    def candidates(n: Int): Long =
+      Dedup.shingles(plantedCorpus(n)).groupBy(col("s")).agg(count(lit(1)).as("f"))
+        .agg(sum(expr("f * (f - 1) DIV 2"))).as[Long].head()
+    val c1 = candidates(1500)
+    val c10 = candidates(15000)
+    assert(c1 > 0, "the planted dups must produce candidates at 1x")
+    val growth = c10.toDouble / c1
+    assert(growth < 20.0,
+      s"candidate growth must be ~linear (quadratic would be 100x): c1=$c1 c10=$c10 growth=$growth")
+    assert(growth > 5.0, s"10x corpus should grow candidates ~10x, got $growth (c1=$c1 c10=$c10)")
+  }
+
+  test("scale probe: LSH band-bucket histogram grows linearly per bucket at 10x") {
+    // sign-LSH buckets (16 per band) must stay BALANCED as the corpus
+    // grows: every bucket's load scales ~10x, so per-band candidate work
+    // is governed by the band width — the documented scale knob — and no
+    // bucket degenerates into an all-pairs hotspot
+    def rnd(seed: Long): Double = (EventGenSourceMix.mix(seed) % 10000L) / 10000.0
+    def vecs(n: Int): Seq[(Long, Array[Float])] = (0 until n).map { i =>
+      val v =
+        if (i % 20 == 19 && i > 0)
+          Array.tabulate(64)(j => (rnd((i - 1).toLong * 64 + j) + 0.01 * rnd(i.toLong * 997 + j)).toFloat)
+        else Array.tabulate(64)(j => rnd(i.toLong * 64 + j).toFloat)
+      (i.toLong, v)
+    }
+    val planes = TextSim.lshPlanes.map(_.toArray)
+    def sig(v: Array[Float]): Long =
+      (0 until 64).map { p =>
+        var s = 0d; var j = 0
+        while (j < 64) { s += v(j).toDouble * planes(p)(j); j += 1 }
+        if (s >= 0d) 1L << p else 0L
+      }.reduce(_ | _)
+    def bucketLoads(n: Int): Map[(Int, Long), Long] =
+      vecs(n).map(x => sig(x._2))
+        .flatMap(s => (0 until 16).map(b => (b, (s >>> (4 * b)) & 15L)))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val l1 = bucketLoads(1500)
+    val l10 = bucketLoads(15000)
+    assert(l10.keySet.size <= 16 * 16, "bucket COUNT is fixed by the band width")
+    // every bucket with meaningful 1x load grows ~10x, never ~100x
+    val ratios = l1.collect { case (k, v1) if v1 >= 20 => l10.getOrElse(k, 0L).toDouble / v1 }
+    assert(ratios.nonEmpty)
+    assert(ratios.forall(r => r > 3.0 && r < 30.0),
+      s"bucket loads must scale ~linearly; ratios=${ratios.toSeq.sorted.reverse.take(5)}...")
+    val max1 = l1.values.max.toDouble
+    val max10 = l10.values.max.toDouble
+    assert(max10 / max1 < 20.0,
+      s"the hottest bucket must grow ~linearly: $max1 -> $max10")
+  }
+}
+
+/** splitmix64 for the scale probes (the same public mixer EventGenSource
+  * uses), aliased to keep the test self-contained. */
+private object EventGenSourceMix {
+  def mix(i: Long): Long = {
+    val m = graft.sources.EventGenSource.mix(i)
+    if (m < 0) -m else m // non-negative for modulo-into-vocab use
+  }
 }

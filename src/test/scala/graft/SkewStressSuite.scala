@@ -93,27 +93,41 @@ class SkewStressSuite extends SparkSuite {
     // at cluster scale the defaults (256 MB) play the same role.
     val confs = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      // thresholds in COMPRESSED shuffle bytes: the manufactured hot
+      // partition (constant key, near-sequential ids) lz4-compresses
+      // ~10x, so 8KB here stands in for the production 256MB default
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      val fact = spark.range(400000L).select(
-        col("id").as("event_id"),
-        when(col("id") % 10 < 8, 0L).otherwise(col("id") % 1000L).as("user_id"))
+      // skew manufactured FROM the fixture fact table (not a synthetic
+      // range): 80% of events collapse onto one hot user, the classic
+      // power-law key a real event log develops. The repartition(8)
+      // matters: AQE splits a skewed REDUCE partition at MAPPER
+      // boundaries, so a single-file fixture scan (1 map task) is
+      // unsplittable no matter how skewed — at 100 TB the scan arrives
+      // as thousands of mappers and this is moot, but the test must
+      // recreate that multi-mapper shape to exercise the mechanism
+      // (diagnosed empirically: without it the hot partition showed 515KB
+      // vs 43KB siblings and STILL could not split)
+      val ev = Tables.events(spark, "/root/testdata/sf0.1")
+      val n = ev.count()
+      val fact = ev.repartition(8).select(col("event_id"),
+        when(col("event_id") % 10 < 8, 0L).otherwise(col("user_id") % 1000L).as("user_id"))
       val dim = spark.range(1000L)
         .select(col("id").as("user_key"), (col("id") % 7).as("segment"))
       val joined = fact.join(dim, col("user_id") === col("user_key"))
       // materialize THIS QueryExecution (count() would spawn its own and
       // leave this one un-finalized): run the physical plan's RDD
       val qe = joined.queryExecution
-      assert(qe.executedPlan.execute().count() == 400000L)
+      assert(qe.executedPlan.execute().count() == n)
       val plan = qe.executedPlan.toString()
-      // OptimizeSkewedJoin marks the join and AQEShuffleRead shows the
-      // split ("skewed" reader); either marker proves the split ran
-      assert(plan.contains("skew=true") || plan.contains("skewed"),
-        plan.take(3000))
+      // OptimizeSkewedJoin must mark the join node itself: the hot
+      // partition was split and the dim side replicated per split —
+      // demand the STRICT marker, not just any skew-ish reader note
+      assert(plan.contains("skew=true"), plan.take(3000))
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
