@@ -63,7 +63,11 @@ object Plans {
     "q_table_manifest",  // manifest-table commit/merge/read cycle, snapshot scan
     "q_dq_drift",        // (type, bin)-keyed counts, tiny totals joined back
     "q_cohort_ltv",      // first-seen agg joined back, matrix agg map-combinable
-    "q_agg_weighted_median" // one per-group sort window + final aggregate
+    "q_agg_weighted_median", // one per-group sort window + final aggregate
+    "q_feat_clip",       // distribution-based dyadic fences: no per-group value buffering
+    "q_source_avro",     // DSv2 Avro bridge: per-file splits, pruned decode
+    "q_pack_sequences",  // toy-BPE token counts: broadcast merge table, per-doc window
+    "q_dedup_lsh"        // committed signature artifact scan + banded bucket join
   )
 
   def main(args: Array[String]): Unit = {
