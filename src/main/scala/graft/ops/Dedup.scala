@@ -35,7 +35,8 @@ object Dedup {
     "q_dedup_prefix" -> qDedupPrefix,
     "q_dedup_contain" -> qDedupContain,
     "q_dedup_cluster" -> qDedupCluster,
-    "q_dedup_purge" -> qDedupPurge
+    "q_dedup_purge" -> qDedupPurge,
+    "q_dedup_incr" -> qDedupIncr
   )
 
   /** Shared oracle for near / minhash: exact word-3-shingle Jaccard >= 0.8
@@ -57,6 +58,24 @@ object Dedup {
     "q_dedup_exact" ->
       """SELECT lang, COUNT(DISTINCT text) AS n_distinct, count(*) AS n_docs
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q_dedup_incr" ->
+      """WITH docs AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
+         mx AS (SELECT MAX(doc_id) AS m FROM docs),
+         tagged AS (SELECT doc_id, lang, h, (doc_id * 5 >= m * 4) AS is_new
+                    FROM docs, mx),
+         committed AS (SELECT DISTINCT h FROM tagged WHERE NOT is_new),
+         batch AS (SELECT t.doc_id, t.lang, c.h IS NOT NULL AS in_old,
+                          MIN(t.doc_id) OVER (PARTITION BY t.h) AS first_in_batch
+                   FROM tagged t LEFT JOIN committed c ON t.h = c.h
+                   WHERE t.is_new),
+         cls AS (SELECT lang, CASE WHEN in_old THEN 'dup_old'
+                                   WHEN doc_id > first_in_batch THEN 'dup_batch'
+                                   ELSE 'added' END AS cls FROM batch)
+         SELECT lang, count(*) AS n_new,
+                CAST(SUM(CASE WHEN cls = 'dup_old' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_old,
+                CAST(SUM(CASE WHEN cls = 'dup_batch' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch,
+                CAST(SUM(CASE WHEN cls = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added
+         FROM cls GROUP BY lang ORDER BY lang""",
     "q_dedup_near" -> nearOracle,
     "q_dedup_minhash" -> nearOracle,
     "q_dedup_prefix" -> nearOracle,
@@ -513,6 +532,43 @@ object Dedup {
         sum(when(col("gone").isNull, 0L).otherwise(1L)).cast("long").as("n_purged"),
         sum(when(col("gone").isNull, col("n_chars")).otherwise(0L)).cast("long")
           .as("chars_kept"))
+      .orderBy("lang")
+  }
+
+  /** INCREMENTAL exact dedup — the shape every ingest pipeline actually
+    * runs: a NEW batch (the top fifth of the doc_id space, the fixture's
+    * stand-in for today's crawl) checked against the COMMITTED corpus
+    * (the rest), classifying each new doc as (a) duplicate of a
+    * committed doc, (b) duplicate of an EARLIER doc within the same
+    * batch, or (c) genuinely new. All comparisons run on md5(text) — the
+    * committed side ships 16-byte digests into a broadcast/hash join,
+    * never text, exactly how a 100 TB ingest dedups against a
+    * multi-petabyte corpus (the digest table is the persisted artifact;
+    * see EmbeddingIndex for the committed form). Within-batch dups use
+    * one digest-keyed window (min doc_id per digest), map-combinable.
+    * Counts per lang; n_added = n_new − n_dup_old − n_dup_batch. */
+  private def qDedupIncr(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+    val mx = docs.agg(max(col("doc_id")).as("m"))
+    val tagged = docs.crossJoin(broadcast(mx))
+      .withColumn("is_new", col("doc_id") * 5 >= col("m") * 4)
+    val committed = tagged.filter(!col("is_new")).select(col("h")).distinct()
+    val batch = tagged.filter(col("is_new"))
+      .join(committed.withColumn("in_old", lit(1)), Seq("h"), "left")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val classified = batch
+      .withColumn("first_in_batch", min(col("doc_id")).over(w))
+      .select(col("lang"),
+        when(col("in_old").isNotNull, "dup_old")
+          .when(col("doc_id") > col("first_in_batch"), "dup_batch")
+          .otherwise("added").as("cls"))
+    classified.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_new"),
+        sum(when(col("cls") === "dup_old", 1L).otherwise(0L)).cast("long").as("n_dup_old"),
+        sum(when(col("cls") === "dup_batch", 1L).otherwise(0L)).cast("long").as("n_dup_batch"),
+        sum(when(col("cls") === "added", 1L).otherwise(0L)).cast("long").as("n_added"))
       .orderBy("lang")
   }
 

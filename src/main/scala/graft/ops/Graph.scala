@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
+import graft.ops.Dedup
 
 /** Graph analytics over a derived trade graph — the Pregel-shaped
   * operator family (iterative rank propagation, motif counting, degree
@@ -45,7 +46,8 @@ object Graph {
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_degree" -> qGraphDegree,
-    "q_graph_sssp" -> qGraphSssp
+    "q_graph_sssp" -> qGraphSssp,
+    "q_graph_cc" -> qGraphCc
   )
 
   private val edgeSql =
@@ -76,6 +78,21 @@ object Graph {
          GROUP BY id)"""
 
   val oracle: Map[String, String] = Map(
+    "q_graph_cc" ->
+      s"""WITH RECURSIVE
+          e0 AS MATERIALIZED ($edgeSql),
+          u0 AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, SUM(w) AS w
+                 FROM e0 GROUP BY 1, 2),
+          tot AS (SELECT count(*) AS n, SUM(w) AS s FROM u0),
+          u AS (SELECT a, b FROM u0, tot WHERE w * n > s),
+          edges AS (SELECT a AS uu, b AS vv FROM u UNION SELECT b, a FROM u),
+          reach(node, lbl) AS (
+            SELECT uu, uu FROM edges
+            UNION
+            SELECT e.uu, r.lbl FROM edges e JOIN reach r ON e.vv = r.node),
+          comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+          SELECT component, count(*) AS n_nations
+          FROM comp GROUP BY component ORDER BY component""",
     "q_graph_sssp" ->
       s"""WITH e0 AS MATERIALIZED ($edgeSql),
           e AS (SELECT src, dst, GREATEST(1, 1000000 // w) AS cost FROM e0),
@@ -282,6 +299,32 @@ object Graph {
     triangleCounts(u)
       .select(col("v").as("nationkey"), col("n_tri"))
       .orderBy("nationkey")
+  }
+
+  /** CONNECTED COMPONENTS over the above-average-weight undirected trade
+    * graph (same thresholded edge set as [[qGraphTriangles]] — the
+    * sparse "strong-trade" backbone): per-component census keyed by the
+    * component's minimum nation id. The kernel is the engine's shared
+    * [[Dedup.connectedComponents]] — min-label propagation with the
+    * pointer-doubling shortcut, O(log n) rounds, one join + one
+    * self-join per round, nothing at the driver — the SAME code path
+    * that clusters near-dup documents, here exercised on a relational
+    * graph so the operator is declared for both workloads. Nations with
+    * no above-threshold edge don't participate (no singleton rows),
+    * mirrored by the oracle's edge-derived recursive closure. */
+  private def qGraphCc(s: SparkSession, d: String): DataFrame = {
+    val u0 = edges(s, d)
+      .groupBy(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .agg(sum(col("w")).as("w"))
+    val tot = u0.agg(count(lit(1)).as("n"), sum(col("w")).as("s"))
+    val u = u0.crossJoin(broadcast(tot))
+      .filter(col("w") * col("n") > col("s"))
+      .select(col("a").as("d1"), col("b").as("d2"))
+    Dedup.connectedComponents(u)
+      .groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_nations"))
+      .orderBy("component")
   }
 
   /** Degree/strength profile: in/out degree and weighted strength per

@@ -53,6 +53,7 @@ object Mining {
     "q_feat_clip" -> qFeatClip,
     "q_text_drift" -> qTextDrift,
     "q_text_vocab_growth" -> qTextVocabGrowth,
+    "q_text_simpson" -> qTextSimpson,
     "q_basket_lift" -> qBasketLift
   )
 
@@ -71,6 +72,16 @@ object Mining {
                 CAST(c12 * nb * 1000 // (ca.c * cb.c) AS BIGINT) AS lift_x1000
          FROM pr JOIN c1 ca ON pr.p1 = ca.p JOIN c1 cb ON pr.p2 = cb.p, n
          ORDER BY lift_x1000 DESC, p1, p2 LIMIT 20""",
+    "q_text_simpson" ->
+      """WITH tf AS (SELECT lang, w, count(*) AS c
+                     FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+                     WHERE len(w) > 0 GROUP BY lang, w),
+         a AS (SELECT lang, SUM(c) AS n_tokens, count(*) AS n_types, SUM(c * c) AS sq
+               FROM tf GROUP BY lang)
+         SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(n_types AS BIGINT) AS n_types,
+                CAST(sq * 1000000 // (n_tokens * n_tokens) AS BIGINT) AS simpson_x1e6
+         FROM a ORDER BY lang""",
     "q_text_vocab_growth" ->
       """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
          dd AS (SELECT doc_id, LEAST(9, doc_id * 10 // (m + 1)) AS decile,
@@ -318,6 +329,32 @@ object Mining {
         (col("nv2") - col("n_common")).as("n_only_2"),
         col("n_shift"))
       .orderBy("l1", "l2")
+  }
+
+  /** Per-language SIMPSON diversity (token collision probability) — the
+    * integer-exact lexical-diversity twin of entropy for corpus quality
+    * monitoring: a near-1 collision index flags boilerplate/template
+    * slices a pretraining mix should downweight. Entropy needs logs
+    * (libm drift breaks cross-engine hashes); the Simpson index
+    * Σc²/n² carries the same monotone repetition signal in pure
+    * integers, scaled ×10⁶ with truncating division. Shape at 100 TB:
+    * one (lang, token) map-combinable count — vocabulary-bounded — then
+    * a lang-keyed aggregate; the corpus shuffles token counts, never
+    * text, and nothing pair-joins. At web scale the ×10⁶ numerator
+    * promotes to DECIMAL(38,0) like the other big-sum queries. */
+  private def qTextSimpson(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col("lang"))
+      .agg(
+        sum(col("c")).cast(LongType).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).cast(LongType).as("sq"))
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        expr("sq * 1000000 DIV (n_tokens * n_tokens)").cast(LongType).as("simpson_x1e6"))
+      .orderBy("lang")
   }
 
   /** Winsorization per return flag at the DYADIC 12.5/87.5 percentiles

@@ -166,7 +166,7 @@ private class AvroTable(dir: String, schema: StructType)
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(dir, schema)
@@ -192,6 +192,46 @@ private class AvroScan(dir: String, schema: StructType) extends Scan with Batch 
   override def planInputPartitions(): Array[InputPartition] =
     AvroSource.listAvro(dir).map(f => AvroFilePartition(f.getAbsolutePath): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = new AvroReaderFactory(schema)
+
+  /** MICRO-BATCH form — the Avro LANDING-ZONE ingest every Kafka-genre
+    * pipeline runs when the broker dumps container files to storage:
+    * the offset is the lexicographically-highest consumed FILE NAME, a
+    * batch is "every new file up to the current highest". Correctness
+    * contract: file names must arrive in ascending name order (the
+    * AvroSource sink satisfies it — task files carry an epoch-millis
+    * prefix — and any log-structured producer does the same); files are
+    * immutable once visible (the sink's rename-on-commit guarantees
+    * it), so a restart from the checkpointed offset re-plans exactly
+    * the unconsumed suffix — no loss, no reread. */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+    case class NameOffset(last: String) extends Offset {
+      override def json(): String = last
+    }
+    def names(): Seq[String] = AvroSource.listAvro(dir).map(_.getName)
+    new MicroBatchStream with SupportsTriggerAvailableNow {
+      override def initialOffset(): Offset = NameOffset("")
+      override def latestOffset(): Offset =
+        NameOffset(names().lastOption.getOrElse(""))
+      override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
+      override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+      override def reportLatestOffset(): Offset = latestOffset()
+      override def deserializeOffset(json: String): Offset = NameOffset(json)
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+      override def prepareForTriggerAvailableNow(): Unit = ()
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+        val s = start.asInstanceOf[NameOffset].last
+        val e = end.asInstanceOf[NameOffset].last
+        AvroSource.listAvro(dir)
+          .filter(f => f.getName > s && f.getName <= e)
+          .map(f => AvroFilePartition(f.getAbsolutePath): InputPartition).toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new AvroReaderFactory(schema)
+    }
+  }
 }
 
 private class AvroReaderFactory(schema: StructType) extends PartitionReaderFactory {
@@ -245,7 +285,13 @@ private class AvroWriterFactory(dir: String, schema: StructType, avroJson: Strin
     new DataWriter[InternalRow] {
       private val avroSchema = new Schema.Parser().parse(avroJson)
       private val tmp = new File(dir, s".part-$partitionId-$taskId-${UUID.randomUUID()}.inprogress")
-      private val fin = new File(dir, f"part-$partitionId%05d-$taskId.avro")
+      // epoch-millis prefix keeps file names MONOTONIC across writer
+      // sessions — the property the streaming reader's name-ordered
+      // offset relies on (a producer batch must be fully committed
+      // before the consumer's next latestOffset samples the listing,
+      // the standard landing-zone contract)
+      private val fin = new File(dir,
+        f"part-${System.currentTimeMillis()}%013d-$partitionId%05d-$taskId.avro")
       private val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
       w.create(avroSchema, tmp)
 

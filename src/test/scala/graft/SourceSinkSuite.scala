@@ -249,6 +249,38 @@ class SourceSinkSuite extends SparkSuite {
     assert(viaAvro == viaParquet)
   }
 
+  test("Avro bridge: streaming landing-zone ingest resumes from the checkpoint, no loss, no reread") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val land = Files.createTempDirectory("graft-avro-stream").toString
+    val ckpt = Files.createTempDirectory("graft-avro-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-avro-out").toString
+    def landBatch(a: Long, b: Long): Unit =
+      spark.range(a, b).select(col("id"))
+        .write.format(avroFmt).mode("append").option("path", land).save()
+    def drain(): Unit = {
+      val q = spark.readStream.format(avroFmt).option("path", land).load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.write.mode("append").parquet(outDir); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try assert(q.awaitTermination(120000), "stream did not drain") finally q.stop()
+    }
+    landBatch(0, 500); landBatch(500, 800)
+    drain()
+    assert(spark.read.parquet(outDir).count() == 800)
+    // more files land; a RESTARTED stream from the same checkpoint must
+    // consume exactly the new suffix
+    landBatch(800, 1000)
+    drain()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 1000, "restart must pick up only the unconsumed files")
+    assert(out.distinct().count() == 1000, "no file may be re-read across restarts")
+    assert(out.agg(sum("id")).as[Long].head() == (0L until 1000L).sum)
+  }
+
   test("Avro bridge: unsupported Spark types fail loudly at write planning, not silently") {
     val dir = Files.createTempDirectory("graft-avro-bad").toString
     val err = intercept[Exception] {
