@@ -41,6 +41,7 @@ object Warehouse {
     "q_multimodal_gif" -> qMultimodalGif,
     "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_frames" -> qMultimodalFrames,
+    "q_multimodal_phash" -> qMultimodalPhash,
     "q_dashboard_daily" -> qDashboardDaily,
     "q_anomaly_iqr" -> qAnomalyIqr,
     "q_profile" -> qProfile,
@@ -61,6 +62,35 @@ object Warehouse {
                 FROM ev GROUP BY user_id)
          SELECT user_id, n_events, score FROM sc
          ORDER BY score DESC, user_id LIMIT 25""",
+    // closed-form replay of the perceptual hash: the PNG round-trip is
+    // lossless (TYPE_INT_RGB setRGB values survive encode+decode bit
+    // exactly), so the decoded pixel is the deterministic formula
+    // (base + 31x + y) mod 2^24 and the whole hash is integer algebra
+    "q_multimodal_phash" ->
+      """WITH ids AS (SELECT doc_id AS id, 8 + doc_id % 24 AS w, 8 + (doc_id * 7) % 16 AS h,
+                             (doc_id * 2654435761) % 4294967296 AS base
+                      FROM documents WHERE doc_id < 2000),
+         pxx AS (SELECT id, w, h, base, unnest(generate_series(0, w - 1)) AS x FROM ids),
+         px AS (SELECT id, w, h, base, x, unnest(generate_series(0, h - 1)) AS y FROM pxx),
+         g AS (SELECT id, (y * 8 // h) * 8 + (x * 8 // w) AS bi,
+                      ((base + x * 31 + y) % 16777216 // 65536)
+                      + ((base + x * 31 + y) % 65536 // 256)
+                      + ((base + x * 31 + y) % 256) AS gray
+               FROM px),
+         bs AS (SELECT id, bi, SUM(gray) AS bsum, count(*) AS bcnt FROM g GROUP BY id, bi),
+         tt AS (SELECT id, SUM(gray) AS tsum, count(*) AS npix FROM g GROUP BY id),
+         bits AS (SELECT bs.id, bi, (bsum * npix > tsum * bcnt) AS bit
+                  FROM bs JOIN tt ON bs.id = tt.id),
+         sg AS (SELECT id,
+                       CAST(SUM(CASE WHEN bit AND bi < 32
+                                     THEN (CAST(1 AS BIGINT) << bi) ELSE 0 END) AS BIGINT) AS lo,
+                       CAST(SUM(CASE WHEN bit AND bi >= 32
+                                     THEN (CAST(1 AS BIGINT) << (bi - 32)) ELSE 0 END) AS BIGINT) AS hi
+                FROM bits GROUP BY id),
+         pr AS (SELECT bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hd
+                FROM sg a JOIN sg b ON a.id < b.id)
+         SELECT CAST(hd AS BIGINT) AS hd, count(*) AS n_pairs
+         FROM pr WHERE hd <= 12 GROUP BY hd ORDER BY hd""",
     "q_recursive_cte" ->
       """WITH RECURSIVE h(k, root, depth) AS (
            SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 10
@@ -546,6 +576,73 @@ object Warehouse {
         sum(col("h")).cast(LongType).as("sum_height"),
         sum(col("ch")).cast(LongType).as("sum_channels"))
       .orderBy("source")
+  }
+
+  /** PERCEPTUAL near-dup detection over real decoded images — the
+    * image-dedup stage of a multimodal training pipeline (aHash-family):
+    * each asset's PNG is encoded and DECODED back through javax.imageio
+    * (the genuine codec path), a 64-bit block-luma hash is computed from
+    * the decoded pixels (8×8 block partition by `(x*8) DIV w`, bit set
+    * when the block's luma-sum cross-multiplied exceeds the global
+    * mean — integer-exact, no resize interpolation, so the DuckDB
+    * oracle replays it in closed form off the deterministic pixel
+    * formula), and near-dup pairs come from the SAME pigeonhole-banded
+    * hamming machinery as q_dedup_simhash (recall-exact at hd ≤ 12) —
+    * one pair machinery shared by text and image dedup. Output is the
+    * hamming histogram of near-dup pairs. Scale shape: payloads are
+    * born and die inside one mapPartitions task (never shuffle); only
+    * 12-byte (id, sig) rows reach the banded join; the all-pairs scan
+    * never happens. */
+  private def qMultimodalPhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 2000)
+      .select(col("doc_id")).as[Long]
+    val sigs = docs.mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + id % 24).toInt
+        val h = (8 + (id * 7) % 16).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, (id * 2654435761L).toInt + x * 31 + y); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val dec = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val bsum = new Array[Long](64)
+        val bcnt = new Array[Long](64)
+        var tsum = 0L
+        y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = dec.getRGB(x, y) & 0xFFFFFF
+            val g = ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
+            val bi = (y * 8 / h) * 8 + (x * 8 / w)
+            bsum(bi) += g; bcnt(bi) += 1; tsum += g
+            x += 1
+          }
+          y += 1
+        }
+        val npix = (w * h).toLong
+        var sig = 0L
+        var bi = 0
+        while (bi < 64) {
+          if (bsum(bi) * npix > tsum * bcnt(bi)) sig |= (1L << bi)
+          bi += 1
+        }
+        (id, sig)
+      }
+    }.toDF("doc_id", "sig")
+    Dedup.simhashPairsBanded(sigs)
+      .groupBy(col("hd"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("hd").cast(LongType), col("n_pairs"))
+      .orderBy("hd")
   }
 
   /** Video-analog of [[qMultimodalPng]] — a REAL multi-frame container
