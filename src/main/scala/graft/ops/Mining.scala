@@ -366,41 +366,17 @@ object Mining {
     * like q_agg_histogram's.
     *
     * The fences are EXACT percentiles computed off the value
-    * DISTRIBUTION, not off buffered rows: a (flag, cents) count
-    * aggregate (map-side combinable) feeds a cumulative-rank window
-    * whose size is bounded by the VALUE DOMAIN (distinct cents — ~10⁶
-    * for prices), never the row count, and the two order statistics
-    * each eighth needs are picked from the rank ranges. `percentile()`
-    * would buffer every group's values in a TypedImperativeAggregate —
-    * a per-group memory scale-killer at 100 TB. Interpolation stays
-    * bit-exact: with 0-indexed order statistics v[k], the fence×8 is
-    * 8·v[k] + r·(v[k+1]−v[k]) where k=(n−1) div 8, r=(n−1) mod 8 —
-    * pure integer arithmetic, equal to the definitional
-    * CAST(percentile(cents, 0.125)·8 AS BIGINT) (all intermediates
-    * < 2⁵³, so the double path it replaces was exact too). */
+    * DISTRIBUTION via the shared [[Dist.fencesX]] machinery (see its
+    * scaladoc for the math) — `percentile()` would buffer every group's
+    * values in a TypedImperativeAggregate, a per-group memory
+    * scale-killer at 100 TB; the distribution form is map-combinable
+    * and bounded by the value domain, with bit-identical ×8 integer
+    * interpolation. */
   private def qFeatClip(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.Column
-    import org.apache.spark.sql.expressions.Window
     val l = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
       (dec(col("l_extendedprice"), 12, 2) * 100).cast(LongType).as("cents"))
-    val wOrd = Window.partitionBy(col("flag")).orderBy(col("cents"))
-    val wAll = Window.partitionBy(col("flag"))
-    val ranked = l.groupBy(col("flag"), col("cents")).agg(count(lit(1)).as("cnt"))
-      .withColumn("hi_rank", sum(col("cnt")).over(wOrd)) // ranks [lo_rank, hi_rank)
-      .withColumn("lo_rank", col("hi_rank") - col("cnt"))
-      .withColumn("n", sum(col("cnt")).over(wAll))
-    // v[k]: the unique cents whose rank range covers k (per-group constant
-    // k, so max(when(...)) picks exactly one value); v[k+1] is null only
-    // when k+1 = n, where r = 0 makes the interpolation term vanish
-    def pick(k: Column) = max(when(col("lo_rank") <= k && k < col("hi_rank"), col("cents")))
-    val k1 = expr("(n - 1) DIV 8");       val r1 = expr("(n - 1) % 8")
-    val k2 = expr("(7 * (n - 1)) DIV 8"); val r2 = expr("(7 * (n - 1)) % 8")
-    val p = ranked.groupBy(col("flag")).agg(
-      pick(k1).as("a1"), pick(k1 + 1).as("b1"), max(r1).as("r1"),
-      pick(k2).as("a2"), pick(k2 + 1).as("b2"), max(r2).as("r2"))
-      .select(col("flag"),
-        (col("a1") * 8 + col("r1") * (coalesce(col("b1"), col("a1")) - col("a1"))).as("lo8"),
-        (col("a2") * 8 + col("r2") * (coalesce(col("b2"), col("a2")) - col("a2"))).as("hi8"))
+    val p = Dist.fencesX(l, Seq("flag"), "cents",
+      Seq(Dist.Fence("lo8", 1, 8), Dist.Fence("hi8", 7, 8)))
     l.join(broadcast(p), Seq("flag"))
       .groupBy(col("flag"))
       .agg(count(lit(1)).as("n"),

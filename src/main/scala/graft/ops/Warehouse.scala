@@ -435,19 +435,25 @@ object Warehouse {
       .orderBy("prio", "day")
   }
 
-  /** Interpolated percentiles (percentile_cont WITHIN GROUP). The inputs
-    * are integer-valued doubles and the fractions are dyadic (.25/.5/.75),
-    * so the linear interpolation is exact in binary on both engines;
-    * round(4) is belt-and-braces per the §2.0 float discipline. */
-  private def qAggPercentileCont(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_r3")
-    s.sql(
-      """SELECT l_returnflag,
-                round(CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE), 4) AS p25,
-                round(CAST(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE), 4) AS p50,
-                round(CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE), 4) AS p75
-         FROM lineitem_r3 GROUP BY l_returnflag ORDER BY l_returnflag""")
-  }
+  /** Interpolated percentiles (the percentile_cont WITHIN GROUP
+    * capability). The inputs are integer-valued doubles and the
+    * fractions are dyadic (.25/.5/.75), so the linear interpolation is
+    * exact in binary on both engines; round(4) is belt-and-braces per
+    * the §2.0 float discipline. Executed via the distribution-based
+    * [[graft.ops.Dist.fencesX]] (×4 scaled order statistics, divided
+    * back out) — identical values to the buffering built-in, without
+    * the per-group value buffer that is the 100 TB memory hazard. */
+  private def qAggPercentileCont(s: SparkSession, d: String): DataFrame =
+    graft.ops.Dist.fencesX(
+      Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity")),
+      Seq("l_returnflag"), "l_quantity",
+      Seq(graft.ops.Dist.Fence("p25x4", 1, 4), graft.ops.Dist.Fence("p50x4", 2, 4),
+        graft.ops.Dist.Fence("p75x4", 3, 4)))
+      .select(col("l_returnflag"),
+        round((col("p25x4") / 4).cast("double"), 4).as("p25"),
+        round((col("p50x4") / 4).cast("double"), 4).as("p50"),
+        round((col("p75x4") / 4).cast("double"), 4).as("p75"))
+      .orderBy("l_returnflag")
 
   /** Histogram binning on exact integer cents (20 000-dollar buckets via
     * integer division — DuckDB has no width_bucket, and floor-division
@@ -1002,23 +1008,27 @@ object Warehouse {
 
   private def qRfm(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("orders_rfm")
-    s.sql(
+    // the per-customer table is corpus-scale at 100 TB, so the nine
+    // quartile fences come from Dist.fencesX (distribution-based, ×4
+    // integer-exact) instead of percentile_cont's per-group value
+    // buffer; the three 1-row fence frames cross back in as before
+    val r = s.sql(
       """WITH c AS (SELECT o_custkey AS ck, count(*) AS f,
                            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS m,
                            max(o_orderdate) AS last
                     FROM orders_rfm GROUP BY o_custkey),
-         g AS (SELECT max(last) AS gmax FROM c),
-         r AS (SELECT ck, f, m, datediff(gmax, last) AS rec FROM c CROSS JOIN g),
-         q AS (SELECT CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY rec) * 4 AS BIGINT) AS r1,
-                      CAST(percentile_cont(0.5)  WITHIN GROUP (ORDER BY rec) * 4 AS BIGINT) AS r2,
-                      CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY rec) * 4 AS BIGINT) AS r3,
-                      CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY f) * 4 AS BIGINT) AS f1,
-                      CAST(percentile_cont(0.5)  WITHIN GROUP (ORDER BY f) * 4 AS BIGINT) AS f2,
-                      CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY f) * 4 AS BIGINT) AS f3,
-                      CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY m) * 4 AS BIGINT) AS m1,
-                      CAST(percentile_cont(0.5)  WITHIN GROUP (ORDER BY m) * 4 AS BIGINT) AS m2,
-                      CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY m) * 4 AS BIGINT) AS m3
-               FROM r)
+         g AS (SELECT max(last) AS gmax FROM c)
+         SELECT ck, f, m, datediff(gmax, last) AS rec FROM c CROSS JOIN g""")
+    r.createOrReplaceTempView("rfm_r")
+    def fences(valueCol: String, prefix: String) =
+      graft.ops.Dist.fencesX(r, Seq.empty, valueCol,
+        Seq(graft.ops.Dist.Fence(s"${prefix}1", 1, 4),
+          graft.ops.Dist.Fence(s"${prefix}2", 2, 4),
+          graft.ops.Dist.Fence(s"${prefix}3", 3, 4)))
+    fences("rec", "r").crossJoin(fences("f", "f")).crossJoin(fences("m", "m"))
+      .createOrReplaceTempView("rfm_q")
+    s.sql(
+      """WITH r AS (SELECT * FROM rfm_r), q AS (SELECT * FROM rfm_q)
          SELECT CAST(1 + CASE WHEN 4*rec > r1 THEN 1 ELSE 0 END
                        + CASE WHEN 4*rec > r2 THEN 1 ELSE 0 END
                        + CASE WHEN 4*rec > r3 THEN 1 ELSE 0 END AS BIGINT) AS r_code,

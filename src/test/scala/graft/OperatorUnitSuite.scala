@@ -190,6 +190,27 @@ class OperatorUnitSuite extends SparkSuite {
     assert(r == 25L)
   }
 
+  test("Dist.fencesX equals the buffering percentile() built-in on random grouped data") {
+    // the distribution form claims bit-identical ×den order-statistic
+    // interpolation; check against Spark's own exact percentile over
+    // random longs with ties, singleton groups, and n ≡ 0/1 mod den
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map { i =>
+      (s"g${i % 7}", rnd.nextInt(40).toLong)
+    } ++ Seq(("solo", 99L)) // n = 1: k = 0, r = 0, v[k+1] absent
+    val df = rows.toDF("g", "v")
+    val got = graft.ops.Dist.fencesX(df, Seq("g"), "v",
+      Seq(graft.ops.Dist.Fence("lo8", 1, 8), graft.ops.Dist.Fence("med8", 4, 8),
+        graft.ops.Dist.Fence("hi8", 7, 8)))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = df.groupBy(col("g")).agg(
+      expr("CAST(percentile(v, 0.125D) * 8 AS BIGINT)").as("lo8"),
+      expr("CAST(percentile(v, 0.5D) * 8 AS BIGINT)").as("med8"),
+      expr("CAST(percentile(v, 0.875D) * 8 AS BIGINT)").as("hi8"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp.toSeq)
+  }
+
   test("SimHashAgg equals the 64-separate-sum reference formula") {
     val sh = graft.ops.Dedup.shingles(Tables.documents(spark, sf0001))
       .withColumn("h", xxhash64(col("s")))

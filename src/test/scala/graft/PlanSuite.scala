@@ -144,15 +144,18 @@ class PlanSuite extends SparkSuite {
     }
   }
 
-  test("feat_clip percentile fences come from the distribution, not buffered group values") {
-    // exact percentile() is a TypedImperativeAggregate that buffers every
-    // group's values in executor memory (ObjectHashAggregate) — a
-    // per-group scale-killer; the two-pass distribution form must keep
-    // the whole plan in hash aggregates + windows
-    val p = planOf("q_feat_clip")
-    assert(!p.contains("ObjectHashAggregate"), p.take(2000))
-    assert(!p.contains("percentile"), p.take(2000))
-    assert(p.contains("Window"), p.take(2000))
+  test("percentile fences come from the distribution, not buffered group values") {
+    // exact percentile()/percentile_cont is a TypedImperativeAggregate
+    // that buffers every group's values in executor memory
+    // (ObjectHashAggregate) — a per-group scale-killer over corpus-sized
+    // inputs; every fence query on such inputs must run the Dist.fencesX
+    // distribution form: hash aggregates + windows only
+    for (q <- Seq("q_feat_clip", "q_agg_median", "q_agg_percentile_cont", "q_rfm")) {
+      val p = planOf(q)
+      assert(!p.contains("ObjectHashAggregate"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("percentile"), s"$q: ${p.take(2000)}")
+      assert(p.contains("Window"), s"$q: ${p.take(2000)}")
+    }
   }
 
   test("kmeans assignment distance runs as the native sq_dist_l kernel in codegen") {
