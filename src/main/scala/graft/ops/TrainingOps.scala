@@ -504,16 +504,28 @@ object TrainingOps {
   def kmeans(vectors: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     val outCols = vectors.columns.toSeq ++ Seq("cid", "dist")
 
-    // one assignment step: nearest centroid by integer squared-L2,
-    // ties broken toward the lowest centroid id
-    def assign(cents: DataFrame): DataFrame =
+    // one assignment step: nearest centroid by integer squared-L2, ties
+    // broken toward the lowest centroid id. The per-vector argmin is a
+    // lexicographic min(struct(dist, cid)) AGGREGATE, not a row_number
+    // window: the struct-typed buffer plans as SortAggregate, but its
+    // PARTIAL phase combines the k crossed rows map-side, so only n rows
+    // cross the exchange — the window form ships and sorts all k·n rows
+    // reduce-side before discarding k−1 of every k. At k=8 that is an 8×
+    // shuffle-volume cut (the term that dominates at 100 TB); measured
+    // wall-clock at sf0.1 is also slightly ahead of the window form.
+    // Grouping by the full passthrough row is sound: every carried
+    // column is functionally dependent on vec_id.
+    def assign(cents: DataFrame): DataFrame = {
+      val passthrough = vectors.columns.toSeq
       vectors.crossJoin(broadcast(cents))
         .withColumn("dist", expr(
           "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
-        .filter(col("rn") === 1)
+        .groupBy(passthrough.map(col): _*)
+        .agg(min(struct(col("dist"), col("cid"))).as("best"))
+        .select(passthrough.map(col) ++ Seq(
+          col("best.cid").as("cid"), col("best.dist").as("dist")): _*)
         .select(outCols.map(col): _*)
+    }
 
     // one update step: per-dimension truncated-mean centroid, arrays
     // rebuilt by position so the next round joins on nothing wider than
