@@ -176,10 +176,19 @@ object TextSim {
   def knn(probes: DataFrame, base: DataFrame, k: Int): DataFrame = {
     val a = probes.select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val b = base.select(col("vec_id").as("nid"), col("embedding").as("ne"))
-    broadcast(a).join(b, col("qid") =!= col("nid"))
+    val scored = broadcast(a).join(b, col("qid") =!= col("nid"))
       .withColumn("dot", dotExpr)
-      .withColumn("rnk", row_number().over(Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))))
-      .filter(col("rnk") <= k)
+    // top-k through the native TopKPerGroup operator: map-side bounded
+    // heaps prune every partition to ≤ k rows per probe BEFORE the
+    // exchange, so the shuffle carries k·partitions rows per probe
+    // instead of the whole scored base — the window form shipped and
+    // sorted ALL n scored rows per probe reduce-side. Rank is recovered
+    // by a window over the pruned table (≤ k rows per probe — trivial),
+    // with the identical (dot desc, nid asc) tie-break.
+    val pruned = org.apache.spark.sql.graft.TopK.perGroup(
+      scored, Seq("qid"), Seq(("dot", true), ("nid", false)), k)
+    pruned.withColumn("rnk", row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))))
   }
 
   private def qSimKnn(s: SparkSession, d: String): DataFrame = {
@@ -222,12 +231,14 @@ object TextSim {
     val emb = Tables.embeddings(s, d)
     val cents = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // nearest cells through the native TopKPerGroup prune (map-side
+    // bounded heaps, no per-vector sort window) — same shape as knn
     def nearestCells(vecs: DataFrame, n: Int): DataFrame =
-      vecs.select(col("vec_id").as("vid"), col("embedding").as("qe"))
-        .crossJoin(broadcast(cents.withColumnRenamed("ce", "ne")))
-        .withColumn("dot", dotExpr)
-        .withColumn("r", row_number().over(Window.partitionBy(col("vid")).orderBy(col("dot").desc, col("cid"))))
-        .filter(col("r") <= n)
+      org.apache.spark.sql.graft.TopK.perGroup(
+        vecs.select(col("vec_id").as("vid"), col("embedding").as("qe"))
+          .crossJoin(broadcast(cents.withColumnRenamed("ce", "ne")))
+          .withColumn("dot", dotExpr),
+        Seq("vid"), Seq(("dot", true), ("cid", false)), n)
         .select(col("vid"), col("cid"))
     val cells = graft.sources.EmbeddingIndex.refresh(
       s, graft.sources.EmbeddingIndex.tableFor(d, "ivf_cells"), emb, "vec_id")(
