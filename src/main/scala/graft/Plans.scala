@@ -67,7 +67,10 @@ object Plans {
     "q_feat_clip",       // distribution-based dyadic fences: no per-group value buffering
     "q_source_avro",     // DSv2 Avro bridge: per-file splits, pruned decode
     "q_pack_sequences",  // toy-BPE token counts: broadcast merge table, per-doc window
-    "q_dedup_lsh"        // committed signature artifact scan + banded bucket join
+    "q_dedup_lsh",       // committed signature artifact scan + banded bucket join
+    "q_dedup_incr",      // digest-keyed batch-vs-committed dedup, md5 never text
+    "q_multimodal_phash", // perceptual hash pairs via the banded hamming join
+    "q_graph_cc"         // pointer-doubling CC rounds over the trade backbone
   )
 
   def main(args: Array[String]): Unit = {

@@ -1012,6 +1012,10 @@ object Warehouse {
     // quartile fences come from Dist.fencesX (distribution-based, ×4
     // integer-exact) instead of percentile_cont's per-group value
     // buffer; the three 1-row fence frames cross back in as before
+    // localCheckpoint: the per-customer table feeds the three fence
+    // computations AND the final census — without it the orders
+    // scan+aggregate would run four times (cluster form: checkpoint/
+    // cache, the same pattern as q_dedup_simhash's signature table)
     val r = s.sql(
       """WITH c AS (SELECT o_custkey AS ck, count(*) AS f,
                            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS m,
@@ -1019,6 +1023,7 @@ object Warehouse {
                     FROM orders_rfm GROUP BY o_custkey),
          g AS (SELECT max(last) AS gmax FROM c)
          SELECT ck, f, m, datediff(gmax, last) AS rec FROM c CROSS JOIN g""")
+      .localCheckpoint()
     r.createOrReplaceTempView("rfm_r")
     def fences(valueCol: String, prefix: String) =
       graft.ops.Dist.fencesX(r, Seq.empty, valueCol,
