@@ -179,12 +179,15 @@ object TextSim {
     val scored = broadcast(a).join(b, col("qid") =!= col("nid"))
       .withColumn("dot", dotExpr)
     // top-k through the native TopKPerGroup operator: map-side bounded
-    // heaps prune every partition to ≤ k rows per probe BEFORE the
-    // exchange, so the shuffle carries k·partitions rows per probe
-    // instead of the whole scored base — the window form shipped and
-    // sorted ALL n scored rows per probe reduce-side. Rank is recovered
-    // by a window over the pruned table (≤ k rows per probe — trivial),
-    // with the identical (dot desc, nid asc) tie-break.
+    // heaps prune every partition to ≤ k rows per probe before the
+    // exchange. Measured honestly (ShuffleBudgetSuite): Spark's own
+    // InferWindowGroupLimit prunes a row_number<=k window to the same
+    // shipped row count, so the operator's edge is compute shape, not
+    // shuffle volume — O(n log k) heap maintenance map-side and a k-row
+    // heap merge reduce-side, where the window limit still SORTS each
+    // side. Rank is recovered by a window over the pruned table (≤ k
+    // rows per probe — trivial), identical (dot desc, nid asc)
+    // tie-break.
     val pruned = org.apache.spark.sql.graft.TopK.perGroup(
       scored, Seq("qid"), Seq(("dot", true), ("nid", false)), k)
     pruned.withColumn("rnk", row_number().over(

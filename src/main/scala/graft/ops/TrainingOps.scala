@@ -507,14 +507,15 @@ object TrainingOps {
     // one assignment step: nearest centroid by integer squared-L2, ties
     // broken toward the lowest centroid id. The per-vector argmin is a
     // lexicographic min(struct(dist, cid)) AGGREGATE, not a row_number
-    // window: the struct-typed buffer plans as SortAggregate, but its
-    // PARTIAL phase combines the k crossed rows map-side, so only n rows
-    // cross the exchange — the window form ships and sorts all k·n rows
-    // reduce-side before discarding k−1 of every k. At k=8 that is an 8×
-    // shuffle-volume cut (the term that dominates at 100 TB); measured
-    // wall-clock at sf0.1 is also slightly ahead of the window form.
-    // Grouping by the full passthrough row is sound: every carried
-    // column is functionally dependent on vec_id.
+    // window. Measured honestly (ShuffleBudgetSuite): both forms ship
+    // ~n rows — Spark's InferWindowGroupLimit already prunes a
+    // row_number<=1 window map-side — so the aggregate's edge is not
+    // shuffle volume but the reduce side: a hash/partial-combine merge
+    // instead of the window's per-partition SORT of the surviving rows,
+    // plus semantics that read as what they are (an argmin). sf0.1
+    // wall-clock is slightly ahead of the window form. Grouping by the
+    // full passthrough row is sound: every carried column is
+    // functionally dependent on vec_id.
     def assign(cents: DataFrame): DataFrame = {
       val passthrough = vectors.columns.toSeq
       vectors.crossJoin(broadcast(cents))

@@ -89,4 +89,83 @@ class ShuffleBudgetSuite extends SparkSuite {
       s"q_feat_scale wrote $scale shuffle bytes, expected well under " +
         s"one full fact shuffle ($factShuffle)")
   }
+
+  /** Shuffle RECORDS across all stages of one action — the row-count
+    * twin of [[shuffleBytes]]. Used where the byte measure is blind:
+    * lz4 collapses the window forms' k-fold duplicated vectors, so the
+    * row reduction (the thing that bounds reduce-side sort and state) is
+    * the honest metric for the argmin/top-k rewrites. */
+  private def shuffleRecords(mk: => DataFrame): Long = {
+    val acc = new AtomicLong()
+    val l = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        acc.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      mk.collect()
+      org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(l)
+    acc.get()
+  }
+
+  test("kmeans argmin aggregate ships no more rows than the (already-pruned) window form") {
+    // an honest measurement that corrected a wrong claim: the
+    // min(struct) argmin partial-combines the k crossed rows map-side
+    // to ~n shipped rows — but Spark's InferWindowGroupLimit ALREADY
+    // prunes a row_number<=1 window to the same shipped count, so the
+    // rewrite's edge is the reduce side (partial-merge vs per-partition
+    // sort), not shuffle volume. This pins both facts: the aggregate
+    // never ships MORE than the window form, and the k-fold crossed
+    // input (k·n rows) never reaches either exchange.
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf0001).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127D) AS BIGINT))").as("q"))
+      .localCheckpoint() // isolate the measurement from the fixture load
+    val n = emb.count()
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("q").as("c"))
+    def scored = emb.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+    val agg = shuffleRecords(
+      scored.groupBy(col("vec_id"), col("q"))
+        .agg(min(struct(col("dist"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cid")))
+    val win = shuffleRecords(
+      scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+        .filter(col("rn") === 1).select(col("vec_id"), col("cid")))
+    assert(agg <= win,
+      s"argmin aggregate shipped $agg shuffle rows vs window form's $win")
+    assert(agg < 8 * n && win < 8 * n,
+      s"neither form may ship the k-fold crossed input (k*n = ${8 * n}): agg=$agg win=$win")
+  }
+
+  test("knn: TopKPerGroup and the window top-k both prune map-side; neither ships the scored base") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf0001).localCheckpoint()
+    val n = emb.count()
+    val pruned = shuffleRecords(
+      graft.ops.TextSim.knn(emb.filter(col("vec_id") < 10), emb, 5)
+        .select("qid", "rnk", "nid"))
+    val win = shuffleRecords {
+      val a = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val b = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      broadcast(a).join(b, col("qid") =!= col("nid"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(qe, ne, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))))
+        .filter(col("rnk") <= 5)
+        .select("qid", "rnk", "nid")
+    }
+    assert(pruned <= win,
+      s"TopKPerGroup knn shipped $pruned shuffle rows vs window top-k's $win")
+    // 10 probes x n scored rows must never cross an exchange in either
+    // form — map-side pruning (heaps / InferWindowGroupLimit) is active
+    assert(pruned < 2 * n && win < 2 * n,
+      s"neither form may ship the 10*n scored base (${10 * n}): topk=$pruned win=$win")
+  }
 }
