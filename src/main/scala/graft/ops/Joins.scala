@@ -30,6 +30,7 @@ object Joins {
     "q_join_asof" -> qJoinAsof,
     "q_join_asof_fwd" -> qJoinAsofFwd,
     "q_join_asof_near" -> qJoinAsofNear,
+    "q_join_asof_tol" -> qJoinAsofTol,
     "q_join_interval" -> qJoinInterval,
     "q_join_interval_binned" -> qJoinIntervalBinned,
     "q_join_band_global" -> qJoinBandGlobal,
@@ -78,6 +79,20 @@ object Joins {
     "q_join_asof" ->
       """SELECT o_orderkey, prev_ok FROM (
            SELECT a.o_orderkey, b.o_orderkey AS prev_ok,
+                  row_number() OVER (PARTITION BY a.o_orderkey
+                                     ORDER BY b.o_orderdate DESC, b.o_orderkey DESC) AS rn
+           FROM orders a LEFT JOIN orders b
+             ON a.o_custkey = b.o_custkey
+            AND (b.o_orderdate < a.o_orderdate
+                 OR (b.o_orderdate = a.o_orderdate AND b.o_orderkey < a.o_orderkey)))
+         WHERE rn = 1 ORDER BY o_orderkey""",
+    "q_join_asof_tol" ->
+      """SELECT o_orderkey,
+                CASE WHEN age <= 30 THEN prev_ok END AS prev_ok_30d,
+                CAST(CASE WHEN age <= 30 THEN age END AS BIGINT) AS staleness_days
+         FROM (
+           SELECT a.o_orderkey, b.o_orderkey AS prev_ok,
+                  date_diff('day', b.o_orderdate, a.o_orderdate) AS age,
                   row_number() OVER (PARTITION BY a.o_orderkey
                                      ORDER BY b.o_orderdate DESC, b.o_orderkey DESC) AS rn
            FROM orders a LEFT JOIN orders b
@@ -267,6 +282,33 @@ object Joins {
       .withColumn("prev_ok", last(when(col("tag") === 1, col("ok")), ignoreNulls = true).over(w))
       .filter(col("tag") === 0)
       .select(col("ok").as("o_orderkey"), col("prev_ok"))
+  }
+
+  /** TOLERANCE-bounded as-of (pandas merge_asof(tolerance=...) / kdb wj
+    * semantics): the backward match only counts when it is FRESH ENOUGH —
+    * here within a 30-day staleness budget — else the row reports no
+    * match, plus the match's staleness in days (the join-quality metric
+    * a feature pipeline logs). Same linear one-shuffle union-window
+    * merge as [[asofViaUnionWindow]], carrying the matched date alongside
+    * the key so the budget check is a post-window projection — the
+    * tolerance adds ZERO plan cost over the plain as-of. */
+  private def qJoinAsofTol(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_custkey").as("ck"), col("o_orderdate").as("od"), col("o_orderkey").as("ok"))
+    val q = o.withColumn("tag", lit(0))
+    val b = o.withColumn("tag", lit(1))
+    val w = Window.partitionBy(col("ck"))
+      .orderBy(col("od"), col("ok"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.unionByName(b)
+      .withColumn("prev_ok", last(when(col("tag") === 1, col("ok")), ignoreNulls = true).over(w))
+      .withColumn("prev_od", last(when(col("tag") === 1, col("od")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 0)
+      .withColumn("age", datediff(col("od"), col("prev_od")))
+      .select(col("ok").as("o_orderkey"),
+        when(col("age") <= 30, col("prev_ok")).as("prev_ok_30d"),
+        when(col("age") <= 30, col("age")).cast("long").as("staleness_days"))
+      .orderBy("o_orderkey")
   }
 
   /** FORWARD as-of: the earliest strictly-(date,key)-later order per row —
