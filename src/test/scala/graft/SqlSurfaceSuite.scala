@@ -15,10 +15,13 @@ class SqlSurfaceSuite extends SparkSuite {
 
   private val names = Seq(
     "q_agg_group", "q_win_rank", "q_tpch_q6", "q_set_except",
-    "q_filter_pred", "q_scalar_subquery")
+    "q_filter_pred", "q_scalar_subquery",
+    // r6: incremental digest dedup — md5 + windows + CASE, ANSI-common
+    "q_dedup_incr")
 
   private def registerViews(): Unit =
-    Seq("region", "nation", "supplier", "customer", "part", "orders", "lineitem")
+    Seq("region", "nation", "supplier", "customer", "part", "orders",
+      "lineitem", "documents")
       .foreach { t =>
         Tables(spark, sf0001, t).createOrReplaceTempView(t)
       }
