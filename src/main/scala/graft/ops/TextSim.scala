@@ -25,6 +25,7 @@ object TextSim {
     "q_sim_knn" -> qSimKnn,
     "q_sim_label" -> qSimLabel,
     "q_sim_ivf" -> qSimIvf,
+    "q_index_cells" -> qIndexCells,
     "q_dedup_embed" -> qDedupEmbed,
     "q_dedup_lsh" -> qDedupLsh,
     "q_text_stats" -> qTextStats,
@@ -44,6 +45,17 @@ object TextSim {
     Seq("fast" -> 2, "big" -> 1, "slow" -> -2, "small" -> -1, "dup" -> -1)
 
   val oracle: Map[String, String] = Map(
+    "q_index_cells" ->
+      """SELECT cid, count(*) AS n_vecs FROM (
+           SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.vec_id AS cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(c.embedding AS DOUBLE[])) DESC,
+                               c.vec_id) AS rn
+             FROM embeddings e JOIN embeddings c ON c.vec_id < 16)
+           WHERE rn = 1)
+         GROUP BY cid ORDER BY cid""",
     "q_sim_knn" ->
       """SELECT qid, rnk, nid FROM (
            SELECT a.vec_id AS qid, b.vec_id AS nid,
@@ -230,24 +242,33 @@ object TextSim {
     * lifecycle a production ANN service runs, while probe-side cell
     * selection stays query-time work. No oracle (approximate by design);
     * KnnSuite asserts recall >= 0.8 vs exact. */
+  /** Nearest IVF cells through the native TopKPerGroup prune (map-side
+    * bounded heaps, no per-vector sort window) — same shape as knn. */
+  private def nearestCells(s: SparkSession, d: String, vecs: DataFrame, n: Int): DataFrame = {
+    val cents = Tables.embeddings(s, d).filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ne"))
+    org.apache.spark.sql.graft.TopK.perGroup(
+      vecs.select(col("vec_id").as("vid"), col("embedding").as("qe"))
+        .crossJoin(broadcast(cents))
+        .withColumn("dot", dotExpr),
+      Seq("vid"), Seq(("dot", true), ("cid", false)), n)
+      .select(col("vid"), col("cid"))
+  }
+
+  /** The committed IVF cell-assignment artifact (EmbeddingIndex over
+    * ManifestTable), brought up to date: cold build derives every
+    * vector's cell, warm calls scan the committed snapshot, corpus
+    * growth derives only the new vectors. */
+  private def ivfCells(s: SparkSession, d: String): DataFrame =
+    graft.sources.EmbeddingIndex.refresh(
+      s, graft.sources.EmbeddingIndex.tableFor(d, "ivf_cells"),
+      Tables.embeddings(s, d), "vec_id")(
+      in => nearestCells(s, d, in, 1).select(col("vid").as("vec_id"), col("cid")))
+
   private def qSimIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val cents = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    // nearest cells through the native TopKPerGroup prune (map-side
-    // bounded heaps, no per-vector sort window) — same shape as knn
-    def nearestCells(vecs: DataFrame, n: Int): DataFrame =
-      org.apache.spark.sql.graft.TopK.perGroup(
-        vecs.select(col("vec_id").as("vid"), col("embedding").as("qe"))
-          .crossJoin(broadcast(cents.withColumnRenamed("ce", "ne")))
-          .withColumn("dot", dotExpr),
-        Seq("vid"), Seq(("dot", true), ("cid", false)), n)
-        .select(col("vid"), col("cid"))
-    val cells = graft.sources.EmbeddingIndex.refresh(
-      s, graft.sources.EmbeddingIndex.tableFor(d, "ivf_cells"), emb, "vec_id")(
-      in => nearestCells(in, 1).select(col("vid").as("vec_id"), col("cid")))
-      .select(col("vec_id").as("nid"), col("cid"))
-    val probeCells = nearestCells(emb.filter(col("vec_id") < 10), 4)
+    val cells = ivfCells(s, d).select(col("vec_id").as("nid"), col("cid"))
+    val probeCells = nearestCells(s, d, emb.filter(col("vec_id") < 10), 4)
       .select(col("vid").as("qid"), col("cid"))
     val cand = probeCells.join(cells, Seq("cid")).filter(col("qid") =!= col("nid"))
       .select("qid", "nid").distinct()
@@ -260,6 +281,21 @@ object TextSim {
       .select(col("qid"), col("rnk").cast(LongType).as("rnk"), col("nid"))
       .orderBy("qid", "rnk")
   }
+
+  /** Census of the committed IVF cell artifact — the declared,
+    * ORACLE-CHECKED face of the index lifecycle: the engine answers off
+    * the ManifestTable snapshot [[ivfCells]] maintains (cold build /
+    * warm parquet scan / incremental append for new vectors only),
+    * while the oracle recomputes the definitional nearest-centroid
+    * assignment from scratch — so the hash match proves the committed
+    * artifact IS the definitional index, not a drifted cache. At 100 TB
+    * this census is the index-health report an ANN service serves from
+    * the artifact without touching a single embedding. */
+  private def qIndexCells(s: SparkSession, d: String): DataFrame =
+    ivfCells(s, d)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("cid")
 
   /** Deterministic pseudo-random unit-free hyperplanes for sign-LSH:
     * java.util.Random's LCG is spec-pinned, so the planes are identical
