@@ -22,6 +22,10 @@ object Engine {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteRangeJoin
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteSummaryAgg)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteSummaryAgg
+    }
     if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerGroupStrategy

@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewriteRangeJoin)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteSummaryAgg)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     ext.injectFunction((
       FunctionIdentifier("dot_product_d"),

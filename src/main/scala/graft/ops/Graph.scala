@@ -47,7 +47,8 @@ object Graph {
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_degree" -> qGraphDegree,
     "q_graph_sssp" -> qGraphSssp,
-    "q_graph_cc" -> qGraphCc
+    "q_graph_cc" -> qGraphCc,
+    "q_graph_jaccard" -> qGraphJaccard
   )
 
   private val edgeSql =
@@ -131,6 +132,27 @@ object Graph {
                 UNION ALL SELECT y FROM t
                 UNION ALL SELECT z FROM t)
           GROUP BY 1 ORDER BY 1""",
+    "q_graph_jaccard" ->
+      s"""WITH e0 AS MATERIALIZED ($edgeSql),
+          u0 AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, SUM(w) AS w
+                 FROM e0 GROUP BY 1, 2),
+          tot AS (SELECT count(*) AS n, SUM(w) AS s FROM u0),
+          u AS MATERIALIZED (SELECT a, b FROM u0, tot WHERE w * n > s),
+          nb AS (SELECT a AS v, b AS nb FROM u UNION ALL SELECT b, a FROM u),
+          deg AS (SELECT v, count(*) AS deg FROM nb GROUP BY v),
+          cm AS (SELECT x.v AS a, y.v AS b, count(*) AS common
+                 FROM nb x JOIN nb y ON x.nb = y.nb AND x.v < y.v
+                 GROUP BY 1, 2),
+          cand AS (SELECT cm.a, cm.b, cm.common
+                   FROM cm LEFT JOIN u ON cm.a = u.a AND cm.b = u.b
+                   WHERE u.a IS NULL)
+          SELECT cand.a, cand.b, CAST(common AS BIGINT) AS common,
+                 CAST((common * 1000000) // (da.deg + db.deg - common) AS BIGINT)
+                   AS jac_x1e6
+          FROM cand
+          JOIN deg da ON cand.a = da.v
+          JOIN deg db ON cand.b = db.v
+          ORDER BY jac_x1e6 DESC, cand.a, cand.b""",
     "q_graph_degree" ->
       s"""WITH e AS MATERIALIZED ($edgeSql)
           SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
@@ -348,5 +370,46 @@ object Graph {
         coalesce(col("str_out"), lit(0L)).as("str_out"),
         coalesce(col("str_in"), lit(0L)).as("str_in"))
       .orderBy("nationkey")
+  }
+
+  /** LINK PREDICTION by common-neighbor Jaccard over the thresholded
+    * undirected backbone (same edge set as [[qGraphTriangles]] /
+    * [[qGraphCc]]): for every NON-adjacent vertex pair sharing at least
+    * one neighbor, |N(a)∩N(b)| and the Jaccard score in exact parts-per-
+    * million (integer floor division — order-independent, so the kernel
+    * is oracle-checkable).
+    *
+    * Scale shape (100 TB): candidate pairs come from the NEIGHBOR-keyed
+    * inverted index — the same Σ deg(h)² explode-in-place pattern as the
+    * shingle index in [[Dedup]] (`q_dedup_near`), never an all-pairs
+    * vertex join; the pair aggregate is map-side combinable; the direct-
+    * edge exclusion is a LEFT ANTI join on the oriented edge key; degree
+    * joins are vertex-table sized (broadcast). Hub vertices bound the
+    * quadratic term exactly like hot shingles do — at scale the same
+    * frequency cap / salting applies (documented there), while this
+    * declared form is the exact definitional query. */
+  private def qGraphJaccard(s: SparkSession, d: String): DataFrame = {
+    val u0 = edges(s, d)
+      .groupBy(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .agg(sum(col("w")).as("w"))
+    val tot = u0.agg(count(lit(1)).as("n"), sum(col("w")).as("s"))
+    val u = u0.crossJoin(broadcast(tot))
+      .filter(col("w") * col("n") > col("s"))
+      .select("a", "b").localCheckpoint()
+    val nbrs = u.select(col("a").as("v"), col("b").as("nb"))
+      .union(u.select(col("b").as("v"), col("a").as("nb")))
+    val deg = nbrs.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val cm = nbrs.select(col("nb").as("h"), col("v").as("va"))
+      .join(nbrs.select(col("nb").as("h"), col("v").as("vb")), "h")
+      .filter(col("va") < col("vb"))
+      .groupBy(col("va").as("a"), col("vb").as("b"))
+      .agg(count(lit(1)).as("common"))
+    cm.join(u, Seq("a", "b"), "left_anti")
+      .join(broadcast(deg.select(col("v").as("a"), col("deg").as("dega"))), "a")
+      .join(broadcast(deg.select(col("v").as("b"), col("deg").as("degb"))), "b")
+      .select(col("a"), col("b"), col("common"),
+        expr("common * 1000000 DIV (dega + degb - common)").as("jac_x1e6"))
+      .orderBy(col("jac_x1e6").desc, col("a"), col("b"))
   }
 }

@@ -56,10 +56,17 @@ object Quality {
     "q_table_diff" -> qTableDiff,
     "q_table_manifest" -> qTableManifest,
     "q_manifest_diff" -> qManifestDiff,
-    "q_dq_drift" -> qDqDrift
+    "q_dq_drift" -> qDqDrift,
+    "q_mv_rewrite" -> qMvRewrite
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mv_rewrite" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+                CAST(MAX(n_chars) AS BIGINT) AS max_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q_dq_drift" ->
       """WITH ev AS (SELECT event_type,
                             CASE WHEN EXTRACT(day FROM CAST(ts AS TIMESTAMP)) <= 15
@@ -752,5 +759,67 @@ object Quality {
         min(col("k")).as("min_key"),
         max(col("k")).as("max_key"))
       .orderBy("o_orderstatus")
+  }
+
+  /** One summary build + registration per (session, sf-dir) — the MV is a
+    * committed artifact like Graph's edge table or the LSH signature
+    * index, not a per-query rebuild. Deterministic path, overwrite mode:
+    * a concurrent bench warmup rebuild writes identical bytes. */
+  private val mvReady =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+
+  private def ensureDocsMv(s: SparkSession, d: String): Unit =
+    mvReady.getOrElseUpdate((s, d), {
+      import graft.plans.{MvDef, MvRegistry}
+      // "sf" prefix: a leading underscore (from replacing the leading "/")
+      // would make the directory HIDDEN to Spark's file index (paths
+      // starting with _ or . are filtered), silently registering an
+      // empty-schema summary that could never match
+      val path = s"${sys.props("java.io.tmpdir")}/graft_mv/" +
+        s"sf${d.replaceAll("[^A-Za-z0-9.]", "_")}_docs_src_lang"
+      // the build aggregates the base table itself — the guard keeps the
+      // rewrite rule away from the build's own plan (self-rewrite onto the
+      // summary being overwritten would read and write the same files)
+      MvRegistry.buildGuard {
+        Tables.documents(s, d)
+          .groupBy(col("source"), col("lang"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("n_chars")).as("sum_n_chars"),
+            min(col("n_chars")).as("min_n_chars"),
+            max(col("n_chars")).as("max_n_chars"))
+          .write.mode("overwrite").parquet(path)
+      }
+      MvRegistry.register(s, s"docs_src_lang:$d", MvDef(
+        MvRegistry.pathsOf(s.read.parquet(s"$d/documents.parquet")),
+        Set("source", "lang"),
+        s.read.parquet(path).queryExecution.analyzed))
+      true
+    })
+
+  /** TRANSPARENT MATERIALIZED-VIEW ROLL-UP (`graft.plans.RewriteSummaryAgg`):
+    * the query below is written — and oracle-checked — against the BASE
+    * corpus table, but the optimizer rewrites it onto the registered
+    * (source, lang) summary, re-aggregating partials (sum-of-sums,
+    * min-of-mins, count-as-sum-of-counts) to the coarser (lang) grouping.
+    * All-integer, so the roll-up is bit-identical to the direct scan.
+    *
+    * Scale (100 TB): the dashboard query stops scanning the corpus
+    * entirely — the access path shrinks from the 100 TB fact to a
+    * |sources|×|langs|-row summary, the single biggest constant-factor
+    * lever a warehouse has. MvRewriteSuite pins that the executed plan
+    * reads the summary (and NOT the base parquet), that non-covered
+    * shapes (filters, countDistinct, unregistered sessions) are left
+    * untouched, and that results equal the direct-scan plan. */
+  private def qMvRewrite(s: SparkSession, d: String): DataFrame = {
+    ensureDocsMv(s, d)
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang")
   }
 }

@@ -34,7 +34,8 @@ object TrainingOps {
     "q_text_repetition" -> qTextRepetition,
     "q_pii_scrub" -> qPiiScrub,
     "q_cluster_kmeans" -> qClusterKmeans,
-    "q_mix_domains" -> qMixDomains
+    "q_mix_domains" -> qMixDomains,
+    "q_fold_assign" -> qFoldAssign
   )
 
   val oracle: Map[String, String] = Map(
@@ -186,6 +187,15 @@ object TrainingOps {
                    FROM lab) WHERE rn = 1)
          SELECT st.cid, st.n, maj.maj_label, maj.maj_n, st.inertia
          FROM st JOIN maj ON st.cid = maj.cid ORDER BY st.cid""",
+    "q_fold_assign" ->
+      """WITH f AS (SELECT doc_id, lang,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)) AS BIGINT) % 5 AS fold,
+                  len(string_split(text, ' ')) AS ntok, n_chars
+           FROM documents)
+         SELECT fold, lang, count(*) AS n_docs,
+                CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM f GROUP BY fold, lang ORDER BY fold, lang""",
     "q_mix_domains" ->
       """WITH cnt AS (
            SELECT source, CAST(substr(source, 4) AS BIGINT) + 1 AS w,
@@ -607,4 +617,30 @@ object TrainingOps {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .orderBy("source")
   }
+
+  /** K-FOLD cross-validation assignment: every document lands in one of
+    * 5 folds by a salted-free md5 draw on its id — the deterministic,
+    * RNG-free split a training pipeline needs so that (a) the assignment
+    * is reproducible run-over-run and engine-over-engine, and (b) a
+    * document NEVER migrates folds when the corpus grows (hash of the id,
+    * not row position). Output is the per-(fold, language) balance sheet
+    * (docs / whitespace tokens / chars) a leakage audit reads.
+    *
+    * Scale: a shuffle-free codegen projection (md5 + split are per-row)
+    * followed by ONE map-side-combinable aggregate over ≤ 5·|langs|
+    * groups — the fact table shuffles 5·|langs| partial rows per task,
+    * nothing else. Same md5→hex-prefix idiom as [[qMixDomains]], proven
+    * identical on both engines. */
+  private def qFoldAssign(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 3), 16, 10)
+          .cast(LongType) % 5).as("fold"),
+        size(split(col("text"), " ")).cast(LongType).as("ntok"),
+        col("n_chars"))
+      .groupBy(col("fold"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("fold", "lang")
 }

@@ -42,6 +42,7 @@ object Warehouse {
     "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_frames" -> qMultimodalFrames,
     "q_multimodal_phash" -> qMultimodalPhash,
+    "q_audio_frames" -> qAudioFrames,
     "q_dashboard_daily" -> qDashboardDaily,
     "q_anomaly_iqr" -> qAnomalyIqr,
     "q_profile" -> qProfile,
@@ -211,6 +212,27 @@ object Warehouse {
                 CAST(SUM(n_sampled) AS BIGINT) AS total_sampled,
                 CAST(SUM(sum_w) AS BIGINT) AS total_sampled_width
          FROM f GROUP BY source ORDER BY source""",
+    // closed-form replay of the frame features: the WAV round-trip is
+    // lossless 16-bit PCM, so the decoded signal is the deterministic
+    // square wave v(j) = ±a with half-period `half` — per-frame |v| sums
+    // are flen·a and zero crossings are the count of multiples of `half`
+    // inside the frame's (prev, cur) sample-pair range, both pure integer
+    // algebra over (doc_id-derived) n, a, half
+    "q_audio_frames" ->
+      """WITH b AS (SELECT doc_id, 80 + doc_id % 160 AS n, 1000 + doc_id % 2000 AS a,
+                           4 + doc_id % 8 AS half
+                    FROM documents),
+         f AS (SELECT doc_id, n, a, half,
+                      unnest(generate_series(0, (n + 39) // 40 - 1)) AS frame
+               FROM b),
+         g AS (SELECT doc_id, frame, 40 * frame AS st,
+                      LEAST(40 * frame + 40, n) AS e, a, half
+               FROM f)
+         SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+                CAST(e - st AS BIGINT) AS flen,
+                CAST((e - st) * a AS BIGINT) AS abs_sum,
+                CAST((e - 1) // half - (GREATEST(st, 1) - 1) // half AS BIGINT) AS zc
+         FROM g ORDER BY doc_id, frame""",
     "q_multimodal_wav" ->
       """SELECT source, count(*) AS n_assets,
                 CAST(SUM(80 + doc_id % 160) AS BIGINT) AS total_samples,
@@ -794,6 +816,74 @@ object Warehouse {
         sum(col("sum_abs")).cast(LongType).as("total_abs"),
         max(col("rate")).cast(LongType).as("rate"))
       .orderBy("source")
+  }
+
+  /** FRAME-LEVEL audio feature extraction — the multimodal step past
+    * [[qMultimodalWav]]'s asset-level stats: synthesize the same 8 kHz
+    * 16-bit square-wave WAVs, round-trip them through the REAL javax.sound
+    * codec, then window the decoded PCM into 40-sample frames and compute
+    * the two classic speech/audio features per frame from the actual
+    * bytes: the |v| energy sum and the zero-crossing count (consecutive-
+    * sample sign flips). The oracle replays the lossless round-trip as
+    * closed-form integer algebra over the generator parameters.
+    *
+    * Scale shape: identical to the other codec queries — iterator-to-
+    * iterator mapPartitions (JVM codecs can't be Expressions), payloads
+    * born and dropped inside the stage so only the small (doc, frame)
+    * feature rows ever reach the sort; no shuffle before the final
+    * order-by. At 100 TB this is the shape of a feature-extraction pass
+    * over an audio lake: decode locality, bounded frame state, columnar
+    * feature output. */
+  private def qAudioFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+    val wavs = docs.mapPartitions { it =>
+      it.map { case (id, _) =>
+        val n = (80 + id % 160).toInt
+        val a = (1000 + id % 2000).toInt
+        val p = (8 + 2 * (id % 8)).toInt
+        val pcm = new Array[Byte](n * 2)
+        var j = 0
+        while (j < n) {
+          val v = if (j % p < p / 2) a else -a
+          pcm(2 * j) = (v & 0xff).toByte
+          pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+          j += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (id, bos.toByteArray)
+      }
+    }
+    wavs.mapPartitions { it =>
+      it.flatMap { case (id, payload) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val n = ais.getFrameLength.toInt
+        val bytes = ais.readAllBytes()
+        def sample(j: Int): Int =
+          ((bytes(2 * j) & 0xff) | (bytes(2 * j + 1) << 8)).toShort.toInt
+        (0 until (n + 39) / 40).map { k =>
+          val st = 40 * k
+          val e = math.min(st + 40, n)
+          var absSum = 0L
+          var zc = 0L
+          var j = st
+          while (j < e) {
+            absSum += math.abs(sample(j))
+            if (j >= 1 && Integer.signum(sample(j)) != Integer.signum(sample(j - 1))) zc += 1
+            j += 1
+          }
+          (id, k.toLong, (e - st).toLong, absSum, zc)
+        }
+      }
+    }.toDF("doc_id", "frame", "flen", "abs_sum", "zc")
+      .orderBy("doc_id", "frame")
   }
 
   /** Documents recast as the opaque-payload media table (the fixture ships

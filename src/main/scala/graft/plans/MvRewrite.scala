@@ -1,0 +1,205 @@
+package graft.plans
+
+import scala.annotation.tailrec
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.IntegerType
+
+/** MATERIALIZED-VIEW roll-up rewrite — the transparent-MV capability of a
+  * warehouse optimizer (Calcite/Snowflake/BigQuery style): a query that
+  * aggregates the base fact table on a SUBSET of a registered summary's
+  * grouping columns is rewritten to re-aggregate the (tiny) summary
+  * instead of rescanning the fact table.
+  *
+  * Registration records (a) the base table's scan root paths, (b) the
+  * summary's grouping columns, and (c) the analyzed scan plan of the
+  * summary parquet, whose columns follow the partial-aggregate naming
+  * convention `cnt` / `sum_<col>` / `min_<col>` / `max_<col>`. The rule
+  * then rewrites
+  *
+  *   Aggregate [g ⊆ groupCols] [count(*) | sum(c) | min(c) | max(c) ...]
+  *     +- scan(base)
+  *
+  * into
+  *
+  *   Aggregate [g] [sum(cnt) | sum(sum_c) | min(min_c) | max(max_c) ...]
+  *     +- Project [needed] +- scan(mv)
+  *
+  * — the classic partial-aggregate re-association (sum-of-sums,
+  * min-of-mins, count-as-sum-of-counts), which is exact for every
+  * supported function. Everything else bails conservatively: any filter
+  * between aggregate and scan, DISTINCT or FILTER'd aggregates, grouping
+  * or aggregate expressions that are not plain columns, functions without
+  * a stored partial, or a rewritten aggregate whose result type would
+  * differ (e.g. decimal precision growth) — in all those cases the
+  * original plan is returned untouched, so the rule can never change
+  * results, only the access path.
+  *
+  * Scale (100 TB): this is THE warehouse lever for dashboard-style
+  * aggregates — the fact scan (hours) becomes a summary scan (multi-row,
+  * milliseconds), with freshness owned by whoever maintains the summary
+  * (here: built once per session per sf-dir; in production: incrementally
+  * by the `q_incr_agg` pattern or a streaming sink).
+  *
+  * Determinism: output attribute `exprId`s of the replaced Aggregate are
+  * preserved (grouping columns and aliases are re-issued under their
+  * original ids), so parent operators (Sort/Project/...) resolve
+  * unchanged; the MV scan gets FRESH ids per use via
+  * [[MultiInstanceRelation.newInstance]] so repeated rewrites in one
+  * query tree can never collide.
+  */
+case class MvDef(basePaths: Set[String], groupCols: Set[String], mvPlan: LogicalPlan)
+
+object MvRegistry {
+  /** Keyed by (session identity, mv name): MVs are session-scoped like
+    * every other cached artifact in the engine (Graph.edgeCache pattern) —
+    * a restarted session re-registers. */
+  private val defs = TrieMap.empty[(Int, String), MvDef]
+
+  /** Set while a summary is being (re)built so the build's own Aggregate
+    * over the base table is never rewritten onto the — possibly stale,
+    * possibly mid-overwrite — summary it is producing. */
+  @volatile private[plans] var building: Boolean = false
+
+  def register(spark: SparkSession, name: String, d: MvDef): Unit =
+    defs.put((System.identityHashCode(spark), name), d)
+
+  def forSession(spark: SparkSession): Seq[MvDef] =
+    defs.iterator.collect {
+      case ((h, _), d) if h == System.identityHashCode(spark) => d
+    }.toSeq
+
+  def buildGuard[T](f: => T): T = {
+    building = true
+    try f finally building = false
+  }
+
+  def clear(): Unit = defs.clear()
+
+  /** Root paths of every file scan in a DataFrame's analyzed plan — the
+    * base-table identity used for matching. */
+  def pathsOf(df: DataFrame): Set[String] =
+    df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => RewriteSummaryAgg.scanPaths(l)
+    }.flatten.toSet
+}
+
+object RewriteSummaryAgg extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (MvRegistry.building) return plan
+    val sessionDefs =
+      SparkSession.getActiveSession.map(MvRegistry.forSession).getOrElse(Nil)
+    if (sessionDefs.isEmpty) return plan
+    plan.transform {
+      case agg: Aggregate if agg.groupingExpressions.nonEmpty =>
+        val rewritten = for {
+          scan <- baseScan(agg.child)
+          paths = scanPaths(scan)
+          mv <- sessionDefs.find(d => paths.nonEmpty && paths.subsetOf(d.basePaths))
+          out <- tryRewrite(agg, mv)
+        } yield out
+        rewritten.getOrElse(agg)
+    }
+  }
+
+  /** Unwrap the nodes a fact-table aggregate legitimately sits on:
+    * column-pruning Projects (plain attributes only) and repartitions
+    * (which the tiny MV scan does not need to inherit). A Filter — or any
+    * Project that COMPUTES something — means the MV cannot answer the
+    * query and the match bails. */
+  @tailrec private def baseScan(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case l: LogicalRelation => Some(l)
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => baseScan(c)
+    case Repartition(_, _, c) => baseScan(c)
+    case r: RepartitionByExpression => baseScan(r.child)
+    case _ => None
+  }
+
+  private[plans] def scanPaths(l: LogicalRelation): Set[String] = l.relation match {
+    case h: HadoopFsRelation => h.location.rootPaths.map(_.toString).toSet
+    case _ => Set.empty
+  }
+
+  private def tryRewrite(agg: Aggregate, mv: MvDef): Option[Aggregate] = {
+    // every grouping expression must be a plain column of the MV's key set
+    val groupNames = agg.groupingExpressions.map {
+      case a: AttributeReference if mv.groupCols(a.name) => a.name
+      case _ => return None
+    }
+
+    val fresh = mv.mvPlan.transformUp {
+      case m: LogicalPlan with MultiInstanceRelation =>
+        m.newInstance().asInstanceOf[LogicalPlan]
+    }
+    val mvOut = fresh.output.map(a => a.name -> a).toMap
+    if (!groupNames.forall(mvOut.contains)) return None
+
+    def mapFn(fn: AggregateFunction): Option[AggregateFunction] = fn match {
+      case Count(Seq(Literal(v, IntegerType))) if v == 1 =>
+        mvOut.get("cnt").map(Sum(_))
+      case s: Sum =>
+        s.child match {
+          case a: AttributeReference =>
+            mvOut.get(s"sum_${a.name}")
+              .map(n => s.withNewChildren(Seq(n)).asInstanceOf[AggregateFunction])
+          case _ => None
+        }
+      case m: Min =>
+        m.child match {
+          case a: AttributeReference =>
+            mvOut.get(s"min_${a.name}")
+              .map(n => m.withNewChildren(Seq(n)).asInstanceOf[AggregateFunction])
+          case _ => None
+        }
+      case m: Max =>
+        m.child match {
+          case a: AttributeReference =>
+            mvOut.get(s"max_${a.name}")
+              .map(n => m.withNewChildren(Seq(n)).asInstanceOf[AggregateFunction])
+          case _ => None
+        }
+      case _ => None
+    }
+
+    // require at least one sum_/min_/max_ partial to be used: a count-only
+    // aggregate gains next to nothing from the summary, and bailing keeps
+    // sibling queries' plans independent of WHEN a summary was registered
+    // in the session (plan determinism under any query order)
+    var usesPartial = false
+    val newResult: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference if mv.groupCols(a.name) =>
+        Alias(mvOut(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(a: AttributeReference, name) if mv.groupCols(a.name) =>
+        Alias(mvOut(a.name), name)(exprId = al.exprId)
+      case al @ Alias(ae: AggregateExpression, name)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        mapFn(ae.aggregateFunction) match {
+          // count(*) → sum(cnt) keeps LongType; sum/min/max keep their
+          // type by construction EXCEPT decimal precision growth — the
+          // dataType equality guard rejects any such mismatch wholesale
+          case Some(nf) if nf.dataType == ae.aggregateFunction.dataType =>
+            if (!ae.aggregateFunction.isInstanceOf[Count]) usesPartial = true
+            Alias(ae.copy(aggregateFunction = nf), name)(exprId = al.exprId)
+          case _ => return None
+        }
+      case _ => return None
+    }
+    if (!usesPartial) return None
+
+    val newGroup: Seq[Expression] = groupNames.map(mvOut(_))
+    val usedIds = (newGroup ++ newResult).flatMap(_.references).map(_.exprId).toSet
+    val pruned = Project(fresh.output.filter(a => usedIds(a.exprId)), fresh)
+    Some(agg.copy(
+      groupingExpressions = newGroup,
+      aggregateExpressions = newResult,
+      child = pruned))
+  }
+}

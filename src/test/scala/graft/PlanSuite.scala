@@ -243,7 +243,10 @@ class PlanSuite extends SparkSuite {
       // graph CC crosses in the 1-row mean-weight threshold (same scalar
       // as q_graph_triangles); incremental dedup crosses in the 1-row
       // max-doc-id batch cut — broadcast scalars like q_text_tfidf
-      "q_graph_cc", "q_dedup_incr")
+      "q_graph_cc", "q_dedup_incr",
+      // link prediction crosses in the same 1-row mean-weight threshold
+      // scalar as q_graph_triangles/q_graph_cc
+      "q_graph_jaccard")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString()
       val bad = (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")) &&
