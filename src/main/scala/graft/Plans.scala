@@ -70,7 +70,9 @@ object Plans {
     "q_dedup_lsh",       // committed signature artifact scan + banded bucket join
     "q_dedup_incr",      // digest-keyed batch-vs-committed dedup, md5 never text
     "q_multimodal_phash", // perceptual hash pairs via the banded hamming join
-    "q_graph_cc"         // pointer-doubling CC rounds over the trade backbone
+    "q_graph_cc",        // pointer-doubling CC rounds over the trade backbone
+    "q_mv_rewrite",      // aggregate re-pointed at the registered summary scan
+    "q_graph_jaccard"    // neighbor-keyed candidate pairs, anti-join on direct edges
   )
 
   def main(args: Array[String]): Unit = {

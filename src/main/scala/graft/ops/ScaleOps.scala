@@ -43,10 +43,22 @@ object ScaleOps {
     "q_topk_native" -> qTopkNative,
     "q_sample_group" -> qSampleGroup,
     "q_sample_systematic" -> qSampleSystematic,
+    "q_sample_weighted" -> qSampleWeighted,
     "q_agg_bitmap" -> qAggBitmap
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_weighted" ->
+      """WITH p AS (SELECT lang, doc_id, n_chars,
+                  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                       * 1000000 // n_chars AS BIGINT) AS prio
+           FROM documents WHERE n_chars > 0)
+         SELECT lang, rn, doc_id, n_chars, prio FROM (
+           SELECT lang, doc_id, n_chars, prio,
+                  CAST(row_number() OVER (PARTITION BY lang
+                         ORDER BY prio, doc_id) AS BIGINT) AS rn
+           FROM p)
+         WHERE rn <= 10 ORDER BY lang, rn""",
     "q_sample_systematic" ->
       """WITH ev AS (SELECT event_type, event_id, epoch_us(ts) AS tu,
                             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
@@ -354,5 +366,37 @@ object ScaleOps {
       .select(col("event_type"), col("event_id"), col("cents"),
         col("cum").cast(org.apache.spark.sql.types.LongType).as("cum"))
       .orderBy("event_type", "event_id")
+  }
+
+  /** WEIGHTED sampling without replacement (A-Res style), deterministic:
+    * each document draws a fixed-point priority u·10⁶ DIV w from a
+    * 24-bit md5 hash u of its id and its weight w (here: n_chars —
+    * heavier docs draw smaller priorities, so selection probability
+    * rises with weight), and the 10 SMALLEST priorities per language
+    * win. The hash replaces the RNG — reproducible across runs, engines
+    * and partitionings, and a document's draw never changes as the
+    * corpus grows (same property as q_fold_assign / q_sample_hash).
+    * This is how a 100 TB mixer samples proportional-to-quality without
+    * seed-ordering hazards.
+    *
+    * Scale shape: the priority is a shuffle-free codegen projection and
+    * the per-language top-k runs on the native [[org.apache.spark.sql
+    * .graft.TopK]] bounded heaps — ≤ 10 rows per language per input
+    * partition cross the exchange, never a per-language sort of the
+    * corpus. The rank is recomputed over the ≤ 10·|langs| survivors
+    * (metadata-sized window). */
+  private def qSampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.documents(s, d)
+      .filter(col("n_chars") > 0)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        expr("""CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT)
+                * 1000000 DIV n_chars""").as("prio"))
+    val top = org.apache.spark.sql.graft.TopK.perGroup(
+      p, Seq("lang"), Seq(("prio", false), ("doc_id", false)), 10)
+    top
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("prio"), col("doc_id"))).cast("long"))
+      .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"), col("prio"))
+      .orderBy("lang", "rn")
   }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** MATERIALIZED-VIEW roll-up rewrite — the transparent-MV capability of a
   * warehouse optimizer (Calcite/Snowflake/BigQuery style): a query that
@@ -55,7 +55,8 @@ import org.apache.spark.sql.types.IntegerType
   * [[MultiInstanceRelation.newInstance]] so repeated rewrites in one
   * query tree can never collide.
   */
-case class MvDef(basePaths: Set[String], groupCols: Set[String], mvPlan: LogicalPlan)
+case class MvDef(name: String, basePaths: Set[String], groupCols: Set[String],
+    mvPlan: LogicalPlan)
 
 object MvRegistry {
   /** Keyed by (session identity, mv name): MVs are session-scoped like
@@ -68,8 +69,8 @@ object MvRegistry {
     * possibly mid-overwrite — summary it is producing. */
   @volatile private[plans] var building: Boolean = false
 
-  def register(spark: SparkSession, name: String, d: MvDef): Unit =
-    defs.put((System.identityHashCode(spark), name), d)
+  def register(spark: SparkSession, d: MvDef): Unit =
+    defs.put((System.identityHashCode(spark), d.name), d)
 
   def forSession(spark: SparkSession): Seq[MvDef] =
     defs.iterator.collect {
@@ -80,6 +81,9 @@ object MvRegistry {
     building = true
     try f finally building = false
   }
+
+  def unregister(spark: SparkSession, name: String): Unit =
+    defs.remove((System.identityHashCode(spark), name))
 
   def clear(): Unit = defs.clear()
 
@@ -100,13 +104,17 @@ object RewriteSummaryAgg extends Rule[LogicalPlan] {
     if (sessionDefs.isEmpty) return plan
     plan.transform {
       case agg: Aggregate if agg.groupingExpressions.nonEmpty =>
-        val rewritten = for {
-          scan <- baseScan(agg.child)
-          paths = scanPaths(scan)
-          mv <- sessionDefs.find(d => paths.nonEmpty && paths.subsetOf(d.basePaths))
-          out <- tryRewrite(agg, mv)
-        } yield out
-        rewritten.getOrElse(agg)
+        val candidates = baseScan(agg.child).map { scan =>
+          val paths = scanPaths(scan)
+          // DETERMINISTIC preference among covering summaries: fewest keys
+          // first (the coarser summary has fewer rows), then name — the
+          // chosen access path never depends on registration order
+          sessionDefs
+            .filter(d => paths.nonEmpty && paths.subsetOf(d.basePaths))
+            .sortBy(d => (d.groupCols.size, d.name))
+        }.getOrElse(Nil)
+        candidates.iterator.flatMap(tryRewrite(agg, _)).nextOption()
+          .getOrElse(agg)
     }
   }
 
@@ -181,13 +189,39 @@ object RewriteSummaryAgg extends Rule[LogicalPlan] {
         Alias(mvOut(a.name), name)(exprId = al.exprId)
       case al @ Alias(ae: AggregateExpression, name)
           if !ae.isDistinct && ae.filter.isEmpty =>
-        mapFn(ae.aggregateFunction) match {
+        (ae.aggregateFunction, mapFn(ae.aggregateFunction)) match {
           // count(*) → sum(cnt) keeps LongType; sum/min/max keep their
           // type by construction EXCEPT decimal precision growth — the
           // dataType equality guard rejects any such mismatch wholesale
-          case Some(nf) if nf.dataType == ae.aggregateFunction.dataType =>
-            if (!ae.aggregateFunction.isInstanceOf[Count]) usesPartial = true
+          case (fn, Some(nf)) if nf.dataType == fn.dataType =>
+            if (!fn.isInstanceOf[Count]) usesPartial = true
             Alias(ae.copy(aggregateFunction = nf), name)(exprId = al.exprId)
+          // avg(x) over an INTEGRAL column → sum(sum_x) / sum(cntn_x),
+          // both exact longs cast to double for one final IEEE division —
+          // the same formula avg itself evaluates, bit-identical while the
+          // long sum stays below 2⁵³ (always true for integral partials
+          // that avg itself could have represented). The divisor is the
+          // per-column NON-NULL count partial `cntn_<col>`, never the row
+          // count `cnt` — avg ignores nulls, count(*) does not. Fractional
+          // avg is NOT rewritten: its running double sum is
+          // order-sensitive and a re-associated sum could legally differ
+          // in the last ulp.
+          case (avg: Average, _) =>
+            avg.child match {
+              case a: AttributeReference
+                  if (a.dataType == LongType || a.dataType == IntegerType) &&
+                    avg.dataType == DoubleType &&
+                    mvOut.contains(s"sum_${a.name}") &&
+                    mvOut.contains(s"cntn_${a.name}") =>
+                usesPartial = true
+                val sumAe = ae.copy(aggregateFunction = Sum(mvOut(s"sum_${a.name}")),
+                  resultId = NamedExpression.newExprId)
+                val cntAe = ae.copy(aggregateFunction = Sum(mvOut(s"cntn_${a.name}")),
+                  resultId = NamedExpression.newExprId)
+                Alias(Divide(Cast(sumAe, DoubleType), Cast(cntAe, DoubleType)), name)(
+                  exprId = al.exprId)
+              case _ => return None
+            }
           case _ => return None
         }
       case _ => return None

@@ -32,7 +32,8 @@ class MvRewriteSuite extends SparkSuite {
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
         min(col("n_chars")).as("min_chars"),
-        max(col("n_chars")).as("max_chars"))
+        max(col("n_chars")).as("max_chars"),
+        avg(col("n_chars")).as("avg_chars"))
       .orderBy("lang")
       .collect()
     assert(viaMv.map(_.toString).toSeq == direct.map(_.toString).toSeq)
@@ -90,6 +91,67 @@ class MvRewriteSuite extends SparkSuite {
       .agg(sum(col("n_chars")).as("sum_chars"), min(col("n_chars")).as("min_chars"))
     assert(df.orderBy("source").collect().map(_.toString).toSeq ==
       direct.orderBy("source").collect().map(_.toString).toSeq)
+  }
+
+  test("q_mv_incr executes against the committed partial store, not events") {
+    val p = executedPlanOf("q_mv_incr")
+    assert(p.contains("graft_mv_incr"), s"partial-store scan missing:\n${p.take(3000)}")
+    assert(!p.contains("events.parquet"),
+      s"base scan should have been rewritten away:\n${p.take(3000)}")
+  }
+
+  test("incremental MV equals the direct recompute after a replayed batch") {
+    val viaMv = SparkEntry.queries("q_mv_incr")(spark, sf0001).collect()
+    val direct = Tables.events(spark, sf0001)
+      .groupBy(concat(col("event_type"), lit("")).as("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .orderBy("event_type")
+      .collect()
+    assert(viaMv.map(_.toString).toSeq == direct.map(_.toString).toSeq)
+  }
+
+  test("MV preference is deterministic: fewest keys, then name") {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    // two fake defs over the same base: coarser (1 key) must win over
+    // finer (2 keys) regardless of registration order
+    val base = MvRegistry.pathsOf(
+      spark.read.parquet(s"$sf0001/documents.parquet"))
+    def planOfMv(q: String): LogicalPlan =
+      spark.read.parquet(s"${sys.props("java.io.tmpdir")}/graft_mv/" +
+        s"sf${sf0001.replaceAll("[^A-Za-z0-9.]", "_")}_docs_src_lang")
+        .queryExecution.analyzed
+    SparkEntry.queries("q_mv_rewrite")(spark, sf0001) // registers docs_src_lang
+    val defs = MvRegistry.forSession(spark)
+    assert(defs.nonEmpty)
+    // registering the SAME summary under a later-sorting name must not
+    // change the chosen plan (same groupCols size, name tiebreak)
+    MvRegistry.register(spark, MvDef("zz_dup", base, Set("source", "lang"),
+      planOfMv("dup")))
+    try {
+      val p = Tables.documents(spark, sf0001)
+        .groupBy(col("lang")).agg(sum(col("n_chars")).as("sum_chars"))
+        .queryExecution.executedPlan.toString()
+      assert(p.contains("graft_mv"), p.take(2000))
+    } finally MvRegistry.unregister(spark, "zz_dup")
+  }
+
+  test("the rewrite fires for SQL-text queries over a view of the base table") {
+    SparkEntry.queries("q_mv_rewrite")(spark, sf0001) // registers the summary
+    Tables.documents(spark, sf0001).createOrReplaceTempView("docs_mv_sql")
+    val df = spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                avg(n_chars) AS avg_chars
+         FROM docs_mv_sql GROUP BY lang""")
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("graft_mv"), p.take(2000))
+    assert(!p.contains("documents.parquet"), p.take(2000))
+  }
+
+  test("the rule is a fixpoint: a rewritten plan is not rewritten again") {
+    val opt = SparkEntry.queries("q_mv_rewrite")(spark, sf0001)
+      .queryExecution.optimizedPlan
+    assert(RewriteSummaryAgg(opt) == opt)
   }
 
   test("the build guard suppresses rewriting while a summary is rebuilt") {

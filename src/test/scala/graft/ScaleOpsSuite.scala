@@ -203,4 +203,21 @@ class ScaleOpsSuite extends SparkSuite {
     }
     assert(sampled.keySet == totals.keySet)
   }
+
+  test("weighted sampling plans two-phase TopKPerGroup and overweights heavy docs") {
+    val df = SparkEntry.queries("q_sample_weighted")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString()
+    // partial heaps below the exchange, final heaps above — never a
+    // per-language sort of the corpus
+    assert(
+      "TopKPerGroup .*, 10, false[\\s\\S]*Exchange hashpartitioning[\\s\\S]*TopKPerGroup .*, 10, true".r
+        .findFirstIn(p).isDefined, p.take(3000))
+    // weight = n_chars: the selected docs' mean length must exceed the
+    // corpus mean (that is what proportional-to-weight sampling buys)
+    val selMean = df.agg(avg(col("n_chars"))).as[Double].head()
+    val corpusMean = Tables.documents(spark, sf0001)
+      .agg(avg(col("n_chars"))).as[Double].head()
+    assert(selMean > corpusMean,
+      s"selected mean $selMean should exceed corpus mean $corpusMean")
+  }
 }
