@@ -10,6 +10,7 @@ import graft.plans.{MvDef, MvRegistry, RewriteSummaryAgg}
   * shape must be left untouched.
   */
 class MvRewriteSuite extends SparkSuite {
+  import spark.implicits._
 
   private def executedPlanOf(name: String): String =
     SparkEntry.queries(name)(spark, sf0001)
@@ -134,6 +135,57 @@ class MvRewriteSuite extends SparkSuite {
         .queryExecution.executedPlan.toString()
       assert(p.contains("graft_mv"), p.take(2000))
     } finally MvRegistry.unregister(spark, "zz_dup")
+  }
+
+  test("streaming maintenance: foreachBatch partials with injected replays serve the rewrite") {
+    import org.apache.spark.sql.{DataFrame, Encoders}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.ManifestTable
+    val t = java.nio.file.Files.createTempDirectory("graft-mv-stream").toString
+    val rows = Tables.events(spark, sf0001)
+      .select("event_id", "user_id", "event_type", "value", "t")
+      .as[Ev].collect().toSeq
+    val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+    val q = ms.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // the whole maintenance step: one map-combinable partial aggregate
+        // of the batch, committed exactly-once; the injected second call is
+        // Structured Streaming's at-least-once foreachBatch replay
+        val partial = batch.groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("cnt"),
+            min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        ManifestTable.idempotentAppend(spark, t, partial, id)
+        ManifestTable.idempotentAppend(spark, t, partial, id) // injected replay
+        ()
+      }.start()
+    try {
+      rows.grouped(math.max(1, rows.size / 3)).foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the streaming-maintained store answers the covered aggregate; the
+    // incr def over the same base is parked so preference can't mask this
+    MvRegistry.unregister(spark, s"events_incr:$sf0001")
+    MvRegistry.register(spark, MvDef(s"events_stream:$sf0001",
+      MvRegistry.pathsOf(spark.read.parquet(s"$sf0001/events.parquet")),
+      Set("event_type", "user_id"),
+      ManifestTable.read(spark, t).queryExecution.analyzed))
+    try {
+      val df = Tables.events(spark, sf0001)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .orderBy("event_type")
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.contains("graft-mv-stream"), p.take(2000))
+      val direct = Tables.events(spark, sf0001)
+        .groupBy(concat(col("event_type"), lit("")).as("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .orderBy("event_type")
+      assert(df.collect().map(_.toString).toSeq ==
+        direct.collect().map(_.toString).toSeq)
+    } finally MvRegistry.unregister(spark, s"events_stream:$sf0001")
   }
 
   test("the rewrite fires for SQL-text queries over a view of the base table") {
