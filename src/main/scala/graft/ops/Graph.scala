@@ -397,6 +397,26 @@ object Graph {
     val u = u0.crossJoin(broadcast(tot))
       .filter(col("w") * col("n") > col("s"))
       .select("a", "b").localCheckpoint()
+    jaccardCandidates(u)
+      .orderBy(col("jac_x1e6").desc, col("a"), col("b"))
+  }
+
+  /** Link-prediction kernel over an ORIENTED (a<b) undirected edge list:
+    * every NON-adjacent vertex pair sharing at least one neighbor, with
+    * the common-neighbor count and the exact integer Jaccard score in
+    * parts-per-million (floor division — order-independent). Candidate
+    * pairs come from the NEIGHBOR-keyed inverted index (Σ deg(h)² pair
+    * explode, the shingle-index pattern — never an all-pairs vertex
+    * join); direct edges are removed with a LEFT ANTI join on the
+    * oriented key; the degree table is |V|-sized and broadcast-hinted
+    * (drop the hint past broadcastable |V| — the join falls back to a
+    * shuffle on the same key the pair aggregate already produced). Empty
+    * input → empty output.
+    *
+    * @param oriented columns `a, b: Long`, a < b, distinct
+    * @return `(a, b, common, jac_x1e6)` */
+  def jaccardCandidates(oriented: DataFrame): DataFrame = {
+    val u = oriented.select(col("a"), col("b"))
     val nbrs = u.select(col("a").as("v"), col("b").as("nb"))
       .union(u.select(col("b").as("v"), col("a").as("nb")))
     val deg = nbrs.groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -410,6 +430,5 @@ object Graph {
       .join(broadcast(deg.select(col("v").as("b"), col("deg").as("degb"))), "b")
       .select(col("a"), col("b"), col("common"),
         expr("common * 1000000 DIV (dega + degb - common)").as("jac_x1e6"))
-      .orderBy(col("jac_x1e6").desc, col("a"), col("b"))
   }
 }

@@ -619,7 +619,7 @@ object TrainingOps {
   }
 
   /** K-FOLD cross-validation assignment: every document lands in one of
-    * 5 folds by a salted-free md5 draw on its id — the deterministic,
+    * 5 folds by a salt-free md5 draw on its id — the deterministic,
     * RNG-free split a training pipeline needs so that (a) the assignment
     * is reproducible run-over-run and engine-over-engine, and (b) a
     * document NEVER migrates folds when the corpus grows (hash of the id,

@@ -114,6 +114,21 @@ class EdgeCaseSuite extends SparkSuite {
     assert(r(1L) < r(2L) && r(2L) < r(3L), r.toString)
   }
 
+  test("jaccard link-prediction kernel: path, clique, and empty degenerate cases") {
+    import graft.ops.Graph
+    // path 1-2-3: the only candidate is (1,3) with one shared neighbor,
+    // deg(1)=deg(3)=1 → jaccard = 1/(1+1-1) = exactly 10^6 ppm
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Graph.jaccardCandidates(path)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 1L, 1000000L)), got.toString)
+    // K3: every pair is already adjacent → no candidates at all
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    assert(Graph.jaccardCandidates(k3).count() == 0)
+    // empty input → empty output
+    assert(Graph.jaccardCandidates(Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
+  }
+
   test("kmeans kernel: separated clusters assign to their seed, passthrough survives") {
     import graft.ops.TrainingOps
     val vecs = Seq(
