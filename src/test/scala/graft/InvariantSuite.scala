@@ -390,6 +390,21 @@ class InvariantSuite extends SparkSuite {
     assert(max10 / max1 < 20.0,
       s"the hottest bucket must grow ~linearly: $max1 -> $max10")
   }
+
+  test("k-fold assignment is balanced: every fold within binomial tolerance of 1/5") {
+    val byFold = SparkEntry.queries("q_fold_assign")(spark, sf0001)
+      .groupBy(col("fold")).agg(sum(col("n_docs")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val total = byFold.values.sum.toDouble
+    assert(byFold.keySet == Set(0L, 1L, 2L, 3L, 4L), byFold.toString)
+    // md5 draws are ~uniform: 4σ binomial tolerance at p = 1/5
+    val p = 0.2
+    val tol = 4 * math.sqrt(p * (1 - p) / total)
+    byFold.foreach { case (f, n) =>
+      val rate = n / total
+      assert(math.abs(rate - p) <= tol, s"fold $f: rate $rate vs $p (tol $tol)")
+    }
+  }
 }
 
 /** splitmix64 for the scale probes (the same public mixer EventGenSource
