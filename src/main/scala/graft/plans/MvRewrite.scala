@@ -104,30 +104,36 @@ object RewriteSummaryAgg extends Rule[LogicalPlan] {
     if (sessionDefs.isEmpty) return plan
     plan.transform {
       case agg: Aggregate if agg.groupingExpressions.nonEmpty =>
-        val candidates = baseScan(agg.child).map { scan =>
+        val rewritten = baseScan(agg.child).flatMap { case (scan, conds) =>
           val paths = scanPaths(scan)
           // DETERMINISTIC preference among covering summaries: fewest keys
           // first (the coarser summary has fewer rows), then name — the
           // chosen access path never depends on registration order
-          sessionDefs
+          val candidates = sessionDefs
             .filter(d => paths.nonEmpty && paths.subsetOf(d.basePaths))
             .sortBy(d => (d.groupCols.size, d.name))
-        }.getOrElse(Nil)
-        candidates.iterator.flatMap(tryRewrite(agg, _)).nextOption()
-          .getOrElse(agg)
+          candidates.iterator.flatMap(tryRewrite(agg, _, conds)).nextOption()
+        }
+        rewritten.getOrElse(agg)
     }
   }
 
   /** Unwrap the nodes a fact-table aggregate legitimately sits on:
-    * column-pruning Projects (plain attributes only) and repartitions
-    * (which the tiny MV scan does not need to inherit). A Filter — or any
-    * Project that COMPUTES something — means the MV cannot answer the
-    * query and the match bails. */
-  @tailrec private def baseScan(p: LogicalPlan): Option[LogicalRelation] = p match {
-    case l: LogicalRelation => Some(l)
-    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => baseScan(c)
-    case Repartition(_, _, c) => baseScan(c)
-    case r: RepartitionByExpression => baseScan(r.child)
+    * column-pruning Projects (plain attributes only), repartitions (which
+    * the tiny MV scan does not need to inherit), and Filters — collected
+    * on the way down so [[tryRewrite]] can decide whether the summary can
+    * re-apply them (every referenced column must be a summary KEY; a
+    * predicate on a measure column means rows inside a group are
+    * filtered, which no summary can answer). Any Project that COMPUTES
+    * something bails. */
+  @tailrec private def baseScan(p: LogicalPlan,
+      conds: Seq[Expression] = Nil): Option[(LogicalRelation, Seq[Expression])] = p match {
+    case l: LogicalRelation => Some((l, conds))
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      baseScan(c, conds)
+    case Filter(cond, c) => baseScan(c, conds :+ cond)
+    case Repartition(_, _, c) => baseScan(c, conds)
+    case r: RepartitionByExpression => baseScan(r.child, conds)
     case _ => None
   }
 
@@ -136,11 +142,21 @@ object RewriteSummaryAgg extends Rule[LogicalPlan] {
     case _ => Set.empty
   }
 
-  private def tryRewrite(agg: Aggregate, mv: MvDef): Option[Aggregate] = {
+  private def tryRewrite(agg: Aggregate, mv: MvDef,
+      conds: Seq[Expression]): Option[Aggregate] = {
     // every grouping expression must be a plain column of the MV's key set
     val groupNames = agg.groupingExpressions.map {
       case a: AttributeReference if mv.groupCols(a.name) => a.name
       case _ => return None
+    }
+    // base-side filters are answerable IFF every referenced column is a
+    // summary key (the predicate then selects whole groups — re-applied
+    // verbatim on the summary); a predicate touching any measure column
+    // filters rows WITHIN groups and kills the match. Non-deterministic
+    // predicates never move.
+    conds.foreach { c =>
+      if (!c.deterministic) return None
+      c.references.foreach { r => if (!mv.groupCols(r.name)) return None }
     }
 
     val fresh = mv.mvPlan.transformUp {
@@ -229,11 +245,17 @@ object RewriteSummaryAgg extends Rule[LogicalPlan] {
     if (!usesPartial) return None
 
     val newGroup: Seq[Expression] = groupNames.map(mvOut(_))
-    val usedIds = (newGroup ++ newResult).flatMap(_.references).map(_.exprId).toSet
+    // re-key the collected filters onto the summary's attributes by name
+    val newConds = conds.map(_.transform {
+      case a: AttributeReference => mvOut.getOrElse(a.name, return None)
+    })
+    val usedIds = (newGroup ++ newResult ++ newConds)
+      .flatMap(_.references).map(_.exprId).toSet
     val pruned = Project(fresh.output.filter(a => usedIds(a.exprId)), fresh)
+    val filtered = newConds.foldLeft[LogicalPlan](pruned)((p, c) => Filter(c, p))
     Some(agg.copy(
       groupingExpressions = newGroup,
       aggregateExpressions = newResult,
-      child = pruned))
+      child = filtered))
   }
 }

@@ -40,10 +40,28 @@ class MvRewriteSuite extends SparkSuite {
     assert(viaMv.map(_.toString).toSeq == direct.map(_.toString).toSeq)
   }
 
-  test("a filter between aggregate and scan defeats the rewrite") {
+  test("a filter on summary KEY columns is re-applied on the summary (slice + roll-up)") {
     SparkEntry.queries("q_mv_rewrite")(spark, sf0001) // ensure registered
+    val df = Tables.documents(spark, sf0001)
+      .filter(col("source") =!= "src1") // key column NOT in the grouping
+      .groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("graft_mv"), p.take(2000))
+    val direct = Tables.documents(spark, sf0001)
+      .filter(col("source") =!= "src1")
+      .groupBy(concat(col("lang"), lit("")).as("lang"))
+      .agg(sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+    assert(df.collect().map(_.toString).toSeq ==
+      direct.collect().map(_.toString).toSeq)
+  }
+
+  test("a filter on a MEASURE column defeats the rewrite (rows inside groups)") {
+    SparkEntry.queries("q_mv_rewrite")(spark, sf0001)
     val p = Tables.documents(spark, sf0001)
-      .filter(col("lang") === "en")
+      .filter(col("n_chars") > 100)
       .groupBy(col("lang"))
       .agg(sum(col("n_chars")).as("sum_chars"))
       .queryExecution.executedPlan.toString()
@@ -186,6 +204,45 @@ class MvRewriteSuite extends SparkSuite {
       assert(df.collect().map(_.toString).toSeq ==
         direct.collect().map(_.toString).toSeq)
     } finally MvRegistry.unregister(spark, s"events_stream:$sf0001")
+  }
+
+  test("compaction folds the partial store without changing any answer") {
+    import graft.sources.ManifestTable
+    // rebuild the q_mv_incr partial store (3 batches + replay), then
+    // COMPACT: one overwrite snapshot holding exactly one merged row per
+    // group — sum-of-sums/min-of-mins over partials, the same
+    // re-association the rewrite itself performs, so answers can't move
+    SparkEntry.queries("q_mv_incr")(spark, sf0001)
+    val t = s"${sys.props("java.io.tmpdir")}/graft_mv_incr/" +
+      s"sf${sf0001.replaceAll("[^A-Za-z0-9.]", "_")}_events_type_user"
+    val before = ManifestTable.read(spark, t)
+    val nPartials = before.count()
+    val nGroups = before.select("event_type", "user_id").distinct().count()
+    assert(nPartials > nGroups, s"3 batches must overlap groups: $nPartials vs $nGroups")
+    val compacted = before.groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("cnt")).as("cnt"),
+        min(col("min_value")).as("min_value"), max(col("max_value")).as("max_value"))
+    ManifestTable.overwrite(spark, t, compacted)
+    assert(ManifestTable.read(spark, t).count() == nGroups)
+    // re-register the compacted snapshot; the covered aggregate still
+    // matches the direct recompute exactly
+    MvRegistry.register(spark, MvDef(s"events_incr:$sf0001",
+      MvRegistry.pathsOf(spark.read.parquet(s"$sf0001/events.parquet")),
+      Set("event_type", "user_id"),
+      ManifestTable.read(spark, t).queryExecution.analyzed))
+    val df = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .orderBy("event_type")
+    assert(df.queryExecution.executedPlan.toString().contains("graft_mv_incr"))
+    val direct = Tables.events(spark, sf0001)
+      .groupBy(concat(col("event_type"), lit("")).as("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .orderBy("event_type")
+    assert(df.collect().map(_.toString).toSeq ==
+      direct.collect().map(_.toString).toSeq)
   }
 
   test("the rewrite fires for SQL-text queries over a view of the base table") {
