@@ -19,13 +19,16 @@ class ConcurrencySuite extends SparkSuite {
   private val names = Seq(
     "q_dedup_near", "q_dedup_minhash", "q_dedup_contain", "q_dedup_cluster",
     "q_graph_pagerank", "q_graph_degree", "q_sim_knn", "q_text_tfidf",
-    "q_agg_group", "q_tpch_q5", "q_win_rank", "q_basket_lift")
+    "q_agg_group", "q_tpch_q5", "q_win_rank", "q_basket_lift",
+    // the MV pair: registry registration + summary (re)build racing the
+    // other queries' optimizer passes — answers must not move
+    "q_mv_rewrite", "q_mv_incr")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf0001).collect()
       .map(_.toString).toSeq.sorted
 
-  test("12 cache-sharing queries run concurrently match their sequential results") {
+  test("14 cache-sharing queries run concurrently match their sequential results") {
     // sequential baseline FIRST on a clean cache state
     ops.Dedup.clearCaches()
     val sequential = names.map(n => n -> rows(n)).toMap
