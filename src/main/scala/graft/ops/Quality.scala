@@ -70,7 +70,7 @@ object Quality {
                 AVG(n_chars) AS avg_chars
          FROM documents GROUP BY lang ORDER BY lang""",
     "q_mv_incr" ->
-      """SELECT event_type, count(*) AS n_events,
+      """SELECT event_type, count(*) AS n_events, count(value) AS n_vals,
                 MIN(value) AS min_value, MAX(value) AS max_value
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_dq_drift" ->
@@ -786,7 +786,7 @@ object Quality {
       // the build aggregates the base table itself — the guard keeps the
       // rewrite rule away from the build's own plan (self-rewrite onto the
       // summary being overwritten would read and write the same files)
-      MvRegistry.buildGuard {
+      MvRegistry.buildGuard(s) {
         Tables.documents(s, d)
           .groupBy(col("source"), col("lang"))
           .agg(
@@ -838,9 +838,10 @@ object Quality {
     def partials(b: DataFrame) =
       b.groupBy(col("event_type"), col("user_id"))
         .agg(count(lit(1)).as("cnt"),
+          count(col("value")).as("cntn_value"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))
-    MvRegistry.buildGuard {
+    MvRegistry.buildGuard(s) {
       for (b <- 0L to 2L)
         ManifestTable.idempotentAppend(s, t,
           partials(ev.filter(col("event_id") % 3 === b)), b)
@@ -857,6 +858,7 @@ object Quality {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
+        count(col("value")).as("n_vals"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
       .orderBy("event_type")

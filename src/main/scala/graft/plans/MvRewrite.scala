@@ -59,31 +59,45 @@ case class MvDef(name: String, basePaths: Set[String], groupCols: Set[String],
     mvPlan: LogicalPlan)
 
 object MvRegistry {
-  /** Keyed by (session identity, mv name): MVs are session-scoped like
-    * every other cached artifact in the engine (Graph.edgeCache pattern) —
-    * a restarted session re-registers. */
-  private val defs = TrieMap.empty[(Int, String), MvDef]
+  /** Keyed by (session UUID, mv name): MVs are session-scoped like every
+    * other cached artifact in the engine (Graph.edgeCache pattern) — a
+    * restarted session re-registers. The classic session's UUID is the
+    * key (never an identity hash, which can collide across sessions). */
+  private val defs = TrieMap.empty[(String, String), MvDef]
 
-  /** Set while a summary is being (re)built so the build's own Aggregate
-    * over the base table is never rewritten onto the — possibly stale,
-    * possibly mid-overwrite — summary it is producing. */
-  @volatile private[plans] var building: Boolean = false
+  /** Sessions with a summary (re)build in flight: the build's own
+    * Aggregate over the base table must never be rewritten onto the —
+    * possibly stale, possibly mid-overwrite — summary it is producing.
+    * Per-session, so one session's maintenance cannot suppress another
+    * session's rewrites. */
+  private val building = TrieMap.empty[String, Int]
+
+  private def keyOf(spark: SparkSession): String =
+    org.apache.spark.sql.graft.Bridge.sessionUUID(spark)
+      .getOrElse(s"id:${System.identityHashCode(spark)}")
 
   def register(spark: SparkSession, d: MvDef): Unit =
-    defs.put((System.identityHashCode(spark), d.name), d)
+    defs.put((keyOf(spark), d.name), d)
 
-  def forSession(spark: SparkSession): Seq[MvDef] =
-    defs.iterator.collect {
-      case ((h, _), d) if h == System.identityHashCode(spark) => d
-    }.toSeq
+  def forSession(spark: SparkSession): Seq[MvDef] = {
+    val k = keyOf(spark)
+    defs.iterator.collect { case ((s, _), d) if s == k => d }.toSeq
+  }
 
-  def buildGuard[T](f: => T): T = {
-    building = true
-    try f finally building = false
+  private[plans] def isBuilding(spark: SparkSession): Boolean =
+    building.contains(keyOf(spark))
+
+  def buildGuard[T](spark: SparkSession)(f: => T): T = {
+    val k = keyOf(spark)
+    building.updateWith(k) { c => Some(c.getOrElse(0) + 1) }
+    try f finally building.updateWith(k) {
+      case Some(c) if c > 1 => Some(c - 1)
+      case _ => None
+    }
   }
 
   def unregister(spark: SparkSession, name: String): Unit =
-    defs.remove((System.identityHashCode(spark), name))
+    defs.remove((keyOf(spark), name))
 
   def clear(): Unit = defs.clear()
 
@@ -98,9 +112,9 @@ object MvRegistry {
 object RewriteSummaryAgg extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (MvRegistry.building) return plan
-    val sessionDefs =
-      SparkSession.getActiveSession.map(MvRegistry.forSession).getOrElse(Nil)
+    val session = SparkSession.getActiveSession.getOrElse(return plan)
+    if (MvRegistry.isBuilding(session)) return plan
+    val sessionDefs = MvRegistry.forSession(session)
     if (sessionDefs.isEmpty) return plan
     plan.transform {
       case agg: Aggregate if agg.groupingExpressions.nonEmpty =>
@@ -169,6 +183,10 @@ object RewriteSummaryAgg extends Rule[LogicalPlan] {
     def mapFn(fn: AggregateFunction): Option[AggregateFunction] = fn match {
       case Count(Seq(Literal(v, IntegerType))) if v == 1 =>
         mvOut.get("cnt").map(Sum(_))
+      // count(col) — the NON-NULL count — re-associates over the
+      // per-column cntn_<col> partial, never the row count
+      case Count(Seq(a: AttributeReference)) =>
+        mvOut.get(s"cntn_${a.name}").map(Sum(_))
       case s: Sum =>
         s.child match {
           case a: AttributeReference =>

@@ -15,6 +15,14 @@ object Bridge {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Stable per-session identity (`private[sql] sessionUUID`) — a
+    * collision-free registry key for session-scoped engine state (the MV
+    * registry), where an identity hash could collide across sessions. */
+  def sessionUUID(spark: SparkSession): Option[String] = spark match {
+    case c: org.apache.spark.sql.classic.SparkSession => Some(c.sessionUUID)
+    case _ => None
+  }
+
   /** Register a native expression under a SQL-callable name (engine API
     * surface: `spark.sql("SELECT dot_product_d(a, b) ...")`). Idempotent:
     * Engine.init runs on every Tables read, and re-registering an existing

@@ -123,7 +123,7 @@ class MvRewriteSuite extends SparkSuite {
     val viaMv = SparkEntry.queries("q_mv_incr")(spark, sf0001).collect()
     val direct = Tables.events(spark, sf0001)
       .groupBy(concat(col("event_type"), lit("")).as("event_type"))
-      .agg(count(lit(1)).as("n_events"),
+      .agg(count(lit(1)).as("n_events"), count(col("value")).as("n_vals"),
         min(col("value")).as("min_value"), max(col("value")).as("max_value"))
       .orderBy("event_type")
       .collect()
@@ -220,7 +220,7 @@ class MvRewriteSuite extends SparkSuite {
     val nGroups = before.select("event_type", "user_id").distinct().count()
     assert(nPartials > nGroups, s"3 batches must overlap groups: $nPartials vs $nGroups")
     val compacted = before.groupBy(col("event_type"), col("user_id"))
-      .agg(sum(col("cnt")).as("cnt"),
+      .agg(sum(col("cnt")).as("cnt"), sum(col("cntn_value")).as("cntn_value"),
         min(col("min_value")).as("min_value"), max(col("max_value")).as("max_value"))
     ManifestTable.overwrite(spark, t, compacted)
     assert(ManifestTable.read(spark, t).count() == nGroups)
@@ -267,7 +267,7 @@ class MvRewriteSuite extends SparkSuite {
     SparkEntry.queries("q_mv_rewrite")(spark, sf0001)
     val covered = Tables.documents(spark, sf0001)
       .groupBy(col("lang")).agg(sum(col("n_chars")).as("sum_chars"))
-    MvRegistry.buildGuard {
+    MvRegistry.buildGuard(spark) {
       val p = covered.queryExecution.executedPlan.toString()
       assert(!p.contains("graft_mv"), p.take(2000))
     }
