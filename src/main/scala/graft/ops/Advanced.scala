@@ -38,10 +38,25 @@ object Advanced {
     "q_attribution" -> qAttribution,
     "q_attribution_linear" -> qAttributionLinear,
     "q_ab_metrics" -> qAbMetrics,
-    "q_cohort_ltv" -> qCohortLtv
+    "q_cohort_ltv" -> qCohortLtv,
+    "q_rolling_wau" -> qRollingWau
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                     FROM events),
+         obs AS (SELECT DISTINCT day FROM ud),
+         x AS (SELECT user_id, day + CAST(o AS INTEGER) AS wend
+               FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o)),
+         w AS (SELECT wend, count(DISTINCT user_id) AS wau
+               FROM x JOIN obs ON x.wend = obs.day GROUP BY wend),
+         dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day)
+         SELECT strftime(w.wend, '%Y-%m-%d') AS day,
+                CAST(dau.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+                CAST((dau.dau * 1000) // w.wau AS BIGINT) AS sticky_x1000
+         FROM w JOIN dau ON w.wend = dau.day
+         ORDER BY day""",
     "q_cohort_ltv" ->
       """WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
                             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
@@ -606,5 +621,38 @@ object Advanced {
         when(col("n_purchases") > 0, expr("revenue_cents DIV n_purchases"))
           .otherwise(lit(0L)).as("aov_cents"))
       .orderBy("variant")
+  }
+
+  /** ROLLING ACTIVE-USER curves — DAU, 7-day rolling WAU, and the
+    * DAU/WAU stickiness ratio per observed day: the dashboard family's
+    * rolling DISTINCT window, which no plain windowed aggregate computes
+    * (distinct does not decompose over sliding frames). The exact
+    * distributed shape: dedup to (user, day) grain ONCE, explode each
+    * row into the ≤ 7 window-ends it serves (in place, no shuffle), then
+    * one (window-end, user)-keyed dedup feeds a map-combinable count.
+    * Window-ends are restricted to OBSERVED days (broadcast of the tiny
+    * distinct-day set) so the curve has no phantom trailing days.
+    *
+    * Scale (100 TB): the event table collapses to user-day grain in the
+    * first exchange (the only full-volume shuffle); everything after is
+    * ≤ 7× that grain. At 10⁹ users × 365 days this is the standard
+    * exact-WAU shape; the approximate path at larger windows is the HLL
+    * sketch per day + 7-way merge, shipped as q_agg_sketch_merge. */
+  private def qRollingWau(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("t")).as("day")).distinct()
+    val obs = ud.select(col("day")).distinct()
+    val x = ud.select(col("user_id"),
+      explode(expr("sequence(0, 6)")).as("o"), col("day"))
+      .select(col("user_id"), expr("date_add(day, o)").as("wend"))
+    val w = x.join(broadcast(obs.select(col("day").as("wend"))), Seq("wend"))
+      .select(col("wend"), col("user_id")).distinct()
+      .groupBy(col("wend")).agg(count(lit(1)).as("wau"))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    w.join(dau, col("wend") === col("day"))
+      .select(date_format(col("wend"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        expr("dau * 1000 DIV wau").as("sticky_x1000"))
+      .orderBy("day")
   }
 }
