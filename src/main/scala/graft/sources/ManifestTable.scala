@@ -111,7 +111,10 @@ object ManifestTable {
   }
 
   /** Stage `df` as immutable data files under data/, NOT yet visible.
-    * Returns the staged file paths. */
+    * Returns the staged file paths. Each staged file gets a `.stats`
+    * SIDECAR with its INT64 column ranges (harvested from the parquet
+    * footer — a metadata-only read), so [[readPruned]] can skip whole
+    * files later without touching them. */
   private def stage(df: DataFrame, table: String): Seq[String] = {
     val id = UUID.randomUUID().toString
     val staging = Paths.get(table, s"staging-$id")
@@ -127,7 +130,97 @@ object ManifestTable {
       }
     listDir(staging).foreach(Files.deleteIfExists(_))
     Files.deleteIfExists(staging)
+    moved.foreach(harvestStats)
     moved
+  }
+
+  /** Write the `.stats` sidecar for a staged data file: one line per
+    * INT64 column, `name=min..max`. Immutable like the data file it
+    * describes, and it travels implicitly through append/merge/overwrite
+    * because it shares the file's path. (At 100 TB the harvest comes
+    * from the WRITE TASKS' accumulated statistics instead of a footer
+    * round-trip, as in the production formats — the stored shape and
+    * the pruning consumer are identical.) */
+  private def harvestStats(file: String): Unit = {
+    val stats = footerStats(file)
+    if (stats.nonEmpty) {
+      val lines = stats.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"$c=$lo..$hi" }
+      Files.write(Paths.get(file + ".stats"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+  }
+
+  /** INT64 column [min, max] ranges from a parquet FOOTER — metadata
+    * only, no row reads. Columns with no non-null statistics are
+    * omitted (absent ⇒ the file cannot be pruned on that column). */
+  def footerStats(file: String): Map[String, (Long, Long)] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      r.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val st = c.getStatistics
+          if (st != null && st.hasNonNullValue &&
+              c.getPrimitiveType.getPrimitiveTypeName ==
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64) {
+            val lo = st.genericGetMin.asInstanceOf[java.lang.Long].longValue
+            val hi = st.genericGetMax.asInstanceOf[java.lang.Long].longValue
+            acc.updateWith(c.getPath.toDotString) {
+              case Some((a, b2)) => Some((math.min(a, lo), math.max(b2, hi)))
+              case None => Some((lo, hi))
+            }
+          }
+        }
+      }
+      acc.toMap
+    } finally r.close()
+  }
+
+  /** A committed data file's column ranges: the sidecar when present
+    * (one tiny read — the manifest-adjacent stats a log-store format
+    * keeps), else the parquet footer (correct fallback for files staged
+    * before sidecars existed). */
+  def statsOf(file: String): Map[String, (Long, Long)] = {
+    val sc = Paths.get(file + ".stats")
+    if (Files.exists(sc)) {
+      Files.readAllLines(sc).asScala.flatMap { l =>
+        l.split("=", 2) match {
+          case Array(c, range) => range.split("\\.\\.", 2) match {
+            case Array(lo, hi) => Some(c -> (lo.toLong, hi.toLong))
+            case _ => None
+          }
+          case _ => None
+        }
+      }.toMap
+    } else footerStats(file)
+  }
+
+  /** DATA-SKIPPING read: the snapshot restricted to `col ∈ [lo, hi]`,
+    * opening ONLY the data files whose stored [min, max] range overlaps
+    * the predicate — whole-file pruning from commit-time statistics,
+    * the stats-based skipping of the production log formats (partition
+    * pruning's finer-grained cousin). Files with no stats for `col` are
+    * conservatively kept; the exact predicate is re-applied after the
+    * prune, so the result equals `read().filter(...)` REGARDLESS of
+    * stats quality. */
+  def readPruned(spark: SparkSession, table: String, col: String,
+      lo: Long, hi: Long, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    val files = snapshotFiles(table, v)
+    val live = files.filter { f =>
+      statsOf(f).get(col).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    val base =
+      if (files.isEmpty) spark.emptyDataFrame
+      else if (live.isEmpty) spark.read.parquet(files: _*).limit(0)
+      else spark.read.parquet(live: _*)
+    if (files.isEmpty) base
+    else base.filter(base.col(col) >= lo && base.col(col) <= hi)
   }
 
   /** Publish `files` as version `v` — the CAS. True iff this committer
@@ -285,7 +378,13 @@ object ManifestTable {
     if (!Files.isDirectory(dd)) return 0
     val cutoff = System.currentTimeMillis() - retentionMs
     val orphans = listDir(dd)
-      .filter(f => !referenced.contains(f.toString))
+      .filter { f =>
+        // a .stats sidecar lives and dies with the data file it
+        // describes — it is never listed in a manifest itself
+        val n = f.toString
+        val base = if (n.endsWith(".stats")) n.stripSuffix(".stats") else n
+        !referenced.contains(base)
+      }
       .filter(f => Files.getLastModifiedTime(f).toMillis <= cutoff)
     orphans.foreach(Files.deleteIfExists(_))
     orphans.size

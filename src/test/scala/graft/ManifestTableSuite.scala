@@ -311,4 +311,58 @@ class ManifestTableSuite extends SparkSuite {
         "no committed rows may be lost to the race")
     } finally pool.shutdown()
   }
+
+  test("data skipping: readPruned opens only files whose stats overlap, exactly") {
+    val t = freshTable()
+    // 4 appends of disjoint key ranges, one file each
+    (0 until 4).foreach { r =>
+      ManifestTable.append(spark, t,
+        spark.range(r * 1000L, r * 1000L + 1000L).toDF("k").repartition(1))
+    }
+    assert(ManifestTable.read(spark, t).inputFiles.length == 4)
+    // a range inside one file's stats → exactly one file opened
+    val pr = ManifestTable.readPruned(spark, t, "k", 2100L, 2300L)
+    assert(pr.inputFiles.length == 1, pr.inputFiles.mkString(","))
+    assert(pr.count() == 201L)
+    val want = ManifestTable.read(spark, t)
+      .filter(col("k") >= 2100L && col("k") <= 2300L)
+      .as[Long].collect().sorted.toSeq
+    assert(pr.as[Long].collect().sorted.toSeq == want)
+    // a range spanning two files → two opened, still exact
+    val pr2 = ManifestTable.readPruned(spark, t, "k", 900L, 1100L)
+    assert(pr2.inputFiles.length == 2 && pr2.count() == 201L)
+    // fully disjoint range → nothing opened, empty result, schema intact
+    val pr3 = ManifestTable.readPruned(spark, t, "k", 99000L, 99999L)
+    assert(pr3.count() == 0L && pr3.columns.toSeq == Seq("k"))
+    // sidecar deleted → the footer fallback gives the same pruning
+    val victim = ManifestTable.snapshotFiles(t,
+      ManifestTable.latestVersion(t).get)
+      .find(f => ManifestTable.statsOf(f).get("k").exists(_._1 == 2000L)).get
+    Files.deleteIfExists(Paths.get(victim + ".stats"))
+    val pr4 = ManifestTable.readPruned(spark, t, "k", 2100L, 2300L)
+    assert(pr4.inputFiles.length == 1 && pr4.count() == 201L)
+    // an unknown column prunes nothing and filters to empty... on a
+    // column with no stats the files are conservatively kept
+    val pr5 = ManifestTable.readPruned(spark, t, "k", 0L, 3999L)
+    assert(pr5.inputFiles.length == 4 && pr5.count() == 4000L)
+  }
+
+  test("vacuum keeps live files' stats sidecars, deletes orphans' sidecars with them") {
+    val t = freshTable()
+    ManifestTable.append(spark, t, spark.range(0L, 100L).toDF("k").repartition(1))
+    val live = ManifestTable.snapshotFiles(t, ManifestTable.latestVersion(t).get)
+    // a crashed writer's orphan: data file + sidecar, never published
+    val orphan = Paths.get(t, "data", "deadbeef-part-0.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    Files.write(Paths.get(orphan.toString + ".stats"), "k=0..1".getBytes)
+    val n = ManifestTable.vacuum(t, retentionMs = 0L)
+    assert(n == 2, s"orphan data file AND its sidecar must go: $n")
+    assert(!Files.exists(orphan))
+    live.foreach { f =>
+      assert(Files.exists(Paths.get(f)), f)
+      assert(Files.exists(Paths.get(f + ".stats")), s"live sidecar deleted: $f")
+    }
+    // pruning still works after vacuum
+    assert(ManifestTable.readPruned(spark, t, "k", 10L, 19L).count() == 10L)
+  }
 }
