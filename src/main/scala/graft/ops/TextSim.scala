@@ -26,6 +26,8 @@ object TextSim {
     "q_sim_label" -> qSimLabel,
     "q_sim_ivf" -> qSimIvf,
     "q_index_cells" -> qIndexCells,
+    "q_dedup_semantic" -> qDedupSemantic,
+    "q_prune_proto" -> qPruneProto,
     "q_dedup_embed" -> qDedupEmbed,
     "q_dedup_lsh" -> qDedupLsh,
     "q_text_stats" -> qTextStats,
@@ -84,6 +86,42 @@ object TextSim {
                 CAST(count(*) FILTER (pr.pred = e.label) AS BIGINT) AS n_correct
          FROM embeddings e JOIN pr ON e.vec_id = pr.qid
          GROUP BY e.label ORDER BY e.label""",
+    "q_dedup_semantic" ->
+      """WITH cells AS (
+           SELECT vec_id, cid, embedding FROM (
+             SELECT e.vec_id, c.vec_id AS cid, e.embedding,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(c.embedding AS DOUBLE[])) DESC,
+                               c.vec_id) AS rn
+             FROM embeddings e JOIN embeddings c ON c.vec_id < 16)
+           WHERE rn = 1),
+         pruned AS (
+           SELECT DISTINCT b.vec_id
+           FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           WHERE list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) >= 0.4)
+         SELECT c.cid, count(*) AS n_vecs, count(p.vec_id) AS n_pruned
+         FROM cells c LEFT JOIN pruned p ON c.vec_id = p.vec_id
+         GROUP BY c.cid ORDER BY c.cid""",
+    "q_prune_proto" ->
+      """WITH cells AS (
+           SELECT vec_id, cid, embedding FROM (
+             SELECT e.vec_id, c.vec_id AS cid, e.embedding,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(c.embedding AS DOUBLE[])) DESC,
+                               c.vec_id) AS rn
+             FROM embeddings e JOIN embeddings c ON c.vec_id < 16)
+           WHERE rn = 1)
+         SELECT cid, CAST(rnk AS BIGINT) AS rnk, vec_id FROM (
+           SELECT x.cid, x.vec_id,
+                  row_number() OVER (PARTITION BY x.cid
+                    ORDER BY list_inner_product(CAST(x.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[])),
+                             x.vec_id) AS rnk
+           FROM cells x JOIN embeddings c ON c.vec_id = x.cid)
+         WHERE rnk <= 8 ORDER BY cid, rnk""",
     "q_dedup_embed" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -296,6 +334,68 @@ object TextSim {
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vecs"))
       .orderBy("cid")
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023's recipe): vectors
+    * are candidates ONLY against their own coarse-quantizer cell, every
+    * same-cell pair above the cosine threshold prunes the higher-id
+    * member ("keep first seen" — the deterministic stand-in for
+    * keep-closest-to-centroid), and the report is the per-cell
+    * kept/pruned census a curation run thresholds on. Reads the SAME
+    * committed cell artifact as q_sim_ivf/q_index_cells, so the pair
+    * generation is cluster-bucketed: candidate work is Σ n_c² over cell
+    * populations — the quantizer's cell count (16 here, ~√n in
+    * production) is the knob that keeps it linear-ish, exactly the LSH
+    * band-width argument with clusters instead of hash buckets, and the
+    * within-cell join shuffles (cid, id, vec) rows once. Unlike
+    * q_dedup_lsh this is DETERMINISTIC given the definitional cell
+    * assignment, so the oracle recomputes cells + pairs from scratch
+    * and the hash match proves the artifact-served pipeline end-to-end
+    * (cross-cell dup pairs are out of scope by DEFINITION, not by
+    * sampling — the semantics the paper specifies). */
+  private def qDedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val withVec = ivfCells(s, d)
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val a = withVec.select(col("cid"), col("vec_id").as("aid"), col("embedding").as("qe"))
+    val b = withVec.select(col("cid"), col("vec_id").as("bid"), col("embedding").as("ne"))
+    val pruned = a.join(b, Seq("cid"))
+      .filter(col("aid") < col("bid"))
+      .withColumn("dot", dotExpr)
+      .filter(col("dot") >= 0.4)
+      .select(col("bid").as("vec_id"))
+      .distinct()
+    withVec.select("cid", "vec_id")
+      .join(pruned.withColumn("p", lit(1L)), Seq("vec_id"), "left")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), count(col("p")).as("n_pruned"))
+      .orderBy("cid")
+  }
+
+  /** Prototypicality-based data pruning (the "Beyond neural scaling
+    * laws" selection rule): a vector's prototypicality is its cosine to
+    * its OWN cell centroid, and training keeps the HARDEST examples —
+    * the bottom-k cosines per cell. Served from the same committed cell
+    * artifact; the centroid table (16 rows) broadcasts, the per-cell
+    * bottom-k runs through the native TopKPerGroup prune (ascending
+    * order — map-side bounded heaps, ≤ k rows per cell cross the
+    * exchange), and rank is recovered by a trivial window over the ≤
+    * k·cells survivors. At 100 TB nothing here scales with the corpus
+    * except the one broadcast-join scoring pass. */
+  private def qPruneProto(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ne"))
+    val scored = ivfCells(s, d)
+      .join(emb.select(col("vec_id"), col("embedding").as("qe")), Seq("vec_id"))
+      .join(broadcast(cents), Seq("cid"))
+      .withColumn("dot", dotExpr)
+    org.apache.spark.sql.graft.TopK.perGroup(
+      scored, Seq("cid"), Seq(("dot", false), ("vec_id", false)), 8)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("dot"), col("vec_id"))))
+      .select(col("cid"), col("rnk").cast(LongType).as("rnk"), col("vec_id"))
+      .orderBy("cid", "rnk")
+  }
 
   /** Deterministic pseudo-random unit-free hyperplanes for sign-LSH:
     * java.util.Random's LCG is spec-pinned, so the planes are identical

@@ -339,4 +339,60 @@ class OperatorUnitSuite extends SparkSuite {
       assert(math.abs(db - b) < 5e-2, s"intercept mismatch for $flag: $db vs $b")
     }
   }
+
+  test("q_dedup_semantic: census conserves the corpus; a cell's min-id vector is never pruned") {
+    val out = SparkEntry.queries("q_dedup_semantic")(spark, sf0001).cache()
+    val nVecs = Tables.embeddings(spark, sf0001).count()
+    assert(out.agg(sum("n_vecs")).head.getLong(0) == nVecs,
+      "every vector lands in exactly one cell")
+    // keep-first rule: pruning needs a SMALLER same-cell id above the
+    // threshold, so each cell keeps at least its minimum-id member
+    assert(out.filter(col("n_pruned") >= col("n_vecs")).count() == 0)
+    // the fixtures plant near-dup embedding pairs (q_dedup_embed is
+    // non-empty); same-cell planted pairs must show up as pruned rows
+    assert(out.agg(sum("n_pruned")).head.getLong(0) > 0,
+      "planted near-dup pairs should prune at least one vector")
+    out.unpersist()
+  }
+
+  test("q_prune_proto: bottom-k per cell via the native TopKPerGroup prune") {
+    val out = SparkEntry.queries("q_prune_proto")(spark, sf0001).cache()
+    // ≤ 8 survivors per cell, ranks dense from 1
+    val perCell = out.groupBy("cid")
+      .agg(count(lit(1)).as("n"), min("rnk").as("lo"), max("rnk").as("hi"))
+    assert(perCell.filter(col("n") > 8 || col("lo") =!= 1 || col("hi") =!= col("n")).count() == 0)
+    // the selection really is the ASCENDING-cosine (hardest) end: every
+    // kept vector's cosine-to-centroid is <= every dropped one's, per cell
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ne"))
+    val allDots = emb.select(col("vec_id"), col("embedding").as("qe"))
+      .join(broadcast(cents.select(col("cid"), col("ne"))), expr("true"))
+      .withColumn("dot", Bridge.column(DotProductD(
+        Bridge.expression(col("qe")), Bridge.expression(col("ne")))))
+      .select("cid", "vec_id", "dot")
+    // restrict to each vector's OWN (definitional argmax) cell — the
+    // hardness comparison only makes sense within the assigned cell
+    val dots = allDots.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+        .orderBy(col("dot").desc, col("cid"))))
+      .filter(col("rn") === 1).select("cid", "vec_id", "dot")
+    val keptMax = out.join(dots, Seq("cid", "vec_id"))
+      .groupBy(col("cid").as("c2")).agg(max("dot").as("kept_max"), count(lit(1)).as("nk"))
+    val cellsAll = SparkEntry.queries("q_index_cells")(spark, sf0001)
+    val offenders = dots
+      .join(out.select(col("cid"), col("vec_id"), lit(1).as("kept")), Seq("cid", "vec_id"), "left")
+      .filter(col("kept").isNull)
+      .join(keptMax, col("cid") === col("c2"))
+      .join(cellsAll, Seq("cid"))
+      // only cells with MORE members than survivors have dropped rows to check
+      .filter(col("n_vecs") > col("nk") && col("dot") < col("kept_max"))
+      .count()
+    assert(offenders == 0, "a dropped vector was harder than a kept one")
+    // the native operator is actually in the plan
+    val phys = SparkEntry.queries("q_prune_proto")(spark, sf0001)
+      .queryExecution.executedPlan.toString()
+    assert(phys.contains("TopKPerGroup"), s"expected TopKPerGroup in plan:\n$phys")
+    out.unpersist()
+  }
 }
