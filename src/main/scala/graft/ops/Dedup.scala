@@ -36,7 +36,8 @@ object Dedup {
     "q_dedup_contain" -> qDedupContain,
     "q_dedup_cluster" -> qDedupCluster,
     "q_dedup_purge" -> qDedupPurge,
-    "q_dedup_incr" -> qDedupIncr
+    "q_dedup_incr" -> qDedupIncr,
+    "q_dedup_url" -> qDedupUrl
   )
 
   /** Shared oracle for near / minhash: exact word-3-shingle Jaccard >= 0.8
@@ -170,7 +171,33 @@ object Dedup {
                 CAST(SUM(CASE WHEN g.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_purged,
                 CAST(SUM(CASE WHEN g.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_kept
          FROM documents d LEFT JOIN gone g ON d.doc_id = g.doc_id
-         GROUP BY d.lang ORDER BY d.lang"""
+         GROUP BY d.lang ORDER BY d.lang""",
+    "q_dedup_url" ->
+      """WITH u AS (
+           SELECT source, concat(
+             CASE WHEN doc_id % 3 = 0 THEN 'https://' ELSE 'http://' END,
+             CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END,
+             source, '.example.com',
+             CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END,
+             '/Docs/', CAST(doc_id % 13 AS STRING),
+             CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+             CASE WHEN doc_id % 2 = 1
+               THEN concat('?utm_source=feed&ref=', CAST(doc_id AS STRING)) ELSE '' END,
+             CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+           FROM documents),
+         c AS (
+           SELECT source, concat(
+             regexp_replace(regexp_replace(regexp_replace(
+               lower(regexp_extract(url, '^(https?://[^/]*)', 1)),
+               '^https://', 'http://'), '^http://www[.]', 'http://'), ':80$', ''),
+             regexp_replace(regexp_replace(
+               regexp_replace(url, '^https?://[^/]*', ''),
+               '[?#].*$', ''), '/$', '')) AS canon
+           FROM u)
+         SELECT source, count(*) AS n_urls,
+                COUNT(DISTINCT md5(canon)) AS n_canon,
+                count(*) - COUNT(DISTINCT md5(canon)) AS n_dup
+         FROM c GROUP BY source ORDER BY source"""
   )
 
   /** Word-k-shingles per doc WITH duplicates: (doc_id, s). One narrow
@@ -267,6 +294,52 @@ object Dedup {
         countDistinct(sha2(col("text"), 256)).as("n_distinct"),
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
+
+  /** Canonical URL form: scheme folded to http (and with it the :80
+    * default port), host lowercased and www-stripped, query string and
+    * fragment dropped, trailing slash removed — the normalizations a
+    * web-corpus crawl dedups on BEFORE ever touching content (tracking
+    * params and scheme/case variants make one page arrive as many
+    * URLs). Pure anchored regex/string ops → one codegen'd Project, no
+    * shuffle; Java regex and RE2 read every pattern identically ([.]
+    * instead of escapes, repo convention). */
+  def canonicalUrl(url: Column): Column = concat(
+    regexp_replace(regexp_replace(regexp_replace(
+      lower(regexp_extract(url, "^(https?://[^/]*)", 1)),
+      "^https://", "http://"), "^http://www[.]", "http://"), ":80$", ""),
+    regexp_replace(regexp_replace(
+      regexp_replace(url, "^https?://[^/]*", ""),
+      "[?#].*$", ""), "/$", ""))
+
+  /** URL-canonicalization dedup census — step 1 of a crawl pipeline,
+    * upstream of every content-based tier in this module. The fixtures
+    * carry no URL column, so a deterministic synthetic URL (scheme /
+    * www-case / default-port / trailing-slash / query / fragment
+    * variants drawn from doc_id residues, path from doc_id % 13) is
+    * built identically on BOTH engines — the real artifact is the
+    * canonicalization + census plumbing. The census dedups on
+    * md5(canon), so the shuffle carries fixed-width hashes, never URL
+    * text, and the per-source partial aggregates combine map-side — at
+    * 100 TB the URL strings die inside the scan stage. */
+  private def qDedupUrl(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("url", expr(
+        """concat(
+             CASE WHEN doc_id % 3 = 0 THEN 'https://' ELSE 'http://' END,
+             CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END,
+             source, '.example.com',
+             CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END,
+             '/Docs/', CAST(doc_id % 13 AS STRING),
+             CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+             CASE WHEN doc_id % 2 = 1
+               THEN concat('?utm_source=feed&ref=', CAST(doc_id AS STRING)) ELSE '' END,
+             CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)"""))
+      .withColumn("canon", canonicalUrl(col("url")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_urls"),
+           countDistinct(md5(col("canon"))).as("n_canon"))
+      .withColumn("n_dup", col("n_urls") - col("n_canon"))
+      .orderBy("source")
 
   /** Ground-truth near-dup: shingle inverted index via collect_set, with
     * co-occurring pairs generated IN PLACE from each shingle's sorted doc

@@ -35,6 +35,7 @@ object TrainingOps {
     "q_pii_scrub" -> qPiiScrub,
     "q_cluster_kmeans" -> qClusterKmeans,
     "q_mix_domains" -> qMixDomains,
+    "q_mix_temperature" -> qMixTemperature,
     "q_fold_assign" -> qFoldAssign
   )
 
@@ -218,7 +219,30 @@ object TrainingOps {
                 CAST(r.rate_4096 AS BIGINT) AS rate_4096,
                 COALESCE(k.n_kept, 0) AS n_kept
          FROM rates r LEFT JOIN kept k ON r.source = k.source
-         ORDER BY r.source"""
+         ORDER BY r.source""",
+    "q_mix_temperature" ->
+      """WITH cnt AS (
+           SELECT lang, count(*) AS n_lang,
+                  CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+           FROM documents GROUP BY lang),
+         tot AS (SELECT CAST(SUM(n_lang) AS BIGINT) AS n_tot,
+                        CAST(SUM(w) AS BIGINT) AS w_tot FROM cnt),
+         rates AS (
+           SELECT lang, n_lang, w,
+                  least(4096, (tot.n_tot * w * 2048) // (tot.w_tot * n_lang))
+                    AS rate_4096
+           FROM cnt, tot),
+         kept AS (
+           SELECT d.lang, count(*) AS n_kept
+           FROM documents d JOIN rates r ON d.lang = r.lang
+           WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 3)) AS BIGINT)
+                   < r.rate_4096
+           GROUP BY d.lang)
+         SELECT r.lang, CAST(r.n_lang AS BIGINT) AS n_total, r.w,
+                CAST(r.rate_4096 AS BIGINT) AS rate_4096,
+                COALESCE(k.n_kept, 0) AS n_kept
+         FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+         ORDER BY r.lang"""
   )
 
   /** Toy-BPE tokenizer cost model, shared by [[qPackSequences]] and
@@ -616,6 +640,44 @@ object TrainingOps {
         col("rate_4096").cast(LongType).as("rate_4096"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .orderBy("source")
+  }
+
+  /** TEMPERATURE-sampled language rebalancing (the mT5/XLM-R α = 0.5
+    * recipe): a language's target share is ∝ n^α, so low-resource
+    * languages are UP-weighted relative to their corpus share and the
+    * head language stops dominating the training mix. Integer-exact
+    * across engines: the α = 0.5 weight is floor(sqrt(n)) — IEEE sqrt
+    * is correctly rounded in both JVMs and DuckDB, so the floor is
+    * bit-deterministic — and the per-doc draw is the same salt-free
+    * md5-prefix-vs-fixed-point-rate comparison as [[qMixDomains]]
+    * (reproducible run-over-run, docs never migrate as the corpus
+    * grows). Same 100 TB shape too: the rate table is |langs| rows,
+    * broadcast; the fact table never reshuffles — one codegen'd filter
+    * then a map-side-combinable census. */
+  private def qMixTemperature(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cnt = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+      .withColumn("w", floor(sqrt(col("n_lang").cast("double"))).cast(LongType))
+    val tot = cnt.agg(
+      sum(col("n_lang")).cast(LongType).as("n_tot"),
+      sum(col("w")).cast(LongType).as("w_tot"))
+    val rates = cnt.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_lang"), col("w"),
+        least(lit(4096L), expr("n_tot * w * 2048 DIV (w_tot * n_lang)"))
+          .as("rate_4096"))
+    val kept = docs
+      .join(broadcast(rates.select(col("lang"), col("rate_4096"))), Seq("lang"))
+      .filter(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 3), 16, 10)
+          .cast(LongType) < col("rate_4096"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_lang").cast(LongType).as("n_total"),
+        col("w").cast(LongType).as("w"),
+        col("rate_4096").cast(LongType).as("rate_4096"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("lang")
   }
 
   /** K-FOLD cross-validation assignment: every document lands in one of

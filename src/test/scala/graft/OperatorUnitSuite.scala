@@ -395,4 +395,43 @@ class OperatorUnitSuite extends SparkSuite {
     assert(phys.contains("TopKPerGroup"), s"expected TopKPerGroup in plan:\n$phys")
     out.unpersist()
   }
+
+  test("canonicalUrl folds scheme/www/port/query/fragment/slash variants to one form") {
+    val variants = Seq(
+      "http://site.example.com/Docs/7",
+      "https://site.example.com/Docs/7",
+      "http://WWW.site.example.com/Docs/7",
+      "http://site.example.com:80/Docs/7",
+      "http://site.example.com/Docs/7/",
+      "http://site.example.com/Docs/7?utm_source=feed&ref=9",
+      "https://WWW.site.example.com:80/Docs/7/#frag")
+    val canon = variants.toDF("url")
+      .select(Dedup.canonicalUrl(col("url")).as("c"))
+      .as[String].collect().toSet
+    assert(canon == Set("http://site.example.com/Docs/7"))
+    // path CASE is preserved (canonicalization must not merge /Docs and /docs)
+    val cased = Seq("http://a.com/Docs/7", "http://a.com/docs/7").toDF("url")
+      .select(Dedup.canonicalUrl(col("url")).as("c")).as[String].collect().toSet
+    assert(cased.size == 2)
+  }
+
+  test("q_mix_temperature flattens the language mix toward n^0.5 shares") {
+    val out = SparkEntry.queries("q_mix_temperature")(spark, sf0001).cache()
+    val rows = out.select("lang", "n_total", "w", "n_kept")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // α = 0.5 weight really is the integer sqrt
+    rows.foreach { case (l, n, w, _) =>
+      assert(w == math.floor(math.sqrt(n.toDouble)).toLong, s"w($l)")
+    }
+    assert(rows.forall { case (_, n, _, k) => k <= n })
+    // the head language's share of the kept mix must SHRINK vs its raw
+    // share, and the tail's must grow — the whole point of τ-sampling
+    val nTot = rows.map(_._2).sum.toDouble
+    val kTot = rows.map(_._4).sum.toDouble
+    val head = rows.maxBy(_._2)
+    val tail = rows.minBy(_._2)
+    assert(head._4 / kTot < head._2 / nTot, "head share must shrink")
+    assert(tail._4 / kTot > tail._2 / nTot, "tail share must grow")
+    out.unpersist()
+  }
 }
