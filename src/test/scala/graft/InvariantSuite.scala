@@ -391,6 +391,52 @@ class InvariantSuite extends SparkSuite {
       s"the hottest bucket must grow ~linearly: $max1 -> $max10")
   }
 
+  test("scale probe: semantic-dedup cell candidates grow linearly when cells scale with the corpus") {
+    // q_dedup_semantic's candidate work is Σ C(n_c, 2) over cell
+    // populations. With a FIXED quantizer that term is quadratic in n —
+    // the documented contract is that the cell count is the scale knob
+    // (~√n-to-∝n cells in production, 16 at fixture scale). This probe
+    // runs the definitional assignment with k ∝ n and asserts the
+    // candidate total and the hottest cell both grow ~10× at a 10×
+    // corpus — the empirical form of that claim.
+    def rnd(seed: Long): Double = (EventGenSourceMix.mix(seed) % 10000L) / 10000.0
+    // unit-norm, zero-centered — the fixture embedding model (dot =
+    // cosine); without the normalization argmax-dot is norm-dominated
+    // and no quantizer balances
+    def vecs(n: Int): IndexedSeq[Array[Double]] =
+      (0 until n).map { i =>
+        val v = Array.tabulate(64)(j => rnd(i.toLong * 64 + j) - 0.5)
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / nrm)
+      }
+    def candidates(n: Int, k: Int): (Long, Long) = {
+      val vs = vecs(n)
+      val cents = vs.take(k)
+      val loads = new Array[Long](k)
+      vs.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var s = 0d; var j = 0
+          while (j < 64) { s += v(j) * cents(c)(j); j += 1 }
+          if (s > bestDot) { bestDot = s; best = c }
+          c += 1
+        }
+        loads(best) += 1
+      }
+      (loads.map(f => f * (f - 1) / 2).sum, loads.max)
+    }
+    val (c1, h1) = candidates(1500, 15)
+    val (c10, h10) = candidates(15000, 150)
+    assert(c1 > 0)
+    val growth = c10.toDouble / c1
+    assert(growth < 30.0,
+      s"cell-candidate growth must be ~linear when k scales with n (quadratic would be 100x): c1=$c1 c10=$c10 growth=$growth")
+    assert(growth > 3.0, s"10x corpus should grow candidates ~10x, got $growth")
+    assert(h10.toDouble / h1 < 20.0,
+      s"hottest cell must grow ~linearly: $h1 -> $h10")
+  }
+
   test("k-fold assignment is balanced: every fold within binomial tolerance of 1/5") {
     val byFold = SparkEntry.queries("q_fold_assign")(spark, sf0001)
       .groupBy(col("fold")).agg(sum(col("n_docs")).as("n"))
