@@ -321,19 +321,26 @@ object Dedup {
     * md5(canon), so the shuffle carries fixed-width hashes, never URL
     * text, and the per-source partial aggregates combine map-side — at
     * 100 TB the URL strings die inside the scan stage. */
+  /** The deterministic synthetic URL column (fixtures carry no URLs):
+    * scheme / www-case / default-port / trailing-slash / query /
+    * fragment variants drawn from doc_id residues, path from
+    * doc_id % 13. Shared by the batch census and the streaming dedup
+    * equivalence test so both exercise the same variant space. */
+  def syntheticUrl: Column = expr(
+    """concat(
+         CASE WHEN doc_id % 3 = 0 THEN 'https://' ELSE 'http://' END,
+         CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END,
+         source, '.example.com',
+         CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END,
+         '/Docs/', CAST(doc_id % 13 AS STRING),
+         CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+         CASE WHEN doc_id % 2 = 1
+           THEN concat('?utm_source=feed&ref=', CAST(doc_id AS STRING)) ELSE '' END,
+         CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)""")
+
   private def qDedupUrl(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("url", expr(
-        """concat(
-             CASE WHEN doc_id % 3 = 0 THEN 'https://' ELSE 'http://' END,
-             CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END,
-             source, '.example.com',
-             CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END,
-             '/Docs/', CAST(doc_id % 13 AS STRING),
-             CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
-             CASE WHEN doc_id % 2 = 1
-               THEN concat('?utm_source=feed&ref=', CAST(doc_id AS STRING)) ELSE '' END,
-             CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)"""))
+      .withColumn("url", syntheticUrl)
       .withColumn("canon", canonicalUrl(col("url")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_urls"),

@@ -110,6 +110,27 @@ object StreamOps {
   def dedupStreaming(ev: DataFrame): DataFrame =
     ev.dropDuplicates(Seq("user_id", "event_type"))
 
+  /** Streaming URL dedup — the crawl frontier's first-seen filter:
+    * canonicalize each arriving URL (stateless, the SAME
+    * [[graft.ops.Dedup.canonicalUrl]] kernel as the batch census) and
+    * keep only the first arrival per canonical form. Dedup state is one
+    * 32-hex md5 per DISTINCT canonical URL — fixed-width, never URL
+    * text — so frontier state grows with the unique-page count, not the
+    * crawl volume, and a redelivered chunk (at-least-once transport)
+    * hits its own prior state entry and emits nothing. */
+  def urlDedupStreaming(urls: DataFrame): DataFrame =
+    urls.withColumn("canon", graft.ops.Dedup.canonicalUrl(col("url")))
+      .withColumn("ch", md5(col("canon")))
+      .dropDuplicates(Seq("ch"))
+      .select(col("doc_id"), col("canon"))
+
+  /** Batch spec for [[urlDedupStreaming]] under in-order arrival:
+    * first-seen per canonical form = min doc_id. */
+  def urlDedupBatch(urls: DataFrame): DataFrame =
+    urls.withColumn("canon", graft.ops.Dedup.canonicalUrl(col("url")))
+      .groupBy(col("canon")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("canon"))
+
   /** Typed state for the per-user running purchase total
     * (genre: KeyedProcessFunction with ValueState). Money is tracked in
     * integer cents — exact and merge-order independent. */

@@ -9,6 +9,7 @@ import graft.streaming.StreamOps
 
 case class Ev(event_id: Long, user_id: Long, event_type: String, value: Double, t: Timestamp)
 case class Doc(doc_id: Long, lang: String, text: String)
+case class UrlRow(doc_id: Long, url: String)
 
 /** Stream-batch equivalence (SURVEY.md §5.4): replay the fixture events
   * through MemoryStream in chunks, run the SAME StreamOps transformation,
@@ -798,6 +799,37 @@ class StreamBatchEquivSuite extends SparkSuite {
       .count()
     assert(spark.table("neardup_stream").count() == perBucket,
       "redelivered chunks must not re-emit pairs (raw emission count changed)")
+  }
+
+  test("streaming URL dedup equals the batch first-seen census under redelivery") {
+    val urlRows = Tables.documents(spark, sf0001)
+      .withColumn("url", graft.ops.Dedup.syntheticUrl)
+      .select("doc_id", "url").orderBy("doc_id").as[UrlRow].collect().toSeq
+    val ms = MemoryStream(Encoders.product[UrlRow], spark.sqlContext)
+    val q = StreamOps.urlDedupStreaming(ms.toDF())
+      .writeStream.format("memory").queryName("urldedup_stream")
+      .outputMode("append").start()
+    try {
+      // in-order chunks, each delivered twice: first-seen must mean the
+      // FIRST chunk's copy, and the redelivery must emit nothing
+      urlRows.grouped(math.max(1, urlRows.size / 3 + 1)).foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+        ms.addData(c); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("urldedup_stream")
+    val batch = StreamOps.urlDedupBatch(
+      Tables.documents(spark, sf0001)
+        .withColumn("url", graft.ops.Dedup.syntheticUrl)
+        .select("doc_id", "url"))
+    assert(batch.count() > 0 && batch.count() < urlRows.size,
+      "the variant space must actually collapse some URLs")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed first-seen set must equal the batch min-id census")
+    // strict idempotence: raw emission count == distinct canon count
+    assert(streamed.count() == batch.count(),
+      "redelivered chunks must not re-emit URLs")
   }
 
   test("late data beyond the watermark is dropped, never duplicated") {
