@@ -48,6 +48,7 @@ object Features {
     "q_event_path" -> qEventPath,
     "q_feat_scale" -> qFeatScale,
     "q_feat_hash" -> qFeatHash,
+    "q_feat_target_encode" -> qFeatTargetEncode,
     "q_agg_corr" -> qAggCorr
   )
 
@@ -109,6 +110,24 @@ object Features {
                 count(*) AS cnt
          FROM w WHERE len(w) > 0
          GROUP BY 1, 2 ORDER BY doc_id, bucket""",
+    "q_feat_target_encode" ->
+      """WITH o AS (
+           SELECT o_orderpriority AS category,
+                  CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 3)) AS BIGINT) % 5 AS fold,
+                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           FROM orders),
+         pf AS (SELECT fold, category, count(*) AS n_f,
+                       CAST(SUM(cents) AS BIGINT) AS s_f
+                FROM o GROUP BY 1, 2),
+         c AS (SELECT category, CAST(SUM(n_f) AS BIGINT) AS n_c,
+                      CAST(SUM(s_f) AS BIGINT) AS s_c FROM pf GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_f) AS BIGINT) AS nt,
+                      CAST(SUM(s_f) AS BIGINT) AS st FROM pf)
+         SELECT pf.fold, pf.category AS category, (c.n_c - pf.n_f) AS n_out,
+                (c.s_c - pf.s_f + 10 * (t.st // t.nt)) // (c.n_c - pf.n_f + 10)
+                  AS enc_cents
+         FROM pf JOIN c ON pf.category = c.category, t
+         ORDER BY pf.fold, pf.category""",
     "q_agg_corr" ->
       s"""WITH s AS (SELECT l_returnflag AS rf, count(*) AS n,
                    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
@@ -222,6 +241,43 @@ object Features {
         (conv(substring(md5(col("w")), 1, 4), 16, 10).cast(LongType) % 64).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy("doc_id", "bucket")
+
+  /** Leakage-safe K-FOLD TARGET ENCODING (the CatBoost/Kaggle feature
+    * for high-cardinality categoricals): a category's encoding for fold
+    * f is the smoothed target mean computed over the OTHER folds only —
+    * enc = (sum_cat − sum_fold + m·prior) DIV (n_cat − n_fold + m),
+    * m = 10 — so a row never sees its own fold's labels (the leak the
+    * naive per-category mean bakes in). Folds come from the same
+    * salt-free md5 draw as q_fold_assign (docs never migrate; both
+    * engines agree bit-for-bit), money is integer cents, and the
+    * smoothing prior is the global integer-cents mean — every division
+    * truncating, so the encoding is exact.
+    *
+    * Scale: ONE map-side-combinable aggregate over the fact table down
+    * to |folds|·|cats| rows; category totals and the global prior are
+    * window/rollups OVER THAT TINY TABLE, never a second fact pass. */
+  private def qFeatTargetEncode(s: SparkSession, d: String): DataFrame = {
+    val cents = (dec(col("o_totalprice"), 12, 2) * 100).cast(LongType)
+    val perFold = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("category"),
+        (conv(substring(md5(col("o_orderkey").cast("string")), 1, 3), 16, 10)
+          .cast(LongType) % 5).as("fold"),
+        cents.as("cents"))
+      .groupBy(col("fold"), col("category"))
+      .agg(count(lit(1)).as("n_f"), sum(col("cents")).as("s_f"))
+    val wCat = Window.partitionBy(col("category"))
+    val wAll = Window.partitionBy()
+    perFold
+      .withColumn("n_c", sum(col("n_f")).over(wCat))
+      .withColumn("s_c", sum(col("s_f")).over(wCat))
+      .withColumn("nt", sum(col("n_f")).over(wAll))
+      .withColumn("st", sum(col("s_f")).over(wAll))
+      .select(col("fold"), col("category"),
+        (col("n_c") - col("n_f")).cast(LongType).as("n_out"),
+        expr("(s_c - s_f + 10 * (st DIV nt)) DIV (n_c - n_f + 10)")
+          .cast(LongType).as("enc_cents"))
+      .orderBy("fold", "category")
+  }
 
   /** Exact Pearson correlation + OLS slope/intercept of extendedprice on
     * quantity per returnflag. All five sums are exact decimals (order-

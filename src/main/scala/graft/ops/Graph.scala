@@ -48,7 +48,8 @@ object Graph {
     "q_graph_degree" -> qGraphDegree,
     "q_graph_sssp" -> qGraphSssp,
     "q_graph_cc" -> qGraphCc,
-    "q_graph_jaccard" -> qGraphJaccard
+    "q_graph_jaccard" -> qGraphJaccard,
+    "q_graph_labelprop" -> qGraphLabelprop
   )
 
   private val edgeSql =
@@ -153,6 +154,38 @@ object Graph {
           JOIN deg da ON cand.a = da.v
           JOIN deg db ON cand.b = db.v
           ORDER BY jac_x1e6 DESC, cand.a, cand.b""",
+    "q_graph_labelprop" ->
+      s"""WITH e0 AS MATERIALIZED ($edgeSql),
+          u0 AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, SUM(w) AS w
+                 FROM e0 GROUP BY 1, 2),
+          tot AS (SELECT count(*) AS n, SUM(w) AS s FROM u0),
+          u AS MATERIALIZED (SELECT a, b FROM u0, tot WHERE w * n * 3 > 4 * s),
+          adj AS (SELECT a AS v, b AS nb FROM u UNION ALL SELECT b, a FROM u),
+          n AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+          lp0 AS (SELECT id, id AS lbl FROM n),
+          s1 AS (SELECT adj.v, l.lbl, count(*) AS c
+                 FROM adj JOIN lp0 l ON adj.nb = l.id GROUP BY 1, 2),
+          m1 AS (SELECT v, lbl FROM (
+                   SELECT v, lbl, row_number() OVER (PARTITION BY v
+                     ORDER BY c DESC, lbl) AS rn FROM s1) WHERE rn = 1),
+          lp1 AS MATERIALIZED (SELECT n.id, COALESCE(m1.lbl, p.lbl) AS lbl
+                 FROM n LEFT JOIN m1 ON n.id = m1.v JOIN lp0 p ON p.id = n.id),
+          s2 AS (SELECT adj.v, l.lbl, count(*) AS c
+                 FROM adj JOIN lp1 l ON adj.nb = l.id GROUP BY 1, 2),
+          m2 AS (SELECT v, lbl FROM (
+                   SELECT v, lbl, row_number() OVER (PARTITION BY v
+                     ORDER BY c DESC, lbl) AS rn FROM s2) WHERE rn = 1),
+          lp2 AS MATERIALIZED (SELECT n.id, COALESCE(m2.lbl, p.lbl) AS lbl
+                 FROM n LEFT JOIN m2 ON n.id = m2.v JOIN lp1 p ON p.id = n.id),
+          s3 AS (SELECT adj.v, l.lbl, count(*) AS c
+                 FROM adj JOIN lp2 l ON adj.nb = l.id GROUP BY 1, 2),
+          m3 AS (SELECT v, lbl FROM (
+                   SELECT v, lbl, row_number() OVER (PARTITION BY v
+                     ORDER BY c DESC, lbl) AS rn FROM s3) WHERE rn = 1),
+          lp3 AS (SELECT n.id, COALESCE(m3.lbl, p.lbl) AS lbl
+                 FROM n LEFT JOIN m3 ON n.id = m3.v JOIN lp2 p ON p.id = n.id)
+          SELECT lbl AS community, count(*) AS n_nations
+          FROM lp3 GROUP BY 1 ORDER BY 1""",
     "q_graph_degree" ->
       s"""WITH e AS MATERIALIZED ($edgeSql)
           SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
@@ -347,6 +380,56 @@ object Graph {
       .groupBy(col("lbl").as("component"))
       .agg(count(lit(1)).as("n_nations"))
       .orderBy("component")
+  }
+
+  /** COMMUNITY DETECTION by synchronous label propagation (Raghavan et
+    * al. 2007, made deterministic): labels start as vertex ids; each of
+    * 3 UNROLLED synchronous rounds every vertex adopts the most frequent
+    * label among its neighbors over the thresholded undirected backbone
+    * (ties broken by smallest label; isolated vertices keep their own) —
+    * the async/random-order variants of LPA are not reproducible, which
+    * is why the synchronous fixed-round form is the one an
+    * oracle-checked engine ships. Each round is one Pregel superstep:
+    * adj ⋈ labels (vertex-keyed shuffle, or broadcast while labels
+    * fit), a map-side-combinable (v, lbl) count, and a per-vertex
+    * arg-max window over ≤ deg distinct labels — identical under any
+    * partitioning, so it survives the AQE/strategy sweeps. The round
+    * count is the fixed contract (not convergence-detected) so the
+    * declared result is a pure function of the graph. */
+  private def qGraphLabelprop(s: SparkSession, d: String): DataFrame = {
+    val u0 = edges(s, d)
+      .groupBy(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .agg(sum(col("w")).as("w"))
+    val tot = u0.agg(count(lit(1)).as("n"), sum(col("w")).as("s"))
+    // 4/3 × mean weight — tighter than the CC/triangle backbone's 1×
+    // mean so the graph keeps COMMUNITY structure instead of collapsing
+    // to one dense blob after the first round (still scale-invariant:
+    // cross-multiplied against the mean, no absolute count baked in)
+    val u = u0.crossJoin(broadcast(tot))
+      .filter(col("w") * col("n") * 3 > col("s") * 4)
+      .select("a", "b").localCheckpoint()
+    val adj = u.select(col("a").as("v"), col("b").as("nb"))
+      .unionAll(u.select(col("b").as("v"), col("a").as("nb")))
+    val verts = Tables.nation(s, d)
+      .select(col("n_nationkey").cast(LongType).as("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v")).orderBy(col("c").desc, col("nl"))
+    var lbl = verts.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to 3) {
+      val mode = adj
+        .join(lbl.select(col("id").as("nb"), col("lbl").as("nl")), Seq("nb"))
+        .groupBy(col("v"), col("nl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("v"), col("nl"))
+      lbl = verts
+        .join(mode, verts("id") === mode("v"), "left")
+        .join(lbl.select(col("id").as("pid"), col("lbl").as("pl")),
+          verts("id") === col("pid"))
+        .select(col("id"), coalesce(col("nl"), col("pl")).as("lbl"))
+    }
+    lbl.groupBy(col("lbl").as("community")).agg(count(lit(1)).as("n_nations"))
+      .orderBy("community")
   }
 
   /** Degree/strength profile: in/out degree and weighted strength per

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
+import graft.Dsl.dec
 import graft.expr.DotProductD
 import graft.ops.Dedup
 import graft.streaming.StreamOps
@@ -394,6 +395,45 @@ class OperatorUnitSuite extends SparkSuite {
       .queryExecution.executedPlan.toString()
     assert(phys.contains("TopKPerGroup"), s"expected TopKPerGroup in plan:\n$phys")
     out.unpersist()
+  }
+
+  test("q_feat_target_encode matches an independent driver-side recomputation") {
+    import java.security.MessageDigest
+    val rows = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (dec(col("o_totalprice"), 12, 2) * 100).cast("long").as("cents"))
+      .as[(Long, String, Long)].collect().toSeq
+    def fold(k: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(k.toString.getBytes)
+        .map("%02x".format(_)).mkString.take(3)
+      java.lang.Long.parseLong(hex, 16) % 5
+    }
+    val byFC = rows.groupBy(r => (fold(r._1), r._2))
+      .view.mapValues(v => (v.size.toLong, v.map(_._3).sum)).toMap
+    val byC = rows.groupBy(_._2).view.mapValues(v => (v.size.toLong, v.map(_._3).sum)).toMap
+    val prior = rows.map(_._3).sum / rows.size
+    val expected = byFC.map { case ((f, c), (nf, sf)) =>
+      val (nc, sc) = byC(c)
+      (f, c) -> ((nc - nf, (sc - sf + 10 * prior) / (nc - nf + 10)))
+    }
+    val got = SparkEntry.queries("q_feat_target_encode")(spark, sf0001)
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (f, c, n, e) => (f, c) -> ((n, e)) }.toMap
+    assert(got == expected)
+    // every (fold, category) cell present: the leak-free encoding must
+    // exist for all 5 folds of every category seen in the data
+    assert(got.keySet == (for (f <- 0L to 4L; c <- byC.keys) yield (f, c)).toSet)
+  }
+
+  test("q_graph_labelprop: communities partition the vertex set with vertex-id labels") {
+    val out = SparkEntry.queries("q_graph_labelprop")(spark, sf0001)
+      .as[(Long, Long)].collect().toSeq
+    val nVerts = Tables.nation(spark, sf0001).count()
+    assert(out.map(_._2).sum == nVerts, "every nation in exactly one community")
+    assert(out.forall { case (lbl, _) => lbl >= 0 && lbl < nVerts },
+      "labels are vertex ids")
+    assert(out.size > 1, "the thresholded backbone must yield >1 community")
+    assert(out.exists(_._2 > 1), "at least one real (multi-member) community")
   }
 
   test("canonicalUrl folds scheme/www/port/query/fragment/slash variants to one form") {
