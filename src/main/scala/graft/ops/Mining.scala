@@ -54,7 +54,8 @@ object Mining {
     "q_text_drift" -> qTextDrift,
     "q_text_vocab_growth" -> qTextVocabGrowth,
     "q_text_simpson" -> qTextSimpson,
-    "q_basket_lift" -> qBasketLift
+    "q_basket_lift" -> qBasketLift,
+    "q_text_bm25" -> qTextBm25
   )
 
   val oracle: Map[String, String] = Map(
@@ -174,7 +175,31 @@ object Mining {
                               WHEN 8 * l.cents > p.hi8 THEN p.hi8
                               ELSE 8 * l.cents END) AS BIGINT) AS sum_clip8
          FROM l JOIN p USING (flag)
-         GROUP BY l.flag ORDER BY l.flag"""
+         GROUP BY l.flag ORDER BY l.flag""",
+    "q_text_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+         t AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+         tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS sd, count(*) AS nd FROM dl),
+         df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         qt AS (SELECT w FROM (SELECT w, CAST(SUM(tf) AS BIGINT) AS cf
+                               FROM tf GROUP BY 1 ORDER BY cf DESC, w LIMIT 5)),
+         sc AS (
+           SELECT tf.w, tf.doc_id, tf.tf, dl.dl, tot.sd, tot.nd,
+                  length(bin(tot.nd // df.df)) - 1 AS idf2
+           FROM tf JOIN qt ON tf.w = qt.w JOIN df ON tf.w = df.w
+           JOIN dl ON tf.doc_id = dl.doc_id, tot)
+         SELECT w AS term, CAST(rnk AS BIGINT) AS rnk, doc_id, score_x1000 FROM (
+           SELECT w, doc_id,
+                  CAST(((idf2 + 1) * tf * 22 * sd * 1000)
+                       // (10 * sd * tf + 3 * sd + 9 * dl * nd) AS BIGINT) AS score_x1000,
+                  row_number() OVER (PARTITION BY w
+                    ORDER BY ((idf2 + 1) * tf * 22 * sd * 1000)
+                             // (10 * sd * tf + 3 * sd + 9 * dl * nd) DESC,
+                             doc_id) AS rnk
+           FROM sc)
+         WHERE rnk <= 5 ORDER BY term, rnk"""
   )
 
   /** Word-8-gram positions of every document: (doc_id, h) with one row
@@ -483,5 +508,49 @@ object Mining {
       .select(col("decile"), col("n_new").cast(LongType).as("n_new"),
         col("vocab_cum").cast(LongType).as("vocab_cum"))
       .orderBy("decile")
+  }
+
+  /** BM25 retrieval scoring (Robertson–Spärck Jones), made integer-exact:
+    * the constants k1 = 1.2 and b = 0.75 are rationals, so the whole
+    * per-(doc, term) score clears denominators into ONE truncating
+    * integer division —
+    * score×1000 = (idf·tf·22·Σdl·1000) DIV (10·Σdl·tf + 3·Σdl + 9·dl·N)
+    * — and IDF is quantized to the integer log2 of N/df
+    * (length(bin(N DIV df)) − 1, identical string semantics on both
+    * engines), +1 so ubiquitous terms still score. No float ever
+    * crosses the oracle boundary (ln-based IDF would hang the result on
+    * each engine's libm). The "query" is the corpus's own top-5 tokens
+    * by collection frequency (count desc, token asc — deterministic);
+    * output is each term's top-5 leaderboard.
+    *
+    * Scale: tf/dl/df are the inverted-index aggregates (map-side
+    * combinable, one token-keyed exchange shared by tf and df); the
+    * 5-term query and the df rows it needs broadcast; dl joins on the
+    * doc key the tf table already carries; the leaderboard prunes
+    * through a 5-row window per term. The corpus is never pair-joined. */
+  private def qTextBm25(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tot = dl.agg(sum(col("dl")).cast(LongType).as("sd"), count(lit(1)).as("nd"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val qt = tf.groupBy(col("w")).agg(sum(col("tf")).cast(LongType).as("cf"))
+      .orderBy(col("cf").desc, col("w")).limit(5).select("w")
+    tf.join(broadcast(qt), Seq("w"))
+      .join(broadcast(df), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(tot))
+      .withColumn("idf2", (length(bin(expr("nd DIV df"))) - 1).cast(LongType))
+      .withColumn("score_x1000", expr(
+        "((idf2 + 1) * tf * 22 * sd * 1000) DIV (10 * sd * tf + 3 * sd + 9 * dl * nd)"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
+          .orderBy(col("score_x1000").desc, col("doc_id"))))
+      .filter(col("rnk") <= 5)
+      .select(col("w").as("term"), col("rnk").cast(LongType).as("rnk"),
+        col("doc_id"), col("score_x1000"))
+      .orderBy("term", "rnk")
   }
 }
