@@ -44,7 +44,8 @@ object ScaleOps {
     "q_sample_group" -> qSampleGroup,
     "q_sample_systematic" -> qSampleSystematic,
     "q_sample_weighted" -> qSampleWeighted,
-    "q_agg_bitmap" -> qAggBitmap
+    "q_agg_bitmap" -> qAggBitmap,
+    "q_agg_countmin" -> qAggCountmin
   )
 
   val oracle: Map[String, String] = Map(
@@ -138,7 +139,24 @@ object ScaleOps {
                                      ORDER BY cnt DESC, o_orderpriority) AS rn
            FROM c)
          SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
-         FROM r WHERE rn = 1 ORDER BY o_orderstatus"""
+         FROM r WHERE rn = 1 ORDER BY o_orderstatus""",
+    "q_agg_countmin" ->
+      """WITH idx AS (SELECT unnest(generate_series(0, 3)) AS r),
+         cells AS (
+           SELECT r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                    CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 16 AS b,
+                  count(*) AS c
+           FROM events, idx GROUP BY 1, 2),
+         probes AS (SELECT user_id, count(*) AS exact FROM events
+                    GROUP BY 1 ORDER BY exact DESC, user_id LIMIT 5),
+         pb AS (SELECT p.user_id, p.exact, idx.r,
+                       CAST(('0x' || substr(md5(CAST(idx.r AS VARCHAR) || ':' ||
+                         CAST(p.user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 16 AS b
+                FROM probes p, idx)
+         SELECT pb.user_id, pb.exact, CAST(MIN(c.c) AS BIGINT) AS est,
+                CAST(MIN(c.c) - pb.exact AS BIGINT) AS overcount
+         FROM pb JOIN cells c ON pb.r = c.r AND pb.b = c.b
+         GROUP BY 1, 2 ORDER BY pb.user_id"""
   )
 
   /** Bloom-prefiltered fact⋈dim join. The build side (urgent orders) is
@@ -398,5 +416,53 @@ object ScaleOps {
         Window.partitionBy(col("lang")).orderBy(col("prio"), col("doc_id"))).cast("long"))
       .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"), col("prio"))
       .orderBy("lang", "rn")
+  }
+
+  /** The COUNT-MIN sketch counter table for `ev`'s `user_id` stream:
+    * d = 4 rows × w = 16 buckets, hashes md5-derived (salt-free, both
+    * engines agree bit-for-bit). ONE map-side-combinable aggregate —
+    * partial sketches from every partition merge by ADDITION, which is
+    * the sketch's defining property (unit-tested: cells(A∪B) =
+    * cells(A) + cells(B) cell-wise), so the build is a 64-cell
+    * exchange no matter how large the stream. */
+  def countMinCells(ev: DataFrame): DataFrame =
+    ev.select(explode(expr(
+        """transform(sequence(0, 3), i -> struct(
+             i AS r,
+             CAST(conv(substring(md5(concat(CAST(i AS STRING), ':',
+               CAST(user_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 16 AS b))"""))
+        .as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** COUNT-MIN SKETCH point queries, fully oracle-checked: the sketch is
+    * DETERMINISTIC given its hash functions, so unlike the HLL/LSH
+    * sketches this one needs no recall-band test — DuckDB rebuilds the
+    * same 4×16 counter table and the estimates hash-match exactly. The
+    * probes are the top-5 heaviest users; est = min over rows of the
+    * probe's bucket counter, and the emitted overcount (est − exact,
+    * ≥ 0 by construction) shows the collision error the ε = e/w bound
+    * governs. At 100 TB the sketch state is still 64 counters —
+    * point-queryable heavy-hitter counts with O(1) memory while the
+    * exact recount (here, the probe side) is the expensive path the
+    * sketch exists to avoid. */
+  private def qAggCountmin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cells = countMinCells(ev)
+    val probes = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("user_id")).limit(5)
+    probes.select(col("user_id"), col("exact"), explode(expr(
+        """transform(sequence(0, 3), i -> struct(
+             i AS r,
+             CAST(conv(substring(md5(concat(CAST(i AS STRING), ':',
+               CAST(user_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 16 AS b))"""))
+        .as("rb"))
+      .select(col("user_id"), col("exact"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(cells), Seq("r", "b"))
+      .groupBy(col("user_id"), col("exact"))
+      .agg(min(col("c")).as("est"))
+      .select(col("user_id"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"))
+      .orderBy("user_id")
   }
 }

@@ -397,6 +397,23 @@ class OperatorUnitSuite extends SparkSuite {
     out.unpersist()
   }
 
+  test("count-min sketch merges by addition and never undercounts") {
+    val ev = Tables.events(spark, sf0001)
+    val a = ev.filter(col("event_id") % 2 === 0)
+    val b = ev.filter(col("event_id") % 2 =!= 0)
+    val merged = graft.ops.ScaleOps.countMinCells(a)
+      .unionAll(graft.ops.ScaleOps.countMinCells(b))
+      .groupBy("r", "b").agg(sum("c").as("c"))
+    val whole = graft.ops.ScaleOps.countMinCells(ev)
+    assert(merged.exceptAll(whole).count() == 0 &&
+      whole.exceptAll(merged).count() == 0,
+      "cells(A) + cells(B) must equal cells(A ∪ B) cell-wise")
+    // the declared query's estimates dominate the exact counts
+    val out = SparkEntry.queries("q_agg_countmin")(spark, sf0001)
+    assert(out.filter(col("overcount") < 0).count() == 0)
+    assert(out.count() == 5)
+  }
+
   test("q_feat_target_encode matches an independent driver-side recomputation") {
     import java.security.MessageDigest
     val rows = Tables.orders(spark, sf0001)
