@@ -72,7 +72,14 @@ object Plans {
     "q_multimodal_phash", // perceptual hash pairs via the banded hamming join
     "q_graph_cc",        // pointer-doubling CC rounds over the trade backbone
     "q_mv_rewrite",      // aggregate re-pointed at the registered summary scan
-    "q_graph_jaccard"    // neighbor-keyed candidate pairs, anti-join on direct edges
+    "q_graph_jaccard",   // neighbor-keyed candidate pairs, anti-join on direct edges
+    "q_dedup_semantic",  // cell-bucketed pair join off the committed IVF artifact
+    "q_prune_proto",     // ascending TopKPerGroup prune, centroid table broadcast
+    "q_dedup_url",       // shuffle-free canonicalization, census on md5 hashes
+    "q_graph_labelprop", // 3 synchronous LPA supersteps, one exchange each
+    "q_feat_target_encode", // one fact aggregate, rollups over the fold×cat table
+    "q_text_bm25",       // tf/df off one token exchange, query+df broadcast
+    "q_agg_countmin"     // 64-cell sketch exchange regardless of stream size
   )
 
   def main(args: Array[String]): Unit = {
