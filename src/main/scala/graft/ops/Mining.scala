@@ -55,7 +55,8 @@ object Mining {
     "q_text_vocab_growth" -> qTextVocabGrowth,
     "q_text_simpson" -> qTextSimpson,
     "q_basket_lift" -> qBasketLift,
-    "q_text_bm25" -> qTextBm25
+    "q_text_bm25" -> qTextBm25,
+    "q_anomaly_seasonal" -> qAnomalySeasonal
   )
 
   val oracle: Map[String, String] = Map(
@@ -143,6 +144,30 @@ object Mining {
                 CAST(SUM(CASE WHEN d.dev2 * 2 > 3 * md.mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_out
          FROM d JOIN md USING (event_type)
          GROUP BY d.event_type ORDER BY d.event_type""",
+    "q_anomaly_seasonal" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS eday,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+         base AS (SELECT event_type, eday % 7 AS dow,
+                         (8 * CAST(SUM(n) AS BIGINT)) // count(*) AS mean8
+                  FROM daily GROUP BY 1, 2),
+         res AS (SELECT d.event_type, d.eday, d.n * 8 - b.mean8 AS res8
+                 FROM daily d JOIN base b
+                   ON d.event_type = b.event_type AND d.eday % 7 = b.dow),
+         mad AS (SELECT event_type, CAST(median(abs(res8)) * 2 AS BIGINT) AS mad2
+                 FROM res GROUP BY 1),
+         rk AS (SELECT r.event_type, r.eday, r.res8, m.mad2,
+                       CASE WHEN abs(r.res8) * 2 > m.mad2 * 3 THEN 1 ELSE 0 END AS flag,
+                       row_number() OVER (PARTITION BY r.event_type
+                         ORDER BY abs(r.res8) DESC, r.eday) AS rn
+                FROM res r JOIN mad m USING (event_type))
+         SELECT event_type, count(*) AS n_days, MAX(mad2) AS mad2,
+                CAST(SUM(flag) AS BIGINT) AS n_out,
+                MAX(CASE WHEN rn = 1 THEN eday END) AS worst_day,
+                MAX(CASE WHEN rn = 1 THEN res8 END) AS worst_res8
+         FROM rk GROUP BY 1 ORDER BY 1""",
     "q_text_drift" ->
       """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
          c AS (SELECT lang, w, count(*) AS c FROM t GROUP BY lang, w),
@@ -508,6 +533,52 @@ object Mining {
       .select(col("decile"), col("n_new").cast(LongType).as("n_new"),
         col("vocab_cum").cast(LongType).as("vocab_cum"))
       .orderBy("decile")
+  }
+
+  /** SEASONAL-baseline anomaly detection — the telemetry detector the
+    * global fences (q_anomaly_iqr/q_anomaly_mad) structurally miss: a
+    * weekly-periodic series makes every Saturday look like an outlier to
+    * a global fence, and a Saturday OUTAGE look normal. Baseline is the
+    * per-(event_type, day-of-week) truncating mean of daily counts (×8
+    * fixed-point; dow = epoch-day % 7, identical on both engines — the
+    * builtin dayofweek() enumerations differ between Spark and DuckDB
+    * and never touch the oracle boundary); a day is anomalous when its
+    * residual exceeds 1.5× the MAD of the type's residuals (the same
+    * doubled-median exactness discipline as q_anomaly_mad). Emits the
+    * per-type census plus the worst day (argmax |residual|, earliest-day
+    * tie-break).
+    *
+    * Scale: two map-side-combinable aggregates (daily counts; dow
+    * baselines over the tiny daily table), a broadcast of the
+    * |types|·7-row baseline, and per-type median/window passes over the
+    * DAILY table (days·types rows, not events) — the raw event stream is
+    * touched exactly once. */
+  private def qAnomalySeasonal(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        datediff(to_date(col("t")), lit("1970-01-01")).cast(LongType).as("eday"))
+      .groupBy(col("event_type"), col("eday")).agg(count(lit(1)).as("n"))
+    val base = daily.withColumn("dow", col("eday") % 7)
+      .groupBy(col("event_type"), col("dow"))
+      .agg(expr("(8 * sum(n)) DIV count(1)").as("mean8"))
+    val res = daily.withColumn("dow", col("eday") % 7)
+      .join(broadcast(base), Seq("event_type", "dow"))
+      .withColumn("res8", col("n") * 8 - col("mean8"))
+    val mad = res.groupBy(col("event_type"))
+      .agg(expr("CAST(median(abs(res8)) * 2 AS BIGINT)").as("mad2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(abs(col("res8")).desc, col("eday"))
+    res.join(broadcast(mad), Seq("event_type"))
+      .withColumn("flag",
+        when(abs(col("res8")) * 2 > col("mad2") * 3, 1L).otherwise(0L))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("mad2")).as("mad2"),
+        sum(col("flag")).cast(LongType).as("n_out"),
+        max(when(col("rn") === 1, col("eday"))).as("worst_day"),
+        max(when(col("rn") === 1, col("res8"))).as("worst_res8"))
+      .orderBy("event_type")
   }
 
   /** BM25 retrieval scoring (Robertson–Spärck Jones), made integer-exact:

@@ -774,6 +774,14 @@ object Quality {
   private val mvReady =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
 
+  /** The docs MV summary's store, inside the per-JVM scratch namespace
+    * ([[graft.Scratch]]): independent JVMs rebuilding a shared global
+    * path with overwrite would delete files out from under each other's
+    * pinned registrations. */
+  def docsMvPath(d: String): String =
+    s"${graft.Scratch.dir("graft_mv")}/" +
+      s"sf${d.replaceAll("[^A-Za-z0-9.]", "_")}_docs_src_lang"
+
   private def ensureDocsMv(s: SparkSession, d: String): Unit =
     mvReady.getOrElseUpdate((s, d), {
       import graft.plans.{MvDef, MvRegistry}
@@ -781,8 +789,7 @@ object Quality {
       // would make the directory HIDDEN to Spark's file index (paths
       // starting with _ or . are filtered), silently registering an
       // empty-schema summary that could never match
-      val path = s"${sys.props("java.io.tmpdir")}/graft_mv/" +
-        s"sf${d.replaceAll("[^A-Za-z0-9.]", "_")}_docs_src_lang"
+      val path = docsMvPath(d)
       // the build aggregates the base table itself — the guard keeps the
       // rewrite rule away from the build's own plan (self-rewrite onto the
       // summary being overwritten would read and write the same files)
@@ -830,7 +837,7 @@ object Quality {
     import graft.sources.ManifestTable
     // deterministic scratch table, wiped per call (bench re-runs must
     // rebuild from batch 0, not append onto a previous run's snapshots)
-    val t = s"${sys.props("java.io.tmpdir")}/graft_mv_incr/" +
+    val t = s"${graft.Scratch.dir("graft_mv_incr")}/" +
       s"sf${d.replaceAll("[^A-Za-z0-9.]", "_")}_events_type_user"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
     val ev = Tables.events(s, d)

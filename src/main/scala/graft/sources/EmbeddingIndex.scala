@@ -36,7 +36,9 @@ object EmbeddingIndex {
     * table that must PERSIST across calls. */
   private def artifactDir(d: String, name: String): String = {
     val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_index/${sf}_$name"
+    // per-JVM namespace (graft.Scratch): a concurrent JVM's first-touch
+    // wipe of a SHARED path would delete manifests this JVM is reading
+    s"${graft.Scratch.dir("graft_index")}/${sf}_$name"
   }
 
   private val wiped = scala.collection.concurrent.TrieMap.empty[String, Unit]

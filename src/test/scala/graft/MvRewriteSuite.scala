@@ -137,8 +137,7 @@ class MvRewriteSuite extends SparkSuite {
     val base = MvRegistry.pathsOf(
       spark.read.parquet(s"$sf0001/documents.parquet"))
     def planOfMv(q: String): LogicalPlan =
-      spark.read.parquet(s"${sys.props("java.io.tmpdir")}/graft_mv/" +
-        s"sf${sf0001.replaceAll("[^A-Za-z0-9.]", "_")}_docs_src_lang")
+      spark.read.parquet(ops.Quality.docsMvPath(sf0001))
         .queryExecution.analyzed
     SparkEntry.queries("q_mv_rewrite")(spark, sf0001) // registers docs_src_lang
     val defs = MvRegistry.forSession(spark)
@@ -213,7 +212,7 @@ class MvRewriteSuite extends SparkSuite {
     // group — sum-of-sums/min-of-mins over partials, the same
     // re-association the rewrite itself performs, so answers can't move
     SparkEntry.queries("q_mv_incr")(spark, sf0001)
-    val t = s"${sys.props("java.io.tmpdir")}/graft_mv_incr/" +
+    val t = s"${graft.Scratch.dir("graft_mv_incr")}/" +
       s"sf${sf0001.replaceAll("[^A-Za-z0-9.]", "_")}_events_type_user"
     val before = ManifestTable.read(spark, t)
     val nPartials = before.count()

@@ -246,7 +246,10 @@ class PlanSuite extends SparkSuite {
       "q_graph_cc", "q_dedup_incr",
       // link prediction crosses in the same 1-row mean-weight threshold
       // scalar as q_graph_triangles/q_graph_cc
-      "q_graph_jaccard")
+      "q_graph_jaccard",
+      // temperature mixing and BM25 cross in 1-row total scalars
+      // (corpus size / token total) — broadcast scalars like q_text_tfidf
+      "q_mix_temperature", "q_text_bm25")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString()
       val bad = (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")) &&

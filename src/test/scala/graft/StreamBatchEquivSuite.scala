@@ -801,6 +801,28 @@ class StreamBatchEquivSuite extends SparkSuite {
       "redelivered chunks must not re-emit pairs (raw emission count changed)")
   }
 
+  test("streaming count-min sketch state equals the batch 4x16 counter table") {
+    // the sketch build is ONE streaming aggregation (additive cells), so
+    // the same countMinCells plan runs unchanged on a stream; complete
+    // mode exposes the 64-cell state after every micro-batch
+    val rows = rowsByArrival
+    val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+    val q = graft.ops.ScaleOps.countMinCells(ms.toDF())
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(math.max(1, rows.size / 4 + 1)).foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("cms_stream")
+    val batch = graft.ops.ScaleOps.countMinCells(rows.toDF())
+    assert(batch.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "final streaming sketch state must equal the batch counter table")
+  }
+
   test("streaming URL dedup equals the batch first-seen census under redelivery") {
     val urlRows = Tables.documents(spark, sf0001)
       .withColumn("url", graft.ops.Dedup.syntheticUrl)
