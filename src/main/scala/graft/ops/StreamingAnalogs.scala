@@ -29,6 +29,7 @@ object StreamingAnalogs {
     "q_stream_outer_join" -> qStreamOuterJoin,
     "q_stream_window_join" -> qStreamWindowJoin,
     "q_stream_uv" -> qStreamUv,
+    "q_stream_throttle" -> qStreamThrottle,
     "q_cdc_compact" -> qCdcCompact
   )
 
@@ -144,7 +145,16 @@ object StreamingAnalogs {
                          row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
                   FROM chg)
          SELECT k, version, CAST(CAST(price AS DECIMAL(38,2)) AS VARCHAR) AS price
-         FROM last WHERE rn = 1 AND op <> 'D' ORDER BY k"""
+         FROM last WHERE rn = 1 AND op <> 'D' ORDER BY k""",
+    "q_stream_throttle" ->
+      """WITH r AS (SELECT user_id, event_id,
+                           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                              ORDER BY ts, event_id) AS rn
+                    FROM events)
+         SELECT user_id, count(*) AS n_events,
+                CAST(SUM(CASE WHEN rn <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(SUM(CASE WHEN rn > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         FROM r GROUP BY 1 ORDER BY 1"""
   )
 
   private def qStreamTumble(s: SparkSession, d: String): DataFrame =
@@ -335,6 +345,27 @@ object StreamingAnalogs {
     * deletes dropped — the batch form of the streaming foreachBatch
     * idempotent-upsert sink. The changelog is manufactured from orders
     * (no CDC source exists in this environment). */
+  /** Batch analog of the keyed-state rate limiter
+    * ([[StreamOps.throttleStreaming]], cap = 2 per user-day): the kept
+    * set under in-order arrival is exactly row_number ≤ cap per
+    * (user, day) ordered by (event time, id) — the spec the streaming
+    * equivalence test pins id-for-id. Declared output is the per-user
+    * kept/dropped census. One (user, day)-partitioned window (fully
+    * parallel — day keys bound partition width) and a map-side
+    * combinable user census: the event stream shuffles once. */
+  private def qStreamThrottle(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.events(s, d)
+      .withColumn("day", to_date(col("t")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("day"))
+          .orderBy(col("t"), col("event_id"))))
+    r.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("rn") <= 2, 1L).otherwise(0L)).cast(LongType).as("n_kept"),
+        sum(when(col("rn") > 2, 1L).otherwise(0L)).cast(LongType).as("n_dropped"))
+      .orderBy("user_id")
+  }
+
   private def qCdcCompact(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val price = dec(col("o_totalprice"), 12, 2)

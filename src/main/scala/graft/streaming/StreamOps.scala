@@ -155,6 +155,33 @@ object StreamOps {
         })
   }
 
+  /** Per-(user, day) RATE LIMITING / quota enforcement — the keyed-state
+    * throttle every event-ingestion tier runs (billing caps, abuse
+    * control, notification dedup): only the first `cap` events of a key
+    * pass; the rest drop. State per key is ONE counter (8 bytes), so
+    * state size is bounded by active (user, day) keys, not traffic — and
+    * a day key goes cold after its day passes (production adds state TTL
+    * for exactly that; the un-TTL'd form keeps the test deterministic).
+    * Within a micro-batch the group's rows are sorted by (event time,
+    * id) before counting — ROW ORDER INSIDE A BATCH ITERATOR IS NOT
+    * GUARANTEED after the shuffle, and an unsorted fold would make the
+    * kept set depend on partitioning; with in-order arrival the kept set
+    * then equals the batch row_number spec exactly (equivalence-tested). */
+  def throttleStreaming(ev: Dataset[EvRow], cap: Int): Dataset[EvRow] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(r => (r.user_id, r.t.getTime / 86400000L))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Long, Long), rows: Iterator[EvRow], state: GroupState[Long]) => {
+          var n = state.getOption.getOrElse(0L)
+          val kept = rows.toSeq.sortBy(r => (r.t.getTime, r.event_id)).flatMap { r =>
+            n += 1
+            if (n <= cap) Some(r) else None
+          }
+          state.update(n)
+          kept.iterator
+        })
+  }
+
   /** The same running totals as [[statefulPurchaseTotals]], on Spark 4's
     * arbitrary-stateful-processing v2 API (`transformWithState` +
     * `StatefulProcessor` + typed `ValueState`) — the successor to

@@ -470,6 +470,14 @@ class OperatorUnitSuite extends SparkSuite {
     val cased = Seq("http://a.com/Docs/7", "http://a.com/docs/7").toDF("url")
       .select(Dedup.canonicalUrl(col("url")).as("c")).as[String].collect().toSet
     assert(cased.size == 2)
+    // idempotence: canonical forms are fixed points — a pipeline stage
+    // re-canonicalizing already-canonical URLs must be a no-op
+    val twice = Tables.documents(spark, sf0001)
+      .withColumn("url", Dedup.syntheticUrl)
+      .select(Dedup.canonicalUrl(col("url")).as("c"))
+      .withColumn("c2", Dedup.canonicalUrl(col("c")))
+    assert(twice.filter(col("c2") =!= col("c")).count() == 0,
+      "canonicalUrl(canonicalUrl(u)) must equal canonicalUrl(u)")
   }
 
   test("q_mix_temperature flattens the language mix toward n^0.5 shares") {

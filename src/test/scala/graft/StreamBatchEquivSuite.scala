@@ -801,6 +801,30 @@ class StreamBatchEquivSuite extends SparkSuite {
       "redelivered chunks must not re-emit pairs (raw emission count changed)")
   }
 
+  test("keyed-state throttle keeps exactly the batch row_number spec, id-for-id") {
+    val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+    val typed = ms.toDS().map(e => StreamOps.EvRow(
+      e.event_id, e.user_id, e.event_type, math.round(e.value * 100), e.t))
+    val q = StreamOps.throttleStreaming(typed, 2)
+      .writeStream.format("memory").queryName("t_throttle").outputMode("append").start()
+    try {
+      // event-time-ordered chunks: arrival order == time order, so the
+      // kept set must equal the (t, event_id) row_number spec exactly
+      chunks(rowsByTime).foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("t_throttle").select("event_id")
+      .as[Long].collect().toSet
+    val want = batchEvents
+      .withColumn("day", to_date(col("t")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("day")).orderBy(col("t"), col("event_id"))))
+      .filter(col("rn") <= 2).select("event_id").as[Long].collect().toSet
+    assert(want.nonEmpty && want.size < rowsByTime.size,
+      "the cap must genuinely drop events at this fixture rate")
+    assert(got == want, s"kept sets differ: stream ${got.size} vs batch ${want.size}")
+  }
+
   test("streaming count-min sketch state equals the batch 4x16 counter table") {
     // the sketch build is ONE streaming aggregation (additive cells), so
     // the same countMinCells plan runs unchanged on a stream; complete
