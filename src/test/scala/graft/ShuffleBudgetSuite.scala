@@ -168,4 +168,46 @@ class ShuffleBudgetSuite extends SparkSuite {
     assert(pruned < 2 * n && win < 2 * n,
       s"neither form may ship the 10*n scored base (${10 * n}): topk=$pruned win=$win")
   }
+
+  test("semantic dedup's cell bucketing ships fewer candidate pairs than a single bucket") {
+    // the Σ n_c² discipline, measured: candidate generation keyed by 16
+    // cells vs the same stages under ONE global bucket (the degenerate
+    // all-pairs form). Broadcast off so the pair join and the distinct
+    // both genuinely exchange.
+    val emb = Tables.embeddings(spark, sf0001).localCheckpoint()
+    def candBytes(cid: org.apache.spark.sql.Column): Long = withBroadcastOff {
+      shuffleBytes {
+        val wv = emb.select(col("vec_id"), cid.as("cid"))
+        val a = wv.select(col("cid"), col("vec_id").as("aid"))
+        val b = wv.select(col("cid"), col("vec_id").as("bid"))
+        a.join(b, Seq("cid")).filter(col("aid") < col("bid"))
+          .select("aid", "bid").distinct()
+      }
+    }
+    val bucketed = candBytes(pmod(col("vec_id"), lit(16)))
+    val single = candBytes(lit(0L))
+    assert(bucketed < single / 4,
+      s"16-cell candidates wrote $bucketed shuffle bytes, single-bucket $single — " +
+        "expected at least a 4x cut from Σ n_c² vs n²")
+  }
+
+  test("bm25: deriving df from the tf table beats a second raw-token exchange") {
+    // the declared query computes df by re-aggregating tf (one token
+    // exchange shared); the naive form explodes the corpus again for df
+    val docs = Tables.documents(spark, sf0001).localCheckpoint()
+    def toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val shared = shuffleBytes {
+      val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    }
+    val rescan = shuffleBytes {
+      val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "w").distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      df.join(tf.groupBy(col("w")).agg(max("tf")), Seq("w"))
+    }
+    assert(shared < rescan,
+      s"shared-exchange tf→df wrote $shared shuffle bytes vs the re-scan form's $rescan")
+  }
 }
