@@ -58,7 +58,8 @@ object Quality {
     "q_manifest_diff" -> qManifestDiff,
     "q_dq_drift" -> qDqDrift,
     "q_mv_rewrite" -> qMvRewrite,
-    "q_mv_incr" -> qMvIncr
+    "q_mv_incr" -> qMvIncr,
+    "q_gdpr_erasure" -> qGdprErasure
   )
 
   val oracle: Map[String, String] = Map(
@@ -73,6 +74,11 @@ object Quality {
       """SELECT event_type, count(*) AS n_events, count(value) AS n_vals,
                 MIN(value) AS min_value, MAX(value) AS max_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_gdpr_erasure" ->
+      """SELECT event_type, count(*) AS n_events,
+                COUNT(DISTINCT user_id) AS n_users
+         FROM events WHERE user_id <> 7
+         GROUP BY 1 ORDER BY 1""",
     "q_dq_drift" ->
       """WITH ev AS (SELECT event_type,
                             CASE WHEN EXTRACT(day FROM CAST(ts AS TIMESTAMP)) <= 15
@@ -765,6 +771,39 @@ object Quality {
         min(col("k")).as("min_key"),
         max(col("k")).as("max_key"))
       .orderBy("o_orderstatus")
+  }
+
+  /** GDPR ERASURE (right-to-be-forgotten) as a transactional delete with
+    * file-level pruning: the events land in a [[graft.sources.ManifestTable]]
+    * as four user-RANGED data files (each carries tight user_id [min,max]
+    * stats sidecars), then `deleteWhere(user_id ∈ [7,7])` rewrites ONLY
+    * the one file whose stats admit user 7 — the other three are carried
+    * into the new manifest untouched (pinned file-for-file in
+    * ManifestTableSuite), and the pre-erasure snapshot stays
+    * time-travelable until a history purge + vacuum. The declared output
+    * is the post-erasure census, oracle-checked against a plain filter
+    * of the raw events — proving the prune-rewrite-commit cycle is
+    * EXACT, not best-effort. At 100 TB file-level pruning is the whole
+    * game: one user's rows live in a bounded file neighborhood, and the
+    * table never rewrites. */
+  private def qGdprErasure(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val t = s"${graft.Scratch.dir("graft_gdpr")}/" +
+      s"sf${d.replaceAll("[^A-Za-z0-9.]", "_")}_events"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    Seq((0L, 4L), (4L, 8L), (8L, 12L), (12L, Long.MaxValue)).foreach {
+      case (lo, hi) =>
+        ManifestTable.append(s, t,
+          ev.filter(col("user_id") >= lo && col("user_id") < hi).coalesce(1))
+    }
+    ManifestTable.deleteWhere(s, t, "user_id", 7L, 7L)
+    ManifestTable.read(s, t)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
   }
 
   /** One summary build + registration per (session, sf-dir) — the MV is a

@@ -322,6 +322,46 @@ object ManifestTable {
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
   }
 
+  /** Transactional DELETE WHERE `column ∈ [lo, hi]` with FILE-LEVEL
+    * PRUNING — the GDPR-erasure / retention-purge primitive of the
+    * production log formats: data files whose committed [min, max]
+    * stats (sidecar or footer, [[statsOf]]) cannot contain a matching
+    * row are carried into the new manifest UNTOUCHED — never read,
+    * never rewritten — and only the overlapping files are rewritten
+    * with the predicate's complement. At 100 TB this is the difference
+    * between rewriting one user's file neighborhood and rewriting the
+    * table. Files with no stats for `column` are conservatively
+    * rewritten, so the result is exact regardless of stats coverage.
+    *
+    * Snapshot-dependent commit (the merge discipline): the kept+staged
+    * file list is a function of the base snapshot, so the loop pins the
+    * base version, publishes at base+1 only, and recomputes from the
+    * NEW snapshot on a CAS loss. Older versions stay readable — an
+    * erasure that must also purge history follows with [[vacuum]] after
+    * dropping the old manifests (documented production two-step).
+    * Returns the committed version (the base version when no file can
+    * contain a match — a provable no-op commits nothing). */
+  def deleteWhere(spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long, maxRetries: Int = 20): Long = {
+    import org.apache.spark.sql.functions.{col => c}
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(table).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot in $table"))
+      val files = snapshotFiles(table, base)
+      val (hit, keep) = files.partition { f =>
+        statsOf(f).get(column).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
+      if (hit.isEmpty) return base
+      val rewritten = spark.read.parquet(hit: _*)
+        .filter(!(c(column) >= lo && c(column) <= hi))
+      val staged = stage(rewritten, table)
+      if (publish(table, base + 1, keep ++ staged)) return base + 1
+      attempt += 1 // lost the race: recompute against the new snapshot
+    }
+    throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
+  }
+
   /** Exactly-once streaming sink commit: append `df` tagged with the
     * micro-batch id, SKIPPING the append when that batch id is already
     * committed — the foreachBatch replay-after-failure case. The check

@@ -347,6 +347,36 @@ class ManifestTableSuite extends SparkSuite {
     assert(pr5.inputFiles.length == 4 && pr5.count() == 4000L)
   }
 
+  test("deleteWhere rewrites only stats-overlapping files; untouched files carry over verbatim") {
+    val t = freshTable()
+    (0 until 4).foreach { r =>
+      ManifestTable.append(spark, t,
+        spark.range(r * 1000L, r * 1000L + 1000L).toDF("k").repartition(1))
+    }
+    val v3 = ManifestTable.latestVersion(t).get
+    val before = ManifestTable.snapshotFiles(t, v3)
+    val (hitBefore, keepBefore) = before.partition { f =>
+      ManifestTable.statsOf(f).get("k").forall { case (mn, mx) => mx >= 2100L && mn <= 2300L }
+    }
+    assert(hitBefore.size == 1 && keepBefore.size == 3)
+    val v4 = ManifestTable.deleteWhere(spark, t, "k", 2100L, 2300L)
+    assert(v4 == v3 + 1)
+    val after = ManifestTable.snapshotFiles(t, v4)
+    // the three non-overlapping files appear in the new manifest VERBATIM
+    // (same paths — never read, never rewritten), plus new staged file(s)
+    assert(keepBefore.forall(after.contains), "untouched files must carry over by path")
+    assert(!after.contains(hitBefore.head), "the hit file must be replaced")
+    // the delete is exact
+    assert(ManifestTable.read(spark, t).count() == 4000L - 201L)
+    assert(ManifestTable.read(spark, t)
+      .filter(col("k") >= 2100L && col("k") <= 2300L).count() == 0L)
+    // time travel: the pre-erasure snapshot is intact until history purge
+    assert(ManifestTable.read(spark, t, Some(v3)).count() == 4000L)
+    // a provably-no-op delete commits nothing
+    assert(ManifestTable.deleteWhere(spark, t, "k", 99000L, 99999L) == v4)
+    assert(ManifestTable.latestVersion(t).get == v4)
+  }
+
   test("vacuum keeps live files' stats sidecars, deletes orphans' sidecars with them") {
     val t = freshTable()
     ManifestTable.append(spark, t, spark.range(0L, 100L).toDF("k").repartition(1))
