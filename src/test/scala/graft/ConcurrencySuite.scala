@@ -22,13 +22,17 @@ class ConcurrencySuite extends SparkSuite {
     "q_agg_group", "q_tpch_q5", "q_win_rank", "q_basket_lift",
     // the MV pair: registry registration + summary (re)build racing the
     // other queries' optimizer passes — answers must not move
-    "q_mv_rewrite", "q_mv_incr")
+    "q_mv_rewrite", "q_mv_incr",
+    // the committed-index pair: a genuinely concurrent FIRST build of the
+    // shared IVF cell artifact (EmbeddingIndex striped lock + manifest
+    // CAS) plus a reader served from it — answers must not move
+    "q_dedup_semantic", "q_index_cells")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf0001).collect()
       .map(_.toString).toSeq.sorted
 
-  test("14 cache-sharing queries run concurrently match their sequential results") {
+  test("16 cache-sharing queries run concurrently match their sequential results") {
     // sequential baseline FIRST on a clean cache state
     ops.Dedup.clearCaches()
     val sequential = names.map(n => n -> rows(n)).toMap
