@@ -604,7 +604,13 @@ object Mining {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
     val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint()
+    // dl and the totals derive from the TF TABLE (Σ tf per doc == token
+    // count), not a second corpus explode — the raw token stream is
+    // scanned exactly once; everything downstream runs on
+    // vocabulary-sized tables (checkpoint shares the one tf build
+    // across the df / dl / query-term / score consumers)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast(LongType).as("dl"))
     val tot = dl.agg(sum(col("dl")).cast(LongType).as("sd"), count(lit(1)).as("nd"))
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val qt = tf.groupBy(col("w")).agg(sum(col("tf")).cast(LongType).as("cf"))
