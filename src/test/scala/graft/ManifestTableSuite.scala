@@ -294,6 +294,35 @@ class ManifestTableSuite extends SparkSuite {
     } finally pool.shutdown()
   }
 
+  test("concurrent deletes all land: the CAS loser re-prunes against the winner's snapshot") {
+    // deleteWhere's kept+staged file list is a FUNCTION of the base
+    // snapshot (same hazard class as merge): a loser republishing its
+    // stale list would resurrect a winner's deleted rows by carrying
+    // the winner's REPLACED file back into the manifest. Four disjoint
+    // range deletes — one per original data file — must all survive.
+    val t = freshTable()
+    (0 until 4).foreach { r =>
+      ManifestTable.append(spark, t,
+        spark.range(r * 1000L, r * 1000L + 1000L).toDF("k").repartition(1))
+    }
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = (0 until 4).map { r =>
+        Future(ManifestTable.deleteWhere(spark, t, "k",
+          r * 1000L + 100L, r * 1000L + 199L))
+      }
+      val versions = Await.result(Future.sequence(futs), 120.seconds)
+      assert(versions.toSet.size == 4, s"every delete must win a distinct version: $versions")
+      val now = ManifestTable.read(spark, t)
+      assert(now.count() == 4000L - 400L,
+        "every delete's rows must stay deleted through every later CAS winner")
+      for (r <- 0 until 4)
+        assert(now.filter(col("k").between(r * 1000L + 100L, r * 1000L + 199L)).count() == 0L,
+          s"delete $r resurrected")
+    } finally pool.shutdown()
+  }
+
   test("concurrent appends both land: the CAS loser retries on top of the winner") {
     val t = freshTable()
     ManifestTable.append(spark, t, range(0, 10))
