@@ -41,7 +41,8 @@ object Formats {
     "q_source_xml" -> qSourceXml,
     "q_source_text" -> qSourceText,
     "q_bucket_join" -> qBucketJoin,
-    "q_layout_compact" -> qLayoutCompact
+    "q_layout_compact" -> qLayoutCompact,
+    "q_backfill_partition" -> qBackfillPartition
   )
 
   val oracle: Map[String, String] = Map(
@@ -122,7 +123,17 @@ object Formats {
       """SELECT l_returnflag, count(*) AS cnt,
                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_qty,
                 MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_backfill_partition" ->
+      """WITH base AS (SELECT event_type,
+                             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                             CAST(ts AS DATE) AS day
+                      FROM events),
+         f AS (SELECT (SELECT MIN(day) FROM base) + 2 AS fixday)
+         SELECT event_type, count(*) AS n_events,
+                CAST(SUM(CASE WHEN day = f.fixday THEN cents * 2 ELSE cents END)
+                     AS BIGINT) AS sum_cents
+         FROM base, f GROUP BY 1 ORDER BY 1"""
   )
 
   /** Deterministic per-(sf, table) scratch dir under java.io.tmpdir;
@@ -567,5 +578,48 @@ object Formats {
         sum(col("price")).cast(DecimalType(38, 2)).cast(StringType).as("total_price"),
         countDistinct(col("o_custkey")).as("n_cust"))
       .orderBy("o_orderstatus")
+  }
+
+  /** PARTITION BACKFILL via dynamic partition overwrite — the standard
+    * warehouse correction loop: the events land hive-partitioned by day,
+    * a corrected re-statement of ONE day (here: min day + 2, cents
+    * doubled) is written with `partitionOverwriteMode=dynamic`, and
+    * Spark replaces ONLY the partitions present in the incoming write —
+    * every other day's files stay byte-identical on disk (pinned by
+    * SourceSinkSuite's existing dynamic-overwrite test). The declared
+    * census reads the
+    * post-backfill table and is oracle-checked against the raw events
+    * with the correction applied arithmetically — so the partition-
+    * scoped replace is proven EXACT, not just plausible. At 100 TB this
+    * is the difference between rewriting one day and rewriting the
+    * table (the pre-manifest ancestor of ManifestTable.deleteWhere's
+    * file-level pruning, still the idiom on plain hive layouts). */
+  private def qBackfillPartition(s: SparkSession, d: String): DataFrame = {
+    val t = s"${graft.Scratch.dir("graft_backfill")}/" +
+      s"sf${d.replaceAll("[^A-Za-z0-9.]", "_")}_events_by_day"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        (graft.Dsl.dec(col("value")) * 100).cast(LongType).as("cents"),
+        to_date(col("t")).as("day"))
+    ev.write.partitionBy("day").parquet(t)
+    val fix = ev
+      .crossJoin(broadcast(ev.agg(date_add(min(col("day")), 2).as("fixday"))))
+      .filter(col("day") === col("fixday"))
+      .select(col("event_id"), col("event_type"),
+        (col("cents") * 2).as("cents"), col("day"))
+    val k = "spark.sql.sources.partitionOverwriteMode"
+    val old = s.conf.getOption(k)
+    s.conf.set(k, "dynamic")
+    try fix.write.mode("overwrite").partitionBy("day").parquet(t)
+    finally old match {
+      case Some(v) => s.conf.set(k, v)
+      case None => s.conf.unset(k)
+    }
+    s.read.parquet(t)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).cast(LongType).as("sum_cents"))
+      .orderBy("event_type")
   }
 }

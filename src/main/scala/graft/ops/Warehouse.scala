@@ -47,7 +47,8 @@ object Warehouse {
     "q_anomaly_iqr" -> qAnomalyIqr,
     "q_profile" -> qProfile,
     "q_rfm" -> qRfm,
-    "q_score_decay" -> qScoreDecay
+    "q_score_decay" -> qScoreDecay,
+    "q_twap" -> qTwap
   )
 
   val oracle: Map[String, String] = Map(
@@ -125,6 +126,19 @@ object Warehouse {
                 CAST(COALESCE(per_day.rev, CAST(0 AS DECIMAL(38,2))) AS VARCHAR) AS revenue
          FROM spine LEFT JOIN per_day ON spine.d = per_day.d
          ORDER BY day""",
+    "q_twap" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS tu,
+                          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                   FROM events WHERE value IS NOT NULL),
+         s AS (SELECT event_type, cents, tu,
+                      lead(tu) OVER (PARTITION BY event_type
+                                     ORDER BY tu, event_id) AS nxt
+               FROM e)
+         SELECT event_type, count(*) AS n_segments,
+                CAST(SUM(nxt - tu) AS BIGINT) AS span_us,
+                CAST(SUM(cents * (nxt - tu)) // SUM(nxt - tu) AS BIGINT) AS twap_cents
+         FROM s WHERE nxt IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
     "q_gap_interp" ->
       """WITH spine AS (
            SELECT p.o_orderpriority AS prio,
@@ -425,6 +439,38 @@ object Warehouse {
     * Two window passes per series (backward carry, forward carry), both
     * partitioned by the series key — at scale each series interpolates
     * independently inside its own partition, no cross-series traffic. */
+  /** TIME-WEIGHTED AVERAGE (TWAP / the telemetry-gauge mean): each
+    * observation's value holds until the next one, so its weight is the
+    * DURATION to its successor — the aggregation semantics a plain avg
+    * gets wrong whenever sampling is irregular (a gauge polled rarely
+    * while high would dominate a naive mean taken per sample, and
+    * vice versa). Integer-exact: µs gaps from the int64 ts contract,
+    * cents values, one truncating division at the end —
+    * twap = Σ(cents·gap) DIV Σ(gap). Null-valued events carry no gauge
+    * reading and are excluded BEFORE segmentation (their neighbors'
+    * segments span across them, mirrored in the oracle). Headroom:
+    * cents ≲ 10⁵ × gap ≲ 10⁸ µs × 10⁵ rows ≈ 10¹⁸ < 2⁶³.
+    *
+    * Scale: one (event_type)-keyed window pass for the lead() and a
+    * map-side-combinable aggregate — the same single exchange any
+    * per-type sort needs. */
+  private def qTwap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("tu"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("ts DIV 1000").as("tu"),
+        (dec(col("value")) * 100).cast(LongType).as("cents"))
+      .withColumn("nxt", lead(col("tu"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("gap", col("nxt") - col("tu"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("gap")).cast(LongType).as("span_us"),
+        expr("sum(cents * gap) DIV sum(gap)").as("twap_cents"))
+      .orderBy("event_type")
+  }
+
   private def qGapInterp(s: SparkSession, d: String): DataFrame = {
     val prios = Tables.orders(s, d).select(col("o_orderpriority").as("prio")).distinct()
     val days = s.range(1).select(explode(expr(

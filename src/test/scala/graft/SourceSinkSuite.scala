@@ -291,4 +291,5 @@ class SourceSinkSuite extends SparkSuite {
       if (t == null) Seq.empty else String.valueOf(t.getMessage) +: msgs(t.getCause)
     assert(msgs(err).exists(_.contains("does not support Spark type")), msgs(err).toString)
   }
+
 }
