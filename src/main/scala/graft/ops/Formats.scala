@@ -136,11 +136,12 @@ object Formats {
          FROM base, f GROUP BY 1 ORDER BY 1"""
   )
 
-  /** Deterministic per-(sf, table) scratch dir under java.io.tmpdir;
+  /** Deterministic per-(sf, table) scratch dir in the per-JVM namespace
+    * ([[graft.Scratch]] — concurrent JVMs must not wipe each other);
     * mode("overwrite") makes re-runs idempotent. */
   private def roundtripDir(d: String, name: String): String = {
     val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_roundtrip/${sf}_$name"
+    s"${graft.Scratch.dir("graft_roundtrip")}/${sf}_$name"
   }
 
   /** Avro container-file round-trip through [[graft.sources.AvroSource]]

@@ -677,7 +677,7 @@ object Quality {
     * snapshot scans. */
   private def qManifestDiff(s: SparkSession, d: String): DataFrame = {
     import graft.sources.ManifestTable
-    val t = s"${sys.props("java.io.tmpdir")}/graft_manifest_diff/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val t = s"${graft.Scratch.dir("graft_manifest_diff")}/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
     val o = Tables.orders(s, d).select(
       col("o_orderkey").as("k"),
@@ -753,7 +753,7 @@ object Quality {
     // deterministic scratch table, wiped per call: a re-run must start
     // from v0 (appending onto a previous run's snapshots would change
     // the answer), and bench/sweep re-runs must not leak temp dirs
-    val t = s"${sys.props("java.io.tmpdir")}/graft_manifest_q/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val t = s"${graft.Scratch.dir("graft_manifest_q")}/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
     val o = Tables.orders(s, d).select(
       col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
