@@ -32,7 +32,9 @@ object StreamBench {
       .select("event_id", "user_id", "event_type", "value", "t")
     // wipe the whole probe root, not just the input dir: earlier runs'
     // checkpoint dirs would otherwise accumulate in /tmp forever
-    val root = "/tmp/graft-streambench"
+    // per-JVM namespace (graft.Scratch): a concurrent JVM must not wipe
+    // an in-flight probe root; the shutdown hook sweeps it
+    val root = graft.Scratch.dir("streambench")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val inDir = s"$root/in"
     (0 until replays).foreach { r =>
