@@ -17,14 +17,22 @@ class SqlSurfaceSuite extends SparkSuite {
     "q_agg_group", "q_win_rank", "q_tpch_q6", "q_set_except",
     "q_filter_pred", "q_scalar_subquery",
     // r6: incremental digest dedup — md5 + windows + CASE, ANSI-common
-    "q_dedup_incr")
+    "q_dedup_incr",
+    // r6 continuation: URL canonicalization (regexp/string ops read
+    // identically) and the throttle census (row_number over a date cast)
+    "q_dedup_url", "q_stream_throttle")
 
-  private def registerViews(): Unit =
+  private def registerViews(): Unit = {
     Seq("region", "nation", "supplier", "customer", "part", "orders",
       "lineitem", "documents")
       .foreach { t =>
         Tables(spark, sf0001, t).createOrReplaceTempView(t)
       }
+    // events registers RAW (ts = parquet timestamp), matching what the
+    // oracle text sees in DuckDB — the Tables contract's int64-nanos ts
+    // is a DataFrame-side convenience the SQL text never references
+    spark.read.parquet(s"$sf0001/events.parquet").createOrReplaceTempView("events")
+  }
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq
