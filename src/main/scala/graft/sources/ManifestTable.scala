@@ -241,19 +241,59 @@ object ManifestTable {
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** Compact schema signature recorded in every commit's manifest meta —
+    * the basis of SCHEMA ENFORCEMENT (append must match; overwrite may
+    * evolve), name:type in declared order since parquet unions require
+    * positional consistency. */
+  private def schemaSig(df: DataFrame): String =
+    df.schema.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
+
+  /** The schema the table currently enforces, if any commit recorded one
+    * (manifests from before schema tracking have none — enforcement
+    * starts with the first tracked commit). */
+  def currentSchema(table: String): Option[String] =
+    latestVersion(table).flatMap(v => snapshotMeta(table, v).get("schema"))
+
+  /** SCHEMA ENFORCEMENT (the Delta write contract): a snapshot-extending
+    * commit must bring exactly the table's recorded schema — silent
+    * drift is the lake failure mode mergeSchema reads paper over.
+    * Evolution is an explicit [[overwrite]]. */
+  private def enforceSchema(table: String, df: DataFrame): Unit =
+    currentSchema(table).foreach { have =>
+      val bring = schemaSig(df)
+      require(have == bring,
+        s"schema mismatch on $table: table enforces [$have], write brings " +
+          s"[$bring] — evolve explicitly via overwrite")
+    }
+
+  /** Commit history: (version, operation) for every still-readable
+    * manifest, oldest first — the DESCRIBE HISTORY primitive (operations
+    * recorded from the first tracked commit on; older manifests report
+    * "unknown"). */
+  def history(table: String): Seq[(Long, String)] = {
+    val md = manifestDir(table)
+    if (!Files.isDirectory(md)) return Seq.empty
+    listDir(md)
+      .filter(_.getFileName.toString.matches("v\\d{8}\\.manifest"))
+      .map(versionOf).sorted
+      .map(v => v -> snapshotMeta(table, v).getOrElse("op", "unknown"))
+  }
+
   /** Append `df` as a new snapshot: stage, then optimistic commit loop —
     * on losing the CAS, re-read the NEW latest file list and retry so
     * the loser's rows land on top of the winner's (never instead of).
-    * Returns the committed version. */
+    * Enforces the recorded schema. Returns the committed version. */
   def append(spark: SparkSession, table: String, df: DataFrame,
       maxRetries: Int = 20): Long = {
+    enforceSchema(table, df)
     val staged = stage(df, table)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(table)
       val prev = base.map(snapshotFiles(table, _)).getOrElse(Seq.empty)
       val v = base.getOrElse(-1L) + 1
-      if (publish(table, v, prev ++ staged)) return v
+      if (publish(table, v, prev ++ staged,
+          Map("op" -> "append", "schema" -> schemaSig(df)))) return v
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
@@ -276,7 +316,8 @@ object ManifestTable {
     var attempt = 0
     while (attempt < maxRetries) {
       val v = latestVersion(table).getOrElse(-1L) + 1
-      if (publish(table, v, staged)) return v
+      if (publish(table, v, staged,
+          Map("op" -> "overwrite", "schema" -> schemaSig(df)))) return v
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
@@ -316,7 +357,8 @@ object ManifestTable {
             .coalesce(col(s"u.$c"), col(s"t.$c")).as(c)
         }: _*)
       val staged = stage(merged, table)
-      if (publish(table, base + 1, staged)) return base + 1
+      if (publish(table, base + 1, staged,
+          Map("op" -> "merge", "schema" -> schemaSig(merged)))) return base + 1
       attempt += 1 // lost the race: recompute against the new snapshot
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
@@ -356,7 +398,8 @@ object ManifestTable {
       val rewritten = spark.read.parquet(hit: _*)
         .filter(!(c(column) >= lo && c(column) <= hi))
       val staged = stage(rewritten, table)
-      if (publish(table, base + 1, keep ++ staged)) return base + 1
+      if (publish(table, base + 1, keep ++ staged,
+          Map("op" -> "delete", "schema" -> schemaSig(rewritten)))) return base + 1
       attempt += 1 // lost the race: recompute against the new snapshot
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
@@ -377,6 +420,7 @@ object ManifestTable {
       .flatMap(v => snapshotMeta(table, v).get("lastBatchId")).map(_.toLong)
       .getOrElse(-1L)
     if (committed >= batchId) return None
+    enforceSchema(table, df)
     val staged = stage(df, table)
     var attempt = 0
     while (attempt < 20) {
@@ -384,7 +428,9 @@ object ManifestTable {
       val base = latestVersion(table)
       val prev = base.map(snapshotFiles(table, _)).getOrElse(Seq.empty)
       val v = base.getOrElse(-1L) + 1
-      if (publish(table, v, prev ++ staged, Map("lastBatchId" -> batchId.toString)))
+      if (publish(table, v, prev ++ staged,
+          Map("lastBatchId" -> batchId.toString,
+            "op" -> "streaming-append", "schema" -> schemaSig(df))))
         return Some(v)
       attempt += 1
     }

@@ -406,6 +406,38 @@ class ManifestTableSuite extends SparkSuite {
     assert(ManifestTable.latestVersion(t).get == v4)
   }
 
+  test("schema enforcement: drifted appends throw, overwrite evolves, history records ops") {
+    val t = freshTable()
+    ManifestTable.append(spark, t, range(0, 10))            // id, v
+    // exact-match append passes
+    ManifestTable.append(spark, t, range(10, 20))
+    // drifted schema (extra column) must throw BEFORE staging anything
+    val err = intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, t,
+        range(20, 30).withColumn("extra", col("id") + 1))
+    }
+    assert(err.getMessage.contains("schema mismatch"), err.getMessage)
+    // same names, different type: also a mismatch
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, t,
+        range(20, 30).select(col("id"), col("v").cast("int").as("v")))
+    }
+    assert(ManifestTable.read(spark, t).count() == 20,
+      "rejected writes must leave the snapshot untouched")
+    // evolution is explicit: overwrite records the NEW schema...
+    ManifestTable.overwrite(spark, t,
+      range(0, 5).withColumn("extra", col("id") + 1))
+    // ...which appends must now match (old schema now rejected)
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, t, range(5, 6))
+    }
+    ManifestTable.append(spark, t,
+      range(5, 6).withColumn("extra", col("id") + 1))
+    assert(ManifestTable.read(spark, t).count() == 6)
+    assert(ManifestTable.history(t).map(_._2) ==
+      Seq("append", "append", "overwrite", "append"))
+  }
+
   test("erasure two-step: expire + vacuum make the deleted rows physically unrecoverable") {
     val t = freshTable()
     (0 until 4).foreach { r =>
