@@ -39,7 +39,8 @@ object Advanced {
     "q_attribution_linear" -> qAttributionLinear,
     "q_ab_metrics" -> qAbMetrics,
     "q_cohort_ltv" -> qCohortLtv,
-    "q_rolling_wau" -> qRollingWau
+    "q_rolling_wau" -> qRollingWau,
+    "q_peak_concurrency" -> qPeakConcurrency
   )
 
   val oracle: Map[String, String] = Map(
@@ -253,7 +254,27 @@ object Advanced {
                 CAST(SUM(CASE WHEN s1.c1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_sessions,
                 CAST(SUM(s2.conv) AS BIGINT) AS n_conv_sessions
          FROM s1 JOIN s2 ON s1.user_id = s2.user_id AND s1.sid = s2.sid
-         GROUP BY s1.user_id ORDER BY s1.user_id"""
+         GROUP BY s1.user_id ORDER BY s1.user_id""",
+    "q_peak_concurrency" ->
+      """WITH iv AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                            MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+                     FROM events GROUP BY 1, 2),
+         pts AS (SELECT day, user_id, s AS tu, 1 AS delta FROM iv
+                 UNION ALL
+                 SELECT day, user_id, e + 1, -1 FROM iv),
+         run AS (SELECT day, tu, delta,
+                        SUM(delta) OVER (PARTITION BY day
+                          ORDER BY tu, delta DESC, user_id
+                          ROWS UNBOUNDED PRECEDING) AS cur
+                 FROM pts),
+         pk AS (SELECT day, MAX(cur) AS peak FROM run GROUP BY day)
+         SELECT strftime(pk.day, '%Y-%m-%d') AS day,
+                CAST((SELECT count(*) FROM iv WHERE iv.day = pk.day) AS BIGINT)
+                  AS n_sessions,
+                CAST(pk.peak AS BIGINT) AS peak,
+                CAST(MIN(run.tu) AS BIGINT) AS peak_tu
+         FROM pk JOIN run ON run.day = pk.day AND run.cur = pk.peak
+         GROUP BY pk.day, pk.peak ORDER BY day"""
   )
 
   /** Conversion funnel signup → click → purchase (ordered, strict): the
@@ -653,6 +674,49 @@ object Advanced {
       .select(date_format(col("wend"), "yyyy-MM-dd").as("day"),
         col("dau"), col("wau"),
         expr("dau * 1000 DIV wau").as("sticky_x1000"))
+      .orderBy("day")
+  }
+
+  /** PEAK CONCURRENCY — the live-operations gauge (how many sessions
+    * were active AT ONCE, and when): each user's daily activity interval
+    * [first event, last event] becomes a +1 delta at its start and a −1
+    * just past its end; the running sum of deltas in time order IS the
+    * concurrency curve, and its per-day max is the peak. The classic
+    * interval-stabbing reduction — no interval self-join, no per-minute
+    * explosion. Determinism: at equal microsecond, +1s apply before −1s
+    * (delta DESC) so a back-to-back handoff counts as overlapping on
+    * both engines, and within a delta group the intermediate sums are
+    * the same VALUES in any user order, so max and earliest-peak-time
+    * are order-independent (user_id still pins a total row order for
+    * the window). peak_tu is the earliest microsecond achieving the
+    * peak.
+    *
+    * Scale: intervals live within a day by construction, so the running
+    * sum PARTITIONS BY day — fully parallel windows, never a global
+    * prefix scan (the cross-day variant would use the bucketed two-pass
+    * prefix overlay q_stream_late ships). One aggregate over the event
+    * stream, then everything runs on the 2-points-per-session table. */
+  private def qPeakConcurrency(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("t")).as("day"))
+      .agg(expr("min(ts DIV 1000)").as("st"), expr("max(ts DIV 1000)").as("en"))
+    val pts = iv.select(col("day"), col("user_id"), col("st").as("tu"), lit(1).as("delta"))
+      .unionAll(iv.select(col("day"), col("user_id"),
+        (col("en") + 1).as("tu"), lit(-1).as("delta")))
+    val run = pts.withColumn("cur", sum(col("delta")).over(
+      Window.partitionBy(col("day"))
+        .orderBy(col("tu"), col("delta").desc, col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val pk = run.groupBy(col("day")).agg(max(col("cur")).as("peak"))
+    val nSess = iv.groupBy(col("day")).agg(count(lit(1)).as("n_sessions"))
+    run.join(pk, Seq("day")).filter(col("cur") === col("peak"))
+      .groupBy(col("day"), col("peak"))
+      .agg(min(col("tu")).as("peak_tu"))
+      .join(nSess, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_sessions"),
+        col("peak").cast(LongType).as("peak"),
+        col("peak_tu").cast(LongType).as("peak_tu"))
       .orderBy("day")
   }
 }

@@ -397,6 +397,31 @@ class OperatorUnitSuite extends SparkSuite {
     out.unpersist()
   }
 
+  test("q_peak_concurrency: peaks bounded by session counts and match a sweep-line recount") {
+    val out = SparkEntry.queries("q_peak_concurrency")(spark, sf0001).cache()
+    assert(out.filter(col("peak") < 1 || col("peak") > col("n_sessions")).count() == 0)
+    // independent driver-side sweep-line on the FIRST day: rebuild the
+    // intervals from raw events and replay the +1/-1 scan
+    val firstDay = out.agg(min("day")).as[String].head()
+    val ivs = Tables.events(spark, sf0001)
+      .filter(date_format(to_date(col("t")), "yyyy-MM-dd") === firstDay)
+      .groupBy(col("user_id"))
+      .agg(expr("min(ts DIV 1000)").as("s"), expr("max(ts DIV 1000)").as("e"))
+      .as[(Long, Long, Long)].collect()
+    val pts = ivs.flatMap { case (u, s, e) => Seq((s, 1, u), (e + 1, -1, u)) }
+      .sortBy { case (tu, dlt, u) => (tu, -dlt, u) }
+    var cur = 0; var peak = 0; var peakTu = 0L
+    pts.foreach { case (tu, dlt, _) =>
+      cur += dlt
+      if (cur > peak) { peak = cur; peakTu = tu }
+    }
+    val row = out.filter(col("day") === firstDay)
+      .select("n_sessions", "peak", "peak_tu").as[(Long, Long, Long)].head()
+    assert(row == ((ivs.length.toLong, peak.toLong, peakTu)),
+      s"sweep-line recount disagrees: got $row want (${ivs.length}, $peak, $peakTu)")
+    out.unpersist()
+  }
+
   test("count-min sketch merges by addition and never undercounts") {
     val ev = Tables.events(spark, sf0001)
     val a = ev.filter(col("event_id") % 2 === 0)
