@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.Tables
 import graft.Dsl._
 
@@ -45,7 +46,8 @@ object ScaleOps {
     "q_sample_systematic" -> qSampleSystematic,
     "q_sample_weighted" -> qSampleWeighted,
     "q_agg_bitmap" -> qAggBitmap,
-    "q_agg_countmin" -> qAggCountmin
+    "q_agg_countmin" -> qAggCountmin,
+    "q_skew_stats" -> qSkewStats
   )
 
   val oracle: Map[String, String] = Map(
@@ -156,7 +158,19 @@ object ScaleOps {
          SELECT pb.user_id, pb.exact, CAST(MIN(c.c) AS BIGINT) AS est,
                 CAST(MIN(c.c) - pb.exact AS BIGINT) AS overcount
          FROM pb JOIN cells c ON pb.r = c.r AND pb.b = c.b
-         GROUP BY 1, 2 ORDER BY pb.user_id"""
+         GROUP BY 1, 2 ORDER BY pb.user_id""",
+    "q_skew_stats" ->
+      """WITH f AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1),
+         ff AS (SELECT c, count(*) AS m FROM f GROUP BY c),
+         tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n_keys,
+                        CAST(SUM(c * m) AS BIGINT) AS n_rows,
+                        CAST(MAX(c) AS BIGINT) AS max_f FROM ff),
+         num AS (SELECT CAST(SUM(a.m * b.m * ABS(a.c - b.c)) AS BIGINT) AS s
+                 FROM ff a, ff b)
+         SELECT tot.n_keys, tot.n_rows, tot.max_f,
+                (tot.max_f * 1000000) // tot.n_rows AS top_share_x1e6,
+                (num.s * 1000000) // (2 * tot.n_keys * tot.n_rows) AS gini_x1e6
+         FROM tot, num"""
   )
 
   /** Bloom-prefiltered fact⋈dim join. The build side (urgent orders) is
@@ -434,6 +448,37 @@ object ScaleOps {
         .as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("c"))
+
+  /** KEY-SKEW DIAGNOSTICS — the report a pipeline reads BEFORE choosing
+    * salting / AQE settings for a join key (q_join_salted is the cure;
+    * this is the diagnosis): key count, row count, hottest key's share,
+    * and the Gini coefficient of the key-frequency distribution in exact
+    * parts-per-million. Gini is computed WINDOW-FREE via the
+    * mean-absolute-difference identity over the FREQUENCY-OF-FREQUENCIES
+    * table — Σ mᵢ·mⱼ·|fᵢ−fⱼ| over distinct frequency VALUES — because
+    * the textbook rank formula needs a global sort (an unpartitioned
+    * window this engine bans), while the distinct-frequency table is
+    * log-bounded in corpus size (Heaps-flavored: new frequency values
+    * appear ever more rarely), so its self-pair join is a few hundred
+    * rows squared at ANY scale. Headroom: Σ mᵢmⱼ|Δf| ≲ n_keys²·max_f
+    * needs the ×10⁶ product under 2⁶³ — holds to ~10⁹ keys at the
+    * fixture's skew; past that, promote to DECIMAL(38,0). */
+  private def qSkewStats(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.lineitem(s, d).groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val ff = f.groupBy(col("c")).agg(count(lit(1)).as("m")).localCheckpoint()
+    val tot = ff.agg(
+      sum(col("m")).cast(LongType).as("n_keys"),
+      sum(col("c") * col("m")).cast(LongType).as("n_rows"),
+      max(col("c")).as("max_f"))
+    val num = ff.select(col("c").as("ca"), col("m").as("ma"))
+      .crossJoin(ff.select(col("c").as("cb"), col("m").as("mb")))
+      .agg(sum(col("ma") * col("mb") * abs(col("ca") - col("cb")))
+        .cast(LongType).as("s"))
+    tot.crossJoin(broadcast(num))
+      .select(col("n_keys"), col("n_rows"), col("max_f"),
+        expr("(max_f * 1000000) DIV n_rows").as("top_share_x1e6"),
+        expr("(s * 1000000) DIV (2 * n_keys * n_rows)").as("gini_x1e6"))
+  }
 
   /** COUNT-MIN SKETCH point queries, fully oracle-checked: the sketch is
     * DETERMINISTIC given its hash functions, so unlike the HLL/LSH

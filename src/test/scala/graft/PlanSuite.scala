@@ -249,7 +249,11 @@ class PlanSuite extends SparkSuite {
       "q_graph_jaccard",
       // temperature mixing and BM25 cross in 1-row total scalars
       // (corpus size / token total) — broadcast scalars like q_text_tfidf
-      "q_mix_temperature", "q_text_bm25")
+      "q_mix_temperature", "q_text_bm25",
+      // skew diagnostics: the Gini mean-difference pair join is over the
+      // DISTINCT-FREQUENCY table (log-bounded in corpus size by design),
+      // plus a 1-row numerator scalar
+      "q_skew_stats")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString()
       val bad = (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")) &&
