@@ -79,7 +79,12 @@ object Plans {
     "q_graph_labelprop", // 3 synchronous LPA supersteps, one exchange each
     "q_feat_target_encode", // one fact aggregate, rollups over the fold×cat table
     "q_text_bm25",       // tf/df off one token exchange, query+df broadcast
-    "q_agg_countmin"     // 64-cell sketch exchange regardless of stream size
+    "q_agg_countmin",    // 64-cell sketch exchange regardless of stream size
+    "q_twap",            // one per-type lead() window, map-combinable aggregate
+    "q_peak_concurrency", // ±1 deltas, day-partitioned running sum (no global scan)
+    "q_skew_stats",      // window-free Gini: distinct-frequency pair identity
+    "q_gdpr_erasure",    // stats-pruned deleteWhere, snapshot scan downstream
+    "q_stream_throttle"  // (user, day) window + map-combinable census
   )
 
   def main(args: Array[String]): Unit = {
