@@ -141,7 +141,11 @@ object Formats {
     * mode("overwrite") makes re-runs idempotent. */
   private def roundtripDir(d: String, name: String): String = {
     val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
-    s"${graft.Scratch.dir("graft_roundtrip")}/${sf}_$name"
+    // "sf" prefix: the sf-dir mangling starts with "_", and an
+    // underscore-leading leaf is HIDDEN to Spark's file index (the
+    // hazard the MV store documented) — reads worked only via the
+    // explicit-schema path, with "All paths were ignored" warns
+    s"${graft.Scratch.dir("graft_roundtrip")}/sf${sf}_$name"
   }
 
   /** Avro container-file round-trip through [[graft.sources.AvroSource]]

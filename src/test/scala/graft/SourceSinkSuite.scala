@@ -57,8 +57,8 @@ class SourceSinkSuite extends SparkSuite {
     // and the 4-file compacted rewrite as side effects
     assert(ops.Formats.queries("q_layout_compact")(spark, sf0001).count() == 3)
     val sf = sf0001.replaceAll("[^A-Za-z0-9.]", "_")
-    val frag = s"${graft.Scratch.dir("graft_roundtrip")}/${sf}_lineitem_frag"
-    val comp = s"${graft.Scratch.dir("graft_roundtrip")}/${sf}_lineitem_compact"
+    val frag = s"${graft.Scratch.dir("graft_roundtrip")}/sf${sf}_lineitem_frag"
+    val comp = s"${graft.Scratch.dir("graft_roundtrip")}/sf${sf}_lineitem_compact"
     def partFiles(dir: String): Int =
       new java.io.File(dir).listFiles().count(f =>
         f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
