@@ -56,7 +56,8 @@ object Mining {
     "q_text_simpson" -> qTextSimpson,
     "q_basket_lift" -> qBasketLift,
     "q_text_bm25" -> qTextBm25,
-    "q_anomaly_seasonal" -> qAnomalySeasonal
+    "q_anomaly_seasonal" -> qAnomalySeasonal,
+    "q_text_coverage" -> qTextCoverage
   )
 
   val oracle: Map[String, String] = Map(
@@ -224,7 +225,19 @@ object Mining {
                              // (10 * sd * tf + 3 * sd + 9 * dl * nd) DESC,
                              doc_id) AS rnk
            FROM sc)
-         WHERE rnk <= 5 ORDER BY term, rnk"""
+         WHERE rnk <= 5 ORDER BY term, rnk""",
+    "q_text_coverage" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         tf AS (SELECT w, count(*) AS c FROM toks WHERE len(w) > 0 GROUP BY w),
+         r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn FROM tf),
+         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM tf),
+         ks AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128]) AS k)
+         SELECT CAST(ks.k AS BIGINT) AS k,
+                CAST(SUM(CASE WHEN r.rn <= ks.k THEN r.c ELSE 0 END) AS BIGINT)
+                  AS covered,
+                CAST(SUM(CASE WHEN r.rn <= ks.k THEN r.c ELSE 0 END) * 1000000
+                     // MAX(tot.t) AS BIGINT) AS coverage_x1e6
+         FROM ks, r, tot GROUP BY ks.k ORDER BY k"""
   )
 
   /** Word-8-gram positions of every document: (doc_id, h) with one row
@@ -579,6 +592,34 @@ object Mining {
         max(when(col("rn") === 1, col("eday"))).as("worst_day"),
         max(when(col("rn") === 1, col("res8"))).as("worst_res8"))
       .orderBy("event_type")
+  }
+
+  /** VOCABULARY COVERAGE CURVE — the tokenizer-sizing metric: what
+    * fraction of corpus token MASS the top-k types cover, at doubling k
+    * (the CDF of the Zipf-ish type distribution; complements
+    * q_text_heavy's hot types and q_text_vocab_growth's new-type curve).
+    * Each point is a TakeOrderedAndProject over the vocabulary table —
+    * global top-k WITHOUT a global sort or an unpartitioned window
+    * (map-side k-row heaps per partition, k-row merge on one reducer;
+    * the k values are constants, so every pass is bounded) — off ONE
+    * checkpointed term-frequency build. Exact ppm integer coverage. */
+  private def qTextCoverage(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = tf.agg(sum(col("c")).cast(LongType).as("t"))
+    val ks = Seq(1, 2, 4, 8, 16, 32, 64, 128)
+    ks.map { k =>
+      tf.orderBy(col("c").desc, col("w")).limit(k)
+        .agg(sum(col("c")).cast(LongType).as("covered"))
+        .select(lit(k.toLong).as("k"), col("covered"))
+    }.reduce(_ unionAll _)
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("covered"),
+        expr("covered * 1000000 DIV t").as("coverage_x1e6"))
+      .orderBy("k")
   }
 
   /** BM25 retrieval scoring (Robertson–Spärck Jones), made integer-exact:

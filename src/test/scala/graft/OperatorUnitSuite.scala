@@ -397,6 +397,25 @@ class OperatorUnitSuite extends SparkSuite {
     out.unpersist()
   }
 
+  test("q_text_coverage: monotone CDF, capped at 1e6, matches a driver-side recount") {
+    val out = SparkEntry.queries("q_text_coverage")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L))
+    assert(out.forall(_._3 <= 1000000L))
+    assert(out.sliding(2).forall { case Seq(a, b) => a._2 <= b._2 }, "CDF must be monotone")
+    // independent recount: full term-frequency table in driver memory
+    val freqs = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count().as[(String, Long)].collect()
+      .sortBy { case (w, c) => (-c, w) }.map(_._2)
+    val total = freqs.sum
+    out.foreach { case (k, covered, ppm) =>
+      val want = freqs.take(k.toInt).sum
+      assert(covered == want && ppm == want * 1000000L / total, s"k=$k")
+    }
+  }
+
   test("q_peak_concurrency: peaks bounded by session counts and match a sweep-line recount") {
     val out = SparkEntry.queries("q_peak_concurrency")(spark, sf0001).cache()
     assert(out.filter(col("peak") < 1 || col("peak") > col("n_sessions")).count() == 0)
