@@ -59,7 +59,8 @@ object Quality {
     "q_dq_drift" -> qDqDrift,
     "q_mv_rewrite" -> qMvRewrite,
     "q_mv_incr" -> qMvIncr,
-    "q_gdpr_erasure" -> qGdprErasure
+    "q_gdpr_erasure" -> qGdprErasure,
+    "q_quality_gopher" -> qQualityGopher
   )
 
   val oracle: Map[String, String] = Map(
@@ -79,6 +80,35 @@ object Quality {
                 COUNT(DISTINCT user_id) AS n_users
          FROM events WHERE user_id <> 7
          GROUP BY 1 ORDER BY 1""",
+    "q_quality_gopher" ->
+      """WITH t AS (
+           SELECT string_split(text, ' ') AS ws,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                  CAST(len(text) AS BIGINT) AS n_c
+           FROM documents),
+         f AS (
+           SELECT
+             CASE WHEN n_tok < 20 THEN 1 ELSE 0 END AS f_short,
+             CASE WHEN n_tok > 80 THEN 1 ELSE 0 END AS f_long,
+             CASE WHEN (n_c - n_tok + 1) * 100 // n_tok < 400
+                    OR (n_c - n_tok + 1) * 100 // n_tok > 500
+                  THEN 1 ELSE 0 END AS f_wordlen,
+             CASE WHEN NOT (list_contains(ws, 'the') OR list_contains(ws, 'a'))
+                  THEN 1 ELSE 0 END AS f_stop,
+             CASE WHEN list_max(list_transform(list_distinct(ws),
+                        w -> len(list_filter(ws, x -> x = w)))) * 1000 // n_tok > 150
+                  THEN 1 ELSE 0 END AS f_rep
+           FROM t)
+         SELECT rule, n_docs FROM (
+           SELECT 'r1_too_short' AS rule, CAST(SUM(f_short) AS BIGINT) AS n_docs FROM f
+           UNION ALL SELECT 'r2_too_long', CAST(SUM(f_long) AS BIGINT) FROM f
+           UNION ALL SELECT 'r3_word_len', CAST(SUM(f_wordlen) AS BIGINT) FROM f
+           UNION ALL SELECT 'r4_stopword', CAST(SUM(f_stop) AS BIGINT) FROM f
+           UNION ALL SELECT 'r5_repetition', CAST(SUM(f_rep) AS BIGINT) FROM f
+           UNION ALL SELECT 'retained',
+             CAST(COUNT(*) - SUM(GREATEST(f_short, f_long, f_wordlen, f_stop, f_rep)) AS BIGINT) FROM f
+           UNION ALL SELECT 'total', CAST(COUNT(*) AS BIGINT) FROM f)
+         ORDER BY rule""",
     "q_dq_drift" ->
       """WITH ev AS (SELECT event_type,
                             CASE WHEN EXTRACT(day FROM CAST(ts AS TIMESTAMP)) <= 15
@@ -936,4 +966,60 @@ object Quality {
         avg(col("n_chars")).as("avg_chars"))
       .orderBy("lang")
   }
+
+  /** Gopher-style rule-attribution census (Rae et al. 2021 §A1.1): which
+    * curation rule kills how many documents, plus the retained count the
+    * pipeline actually ships. Differs from q_text_quality (per-doc
+    * scores): this is the CORPUS-level report a curation run publishes —
+    * per-rule kill attribution is what tells you a threshold is
+    * mis-tuned before you retrain on the survivors.
+    *
+    * Five fixture-calibrated rules, all integer-exact (fixed-point ×100 /
+    * ×1000 ratios, no float crosses the oracle boundary): token-count
+    * bounds, mean-word-length band, stopword presence, and top-token
+    * repetition share (the word-salad analog of Gopher's top-2-gram
+    * fraction). A doc is retained iff every rule passes.
+    *
+    * Scale (100 TB): all five flags come out of ONE projection over one
+    * corpus scan — per-row bounded array work (docs are length-capped),
+    * no shuffle until the single map-combinable global aggregate, whose
+    * partials are 7 longs per partition. The census rows are then
+    * unpivoted driver-side from that one aggregated row via stack().
+    * Adding a rule is a new column in the same pass, never a new scan —
+    * the Deequ analyzer-batch discipline q_dq_audit uses, applied to
+    * corpus curation. */
+  private def qQualityGopher(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_tok", size(col("ws")).cast(LongType))
+      // sum of word lengths = chars minus the n_tok-1 single-space gaps
+      .withColumn("mwl_x100", expr("(length(text) - n_tok + 1) * 100 DIV n_tok"))
+      // largest single-token share, ×1000: distinct-then-count is
+      // O(|vocab|·|doc|) per row but docs are bounded (<=99 tokens) and
+      // it keeps the whole census shuffle-free (no per-doc groupBy pass)
+      .withColumn("top_x1000", expr(
+        """array_max(transform(array_distinct(ws),
+             w -> size(filter(ws, x -> x = w)))) * 1000 DIV n_tok"""))
+      .select(
+        when(col("n_tok") < 20, 1L).otherwise(0L).as("f_short"),
+        when(col("n_tok") > 80, 1L).otherwise(0L).as("f_long"),
+        when(col("mwl_x100") < 400 || col("mwl_x100") > 500, 1L)
+          .otherwise(0L).as("f_wordlen"),
+        when(!(array_contains(col("ws"), "the") ||
+               array_contains(col("ws"), "a")), 1L).otherwise(0L).as("f_stop"),
+        when(col("top_x1000") > 150, 1L).otherwise(0L).as("f_rep"))
+      .withColumn("f_any", greatest(
+        col("f_short"), col("f_long"), col("f_wordlen"), col("f_stop"), col("f_rep")))
+      .agg(
+        sum(col("f_short")).as("s1"), sum(col("f_long")).as("s2"),
+        sum(col("f_wordlen")).as("s3"), sum(col("f_stop")).as("s4"),
+        sum(col("f_rep")).as("s5"),
+        (count(lit(1)) - sum(col("f_any"))).as("s6"),
+        count(lit(1)).as("s7"))
+      .select(expr(
+        """stack(7,
+             'r1_too_short', s1, 'r2_too_long', s2, 'r3_word_len', s3,
+             'r4_stopword', s4, 'r5_repetition', s5,
+             'retained', s6, 'total', s7) AS (rule, n_docs)"""))
+      .orderBy("rule")
 }
