@@ -250,6 +250,9 @@ class PlanSuite extends SparkSuite {
       // temperature mixing and BM25 cross in 1-row total scalars
       // (corpus size / token total) — broadcast scalars like q_text_tfidf
       "q_mix_temperature", "q_text_bm25",
+      // the coverage CDF crosses in the 1-row corpus token total —
+      // broadcast scalar like q_text_tfidf
+      "q_text_coverage",
       // skew diagnostics: the Gini mean-difference pair join is over the
       // DISTINCT-FREQUENCY table (log-bounded in corpus size by design),
       // plus a 1-row numerator scalar

@@ -206,4 +206,30 @@ class QualitySuite extends SparkSuite {
     assert(revs.sameElements(revs.sortBy(x => -x)), "q10 must be revenue-descending")
     assert(out.map(_.getLong(0)).distinct.length == out.length, "one row per customer")
   }
+
+  test("q_quality_gopher: census reconciles, every rule discriminates, one exchange") {
+    val census = q("q_quality_gopher").as[(String, Long)].collect().toMap
+    val total = Tables.documents(spark, sf0001).count()
+    assert(census("total") == total, "census total must equal the corpus size")
+    // retained + union-of-kills = total (f_any is the OR, not the sum, of
+    // the per-rule flags — a doc killed twice is still one doc)
+    val ruleKills = census.collect { case (k, v) if k.startsWith("r") && k != "retained" => v }
+    assert(census("retained") <= total - ruleKills.max)
+    assert(ruleKills.forall(k => k > 0 && k < total),
+      s"each rule must kill some but not all docs at this fixture: $census")
+    assert(census("retained") > 0, "the calibrated thresholds must retain survivors")
+    assert(total - census("retained") <= ruleKills.sum,
+      "union of kills is bounded by the sum of per-rule kills")
+    // scale shape: one scan + ONE semantic exchange (the global
+    // aggregate's SinglePartition); Tables' fixture-ingest round-robin
+    // repartition (REPARTITION_BY_NUM, Tables.scala) is excluded — it
+    // exists because the fixture is one parquet file, not for the query
+    val plan = Quality.queries("q_quality_gopher")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val semanticExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("REPARTITION_BY_NUM"))
+      .size
+    assert(semanticExchanges == 1,
+      s"expected exactly one semantic exchange (the global aggregate):\n${plan.take(2000)}")
+  }
 }
