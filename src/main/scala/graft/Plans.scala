@@ -83,6 +83,7 @@ object Plans {
     "q_twap",            // one per-type lead() window, map-combinable aggregate
     "q_peak_concurrency", // ±1 deltas, day-partitioned running sum (no global scan)
     "q_skew_stats",      // window-free Gini: distinct-frequency pair identity
+    "q_quality_gopher",  // rule-kill census: one scan, one global-agg exchange
     "q_gdpr_erasure",    // stats-pruned deleteWhere, snapshot scan downstream
     "q_stream_throttle"  // (user, day) window + map-combinable census
   )

@@ -988,8 +988,15 @@ object Quality {
     * Adding a rule is a new column in the same pass, never a new scan —
     * the Deequ analyzer-batch discipline q_dq_audit uses, applied to
     * corpus curation. */
-  private def qQualityGopher(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** Per-document Gopher-rule flags — the LIBRARY form of the census:
+    * appends `f_short f_long f_wordlen f_stop f_rep` (0/1 longs) and
+    * `f_any` (their OR) to `docs`, which must carry a `text` column.
+    * Filter with `.filter(col("f_any") === 0)` to keep survivors, or
+    * aggregate the flags for the census (q_quality_gopher). One
+    * shuffle-free codegen projection; per-row array work is bounded by
+    * the document length cap. */
+  def gopherFlags(docs: DataFrame): DataFrame =
+    docs
       .withColumn("ws", split(col("text"), " "))
       .withColumn("n_tok", size(col("ws")).cast(LongType))
       // sum of word lengths = chars minus the n_tok-1 single-space gaps
@@ -1000,16 +1007,22 @@ object Quality {
       .withColumn("top_x1000", expr(
         """array_max(transform(array_distinct(ws),
              w -> size(filter(ws, x -> x = w)))) * 1000 DIV n_tok"""))
-      .select(
-        when(col("n_tok") < 20, 1L).otherwise(0L).as("f_short"),
-        when(col("n_tok") > 80, 1L).otherwise(0L).as("f_long"),
-        when(col("mwl_x100") < 400 || col("mwl_x100") > 500, 1L)
-          .otherwise(0L).as("f_wordlen"),
+      .withColumn("f_short", when(col("n_tok") < 20, 1L).otherwise(0L))
+      .withColumn("f_long", when(col("n_tok") > 80, 1L).otherwise(0L))
+      .withColumn("f_wordlen",
+        when(col("mwl_x100") < 400 || col("mwl_x100") > 500, 1L).otherwise(0L))
+      .withColumn("f_stop",
         when(!(array_contains(col("ws"), "the") ||
-               array_contains(col("ws"), "a")), 1L).otherwise(0L).as("f_stop"),
-        when(col("top_x1000") > 150, 1L).otherwise(0L).as("f_rep"))
+               array_contains(col("ws"), "a")), 1L).otherwise(0L))
+      .withColumn("f_rep", when(col("top_x1000") > 150, 1L).otherwise(0L))
       .withColumn("f_any", greatest(
         col("f_short"), col("f_long"), col("f_wordlen"), col("f_stop"), col("f_rep")))
+      .drop("ws", "n_tok", "mwl_x100", "top_x1000")
+
+  private def qQualityGopher(s: SparkSession, d: String): DataFrame =
+    gopherFlags(Tables.documents(s, d))
+      .select(col("f_short"), col("f_long"), col("f_wordlen"),
+        col("f_stop"), col("f_rep"), col("f_any"))
       .agg(
         sum(col("f_short")).as("s1"), sum(col("f_long")).as("s2"),
         sum(col("f_wordlen")).as("s3"), sum(col("f_stop")).as("s4"),
