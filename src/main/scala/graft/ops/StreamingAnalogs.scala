@@ -30,8 +30,18 @@ object StreamingAnalogs {
     "q_stream_window_join" -> qStreamWindowJoin,
     "q_stream_uv" -> qStreamUv,
     "q_stream_throttle" -> qStreamThrottle,
+    "q_stream_curation" -> qStreamCuration,
     "q_cdc_compact" -> qCdcCompact
   )
+
+  /** Batch analog of [[StreamOps.curationCensus]] — the per-block
+    * Gopher-rule kill census a streaming ingest maintains of itself
+    * (StreamBatchEquivSuite proves the identical aggregation on a
+    * MemoryStream in complete mode). One narrow flag projection + one
+    * additive block-keyed aggregate; at 100 TB the exchange moves three
+    * longs per block, never documents. */
+  private def qStreamCuration(s: SparkSession, d: String): DataFrame =
+    StreamOps.curationCensus(Tables.documents(s, d)).orderBy("blk")
 
   val oracle: Map[String, String] = Map(
     "q_stream_tumble" ->
@@ -132,6 +142,30 @@ object StreamingAnalogs {
       """SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
                 COUNT(DISTINCT user_id) AS uv, count(*) AS pv
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_stream_curation" ->
+      """WITH t AS (
+           SELECT doc_id // 100 AS blk,
+                  string_split(text, ' ') AS ws,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                  CAST(len(text) AS BIGINT) AS n_c
+           FROM documents),
+         f AS (
+           SELECT blk, GREATEST(
+             CASE WHEN n_tok < 20 THEN 1 ELSE 0 END,
+             CASE WHEN n_tok > 80 THEN 1 ELSE 0 END,
+             CASE WHEN (n_c - n_tok + 1) * 100 // n_tok < 400
+                    OR (n_c - n_tok + 1) * 100 // n_tok > 500
+                  THEN 1 ELSE 0 END,
+             CASE WHEN NOT (list_contains(ws, 'the') OR list_contains(ws, 'a'))
+                  THEN 1 ELSE 0 END,
+             CASE WHEN list_max(list_transform(list_distinct(ws),
+                        w -> len(list_filter(ws, x -> x = w)))) * 1000 // n_tok > 150
+                  THEN 1 ELSE 0 END) AS f_any
+           FROM t)
+         SELECT blk, count(*) AS n_docs,
+                CAST(SUM(f_any) AS BIGINT) AS n_killed,
+                CAST(count(*) - SUM(f_any) AS BIGINT) AS n_retained
+         FROM f GROUP BY blk ORDER BY blk""",
     "q_cdc_compact" ->
       """WITH chg AS (
            SELECT o_orderkey AS k, 1 AS version, 'I' AS op,

@@ -557,6 +557,20 @@ object StreamOps {
       .select(col("d1"), col("d2"), col("n_agree"))
   }
 
+  /** Per-block curation census — the CONTINUOUS form of the Gopher-rule
+    * quality gate: the same shuffle-free `Quality.gopherFlags` projection
+    * feeding one additive per-block aggregate (count + OR-flag sum), so
+    * the identical plan runs on a batch frame or a document stream (the
+    * monitoring view a streaming ingest keeps of its own kill rate;
+    * complete mode exposes the running census after every micro-batch).
+    * Blocks are doc_id DIV 100 arrival cohorts. */
+  def curationCensus(docs: DataFrame): DataFrame =
+    graft.ops.Quality.gopherFlags(docs)
+      .groupBy(expr("doc_id DIV 100").as("blk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("f_any")).cast("long").as("n_killed"),
+        (count(lit(1)) - sum(col("f_any"))).cast("long").as("n_retained"))
+
   def cepPurchaseError(ev: Dataset[CepEv], gapUs: Long = 600000000L): Dataset[CepHit] = {
     import ev.sparkSession.implicits._
     ev.groupByKey(_.user_id)

@@ -847,6 +847,30 @@ class StreamBatchEquivSuite extends SparkSuite {
       "final streaming sketch state must equal the batch counter table")
   }
 
+  test("streaming curation census equals the batch per-block kill counts") {
+    // the census is a stateless flag projection + one additive aggregate,
+    // so the same curationCensus plan runs unchanged on a stream; complete
+    // mode exposes the running per-block kill counts after every batch
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text").orderBy("doc_id").as[Doc].collect().toSeq
+    val ms = MemoryStream(Encoders.product[Doc], spark.sqlContext)
+    val q = StreamOps.curationCensus(ms.toDF())
+      .writeStream.format("memory").queryName("curation_stream")
+      .outputMode("complete").start()
+    try {
+      docs.grouped(math.max(1, docs.size / 4 + 1)).foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("curation_stream")
+    val batch = StreamOps.curationCensus(
+      Tables.documents(spark, sf0001).select("doc_id", "lang", "text"))
+    assert(batch.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "final streaming census state must equal the batch per-block census")
+  }
+
   test("streaming URL dedup equals the batch first-seen census under redelivery") {
     val urlRows = Tables.documents(spark, sf0001)
       .withColumn("url", graft.ops.Dedup.syntheticUrl)
