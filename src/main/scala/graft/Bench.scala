@@ -17,14 +17,21 @@ object Bench {
   }
 
   /** Min-of-k steady-state estimate over `once` samples: two samples
-    * normally, a third only when the first two disagree by >2× (one
-    * plausibly hit a host stall). ANY thrown sample fails the query —
-    * a stall can inflate a timing but an exception means the query is
-    * broken, and min-of-k must never average over brokenness. */
+    * normally, a third when the first two disagree by >2× (one
+    * plausibly hit a host stall) OR when even the smaller sample
+    * exceeds 2 s — a slow query's recorded number carries the most
+    * weight in the bench total, and this VM's documented transient
+    * stalls can inflate BOTH of two samples (r6: driver recorded wav
+    * at 4.35 s vs 1.42 s steady-state), so the expensive lines earn an
+    * extra pass to make the per-query figures steady-state, not just
+    * the total. ANY thrown sample fails the query — a stall can
+    * inflate a timing but an exception means the query is broken, and
+    * min-of-k must never average over brokenness. */
   def minOfK(once: () => Either[String, Double]): Either[String, Double] =
     once().flatMap { s1 =>
       once().flatMap { s2 =>
-        if (math.max(s1, s2) > 2.0 * math.min(s1, s2) && math.max(s1, s2) > 0.5)
+        val disagree = math.max(s1, s2) > 2.0 * math.min(s1, s2) && math.max(s1, s2) > 0.5
+        if (disagree || math.min(s1, s2) > 2.0)
           once().map(s3 => math.min(math.min(s1, s2), s3))
         else Right(math.min(s1, s2))
       }

@@ -691,11 +691,19 @@ object Advanced {
     * the window). peak_tu is the earliest microsecond achieving the
     * peak.
     *
-    * Scale: intervals live within a day by construction, so the running
-    * sum PARTITIONS BY day — fully parallel windows, never a global
-    * prefix scan (the cross-day variant would use the bucketed two-pass
-    * prefix overlay q_stream_late ships). One aggregate over the event
-    * stream, then everything runs on the 2-points-per-session table. */
+    * Scale: a per-day running sum alone still serializes — one task per
+    * calendar day processes every active user's ±1 deltas for that day,
+    * and at billions of user-days that task is the bottleneck. The sweep
+    * therefore decomposes by (day, intra-day time bucket): the in-bucket
+    * running sum is a fully parallel partitioned window (buckets span
+    * 2³¹ µs ≈ 36 min, ~40 per day), and each bucket's carry-in is the
+    * metadata-scale strict-prefix sum of per-bucket delta totals
+    * ([[graft.ops.Prefix.bucketPrefixSum]] — exact, sum is associative).
+    * Ties (equal tu) stay inside one bucket, so the +1-before-−1 and
+    * user_id ordering applies unchanged within the bucket window.
+    * Identical output to the single-window form (InvariantSuite pins the
+    * equivalence). One aggregate over the event stream, then everything
+    * runs on the 2-points-per-session table. */
   private def qPeakConcurrency(s: SparkSession, d: String): DataFrame = {
     val iv = Tables.events(s, d)
       .groupBy(col("user_id"), to_date(col("t")).as("day"))
@@ -703,10 +711,15 @@ object Advanced {
     val pts = iv.select(col("day"), col("user_id"), col("st").as("tu"), lit(1).as("delta"))
       .unionAll(iv.select(col("day"), col("user_id"),
         (col("en") + 1).as("tu"), lit(-1).as("delta")))
-    val run = pts.withColumn("cur", sum(col("delta")).over(
-      Window.partitionBy(col("day"))
+      .withColumn("b", expr(s"tu DIV ${1L << 31}L"))
+    val perBucket = pts.groupBy(col("day"), col("b")).agg(sum(col("delta")).as("v"))
+    val carry = Prefix.bucketPrefixSum(perBucket, Seq("day"), 256L)
+    val run = pts.withColumn("cur_in", sum(col("delta")).over(
+      Window.partitionBy(col("day"), col("b"))
         .orderBy(col("tu"), col("delta").desc, col("user_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(carry), Seq("day", "b"))
+      .withColumn("cur", col("cur_in") + col("prev"))
     val pk = run.groupBy(col("day")).agg(max(col("cur")).as("peak"))
     val nSess = iv.groupBy(col("day")).agg(count(lit(1)).as("n_sessions"))
     run.join(pk, Seq("day")).filter(col("cur") === col("peak"))

@@ -378,21 +378,37 @@ object ScaleOps {
     * boundary (stride = total DIV 50 → ~50 picks per stratum, every
     * pick reproducible with no RNG). Heavy rows can cross several
     * boundaries but emit once — the standard PPS-without-replacement
-    * systematic design. One window pass per stratum; at 100 TB the
-    * ordering key becomes a content hash so the same walk runs
-    * per-partition with per-partition totals (no global sort), but the
-    * crossing arithmetic is unchanged. Zero-cents rows can never cross a
-    * boundary and are structurally excluded. */
+    * systematic design. Zero-cents rows can never cross a boundary and
+    * are structurally excluded.
+    *
+    * Scale: the stratum key has CONSTANT cardinality (5 event types), so
+    * the running cents total is NOT one window per stratum (that would
+    * put ~20 % of a 100 TB table in a single sort task). It decomposes
+    * by (event_type, time bucket): an in-bucket running sum is a fully
+    * parallel partitioned window, and the carry-in for each bucket is
+    * the metadata-scale strict-prefix sum of per-bucket totals
+    * ([[graft.ops.Prefix.bucketPrefixSum]] — sum is associative, so the
+    * two-pass decomposition is exact in int64). The stratum total
+    * becomes a map-side-combinable aggregate broadcast back. Identical
+    * rows to the single-window form (InvariantSuite pins the
+    * equivalence); parallelism now scales with the time span. */
   private def qSampleSystematic(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(
       col("event_type"), col("event_id"), unix_micros(col("t")).as("tu"),
       (dec(col("value"), 12, 2) * 100).cast(org.apache.spark.sql.types.LongType).as("cents"))
-    val byType = Window.partitionBy(col("event_type"))
+      .withColumn("b", expr(s"tu DIV ${1L << 32}L"))
+    val inB = Window.partitionBy(col("event_type"), col("b"))
+      .orderBy(col("tu"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perBucket = ev.groupBy(col("event_type"), col("b")).agg(sum(col("cents")).as("v"))
+    val carry = Prefix.bucketPrefixSum(perBucket, Seq("event_type"), 256L)
+    val totals = ev.groupBy(col("event_type"))
+      .agg(sum(col("cents")).cast(org.apache.spark.sql.types.LongType).as("total"))
     val c = ev
-      .withColumn("cum", sum(col("cents")).over(
-        byType.orderBy(col("tu"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum(col("cents")).over(byType))
+      .withColumn("cum_in", sum(col("cents")).over(inB))
+      .join(broadcast(carry), Seq("event_type", "b"))
+      .withColumn("cum", col("cum_in") + col("prev"))
+      .join(broadcast(totals), Seq("event_type"))
     c.filter(expr(
         "cum DIV greatest(total DIV 50, 1) > (cum - cents) DIV greatest(total DIV 50, 1)"))
       .select(col("event_type"), col("event_id"), col("cents"),

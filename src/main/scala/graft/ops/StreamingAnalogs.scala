@@ -319,31 +319,13 @@ object StreamingAnalogs {
     * returns `(b, prevmax)` where prevmax = max(bmax) over all buckets
     * with a smaller `b` (NULL for the first bucket) — the result a global
     * `Window.orderBy(b).rowsBetween(unboundedPreceding, -1)` would give,
-    * WITHOUT any single-partition WindowExec. Buckets are grouped into
-    * super-buckets of `superSize`; within a super-bucket the prefix max is
-    * a partitioned window, across super-buckets a broadcast theta
-    * self-join over the super-bucket maxima (m² pairs on a table of
-    * #buckets/superSize rows — bounded by construction). The incoming
-    * bucket aggregate is localCheckpoint'd: three branches consume it
-    * (the in-super-bucket window, and the super-bucket aggregate behind
-    * both sides of the theta join), and without materialization each
-    * branch would recompute the caller's aggregation — and whatever
-    * scan feeds it — from scratch. Property-tested against the naive
-    * global window in InvariantSuite. */
-  def bucketPrefixMax(perBucket: DataFrame, superSize: Int): DataFrame = {
-    val pb = perBucket.toDF("b", "bmax")
-      .withColumn("sb", expr(s"b DIV $superSize"))
-      .localCheckpoint()
-    val inSb = Window.partitionBy(col("sb")).orderBy(col("b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val perSb = pb.groupBy(col("sb")).agg(max(col("bmax")).as("sbmax"))
-    val prevSb = perSb
-      .join(broadcast(perSb.toDF("sb2", "sbmax2")), col("sb2") < col("sb"))
-      .groupBy(col("sb")).agg(max(col("sbmax2")).as("prev_sb_max"))
-    pb.withColumn("prev_in_sb", max(col("bmax")).over(inSb))
-      .join(broadcast(prevSb), Seq("sb"), "left")
-      .select(col("b"), greatest(col("prev_in_sb"), col("prev_sb_max")).as("prevmax"))
-  }
+    * WITHOUT any single-partition WindowExec. The keyless form of the
+    * shared super-bucket two-pass; shape and rationale documented on
+    * [[graft.ops.Prefix]]. Property-tested against the naive global
+    * window in InvariantSuite. */
+  def bucketPrefixMax(perBucket: DataFrame, superSize: Int): DataFrame =
+    Prefix.bucketPrefixMax(perBucket.toDF("b", "v"), Nil, superSize.toLong)
+      .select(col("b"), col("prev").as("prevmax"))
 
   private def qStreamStateful(s: SparkSession, d: String): DataFrame =
     StreamOps.purchaseTotalsBatch(Tables.events(s, d))

@@ -41,6 +41,23 @@ class BenchTimingSuite extends AnyFunSuite {
     assert(r == Right(0.1) && calls == 2)
   }
 
+  test("minOfK: a slow query (min > 2s) escalates to k=3 even when the samples agree") {
+    // both samples could have been inflated by the same host stall — the
+    // expensive lines earn a third pass so per-query figures are
+    // steady-state, not just the total
+    var calls = 0
+    val samples = Iterator(Right(4.3), Right(4.1), Right(2.2))
+    val r = Bench.minOfK(() => { calls += 1; samples.next() })
+    assert(r == Right(2.2) && calls == 3)
+  }
+
+  test("minOfK: agreeing samples at exactly the 2s boundary stay at k=2") {
+    var calls = 0
+    val samples = Iterator(Right(2.0), Right(2.1))
+    val r = Bench.minOfK(() => { calls += 1; samples.next() })
+    assert(r == Right(2.0) && calls == 2)
+  }
+
   test("minOfK: ANY thrown sample fails the query — min-of-k never averages over brokenness") {
     // first sample throws: short-circuit, no more samples
     var calls = 0

@@ -229,6 +229,11 @@ class PlanSuite extends SparkSuite {
       // SUPER-bucket aggregate with itself (#rows/8192/65536 rows —
       // bounded by construction, broadcast; replaces a global window)
       "q_stream_late",
+      // the round-7 running-window reworks carry the same metadata-scale
+      // super-bucket theta join (graft.ops.Prefix) — it REPLACES the
+      // single-task-per-key window, trading a bounded broadcast NLJ over
+      // #buckets/superSize rows for full row-level parallelism
+      "q_twap", "q_sample_systematic", "q_peak_concurrency",
       // the freshness monitor crosses its types-sized aggregate with the
       // 1-row global max — another broadcast scalar
       "q_dq_freshness",
