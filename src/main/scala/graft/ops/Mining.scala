@@ -57,7 +57,8 @@ object Mining {
     "q_basket_lift" -> qBasketLift,
     "q_text_bm25" -> qTextBm25,
     "q_anomaly_seasonal" -> qAnomalySeasonal,
-    "q_text_coverage" -> qTextCoverage
+    "q_text_coverage" -> qTextCoverage,
+    "q_text_perplexity" -> qTextPerplexity
   )
 
   val oracle: Map[String, String] = Map(
@@ -237,7 +238,33 @@ object Mining {
                   AS covered,
                 CAST(SUM(CASE WHEN r.rn <= ks.k THEN r.c ELSE 0 END) * 1000000
                      // MAX(tot.t) AS BIGINT) AS coverage_x1e6
-         FROM ks, r, tot GROUP BY ks.k ORDER BY k"""
+         FROM ks, r, tot GROUP BY ks.k ORDER BY k""",
+    "q_text_perplexity" ->
+      """WITH d AS (SELECT doc_id, lang,
+                           list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents),
+         b AS (SELECT doc_id, lang, CAST(len(ws) - 1 AS BIGINT) AS n_trans,
+                      unnest(list_transform(range(len(ws) - 1),
+                             i -> {'w1': ws[i + 1], 'w2': ws[i + 2]})) AS bg
+               FROM d WHERE len(ws) >= 2),
+         t AS (SELECT doc_id, lang, n_trans, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+         cb AS (SELECT w1, w2, count(*) AS cb FROM t GROUP BY 1, 2),
+         cw AS (SELECT w1, count(*) AS cw FROM t GROUP BY 1),
+         doc AS (SELECT t.doc_id, t.lang, MAX(t.n_trans) AS n_trans,
+                        CAST(SUM(length(bin(cw.cw // cb.cb)) - 1) AS BIGINT) AS bits_sum
+                 FROM t JOIN cb ON t.w1 = cb.w1 AND t.w2 = cb.w2
+                      JOIN cw ON t.w1 = cw.w1
+                 GROUP BY 1, 2),
+         bd AS (SELECT lang, n_trans, bits_sum,
+                       CASE WHEN bits_sum * 100 // n_trans < 427 THEN 'b0_low'
+                            WHEN bits_sum * 100 // n_trans < 438 THEN 'b1_mid'
+                            ELSE 'b2_high' END AS band
+                FROM doc)
+         SELECT lang, band, count(*) AS n_docs,
+                CAST(SUM(n_trans) AS BIGINT) AS sum_trans,
+                CAST(SUM(bits_sum) AS BIGINT) AS sum_bits,
+                CAST(CASE WHEN band = 'b2_high' THEN 0 ELSE 1 END AS BIGINT) AS kept
+         FROM bd GROUP BY lang, band ORDER BY lang, band"""
   )
 
   /** Word-8-gram positions of every document: (doc_id, h) with one row
@@ -670,5 +697,67 @@ object Mining {
       .select(col("w").as("term"), col("rnk").cast(LongType).as("rnk"),
         col("doc_id"), col("score_x1000"))
       .orderBy("term", "rnk")
+  }
+
+  /** CCNet-style LM-perplexity filter (Wenzek et al. 2020): score every
+    * document by a bigram language model trained on the corpus itself,
+    * band the scores, and publish the per-(lang, band) kill census — the
+    * classic curation stage that drops text the LM finds too surprising
+    * (boilerplate-adjacent gibberish) or too predictable (templated
+    * spam). Integer-exact in the q_text_bm25 log2 discipline: a
+    * transition w1→w2 costs bits = ⌊log2(c(w1·) DIV c(w1,w2))⌋
+    * (length(bin(x)) − 1, identical string semantics on both engines) —
+    * the quantized −log2 P(w2|w1) — and a document's perplexity proxy is
+    * avg bits per transition ×100, one truncating division. The LM is
+    * trained on the scored corpus, so every document bigram has count
+    * ≥ 1 and no smoothing/backoff branch is needed (deterministic; the
+    * CCNet train-on-wiki/score-on-crawl split would need it). Bands are
+    * fixed thresholds (<427 / <438 ×100 bits, all three non-empty at
+    * every fixture sf); kept = not b2_high, mirroring q_quality_gopher's
+    * retained line. Docs with <2 tokens have no transitions and drop
+    * out structurally (spanGrams' length-filter precedent).
+    *
+    * Scale (100 TB): ONE corpus scan/explode feeds everything
+    * (localCheckpoint shared by the bigram-count, context-count, and
+    * per-doc scoring consumers). Both count tables are map-side
+    * combinable, vocabulary²-bounded, and join back on the (w1, w2) /
+    * (w1) keys the bigram stream already carries — the inverted-index
+    * discipline of qTextBm25; nothing is broadcast that grows with the
+    * corpus. Per-doc grouping keys on doc_id; the census is a
+    * lang×band-sized map-combinable aggregate. */
+  private def qTextPerplexity(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        (size(col("ws")) - 1).cast(LongType).as("n_trans"),
+        explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"))
+          .as("bg"))
+      .select(col("doc_id"), col("lang"), col("n_trans"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .localCheckpoint()
+    val cb = g.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cw = g.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+    val doc = g
+      .groupBy(col("doc_id"), col("lang"), col("n_trans"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+      .join(cb, Seq("w1", "w2"))
+      .join(cw, Seq("w1"))
+      .groupBy(col("doc_id"), col("lang"), col("n_trans"))
+      .agg(sum(col("k") * (length(bin(expr("cw DIV cb"))) - 1)).cast(LongType).as("bits_sum"))
+      .withColumn("ppl_x100", expr("bits_sum * 100 DIV n_trans"))
+    doc
+      .withColumn("band",
+        when(col("ppl_x100") < 427, "b0_low")
+          .when(col("ppl_x100") < 438, "b1_mid")
+          .otherwise("b2_high"))
+      .groupBy(col("lang"), col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_trans")).cast(LongType).as("sum_trans"),
+        sum(col("bits_sum")).cast(LongType).as("sum_bits"))
+      .withColumn("kept", when(col("band") === "b2_high", 0L).otherwise(1L))
+      .orderBy("lang", "band")
   }
 }

@@ -39,7 +39,8 @@ object TextSim {
     "q_text_tokens" -> qTextTokens,
     "q_sample_hash" -> qSampleHash,
     "q_multimodal_meta" -> qMultimodalMeta,
-    "q_text_heavy" -> qTextHeavy
+    "q_text_heavy" -> qTextHeavy,
+    "q_hybrid_rrf" -> qHybridRrf
   )
 
   /** Tiny deterministic sentiment lexicon over the fixture vocabulary. */
@@ -58,6 +59,46 @@ object TextSim {
              FROM embeddings e JOIN embeddings c ON c.vec_id < 16)
            WHERE rn = 1)
          GROUP BY cid ORDER BY cid""",
+    "q_hybrid_rrf" ->
+      """WITH coll AS (SELECT d.doc_id, d.text FROM documents d
+                       JOIN embeddings e ON d.doc_id = e.vec_id),
+         tok AS (SELECT doc_id,
+                        unnest(list_distinct(list_filter(string_split(text, ' '),
+                                                         x -> x <> ''))) AS w
+                 FROM coll),
+         tot AS (SELECT count(*) AS nd FROM coll),
+         df AS (SELECT w, count(*) AS df FROM tok GROUP BY 1),
+         qt AS (SELECT doc_id AS qid, w FROM tok WHERE doc_id < 10),
+         sc AS (SELECT qt.qid, t.doc_id AS nid,
+                       CAST(SUM(length(bin(tot.nd // df.df))) AS BIGINT) AS sscore
+                FROM qt JOIN tok t ON qt.w = t.w AND t.doc_id <> qt.qid
+                     JOIN df ON qt.w = df.w, tot
+                GROUP BY 1, 2),
+         sparse AS (SELECT qid, nid, rs FROM (
+             SELECT qid, nid,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY sscore DESC, nid) AS rs
+             FROM sc) WHERE rs <= 20),
+         dense AS (SELECT qid, nid, rd FROM (
+             SELECT a.vec_id AS qid, b.vec_id AS nid,
+                    row_number() OVER (PARTITION BY a.vec_id
+                      ORDER BY list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                                  CAST(b.embedding AS DOUBLE[])) DESC,
+                               b.vec_id) AS rd
+             FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+             WHERE a.vec_id < 10) WHERE rd <= 20),
+         f AS (SELECT COALESCE(dense.qid, sparse.qid) AS qid,
+                      COALESCE(dense.nid, sparse.nid) AS nid,
+                      COALESCE(1000 // (60 + rd), 0)
+                        + COALESCE(1000 // (60 + rs), 0) AS rrf
+               FROM dense FULL OUTER JOIN sparse
+                 ON dense.qid = sparse.qid AND dense.nid = sparse.nid)
+         SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, CAST(rrf AS BIGINT) AS rrf
+         FROM (SELECT qid, nid, rrf,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY rrf DESC, nid) AS rnk
+               FROM f)
+         WHERE rnk <= 5 ORDER BY qid, rnk""",
     "q_sim_knn" ->
       """SELECT qid, rnk, nid FROM (
            SELECT a.vec_id AS qid, b.vec_id AS nid,
@@ -638,4 +679,61 @@ object TextSim {
         octet_length(col("payload")).cast(LongType).as("nbytes"),
         md5(col("payload")).as("digest"))
       .orderBy("doc_id")
+
+  /** HYBRID RETRIEVAL by reciprocal-rank fusion (Cormack et al. 2009) —
+    * the standard RAG retrieval op joining the repo's two towers: the
+    * dense tower is exact top-20 cosine kNN (the [[knn]] kernel
+    * q_sim_knn ships; at 100 TB the candidate generator swaps to the
+    * committed-IVF path q_sim_ivf serves — same (qid, nid, rank) shape,
+    * which is the point of fusing on RANKS), the sparse tower is an
+    * inverted-index retrieval scoring candidates by summed integer-log2
+    * IDF of shared distinct tokens (weight = length(bin(nd DIV df)),
+    * the q_text_bm25 quantization — set semantics, so a stuffed term
+    * can't inflate a match). Integer RRF: Σ 1000 DIV (60 + rank), k=60
+    * per the original paper; a candidate surfaced by only one tower
+    * contributes only that term (FULL OUTER over the two top-20 lists).
+    * The retrieval collection is the docs that carry a vector, so both
+    * towers index the same corpus.
+    *
+    * Scale (100 TB): the dense tower broadcasts only the probe set and
+    * prunes map-side (TopK heaps); the sparse tower shuffles the
+    * token-keyed inverted index once — query tokens broadcast, the
+    * (qid, nid) score aggregate is map-combinable, TopK prunes before
+    * any window. Fusion itself runs on two ≤ 20-rows-per-query lists —
+    * metadata scale. */
+  private def qHybridRrf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dense = knn(emb.filter(col("vec_id") < 10), emb, 20)
+      .select(col("qid"), col("nid"), col("rnk").cast(LongType).as("rd"))
+    val docs = Tables.documents(s, d)
+      .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val tok = docs.select(col("doc_id"),
+        explode(array_distinct(expr("filter(split(text, ' '), x -> x != '')"))).as("w"))
+      .localCheckpoint()
+    val tot = docs.agg(count(lit(1)).as("nd"))
+    val df = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val qtok = tok.filter(col("doc_id") < 10).select(col("doc_id").as("qid"), col("w"))
+    val sc = broadcast(qtok)
+      .join(tok.select(col("doc_id").as("nid"), col("w")), Seq("w"))
+      .filter(col("nid") =!= col("qid"))
+      .join(df, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .withColumn("wgt", length(bin(expr("nd DIV df"))).cast(LongType))
+      .groupBy(col("qid"), col("nid")).agg(sum(col("wgt")).cast(LongType).as("sscore"))
+    val sparse = org.apache.spark.sql.graft.TopK.perGroup(
+        sc, Seq("qid"), Seq(("sscore", true), ("nid", false)), 20)
+      .withColumn("rs", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sscore").desc, col("nid"))).cast(LongType))
+      .select(col("qid"), col("nid"), col("rs"))
+    dense.join(sparse, Seq("qid", "nid"), "full_outer")
+      .withColumn("rrf", expr(
+        "coalesce(1000 DIV (60 + rd), 0) + coalesce(1000 DIV (60 + rs), 0)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("nid"))))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk").cast(LongType).as("rnk"),
+        col("nid"), col("rrf").cast(LongType).as("rrf"))
+      .orderBy("qid", "rnk")
+  }
 }

@@ -234,6 +234,10 @@ class PlanSuite extends SparkSuite {
       // single-task-per-key window, trading a bounded broadcast NLJ over
       // #buckets/superSize rows for full row-level parallelism
       "q_twap", "q_sample_systematic", "q_peak_concurrency",
+      // hybrid RRF's dense tower is the q_sim_knn broadcast-probe NLJ,
+      // and its sparse tower crosses in the 1-row collection count —
+      // both already-adjudicated shapes
+      "q_hybrid_rrf",
       // the freshness monitor crosses its types-sized aggregate with the
       // 1-row global max — another broadcast scalar
       "q_dq_freshness",
