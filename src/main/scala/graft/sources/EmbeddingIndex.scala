@@ -85,6 +85,31 @@ object EmbeddingIndex {
     ManifestTable.read(spark, table)
   }
 
+  /** STREAMING index maintenance — the wiring between the two halves
+    * that already existed (an arriving-vector stream; the committed
+    * artifact + [[refresh]]): each micro-batch routes through refresh
+    * in a foreachBatch sink, so per batch the derivation runs over ONLY
+    * that batch's genuinely NEW keys. An at-least-once source replaying
+    * a batch re-observes its own committed keys through the same key
+    * anti-join that makes warm refresh free, derives nothing, and
+    * commits nothing — idempotent without a batch-id ledger. The
+    * artifact stays a [[ManifestTable]], so every micro-batch commit is
+    * atomic, versioned, and time-travelable, and a concurrent reader
+    * serves from whatever snapshot it opened while the stream runs.
+    * Returns the started query; callers own trigger and termination
+    * (tests drive it with processAllAvailable, a service with a
+    * processing-time trigger). */
+  def maintainStreaming(spark: SparkSession, table: String, stream: DataFrame,
+      key: String)(derive: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        refresh(spark, table, batch, key)(derive)
+        ()
+      }
+      .start()
+
   /** Recompute the artifact from scratch (content changed under a key,
     * or the derivation itself changed) as an overwrite snapshot — old
     * versions stay time-travelable like any ManifestTable overwrite. */

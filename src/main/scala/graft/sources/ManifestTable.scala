@@ -42,6 +42,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    reader (snapshot isolation).
   *  - VACUUM: delete data files referenced by NO manifest (crashed
   *    writers' orphans) — never files a live snapshot lists.
+  *  - DELETE: per overlapping file, copy-on-write rewrite OR a
+  *    merge-on-read DELETION VECTOR (`~dv:` manifest lines pointing at
+  *    (path, row position) tombstone sidecars, anti-joined reader-side
+  *    via the scan's own `_metadata.row_index`); [[compact]]
+  *    materializes DVs away. See [[deleteWhere]].
   *
   * Scale notes: data files and the Spark write/read path are fully
   * distributed; only the manifest (a file LIST, KB-scale per thousands
@@ -79,12 +84,31 @@ object ManifestTable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** The file list of a committed snapshot (metadata lines excluded). */
-  def snapshotFiles(table: String, version: Long): Seq[String] = {
+  /** Manifest line prefix marking a DELETION-VECTOR sidecar (a parquet
+    * file of (path, pos) tombstones applied reader-side) rather than a
+    * data file. DV entries ride the same manifest CAS as everything
+    * else — a DV commit is as atomic and time-travelable as a rewrite. */
+  private val DvPrefix = "~dv:"
+
+  /** ALL content entries of a committed snapshot (data files AND
+    * deletion-vector lines, comments excluded) — what snapshot-EXTENDING
+    * commits (append, streaming append) must carry forward verbatim:
+    * dropping a DV line would resurrect its deleted rows. */
+  def snapshotEntries(table: String, version: Long): Seq[String] = {
     val m = manifestDir(table).resolve(f"v$version%08d.manifest")
     Files.readAllLines(m).asScala.toSeq
       .filter(l => l.nonEmpty && !l.startsWith("#"))
   }
+
+  /** The DATA file list of a committed snapshot (metadata and
+    * deletion-vector lines excluded). */
+  def snapshotFiles(table: String, version: Long): Seq[String] =
+    snapshotEntries(table, version).filterNot(_.startsWith(DvPrefix))
+
+  /** The deletion-vector sidecar files of a committed snapshot. */
+  def snapshotDvs(table: String, version: Long): Seq[String] =
+    snapshotEntries(table, version)
+      .filter(_.startsWith(DvPrefix)).map(_.stripPrefix(DvPrefix))
 
   /** A committed snapshot's metadata (`#key=value` header lines). */
   def snapshotMeta(table: String, version: Long): Map[String, String] = {
@@ -100,14 +124,42 @@ object ManifestTable {
   }
 
   /** Read a snapshot (latest by default; pass a version for time
-    * travel). An empty table (no commits) reads as an error — callers
-    * create tables by committing. */
+    * travel), MERGE-ON-READ: any deletion-vector sidecars in the
+    * manifest are applied as a reader-side anti-join on the parquet
+    * `_metadata` (file_path, row_index) pair — the positional tombstone
+    * join of the production lakehouse formats. Rows never present in a
+    * DV pass through untouched; with no DVs the plan is the plain scan.
+    * An empty table (no commits) reads as an error — callers create
+    * tables by committing. */
   def read(spark: SparkSession, table: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
-    val files = snapshotFiles(table, v)
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
+    readFiles(spark, snapshotFiles(table, v), snapshotDvs(table, v))
+  }
+
+  /** Scan `files` with the snapshot's deletion vectors applied.
+    * Positions come from the scan itself (`_metadata.row_index` — the
+    * generated metadata column, no stored row ids needed; valid because
+    * data files are immutable), so the anti-join keys are exactly the
+    * (path, pos) pairs [[deleteWhere]] recorded. The DV side is
+    * tombstone-sized — at 100 TB it is the erased keys' rows, not the
+    * table — and the join key is (string, long), never payload. */
+  private def readFiles(spark: SparkSession, files: Seq[String],
+      dvs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (files.isEmpty) return spark.emptyDataFrame
+    val base = spark.read.parquet(files: _*)
+    if (dvs.isEmpty) base
+    else {
+      val cols = base.columns.toSeq
+      val dv = spark.read.parquet(dvs: _*)
+        .select(col("path").as("__fp"), col("pos").as("__pos"))
+      base
+        .select(col("*"), col("_metadata.file_path").as("__fp"),
+          col("_metadata.row_index").as("__pos"))
+        .join(dv, Seq("__fp", "__pos"), "left_anti")
+        .select(cols.map(col): _*)
+    }
   }
 
   /** Stage `df` as immutable data files under data/, NOT yet visible.
@@ -212,13 +264,14 @@ object ManifestTable {
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
     val files = snapshotFiles(table, v)
+    val dvs = snapshotDvs(table, v)
     val live = files.filter { f =>
       statsOf(f).get(col).forall { case (mn, mx) => mx >= lo && mn <= hi }
     }
     val base =
       if (files.isEmpty) spark.emptyDataFrame
       else if (live.isEmpty) spark.read.parquet(files: _*).limit(0)
-      else spark.read.parquet(live: _*)
+      else readFiles(spark, live, dvs)
     if (files.isEmpty) base
     else base.filter(base.col(col) >= lo && base.col(col) <= hi)
   }
@@ -290,7 +343,9 @@ object ManifestTable {
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(table)
-      val prev = base.map(snapshotFiles(table, _)).getOrElse(Seq.empty)
+      // carry ENTRIES (data + deletion-vector lines), not just data
+      // files: an append that dropped a DV line would resurrect rows
+      val prev = base.map(snapshotEntries(table, _)).getOrElse(Seq.empty)
       val v = base.getOrElse(-1L) + 1
       if (publish(table, v, prev ++ staged,
           Map("op" -> "append", "schema" -> schemaSig(df)))) return v
@@ -365,15 +420,22 @@ object ManifestTable {
   }
 
   /** Transactional DELETE WHERE `column ∈ [lo, hi]` with FILE-LEVEL
-    * PRUNING — the GDPR-erasure / retention-purge primitive of the
-    * production log formats: data files whose committed [min, max]
-    * stats (sidecar or footer, [[statsOf]]) cannot contain a matching
-    * row are carried into the new manifest UNTOUCHED — never read,
-    * never rewritten — and only the overlapping files are rewritten
-    * with the predicate's complement. At 100 TB this is the difference
-    * between rewriting one user's file neighborhood and rewriting the
-    * table. Files with no stats for `column` are conservatively
-    * rewritten, so the result is exact regardless of stats coverage.
+    * PRUNING and a per-file COPY-ON-WRITE / MERGE-ON-READ choice — the
+    * GDPR-erasure / retention-purge primitive of the production log
+    * formats: data files whose committed [min, max] stats (sidecar or
+    * footer, [[statsOf]]) cannot contain a matching row are carried
+    * into the new manifest UNTOUCHED — never read, never rewritten.
+    * Each OVERLAPPING file is then either rewritten with the
+    * predicate's complement (predicate covers ≥ `dvBelowOverlap` of its
+    * stats span — most of the file dies anyway) or tombstoned by a
+    * DELETION VECTOR: a parquet sidecar of the dying rows' (file path,
+    * row position) pairs, applied as an anti-join by every reader
+    * ([[read]]/[[readPruned]]) until [[compact]] materializes it away.
+    * At 100 TB the DV path is what makes erasing one scattered user
+    * synchronous-cheap: the commit writes tombstones proportional to
+    * the USER's rows while the lake's data files stand. Files with no
+    * stats for `column` are conservatively rewritten, so the result is
+    * exact regardless of stats coverage.
     *
     * Snapshot-dependent commit (the merge discipline): the kept+staged
     * file list is a function of the base snapshot, so the loop pins the
@@ -384,23 +446,84 @@ object ManifestTable {
     * Returns the committed version (the base version when no file can
     * contain a match — a provable no-op commits nothing). */
   def deleteWhere(spark: SparkSession, table: String, column: String,
-      lo: Long, hi: Long, maxRetries: Int = 20): Long = {
+      lo: Long, hi: Long, maxRetries: Int = 20, dvBelowOverlap: Double = 0.5): Long = {
     import org.apache.spark.sql.functions.{col => c}
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(table).getOrElse(
         throw new IllegalStateException(s"no committed snapshot in $table"))
       val files = snapshotFiles(table, base)
+      val dvs = snapshotDvs(table, base)
       val (hit, keep) = files.partition { f =>
         statsOf(f).get(column).forall { case (mn, mx) => mx >= lo && mn <= hi }
       }
       if (hit.isEmpty) return base
-      val rewritten = spark.read.parquet(hit: _*)
-        .filter(!(c(column) >= lo && c(column) <= hi))
-      val staged = stage(rewritten, table)
-      if (publish(table, base + 1, keep ++ staged,
-          Map("op" -> "delete", "schema" -> schemaSig(rewritten)))) return base + 1
+      // COPY-ON-WRITE vs MERGE-ON-READ, chosen per file from committed
+      // stats alone (no data read): the predicate's overlap fraction of
+      // the file's [min, max] span estimates how much of the file dies.
+      // A file losing most of its range is rewritten (a DV that
+      // tombstones half a file just moves the rewrite to every reader);
+      // a file grazed by the predicate — the scattered-GDPR-key case
+      // that made copy-on-write rewrite the lake — gets positional
+      // tombstones instead. Files with no stats are conservatively
+      // rewritten (exact either way).
+      val (rewriteF, dvF) = hit.partition { f =>
+        statsOf(f).get(column) match {
+          case Some((mn, mx)) =>
+            val span = math.max(mx - mn + 1, 1L).toDouble
+            val ov = math.max(math.min(hi, mx) - math.max(lo, mn) + 1, 0L).toDouble
+            ov / span >= dvBelowOverlap
+          case None => true
+        }
+      }
+      // rewrite path applies EXISTING DVs first — republishing a
+      // tombstoned row would resurrect it
+      val stagedData =
+        if (rewriteF.isEmpty) Seq.empty
+        else stage(readFiles(spark, rewriteF, dvs)
+          .filter(!(c(column) >= lo && c(column) <= hi)), table)
+      // DV path records (path, pos) of the dying rows from the scan's
+      // own `_metadata` — tombstone-sized output, no data file touched.
+      // Re-tombstoning a position an older DV already covers is
+      // harmless (anti-join semantics), so the raw scan suffices.
+      val stagedDv =
+        if (dvF.isEmpty) Seq.empty
+        else stage(spark.read.parquet(dvF: _*)
+          .filter(c(column) >= lo && c(column) <= hi)
+          .select(c("_metadata.file_path").as("path"),
+            c("_metadata.row_index").as("pos")), table)
+      val dvLines = (dvs ++ stagedDv).map(DvPrefix + _)
+      // tombstoned files carry into the new manifest VERBATIM — the DV
+      // subtracts their dying rows reader-side; only rewritten files
+      // leave the file list
+      if (publish(table, base + 1, keep ++ dvF ++ stagedData ++ dvLines,
+          Map("op" -> "delete", "schema" -> schemaSig(read(spark, table, Some(base))),
+            "dvAdded" -> stagedDv.size.toString))) return base + 1
       attempt += 1 // lost the race: recompute against the new snapshot
+    }
+    throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
+  }
+
+  /** COMPACTION: materialize every deletion vector away by rewriting
+    * the table's live rows (DVs applied) into fresh data files and
+    * committing a DV-free snapshot — the maintenance pass that returns
+    * merge-on-read read amplification to zero. Older versions keep
+    * their DV lines and stay exactly time-travelable. No-op (returns
+    * the base version) when the snapshot carries no DVs. A production
+    * pass would rewrite only DV-affected files; the fixture-scale form
+    * rewrites the snapshot, which also serves as the small-file
+    * layout compaction (q_layout_compact's shape). */
+  def compact(spark: SparkSession, table: String, maxRetries: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(table).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot in $table"))
+      if (snapshotDvs(table, base).isEmpty) return base
+      val current = read(spark, table, Some(base))
+      val staged = stage(current, table)
+      if (publish(table, base + 1, staged,
+          Map("op" -> "compact", "schema" -> schemaSig(current)))) return base + 1
+      attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
   }
@@ -426,7 +549,7 @@ object ManifestTable {
     while (attempt < 20) {
       if (committed >= batchId) return None // lost a race to our own replay
       val base = latestVersion(table)
-      val prev = base.map(snapshotFiles(table, _)).getOrElse(Seq.empty)
+      val prev = base.map(snapshotEntries(table, _)).getOrElse(Seq.empty)
       val v = base.getOrElse(-1L) + 1
       if (publish(table, v, prev ++ staged,
           Map("lastBatchId" -> batchId.toString,
@@ -485,6 +608,9 @@ object ManifestTable {
         .filter(_.getFileName.toString.matches("v\\d{8}\\.manifest"))
         .flatMap(m => Files.readAllLines(m).asScala)
         .filter(l => l.nonEmpty && !l.startsWith("#"))
+        // a DV line references its sidecar file by path — strip the
+        // marker so live deletion vectors are never vacuumed
+        .map(_.stripPrefix(DvPrefix))
         .toSet
     val dd = dataDir(table)
     if (!Files.isDirectory(dd)) return 0

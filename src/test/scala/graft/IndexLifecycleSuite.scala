@@ -97,4 +97,54 @@ class IndexLifecycleSuite extends SparkSuite {
     // every cell id is one of the 16 deterministic coarse centroids
     assert(cells.filter(col("cid") >= 16 || col("cid") < 0).count() == 0)
   }
+
+  test("streaming maintenance: micro-batches keep the artifact equal to the batch rebuild; per-batch derive = new keys only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = Files.createTempDirectory("graft-idx-stream").toString
+    var derived: Seq[Seq[Long]] = Seq.empty
+    def derive(in: DataFrame): DataFrame = {
+      derived = derived :+ in.select("vec_id").as[Long].collect().toSeq.sorted
+      in.select(col("vec_id"), (col("payload") * 2).as("sig"))
+    }
+    val ms = MemoryStream[(Long, Long)]
+    val q = EmbeddingIndex.maintainStreaming(
+      spark, t, ms.toDF().toDF("vec_id", "payload"), "vec_id")(derive)
+    try {
+      // batch 2 OVERLAPS batch 1 by 10 keys (the at-least-once shape):
+      // only the genuinely new keys may be derived per batch
+      ms.addData((0L until 100L).map(i => (i, i * 7 % 100)): _*)
+      q.processAllAvailable()
+      ms.addData((90L until 150L).map(i => (i, i * 7 % 100)): _*)
+      q.processAllAvailable()
+      ms.addData((150L until 200L).map(i => (i, i * 7 % 100)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(derived.map(_.size) == Seq(100, 50, 50),
+      s"per-batch derive work must be only the new keys: ${derived.map(_.size)}")
+    assert(derived(1) == (100L until 150L).toSeq,
+      "the overlapping keys must never re-derive")
+    assert(ManifestTable.latestVersion(t).contains(2L), "one snapshot per productive batch")
+    // the streamed artifact equals the batch rebuild, row for row
+    val t2 = Files.createTempDirectory("graft-idx-stream-ref").toString
+    val batch = EmbeddingIndex.rebuild(spark, t2, vecs(0, 200))(
+      in => in.select(col("vec_id"), (col("payload") * 2).as("sig")))
+    val streamed = ManifestTable.read(spark, t)
+    assert(streamed.count() == 200)
+    assert(streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed)).isEmpty,
+      "streamed artifact must equal the batch rebuild row-for-row")
+    // a fully replayed chunk (new query incarnation, same data): derives
+    // nothing, commits nothing — idempotence comes from the key anti-join,
+    // no batch-id ledger needed
+    derived = Seq.empty
+    val ms2 = MemoryStream[(Long, Long)]
+    val q2 = EmbeddingIndex.maintainStreaming(
+      spark, t, ms2.toDF().toDF("vec_id", "payload"), "vec_id")(derive)
+    try {
+      ms2.addData((0L until 200L).map(i => (i, i * 7 % 100)): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(derived.isEmpty, "a replayed chunk must not re-derive")
+    assert(ManifestTable.latestVersion(t).contains(2L), "a replayed chunk must not commit")
+  }
 }

@@ -388,7 +388,11 @@ class ManifestTableSuite extends SparkSuite {
       ManifestTable.statsOf(f).get("k").forall { case (mn, mx) => mx >= 2100L && mn <= 2300L }
     }
     assert(hitBefore.size == 1 && keepBefore.size == 3)
-    val v4 = ManifestTable.deleteWhere(spark, t, "k", 2100L, 2300L)
+    // dvBelowOverlap = 0.0 forces the copy-on-write path for every hit
+    // file — this test pins the REWRITE side of the per-file choice;
+    // the merge-on-read side has its own tests below
+    val v4 = ManifestTable.deleteWhere(spark, t, "k", 2100L, 2300L,
+      dvBelowOverlap = 0.0)
     assert(v4 == v3 + 1)
     val after = ManifestTable.snapshotFiles(t, v4)
     // the three non-overlapping files appear in the new manifest VERBATIM
@@ -438,20 +442,34 @@ class ManifestTableSuite extends SparkSuite {
       Seq("append", "append", "overwrite", "append"))
   }
 
-  test("erasure two-step: expire + vacuum make the deleted rows physically unrecoverable") {
+  test("erasure via merge-on-read: DV delete -> compact -> expire -> vacuum is physically unrecoverable") {
     val t = freshTable()
     (0 until 4).foreach { r =>
       ManifestTable.append(spark, t,
         spark.range(r * 1000L, r * 1000L + 1000L).toDF("k").repartition(1))
     }
-    ManifestTable.deleteWhere(spark, t, "k", 2100L, 2300L)
+    // 201 of 1000 keys (20.1% of the file's stats span, under the 0.5
+    // default) -> the hit file is TOMBSTONED, not rewritten
+    val v4 = ManifestTable.deleteWhere(spark, t, "k", 2100L, 2300L)
+    assert(ManifestTable.snapshotDvs(t, v4).nonEmpty, "expected the DV path")
+    assert(ManifestTable.snapshotFiles(t, v4).toSet ==
+      ManifestTable.snapshotFiles(t, 3L).toSet,
+      "a DV delete must not rewrite any data file")
+    // merge-on-read is exact right away
+    assert(ManifestTable.read(spark, t).count() == 4000L - 201L)
     // pre-expiry: the old snapshot still reaches the deleted rows
     assert(ManifestTable.read(spark, t, Some(3L))
       .filter(col("k").between(2100L, 2300L)).count() == 201L)
+    // the DV delete leaves the old BYTES in place — physical erasure is
+    // the documented three-step: compact (materialize DVs away), expire
+    // history, vacuum the now-unreferenced files
+    val v5 = ManifestTable.compact(spark, t)
+    assert(v5 == v4 + 1)
+    assert(ManifestTable.snapshotDvs(t, v5).isEmpty, "compact must clear DVs")
     val dropped = ManifestTable.expireVersions(t, keepLast = 1)
-    assert(dropped == 4)
+    assert(dropped == 5)
     val removed = ManifestTable.vacuum(t, retentionMs = 0L)
-    assert(removed > 0, "the hit file's old bytes must be vacuumable after expiry")
+    assert(removed > 0, "the tombstoned file's old bytes must be vacuumable after compaction + expiry")
     // the live snapshot is untouched...
     assert(ManifestTable.read(spark, t).count() == 4000L - 201L)
     // ...and NO surviving data file contains any erased row — the
@@ -463,6 +481,74 @@ class ManifestTableSuite extends SparkSuite {
     assert(recoverable == 0L, "erased rows must not exist in any surviving file")
     // expired versions no longer read
     intercept[Exception] { ManifestTable.read(spark, t, Some(3L)).count() }
+  }
+
+  test("DV lifecycle: tombstones survive appends, compose across deletes, and time travel exactly") {
+    val t = freshTable()
+    (0 until 2).foreach { r =>
+      ManifestTable.append(spark, t,
+        spark.range(r * 1000L, r * 1000L + 1000L).toDF("k").repartition(1))
+    }
+    // two grazing deletes on the SAME file -> two DVs compose
+    val vA = ManifestTable.deleteWhere(spark, t, "k", 100L, 149L)
+    val vB = ManifestTable.deleteWhere(spark, t, "k", 300L, 349L)
+    assert(ManifestTable.snapshotDvs(t, vB).size == 2, "DVs must accumulate, not replace")
+    assert(ManifestTable.read(spark, t).count() == 2000L - 100L)
+    assert(ManifestTable.read(spark, t)
+      .filter(col("k").between(100L, 149L) || col("k").between(300L, 349L))
+      .count() == 0L)
+    // time travel: each intermediate snapshot applies exactly ITS DVs
+    assert(ManifestTable.read(spark, t, Some(vA)).count() == 2000L - 50L)
+    assert(ManifestTable.read(spark, t, Some(1L)).count() == 2000L)
+    // an APPEND must carry the DV lines forward (dropping one would
+    // resurrect its rows)
+    ManifestTable.append(spark, t,
+      spark.range(5000L, 5100L).toDF("k").repartition(1))
+    assert(ManifestTable.read(spark, t).count() == 2000L - 100L + 100L)
+    assert(ManifestTable.read(spark, t).filter(col("k").between(100L, 149L)).count() == 0L)
+    // readPruned stays exact under DVs: prune to the tombstoned range
+    assert(ManifestTable.readPruned(spark, t, "k", 90L, 160L).count() == 71L - 50L)
+    // merge reads through DVs and materializes (full-state overwrite)
+    ManifestTable.merge(spark, t,
+      spark.range(0L, 10L).toDF("k"), "k")
+    assert(ManifestTable.read(spark, t).count() == 2000L - 100L + 100L,
+      "merge over a tombstoned snapshot must not resurrect deleted rows")
+    assert(ManifestTable.snapshotDvs(t, ManifestTable.latestVersion(t).get).isEmpty,
+      "merge commits a full materialized state, no DV lines")
+  }
+
+  test("concurrent DV writers: grazing deletes race, every tombstone survives the CAS loop") {
+    // the deleteWhere race test above exercises the loop too, but with
+    // the default policy those four deletes (10% of each file's span)
+    // now take the DV path — this pins that explicitly: four concurrent
+    // MERGE-ON-READ deletes, four distinct versions, all tombstones
+    // visible, zero data files rewritten
+    val t = freshTable()
+    (0 until 4).foreach { r =>
+      ManifestTable.append(spark, t,
+        spark.range(r * 1000L, r * 1000L + 1000L).toDF("k").repartition(1))
+    }
+    val filesBefore = ManifestTable.snapshotFiles(t, 3L).toSet
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = (0 until 4).map { r =>
+        Future(ManifestTable.deleteWhere(spark, t, "k",
+          r * 1000L + 100L, r * 1000L + 149L))
+      }
+      val versions = Await.result(Future.sequence(futs), 120.seconds)
+      assert(versions.toSet.size == 4, s"every DV delete must win a distinct version: $versions")
+      val latest = ManifestTable.latestVersion(t).get
+      assert(ManifestTable.snapshotFiles(t, latest).toSet == filesBefore,
+        "no data file may be rewritten on the DV path")
+      assert(ManifestTable.snapshotDvs(t, latest).size == 4,
+        "every racer's tombstone file must survive every later CAS winner")
+      assert(ManifestTable.read(spark, t).count() == 4000L - 200L)
+      for (r <- 0 until 4)
+        assert(ManifestTable.read(spark, t)
+          .filter(col("k").between(r * 1000L + 100L, r * 1000L + 149L)).count() == 0L,
+          s"DV delete $r resurrected")
+    } finally pool.shutdown()
   }
 
   test("vacuum keeps live files' stats sidecars, deletes orphans' sidecars with them") {
