@@ -30,6 +30,13 @@ class CboSuite extends SparkSuite {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     for (t <- Seq("lineitem", "orders", "part", "supplier", "nation")) {
       if (!spark.catalog.tableExists(s"$db.$t")) {
+        // the in-memory catalog starts empty per JVM while the shared
+        // warehouse DIRECTORY persists — a previous JVM's managed files
+        // make CTAS throw LOCATION_ALREADY_EXISTS unless cleared first
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$wh/$db.db/$t"))
         spark.read.parquet(s"$sf0001/$t.parquet")
           .write.mode("overwrite").saveAsTable(s"$db.$t")
         spark.sql(s"ANALYZE TABLE $db.$t COMPUTE STATISTICS FOR ALL COLUMNS")
