@@ -87,8 +87,23 @@ object ManifestTable {
   /** Manifest line prefix marking a DELETION-VECTOR sidecar (a parquet
     * file of (path, pos) tombstones applied reader-side) rather than a
     * data file. DV entries ride the same manifest CAS as everything
-    * else — a DV commit is as atomic and time-travelable as a rewrite. */
+    * else — a DV commit is as atomic and time-travelable as a rewrite.
+    * Full line shape: `~dv:<dvPath>|<target>|<target>...` — the data
+    * files the DV tombstones, recorded at delete time (the Delta
+    * AddFile-associates-its-DV discipline) so [[compact]] can rewrite
+    * ONLY affected files without reading any DV's row values. */
   private val DvPrefix = "~dv:"
+
+  private def dvLine(dvPath: String, targets: Seq[String]): String =
+    (DvPrefix + dvPath) + targets.map("|" + _).mkString
+
+  /** Parse a DV manifest line → (sidecar path, targeted data files).
+    * Lines written before target tracking parse as target-unknown
+    * (empty) — compact treats those conservatively (full rewrite). */
+  private def parseDvLine(l: String): (String, Seq[String]) = {
+    val parts = l.stripPrefix(DvPrefix).split("\\|").toSeq
+    (parts.head, parts.tail)
+  }
 
   /** ALL content entries of a committed snapshot (data files AND
     * deletion-vector lines, comments excluded) — what snapshot-EXTENDING
@@ -107,8 +122,12 @@ object ManifestTable {
 
   /** The deletion-vector sidecar files of a committed snapshot. */
   def snapshotDvs(table: String, version: Long): Seq[String] =
+    snapshotDvInfo(table, version).map(_._1)
+
+  /** DV sidecars with their recorded target data files. */
+  def snapshotDvInfo(table: String, version: Long): Seq[(String, Seq[String])] =
     snapshotEntries(table, version)
-      .filter(_.startsWith(DvPrefix)).map(_.stripPrefix(DvPrefix))
+      .filter(_.startsWith(DvPrefix)).map(parseDvLine)
 
   /** A committed snapshot's metadata (`#key=value` header lines). */
   def snapshotMeta(table: String, version: Long): Map[String, String] = {
@@ -454,6 +473,7 @@ object ManifestTable {
         throw new IllegalStateException(s"no committed snapshot in $table"))
       val files = snapshotFiles(table, base)
       val dvs = snapshotDvs(table, base)
+      val oldDvEntries = snapshotEntries(table, base).filter(_.startsWith(DvPrefix))
       val (hit, keep) = files.partition { f =>
         statsOf(f).get(column).forall { case (mn, mx) => mx >= lo && mn <= hi }
       }
@@ -492,7 +512,10 @@ object ManifestTable {
           .filter(c(column) >= lo && c(column) <= hi)
           .select(c("_metadata.file_path").as("path"),
             c("_metadata.row_index").as("pos")), table)
-      val dvLines = (dvs ++ stagedDv).map(DvPrefix + _)
+      // old DV lines carry VERBATIM (keeping their recorded targets);
+      // each new sidecar records the files it tombstones so compaction
+      // can stay proportional to the affected files
+      val dvLines = oldDvEntries ++ stagedDv.map(p => dvLine(p, dvF))
       // tombstoned files carry into the new manifest VERBATIM — the DV
       // subtracts their dying rows reader-side; only rewritten files
       // leave the file list
@@ -504,25 +527,39 @@ object ManifestTable {
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
   }
 
-  /** COMPACTION: materialize every deletion vector away by rewriting
-    * the table's live rows (DVs applied) into fresh data files and
-    * committing a DV-free snapshot — the maintenance pass that returns
-    * merge-on-read read amplification to zero. Older versions keep
-    * their DV lines and stay exactly time-travelable. No-op (returns
-    * the base version) when the snapshot carries no DVs. A production
-    * pass would rewrite only DV-affected files; the fixture-scale form
-    * rewrites the snapshot, which also serves as the small-file
-    * layout compaction (q_layout_compact's shape). */
+  /** INCREMENTAL COMPACTION: materialize every deletion vector away by
+    * rewriting ONLY the data files the DVs tombstone (recorded on each
+    * DV's manifest line at delete time) with their tombstones applied;
+    * every untouched file carries into the DV-free snapshot VERBATIM —
+    * the maintenance pass that returns merge-on-read read amplification
+    * to zero at a cost proportional to the AFFECTED files, not the
+    * table (at 100 TB the difference between rewriting one user's file
+    * neighborhood and rewriting the lake — the same pruning discipline
+    * as [[deleteWhere]], applied to maintenance). A DV line predating
+    * target tracking (no recorded targets) conservatively rewrites the
+    * whole snapshot. Targets that later left the file list (rewritten
+    * by a subsequent COW delete) are skipped — their tombstones are
+    * already materialized. Older versions keep their DV lines and stay
+    * exactly time-travelable. No-op (returns the base version) when the
+    * snapshot carries no DVs. */
   def compact(spark: SparkSession, table: String, maxRetries: Int = 20): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(table).getOrElse(
         throw new IllegalStateException(s"no committed snapshot in $table"))
-      if (snapshotDvs(table, base).isEmpty) return base
-      val current = read(spark, table, Some(base))
-      val staged = stage(current, table)
-      if (publish(table, base + 1, staged,
-          Map("op" -> "compact", "schema" -> schemaSig(current)))) return base + 1
+      val info = snapshotDvInfo(table, base)
+      if (info.isEmpty) return base
+      val files = snapshotFiles(table, base)
+      val dvPaths = info.map(_._1)
+      val affected: Seq[String] =
+        if (info.exists(_._2.isEmpty)) files // legacy DV line: full rewrite
+        else files.filter(info.flatMap(_._2).toSet)
+      val untouched = files.filterNot(affected.toSet)
+      val current = readFiles(spark, affected, dvPaths)
+      val staged = if (affected.isEmpty) Seq.empty else stage(current, table)
+      if (publish(table, base + 1, untouched ++ staged,
+          Map("op" -> "compact",
+            "schema" -> schemaSig(read(spark, table, Some(base)))))) return base + 1
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")

@@ -466,6 +466,15 @@ class ManifestTableSuite extends SparkSuite {
     val v5 = ManifestTable.compact(spark, t)
     assert(v5 == v4 + 1)
     assert(ManifestTable.snapshotDvs(t, v5).isEmpty, "compact must clear DVs")
+    // compaction is INCREMENTAL: only the tombstoned file is rewritten;
+    // the three unaffected files carry into the DV-free snapshot by path
+    val tombstoned = ManifestTable.snapshotDvInfo(t, v4).flatMap(_._2).toSet
+    assert(tombstoned.size == 1)
+    val after5 = ManifestTable.snapshotFiles(t, v5).toSet
+    ManifestTable.snapshotFiles(t, v4).filterNot(tombstoned).foreach { f =>
+      assert(after5.contains(f), s"untouched file must carry verbatim through compact: $f")
+    }
+    assert(tombstoned.forall(!after5.contains(_)), "the tombstoned file must be rewritten")
     val dropped = ManifestTable.expireVersions(t, keepLast = 1)
     assert(dropped == 5)
     val removed = ManifestTable.vacuum(t, retentionMs = 0L)
