@@ -708,10 +708,16 @@ object Advanced {
     val iv = Tables.events(s, d)
       .groupBy(col("user_id"), to_date(col("t")).as("day"))
       .agg(expr("min(ts DIV 1000)").as("st"), expr("max(ts DIV 1000)").as("en"))
+    // two ±1 points per (user, day) — already aggregated, metadata-scale
+    // relative to the event stream; materialized because THREE branches
+    // consume it (the in-bucket window, the per-bucket carry aggregate,
+    // and the peak re-join) and each would otherwise recompute the
+    // events groupBy from the scan
     val pts = iv.select(col("day"), col("user_id"), col("st").as("tu"), lit(1).as("delta"))
       .unionAll(iv.select(col("day"), col("user_id"),
         (col("en") + 1).as("tu"), lit(-1).as("delta")))
       .withColumn("b", expr(s"tu DIV ${1L << 31}L"))
+      .localCheckpoint()
     val perBucket = pts.groupBy(col("day"), col("b")).agg(sum(col("delta")).as("v"))
     val carry = Prefix.bucketPrefixSum(perBucket, Seq("day"), 256L)
     val run = pts.withColumn("cur_in", sum(col("delta")).over(
