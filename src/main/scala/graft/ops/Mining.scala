@@ -717,16 +717,20 @@ object Mining {
     * retained line. Docs with <2 tokens have no transitions and drop
     * out structurally (spanGrams' length-filter precedent).
     *
-    * Scale (100 TB): ONE corpus scan/explode feeds everything
-    * (localCheckpoint shared by the bigram-count, context-count, and
-    * per-doc scoring consumers). Both count tables are map-side
-    * combinable, vocabulary²-bounded, and join back on the (w1, w2) /
-    * (w1) keys the bigram stream already carries — the inverted-index
-    * discipline of qTextBm25; nothing is broadcast that grows with the
-    * corpus. Per-doc grouping keys on doc_id; the census is a
-    * lang×band-sized map-combinable aggregate. */
+    * Scale (100 TB): ONE corpus scan/explode builds the per-document
+    * bigram posting table (doc, w1, w2, k) — the LM's sufficient
+    * statistic — aggregated with map-side combine BEFORE it is
+    * materialized (localCheckpoint), so the three consumers (bigram
+    * counts, context counts, per-doc scoring) all derive from the
+    * deduplicated posting rows and the raw token stream is never
+    * re-scanned or stored. Both count tables are map-side combinable
+    * sums over the postings, vocabulary²-bounded, and join back on the
+    * (w1, w2) / (w1) keys the postings already carry — the
+    * inverted-index discipline of qTextBm25; nothing is broadcast that
+    * grows with the corpus. The census is a lang×band-sized
+    * map-combinable aggregate. */
   private def qTextPerplexity(s: SparkSession, d: String): DataFrame = {
-    val g = Tables.documents(s, d)
+    val postings = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         expr("filter(split(text, ' '), x -> x != '')").as("ws"))
       .filter(size(col("ws")) >= 2)
@@ -735,14 +739,15 @@ object Mining {
         explode(expr(
           "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"))
           .as("bg"))
-      .select(col("doc_id"), col("lang"), col("n_trans"),
+      .groupBy(col("doc_id"), col("lang"), col("n_trans"),
         col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .localCheckpoint()
-    val cb = g.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val cw = g.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
-    val doc = g
-      .groupBy(col("doc_id"), col("lang"), col("n_trans"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val cb = postings.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("k")).as("cb"))
+    val cw = postings.groupBy(col("w1"))
+      .agg(sum(col("k")).as("cw"))
+    val doc = postings
       .join(cb, Seq("w1", "w2"))
       .join(cw, Seq("w1"))
       .groupBy(col("doc_id"), col("lang"), col("n_trans"))
