@@ -729,8 +729,13 @@ object Mining {
     * inverted-index discipline of qTextBm25; nothing is broadcast that
     * grows with the corpus. The census is a lang×band-sized
     * map-combinable aggregate. */
-  private def qTextPerplexity(s: SparkSession, d: String): DataFrame = {
-    val postings = Tables.documents(s, d)
+  /** Per-occurrence bigram stream (doc_id, lang, n_trans, w1, w2) — one
+    * row per transition, streaming-safe (no aggregation, so the
+    * streaming curation form can chain its single allowed stateful op
+    * after the LM join). Docs with <2 non-empty tokens have no
+    * transitions and drop out. */
+  def bigramStream(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"),
         expr("filter(split(text, ' '), x -> x != '')").as("ws"))
       .filter(size(col("ws")) >= 2)
@@ -739,20 +744,42 @@ object Mining {
         explode(expr(
           "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"))
           .as("bg"))
-      .groupBy(col("doc_id"), col("lang"), col("n_trans"),
+      .select(col("doc_id"), col("lang"), col("n_trans"),
         col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Per-document bigram posting table (doc_id, lang, n_trans, w1, w2,
+    * k) — the bigram LM's sufficient statistic, shared by the batch
+    * census, the per-doc scorer, and the streaming curation form. */
+  def bigramPostings(docs: DataFrame): DataFrame =
+    bigramStream(docs)
+      .groupBy(col("doc_id"), col("lang"), col("n_trans"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("k"))
-      .localCheckpoint()
-    val cb = postings.groupBy(col("w1"), col("w2"))
-      .agg(sum(col("k")).as("cb"))
-    val cw = postings.groupBy(col("w1"))
-      .agg(sum(col("k")).as("cw"))
-    val doc = postings
+
+  /** Score postings against a trained bigram LM (its `cb`/`cw` count
+    * tables): per doc, Σ k·⌊log2(cw DIV cb)⌋ quantized bits and the
+    * ×100 average — the kernel of [[qTextPerplexity]] and of the
+    * streaming curation form (graft.streaming.StreamOps). Bigrams the
+    * LM never saw are dropped by the inner join — with the LM trained
+    * on the scored corpus they cannot occur; a cross-corpus deployment
+    * adds the smoothing branch here. */
+  def perplexityScores(postings: DataFrame, cb: DataFrame, cw: DataFrame): DataFrame =
+    postings
       .join(cb, Seq("w1", "w2"))
       .join(cw, Seq("w1"))
       .groupBy(col("doc_id"), col("lang"), col("n_trans"))
       .agg(sum(col("k") * (length(bin(expr("cw DIV cb"))) - 1)).cast(LongType).as("bits_sum"))
       .withColumn("ppl_x100", expr("bits_sum * 100 DIV n_trans"))
+
+  /** The corpus-trained LM: bigram and context count tables off one
+    * postings build. */
+  def bigramLm(postings: DataFrame): (DataFrame, DataFrame) = (
+    postings.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("cb")),
+    postings.groupBy(col("w1")).agg(sum(col("k")).as("cw")))
+
+  private def qTextPerplexity(s: SparkSession, d: String): DataFrame = {
+    val postings = bigramPostings(Tables.documents(s, d)).localCheckpoint()
+    val (cb, cw) = bigramLm(postings)
+    val doc = perplexityScores(postings, cb, cw)
     doc
       .withColumn("band",
         when(col("ppl_x100") < 427, "b0_low")

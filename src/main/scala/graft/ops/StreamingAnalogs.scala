@@ -31,6 +31,7 @@ object StreamingAnalogs {
     "q_stream_uv" -> qStreamUv,
     "q_stream_throttle" -> qStreamThrottle,
     "q_stream_curation" -> qStreamCuration,
+    "q_stream_perplexity" -> qStreamPerplexity,
     "q_cdc_compact" -> qCdcCompact
   )
 
@@ -42,6 +43,22 @@ object StreamingAnalogs {
     * longs per block, never documents. */
   private def qStreamCuration(s: SparkSession, d: String): DataFrame =
     StreamOps.curationCensus(Tables.documents(s, d)).orderBy("blk")
+
+  /** Batch analog of [[StreamOps.perplexityStreaming]] — per-document
+    * LM-perplexity scores off the committed bigram LM, the streaming
+    * curation stage's spec (StreamBatchEquivSuite replays the corpus
+    * through MemoryStream and pins score-for-score equality). The batch
+    * form scores the aggregated posting table (k-weighted — identical
+    * sums to the per-occurrence streaming walk); the census form of the
+    * same kernel is q_text_perplexity. */
+  private def qStreamPerplexity(s: SparkSession, d: String): DataFrame = {
+    val postings = graft.ops.Mining.bigramPostings(Tables.documents(s, d))
+      .localCheckpoint()
+    val (cb, cw) = graft.ops.Mining.bigramLm(postings)
+    graft.ops.Mining.perplexityScores(postings, cb, cw)
+      .select(col("doc_id"), col("n_trans"), col("bits_sum"), col("ppl_x100"))
+      .orderBy("doc_id")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_stream_tumble" ->
@@ -166,6 +183,25 @@ object StreamingAnalogs {
                 CAST(SUM(f_any) AS BIGINT) AS n_killed,
                 CAST(count(*) - SUM(f_any) AS BIGINT) AS n_retained
          FROM f GROUP BY blk ORDER BY blk""",
+    "q_stream_perplexity" ->
+      """WITH d AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents),
+         b AS (SELECT doc_id, CAST(len(ws) - 1 AS BIGINT) AS n_trans,
+                      unnest(list_transform(range(len(ws) - 1),
+                             i -> {'w1': ws[i + 1], 'w2': ws[i + 2]})) AS bg
+               FROM d WHERE len(ws) >= 2),
+         t AS (SELECT doc_id, n_trans, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+         cb AS (SELECT w1, w2, count(*) AS cb FROM t GROUP BY 1, 2),
+         cw AS (SELECT w1, count(*) AS cw FROM t GROUP BY 1),
+         doc AS (SELECT t.doc_id, MAX(t.n_trans) AS n_trans,
+                        CAST(SUM(length(bin(cw.cw // cb.cb)) - 1) AS BIGINT) AS bits_sum
+                 FROM t JOIN cb ON t.w1 = cb.w1 AND t.w2 = cb.w2
+                      JOIN cw ON t.w1 = cw.w1
+                 GROUP BY 1)
+         SELECT doc_id, n_trans, bits_sum,
+                CAST(bits_sum * 100 // n_trans AS BIGINT) AS ppl_x100
+         FROM doc ORDER BY doc_id""",
     "q_cdc_compact" ->
       """WITH chg AS (
            SELECT o_orderkey AS k, 1 AS version, 'I' AS op,

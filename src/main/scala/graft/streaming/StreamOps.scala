@@ -124,6 +124,24 @@ object StreamOps {
       .dropDuplicates(Seq("ch"))
       .select(col("doc_id"), col("canon"))
 
+  /** Streaming LM-PERPLEXITY scoring — the CCNet-style curation stage
+    * as a stream: arriving documents explode into per-occurrence bigram
+    * rows (stateless), score against the COMMITTED corpus LM via
+    * stream-STATIC joins (the cb/cw count tables are the model
+    * artifact — broadcast- or hash-joined like any static dim), and
+    * aggregate quantized bits per document in the single allowed
+    * stateful op (update mode). Each document's row carries its whole
+    * text, so its score finalizes in its arrival micro-batch; state is
+    * one row per in-flight document. Batch==stream pinned per doc in
+    * StreamBatchEquivSuite against [[graft.ops.Mining.perplexityScores]]. */
+  def perplexityStreaming(docs: DataFrame, cb: DataFrame, cw: DataFrame): DataFrame =
+    graft.ops.Mining.bigramStream(docs)
+      .join(cb, Seq("w1", "w2"))
+      .join(cw, Seq("w1"))
+      .groupBy(col("doc_id"), col("lang"), col("n_trans"))
+      .agg(sum(length(bin(expr("cw DIV cb"))) - 1).cast(LongType).as("bits_sum"))
+      .withColumn("ppl_x100", expr("bits_sum * 100 DIV n_trans"))
+
   /** Batch spec for [[urlDedupStreaming]] under in-order arrival:
     * first-seen per canonical form = min doc_id. */
   def urlDedupBatch(urls: DataFrame): DataFrame =

@@ -902,6 +902,31 @@ class StreamBatchEquivSuite extends SparkSuite {
       "redelivered chunks must not re-emit URLs")
   }
 
+  test("streaming LM-perplexity scoring against the committed LM equals the batch scorer per doc") {
+    val docsDf = Tables.documents(spark, sf0001).select("doc_id", "lang", "text")
+    // the committed model artifact: the cb/cw count tables, trained batch-side
+    val postings = graft.ops.Mining.bigramPostings(docsDf).localCheckpoint()
+    val (cb, cw) = graft.ops.Mining.bigramLm(postings)
+    val docs = docsDf.orderBy("doc_id").as[Doc].collect().toSeq
+    val ms = MemoryStream(Encoders.product[Doc], spark.sqlContext)
+    val q = StreamOps.perplexityStreaming(ms.toDF(), cb, cw)
+      .writeStream.format("memory").queryName("ppl_stream").outputMode("update").start()
+    try {
+      docs.grouped(math.max(1, docs.size / 3 + 1)).foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("ppl_stream")
+      .select(col("doc_id"), col("n_trans"), col("bits_sum"), col("ppl_x100"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = graft.ops.Mining.perplexityScores(postings, cb, cw)
+      .select(col("doc_id"), col("n_trans"), col("bits_sum"), col("ppl_x100"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"stream != batch: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("late data beyond the watermark is dropped, never duplicated") {
     val maxT = rowsByArrival.map(_.t.getTime).max
     val sentinel = Ev(-1L, -1L, "sentinel", 0.0, new Timestamp(maxT + 86400L * 1000 * 40))
