@@ -58,7 +58,8 @@ object Mining {
     "q_text_bm25" -> qTextBm25,
     "q_anomaly_seasonal" -> qAnomalySeasonal,
     "q_text_coverage" -> qTextCoverage,
-    "q_text_perplexity" -> qTextPerplexity
+    "q_text_perplexity" -> qTextPerplexity,
+    "q_shard_curriculum" -> qShardCurriculum
   )
 
   val oracle: Map[String, String] = Map(
@@ -264,7 +265,47 @@ object Mining {
                 CAST(SUM(n_trans) AS BIGINT) AS sum_trans,
                 CAST(SUM(bits_sum) AS BIGINT) AS sum_bits,
                 CAST(CASE WHEN band = 'b2_high' THEN 0 ELSE 1 END AS BIGINT) AS kept
-         FROM bd GROUP BY lang, band ORDER BY lang, band"""
+         FROM bd GROUP BY lang, band ORDER BY lang, band""",
+    "q_shard_curriculum" ->
+      """WITH d AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents),
+         b AS (SELECT doc_id, CAST(len(ws) - 1 AS BIGINT) AS n_trans,
+                      unnest(list_transform(range(len(ws) - 1),
+                             i -> {'w1': ws[i + 1], 'w2': ws[i + 2]})) AS bg
+               FROM d WHERE len(ws) >= 2),
+         t AS (SELECT doc_id, n_trans, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+         cb AS (SELECT w1, w2, count(*) AS cb FROM t GROUP BY 1, 2),
+         cw AS (SELECT w1, count(*) AS cw FROM t GROUP BY 1),
+         doc AS (SELECT t.doc_id, MAX(t.n_trans) AS n_trans,
+                        CAST(SUM(length(bin(cw.cw // cb.cb)) - 1) AS BIGINT) AS bits_sum
+                 FROM t JOIN cb ON t.w1 = cb.w1 AND t.w2 = cb.w2
+                      JOIN cw ON t.w1 = cw.w1
+                 GROUP BY 1),
+         s AS (SELECT doc_id, n_trans, bits_sum * 100 // n_trans AS ppl FROM doc),
+         f AS (SELECT
+                 CAST(percentile_cont(0.125) WITHIN GROUP (ORDER BY ppl) * 8 AS BIGINT) AS f1,
+                 CAST(percentile_cont(0.250) WITHIN GROUP (ORDER BY ppl) * 8 AS BIGINT) AS f2,
+                 CAST(percentile_cont(0.375) WITHIN GROUP (ORDER BY ppl) * 8 AS BIGINT) AS f3,
+                 CAST(percentile_cont(0.500) WITHIN GROUP (ORDER BY ppl) * 8 AS BIGINT) AS f4,
+                 CAST(percentile_cont(0.625) WITHIN GROUP (ORDER BY ppl) * 8 AS BIGINT) AS f5,
+                 CAST(percentile_cont(0.750) WITHIN GROUP (ORDER BY ppl) * 8 AS BIGINT) AS f6,
+                 CAST(percentile_cont(0.875) WITHIN GROUP (ORDER BY ppl) * 8 AS BIGINT) AS f7
+               FROM s),
+         a AS (SELECT s.ppl, s.n_trans,
+                      CAST((CASE WHEN 8 * s.ppl > f.f1 THEN 1 ELSE 0 END)
+                         + (CASE WHEN 8 * s.ppl > f.f2 THEN 1 ELSE 0 END)
+                         + (CASE WHEN 8 * s.ppl > f.f3 THEN 1 ELSE 0 END)
+                         + (CASE WHEN 8 * s.ppl > f.f4 THEN 1 ELSE 0 END)
+                         + (CASE WHEN 8 * s.ppl > f.f5 THEN 1 ELSE 0 END)
+                         + (CASE WHEN 8 * s.ppl > f.f6 THEN 1 ELSE 0 END)
+                         + (CASE WHEN 8 * s.ppl > f.f7 THEN 1 ELSE 0 END) AS BIGINT) AS shard
+               FROM s, f)
+         SELECT shard, count(*) AS n_docs,
+                CAST(MIN(ppl) AS BIGINT) AS min_ppl,
+                CAST(MAX(ppl) AS BIGINT) AS max_ppl,
+                CAST(SUM(n_trans) AS BIGINT) AS sum_trans
+         FROM a GROUP BY shard ORDER BY shard"""
   )
 
   /** Word-8-gram positions of every document: (doc_id, h) with one row
@@ -791,5 +832,38 @@ object Mining {
         sum(col("bits_sum")).cast(LongType).as("sum_bits"))
       .withColumn("kept", when(col("band") === "b2_high", 0L).otherwise(1L))
       .orderBy("lang", "band")
+  }
+
+  /** PERPLEXITY-CURRICULUM SHARDING — the training-prep step that orders
+    * a corpus easy→hard and cuts it into 8 difficulty shards (curriculum
+    * learning's data layout): per-doc LM perplexity (the
+    * [[perplexityScores]] kernel) is cut at its own octile fences, and
+    * each document's shard is the count of fences strictly below its
+    * ×8-scaled score. Deliberately NOT a global ntile: an unpartitioned
+    * ranking window is the single-task scan this repo bans; instead the
+    * 7 boundaries come from the distribution-based [[Dist.fencesX]]
+    * (exact ×8 order statistics, map-combinable value counts) and the
+    * assignment is a broadcast-scalar comparison — fully map-side, no
+    * global sort at any scale. Boundary ties land in the lower shard on
+    * both engines (strict >); by-value cuts mean duplicate scores never
+    * split across shards. Output is the shard census a curriculum
+    * scheduler consumes. */
+  private def qShardCurriculum(s: SparkSession, d: String): DataFrame = {
+    val postings = bigramPostings(Tables.documents(s, d)).localCheckpoint()
+    val (cb, cw) = bigramLm(postings)
+    val scored = perplexityScores(postings, cb, cw)
+      .select(col("doc_id"), col("n_trans"), col("ppl_x100").as("ppl"))
+    val fences = Dist.fencesX(scored, Seq.empty, "ppl",
+      (1 to 7).map(j => Dist.Fence(s"f$j", j, 8)))
+    scored.crossJoin(broadcast(fences))
+      .withColumn("shard",
+        (1 to 7).map(j => when(col("ppl") * 8 > col(s"f$j"), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("ppl")).cast(LongType).as("min_ppl"),
+        max(col("ppl")).cast(LongType).as("max_ppl"),
+        sum(col("n_trans")).cast(LongType).as("sum_trans"))
+      .orderBy("shard")
   }
 }

@@ -238,6 +238,9 @@ class PlanSuite extends SparkSuite {
       // and its sparse tower crosses in the 1-row collection count —
       // both already-adjudicated shapes
       "q_hybrid_rrf",
+      // curriculum sharding crosses in its 1-row octile-fence scalar
+      // (Dist.fencesX) — broadcast scalar like q_anomaly_iqr
+      "q_shard_curriculum",
       // the freshness monitor crosses its types-sized aggregate with the
       // 1-row global max — another broadcast scalar
       "q_dq_freshness",
