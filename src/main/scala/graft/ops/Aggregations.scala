@@ -424,20 +424,27 @@ object Aggregations {
     * tie group crosses the half-total threshold iff its LAST row does,
     * so MIN(value) over crossing rows is identical under any intra-tie
     * order — no interpolation, no floats, same answer both engines.
-    * One per-group sort (the window) + a map-combinable final
-    * aggregate; at scale this is the sort-based median discipline
-    * q_agg_median already uses, generalized to weights. */
+    * Scale shape (the [[graft.ops.Dist]] discipline, generalized to
+    * weights): the fact table first aggregates to (flag, value, Σw) —
+    * map-side combinable, VALUE-DOMAIN-bounded (distinct cents prices,
+    * not rows) — and the cumulative walk runs over that distinct-value
+    * table, so the per-flag window task is bounded by the price domain
+    * no matter how many rows the 3-value flag key concentrates (the
+    * row-level form was the same one-task-per-constant-key defect
+    * class VERDICT r6 flagged on q_twap). Working on tie-group totals
+    * is exactly the tie argument above, made structural. */
   private def qAggWeightedMedian(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val x = Tables.lineitem(s, d).select(
       col("l_returnflag").as("f"),
       (dec(col("l_extendedprice"), 12, 2) * 100).cast(LongType).as("c"),
       col("l_quantity").cast(LongType).as("w"))
+    val dist = x.groupBy(col("f"), col("c")).agg(sum(col("w")).as("wc"))
     val byF = Window.partitionBy(col("f"))
-    val c2 = x
-      .withColumn("cw", sum(col("w")).over(
+    val c2 = dist
+      .withColumn("cw", sum(col("wc")).over(
         byF.orderBy(col("c")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tot", sum(col("w")).over(byF))
+      .withColumn("tot", sum(col("wc")).over(byF))
     c2.filter(col("cw") * 2 >= col("tot"))
       .groupBy(col("f"))
       .agg(min(col("c")).as("wmedian_cents"), max(col("tot")).cast(LongType).as("total_weight"))
