@@ -205,13 +205,27 @@ object Windows {
 
   /** RANGE frame over an exact integer key (cents) — value-bounded window;
     * doubles are never used as frame boundaries (peer/boundary arithmetic
-    * must be exact on both engines). */
+    * must be exact on both engines).
+    *
+    * Scale shape: o_orderstatus has 3 values, so running the frame over
+    * fact ROWS would put ~1/3 of the table in one sort task (the
+    * constant-cardinality window class VERDICT r6 flagged). A range
+    * frame's result depends only on the VALUE DISTRIBUTION, so the
+    * rangeBetween window runs over the distinct (status, cents) count
+    * table — map-combinable to build, value-domain-bounded per task —
+    * and rows take their count by an equi-join on the value they
+    * already carry. Identical per-row output (peers share frames by
+    * definition of RANGE). */
   private def qWinRange(s: SparkSession, d: String): DataFrame = {
     val cents = (dec(col("o_totalprice"), 12, 2) * 100).cast(LongType)
-    val w = Window.partitionBy(col("st")).orderBy(col("cents")).rangeBetween(-100000L, 0L)
-    Tables.orders(s, d)
+    val base = Tables.orders(s, d)
       .select(col("o_orderstatus").as("st"), col("o_orderkey"), cents.as("cents"))
-      .withColumn("cnt_in_range", count(lit(1)).over(w))
+    val w = Window.partitionBy(col("st")).orderBy(col("cents")).rangeBetween(-100000L, 0L)
+    val ranged = base.groupBy(col("st"), col("cents")).agg(count(lit(1)).as("k"))
+      .withColumn("cnt_in_range", sum(col("k")).over(w))
+      .select(col("st"), col("cents"), col("cnt_in_range"))
+    base.join(ranged, Seq("st", "cents"))
+      .select(col("st"), col("o_orderkey"), col("cents"), col("cnt_in_range"))
       .orderBy("o_orderkey")
   }
 
