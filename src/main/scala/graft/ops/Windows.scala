@@ -156,6 +156,15 @@ object Windows {
          ORDER BY partkey"""
   )
 
+  /** rank / dense_rank / row_number semantics in one pass — the
+    * DECLARED ranking operators, deliberately exercising Spark's own
+    * WindowExec. c_nationkey is a 25-value key; the 100× decomposition
+    * (in-bucket ranks + [[graft.ops.Prefix]] count/distinct-count
+    * carries, ties bucket-safe because the bucket derives from the
+    * ordering prefix) is the shipped q_win_ntile shape and is pinned
+    * equal to all three window functions in PrefixSuite — swapping it
+    * in here would stop this query from testing the operators
+    * themselves. */
   private def qWinRank(s: SparkSession, d: String): DataFrame = {
     val wTies = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc)
     val wUniq = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -249,10 +258,37 @@ object Windows {
       .orderBy("user_id", "tu", "event_id")
   }
 
+  /** ntile(4) per market segment — DISTRIBUTED: c_mktsegment has 5
+    * values, so a plain ntile window would sort ~20 % of the customer
+    * table in one task at 100×. ntile is a pure function of (rank, n),
+    * so the global rank decomposes by (segment, acctbal-bucket): an
+    * in-bucket row_number (fully parallel — ties on the ordering prefix
+    * can never straddle a value bucket) plus the metadata-scale
+    * strict-prefix count carry ([[graft.ops.Prefix.bucketPrefixSum]]),
+    * and the tile comes from Spark's exact ntile arithmetic — the first
+    * n%k tiles take ⌈n/k⌉ rows, the rest ⌊n/k⌋ (PrefixSuite pins the
+    * decomposition against the window form; the oracle hash is the
+    * original's). */
   private def qWinNtile(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables.customer(s, d)
-      .select(col("c_custkey"), col("c_mktsegment").as("seg"), ntile(4).over(w).cast(LongType).as("tile"))
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        (dec(col("c_acctbal"), 12, 2) * 100).cast(LongType).as("cents"))
+      .withColumn("b", expr("cents DIV 65536"))
+    val inB = Window.partitionBy(col("seg"), col("b"))
+      .orderBy(col("cents"), col("c_custkey"))
+    val perBucket = c.groupBy(col("seg"), col("b"))
+      .agg(count(lit(1)).cast(LongType).as("v"))
+    val carry = graft.ops.Prefix.bucketPrefixSum(perBucket, Seq("seg"), 256L)
+    val n = c.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+    c.withColumn("rn_in", row_number().over(inB))
+      .join(broadcast(carry), Seq("seg", "b"))
+      .withColumn("rnk", col("rn_in") + col("prev"))
+      .join(broadcast(n), Seq("seg"))
+      .select(col("c_custkey"), col("seg"),
+        expr("""CASE WHEN (n % 4) * ((n DIV 4) + 1) >= rnk
+                     THEN (rnk - 1) DIV ((n DIV 4) + 1) + 1
+                     ELSE (n % 4) + (rnk - 1 - (n % 4) * ((n DIV 4) + 1)) DIV (n DIV 4) + 1
+                END""").cast(LongType).as("tile"))
       .orderBy("c_custkey")
   }
 

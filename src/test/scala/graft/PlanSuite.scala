@@ -241,6 +241,9 @@ class PlanSuite extends SparkSuite {
       // curriculum sharding crosses in its 1-row octile-fence scalar
       // (Dist.fencesX) — broadcast scalar like q_anomaly_iqr
       "q_shard_curriculum",
+      // distributed ntile carries the Prefix super-bucket theta join,
+      // like the round-7 running-window reworks
+      "q_win_ntile",
       // the freshness monitor crosses its types-sized aggregate with the
       // 1-row global max — another broadcast scalar
       "q_dq_freshness",

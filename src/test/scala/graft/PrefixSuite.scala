@@ -165,6 +165,66 @@ class PrefixSuite extends SparkSuite {
     }
   }
 
+  test("distributed ranking: in-bucket ranks + Prefix carries equal rank/dense_rank/row_number") {
+    // the 100x path for the constant-cardinality ranking family
+    // (q_win_rank's scaladoc, q_win_ntile's shipped shape): bucket by
+    // the ordering prefix, rank within buckets, carry counts across.
+    // row_number/rank carry = prefix SUM of bucket row counts;
+    // dense_rank carry = prefix SUM of bucket DISTINCT-value counts
+    // (value buckets mean tie groups never straddle buckets).
+    val n = 5000L
+    val rows = spark.range(n).select(
+      lit("hot").as("k"),
+      col("id").as("uid"),
+      (col("id") % 700).as("s")) // ties: ~7 rows per score
+    val wT = Window.partitionBy(col("k")).orderBy(col("s").desc)
+    val wU = Window.partitionBy(col("k")).orderBy(col("s").desc, col("uid"))
+    val want = rows
+      .withColumn("rnk", rank().over(wT))
+      .withColumn("drnk", dense_rank().over(wT))
+      .withColumn("rn", row_number().over(wU))
+      .select(col("uid"), col("rnk"), col("drnk"), col("rn"))
+      .as[(Long, Int, Int, Int)].collect().toSet
+    val b = rows.withColumn("b", expr("(0 - s) DIV 64")) // desc order -> negate
+    val inT = Window.partitionBy(col("k"), col("b")).orderBy(col("s").desc)
+    val inU = Window.partitionBy(col("k"), col("b")).orderBy(col("s").desc, col("uid"))
+    val perBucket = b.groupBy(col("k"), col("b"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        countDistinct(col("s")).cast("long").as("dct"))
+    val carryCnt = Prefix.bucketPrefixSum(
+      perBucket.select(col("k"), col("b"), col("cnt").as("v")), Seq("k"), 16L)
+    val carryDct = Prefix.bucketPrefixSum(
+      perBucket.select(col("k"), col("b"), col("dct").as("v")), Seq("k"), 16L)
+      .withColumnRenamed("prev", "prevd")
+    val got = b
+      .withColumn("rnk_in", rank().over(inT))
+      .withColumn("drnk_in", dense_rank().over(inT))
+      .withColumn("rn_in", row_number().over(inU))
+      .join(broadcast(carryCnt), Seq("k", "b"))
+      .join(broadcast(carryDct), Seq("k", "b"))
+      .select(col("uid"),
+        (col("rnk_in") + col("prev")).cast("int").as("rnk"),
+        (col("drnk_in") + col("prevd")).cast("int").as("drnk"),
+        (col("rn_in") + col("prev")).cast("int").as("rn"))
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(got == want,
+      s"decomposed ranks drifted: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(want.size == n.toInt)
+  }
+
+  test("q_win_ntile: the decomposed tile equals the plain ntile window") {
+    val c = Tables.customer(spark, sf0001)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val want = c.select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        ntile(4).over(w).cast("long").as("tile"))
+      .as[(Long, String, Long)].collect().toSet
+    val got = SparkEntry.queries("q_win_ntile")(spark, sf0001)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want, s"decomposed ntile drifted (sizes ${got.size}/${want.size})")
+    assert(want.nonEmpty)
+  }
+
   test("hot key no longer serializes: one key, many buckets -> bucket-bounded window partitions") {
     // Manufacture the distribution the rework exists for: ONE event type
     // carrying every row, spread across the time axis. Under the retired
