@@ -57,6 +57,24 @@ class PrefixSuite extends SparkSuite {
     assert(rows.size > 200 && got.size == rows.size)
   }
 
+  test("bucketPrefixSum: NEGATIVE bucket ids (desc-order negation, negative balances) stay exact") {
+    // integer DIV truncates toward zero, so negative buckets group into
+    // contiguous-but-uneven super-buckets around zero — the contract the
+    // suffix-min mirror and q_win_ntile's negative-cents buckets rely on
+    val rnd = new scala.util.Random(23)
+    val rows = (-150L until 150L).filter(_ => rnd.nextBoolean())
+      .map(b => ("k", b, rnd.nextLong(1000L))).toSeq
+    val got = Prefix.bucketPrefixSum(rows.toDF("k", "b", "v"), Seq("k"), 4L)
+      .as[(String, Long, Long)].collect()
+      .map { case (_, b, p) => b -> p }.toMap
+    var run = 0L
+    rows.sortBy(_._2).foreach { case (_, b, v) =>
+      assert(got(b) == run, s"bucket $b: got ${got(b)}, want $run")
+      run += v
+    }
+    assert(rows.count(_._2 < 0) > 50 && got.size == rows.size)
+  }
+
   test("prefix primitives degenerate correctly: empty input, single bucket per key") {
     assert(Prefix.bucketPrefixSum(
       Seq.empty[(String, Long, Long)].toDF("k", "b", "v"), Seq("k"), 4L).count() == 0)
