@@ -701,7 +701,7 @@ object Advanced {
     * ([[graft.ops.Prefix.bucketPrefixSum]] — exact, sum is associative).
     * Ties (equal tu) stay inside one bucket, so the +1-before-−1 and
     * user_id ordering applies unchanged within the bucket window.
-    * Identical output to the single-window form (InvariantSuite pins the
+    * Identical output to the single-window form (PrefixSuite pins the
     * equivalence). One aggregate over the event stream, then everything
     * runs on the 2-points-per-session table. */
   private def qPeakConcurrency(s: SparkSession, d: String): DataFrame = {

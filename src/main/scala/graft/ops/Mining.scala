@@ -740,36 +740,6 @@ object Mining {
       .orderBy("term", "rnk")
   }
 
-  /** CCNet-style LM-perplexity filter (Wenzek et al. 2020): score every
-    * document by a bigram language model trained on the corpus itself,
-    * band the scores, and publish the per-(lang, band) kill census — the
-    * classic curation stage that drops text the LM finds too surprising
-    * (boilerplate-adjacent gibberish) or too predictable (templated
-    * spam). Integer-exact in the q_text_bm25 log2 discipline: a
-    * transition w1→w2 costs bits = ⌊log2(c(w1·) DIV c(w1,w2))⌋
-    * (length(bin(x)) − 1, identical string semantics on both engines) —
-    * the quantized −log2 P(w2|w1) — and a document's perplexity proxy is
-    * avg bits per transition ×100, one truncating division. The LM is
-    * trained on the scored corpus, so every document bigram has count
-    * ≥ 1 and no smoothing/backoff branch is needed (deterministic; the
-    * CCNet train-on-wiki/score-on-crawl split would need it). Bands are
-    * fixed thresholds (<427 / <438 ×100 bits, all three non-empty at
-    * every fixture sf); kept = not b2_high, mirroring q_quality_gopher's
-    * retained line. Docs with <2 tokens have no transitions and drop
-    * out structurally (spanGrams' length-filter precedent).
-    *
-    * Scale (100 TB): ONE corpus scan/explode builds the per-document
-    * bigram posting table (doc, w1, w2, k) — the LM's sufficient
-    * statistic — aggregated with map-side combine BEFORE it is
-    * materialized (localCheckpoint), so the three consumers (bigram
-    * counts, context counts, per-doc scoring) all derive from the
-    * deduplicated posting rows and the raw token stream is never
-    * re-scanned or stored. Both count tables are map-side combinable
-    * sums over the postings, vocabulary²-bounded, and join back on the
-    * (w1, w2) / (w1) keys the postings already carry — the
-    * inverted-index discipline of qTextBm25; nothing is broadcast that
-    * grows with the corpus. The census is a lang×band-sized
-    * map-combinable aggregate. */
   /** Per-occurrence bigram stream (doc_id, lang, n_trans, w1, w2) — one
     * row per transition, streaming-safe (no aggregation, so the
     * streaming curation form can chain its single allowed stateful op
@@ -817,6 +787,36 @@ object Mining {
     postings.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("cb")),
     postings.groupBy(col("w1")).agg(sum(col("k")).as("cw")))
 
+  /** CCNet-style LM-perplexity filter (Wenzek et al. 2020): score every
+    * document by a bigram language model trained on the corpus itself,
+    * band the scores, and publish the per-(lang, band) kill census — the
+    * classic curation stage that drops text the LM finds too surprising
+    * (boilerplate-adjacent gibberish) or too predictable (templated
+    * spam). Integer-exact in the q_text_bm25 log2 discipline: a
+    * transition w1→w2 costs bits = ⌊log2(c(w1·) DIV c(w1,w2))⌋
+    * (length(bin(x)) − 1, identical string semantics on both engines) —
+    * the quantized −log2 P(w2|w1) — and a document's perplexity proxy is
+    * avg bits per transition ×100, one truncating division. The LM is
+    * trained on the scored corpus, so every document bigram has count
+    * ≥ 1 and no smoothing/backoff branch is needed (deterministic; the
+    * CCNet train-on-wiki/score-on-crawl split would need it). Bands are
+    * fixed thresholds (<427 / <438 ×100 bits, all three non-empty at
+    * every fixture sf); kept = not b2_high, mirroring q_quality_gopher's
+    * retained line. Docs with <2 tokens have no transitions and drop
+    * out structurally (spanGrams' length-filter precedent).
+    *
+    * Scale (100 TB): ONE corpus scan/explode builds the per-document
+    * bigram posting table (doc, w1, w2, k) — the LM's sufficient
+    * statistic — aggregated with map-side combine BEFORE it is
+    * materialized (localCheckpoint), so the three consumers (bigram
+    * counts, context counts, per-doc scoring) all derive from the
+    * deduplicated posting rows and the raw token stream is never
+    * re-scanned or stored. Both count tables are map-side combinable
+    * sums over the postings, vocabulary²-bounded, and join back on the
+    * (w1, w2) / (w1) keys the postings already carry — the
+    * inverted-index discipline of qTextBm25; nothing is broadcast that
+    * grows with the corpus. The census is a lang×band-sized
+    * map-combinable aggregate. */
   private def qTextPerplexity(s: SparkSession, d: String): DataFrame = {
     val postings = bigramPostings(Tables.documents(s, d)).localCheckpoint()
     val (cb, cw) = bigramLm(postings)

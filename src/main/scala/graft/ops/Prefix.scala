@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * three branches consume it, and without materialization each branch
   * would recompute the caller's aggregation — and whatever scan feeds
   * it — from scratch. Property-tested against the naive global window
-  * in InvariantSuite (keyed sum + suffix min; the max form keeps its
+  * in PrefixSuite (keyed sum + suffix min; the max form keeps its
   * original tests via the [[StreamingAnalogs.bucketPrefixMax]] shim).
   */
 object Prefix {

@@ -390,7 +390,7 @@ object ScaleOps {
     * ([[graft.ops.Prefix.bucketPrefixSum]] — sum is associative, so the
     * two-pass decomposition is exact in int64). The stratum total
     * becomes a map-side-combinable aggregate broadcast back. Identical
-    * rows to the single-window form (InvariantSuite pins the
+    * rows to the single-window form (PrefixSuite pins the
     * equivalence); parallelism now scales with the time span. */
   private def qSampleSystematic(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(

@@ -462,7 +462,7 @@ object Warehouse {
     * ties (broken by event_id) can never straddle a bucket and
     * within-bucket lead equals global lead everywhere except each
     * bucket's last row, which takes the overlay value. Identical output
-    * to the single-window form (InvariantSuite pins the equivalence);
+    * to the single-window form (PrefixSuite pins the equivalence);
     * window parallelism now scales with the data's time span instead of
     * the type cardinality. */
   private def qTwap(s: SparkSession, d: String): DataFrame = {

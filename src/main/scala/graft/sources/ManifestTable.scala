@@ -645,9 +645,11 @@ object ManifestTable {
         .filter(_.getFileName.toString.matches("v\\d{8}\\.manifest"))
         .flatMap(m => Files.readAllLines(m).asScala)
         .filter(l => l.nonEmpty && !l.startsWith("#"))
-        // a DV line references its sidecar file by path — strip the
-        // marker so live deletion vectors are never vacuumed
-        .map(_.stripPrefix(DvPrefix))
+        // a DV line references its sidecar by path WITH appended
+        // '|<target>' entries — parse it (not a bare prefix-strip, which
+        // would leave the composite string and vacuum a LIVE deletion
+        // vector; pinned in ManifestTableSuite)
+        .map(l => if (l.startsWith(DvPrefix)) parseDvLine(l)._1 else l)
         .toSet
     val dd = dataDir(table)
     if (!Files.isDirectory(dd)) return 0

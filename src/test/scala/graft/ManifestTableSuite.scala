@@ -526,6 +526,25 @@ class ManifestTableSuite extends SparkSuite {
       "merge commits a full materialized state, no DV lines")
   }
 
+  test("vacuum never deletes a LIVE deletion-vector sidecar (target-tracked DV lines parse, not prefix-strip)") {
+    // regression: DV manifest lines carry '|<target>' suffixes, so a bare
+    // prefix-strip leaves a composite string that never matches the
+    // sidecar's real path — vacuum would orphan-delete a live DV and the
+    // next read of the CURRENT snapshot would throw (or resurrect the
+    // erased rows)
+    val t = freshTable()
+    (0 until 2).foreach { r =>
+      ManifestTable.append(spark, t,
+        spark.range(r * 1000L, r * 1000L + 1000L).toDF("k").repartition(1))
+    }
+    val v = ManifestTable.deleteWhere(spark, t, "k", 100L, 149L)
+    val dv = ManifestTable.snapshotDvs(t, v).head
+    ManifestTable.vacuum(t, retentionMs = 0L)
+    assert(Files.exists(Paths.get(dv)), s"live DV sidecar vacuumed: $dv")
+    assert(ManifestTable.read(spark, t).count() == 2000L - 50L,
+      "current snapshot must stay readable and exact after vacuum")
+  }
+
   test("concurrent DV writers: grazing deletes race, every tombstone survives the CAS loop") {
     // the deleteWhere race test above exercises the loop too, but with
     // the default policy those four deletes (10% of each file's span)
