@@ -40,7 +40,8 @@ object TextSim {
     "q_sample_hash" -> qSampleHash,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_text_heavy" -> qTextHeavy,
-    "q_hybrid_rrf" -> qHybridRrf
+    "q_hybrid_rrf" -> qHybridRrf,
+    "q_decontam_semantic" -> qDecontamSemantic
   )
 
   /** Tiny deterministic sentiment lexicon over the fixture vocabulary. */
@@ -59,6 +60,16 @@ object TextSim {
              FROM embeddings e JOIN embeddings c ON c.vec_id < 16)
            WHERE rn = 1)
          GROUP BY cid ORDER BY cid""",
+    "q_decontam_semantic" ->
+      """WITH f AS (SELECT DISTINCT c.vec_id
+                    FROM embeddings c JOIN embeddings p
+                      ON p.vec_id < 10 AND c.vec_id >= 10
+                    WHERE list_inner_product(CAST(c.embedding AS DOUBLE[]),
+                                             CAST(p.embedding AS DOUBLE[])) >= 0.3)
+         SELECT e.label, count(*) AS n_vecs,
+                CAST(count(f.vec_id) AS BIGINT) AS n_flagged
+         FROM embeddings e LEFT JOIN f ON e.vec_id = f.vec_id
+         WHERE e.vec_id >= 10 GROUP BY e.label ORDER BY e.label""",
     "q_hybrid_rrf" ->
       """WITH coll AS (SELECT d.doc_id, d.text FROM documents d
                        JOIN embeddings e ON d.doc_id = e.vec_id),
@@ -735,5 +746,40 @@ object TextSim {
       .select(col("qid"), col("rnk").cast(LongType).as("rnk"),
         col("nid"), col("rrf").cast(LongType).as("rrf"))
       .orderBy("qid", "rnk")
+  }
+
+  /** SEMANTIC DECONTAMINATION census — the embedding-space complement of
+    * the n-gram q_decontam: corpus vectors whose cosine against ANY
+    * held-out benchmark vector (the 10 lowest ids standing in for the
+    * eval set) reaches 0.3 are flagged as semantic leaks a paraphrase
+    * would slip past exact-gram matching (the modern screen run before
+    * training on crawl data). Census per label: population vs flagged —
+    * integers only cross the oracle boundary; the cosine itself is the
+    * repo's bit-exact double dot (unit-norm vectors).
+    *
+    * Scale: the benchmark set broadcasts (it is small by definition) and
+    * streams past the partitioned corpus exactly like [[knn]] — no
+    * corpus self-join; the flag set is DISTINCT corpus ids (≤ corpus)
+    * and the census is a label-sized map-combinable aggregate. At 100 TB
+    * the screen reads the committed IVF cells to probe only nearby
+    * buckets (q_sim_ivf's artifact path); the exact form here is the
+    * oracle-checkable spec of that screen. */
+  private def qDecontamSemantic(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("embedding").as("qe"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("ne"))
+    val flagged = corpus.crossJoin(broadcast(probes))
+      .withColumn("dot", dotExpr)
+      .filter(col("dot") >= 0.3)
+      .select(col("cid")).distinct()
+      .withColumn("hit", lit(1L))
+    emb.filter(col("vec_id") >= 10)
+      .join(flagged, col("vec_id") === col("cid"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("hit"), lit(0L))).cast(LongType).as("n_flagged"))
+      .orderBy("label")
   }
 }

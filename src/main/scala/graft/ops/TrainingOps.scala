@@ -36,10 +36,33 @@ object TrainingOps {
     "q_cluster_kmeans" -> qClusterKmeans,
     "q_mix_domains" -> qMixDomains,
     "q_mix_temperature" -> qMixTemperature,
-    "q_fold_assign" -> qFoldAssign
+    "q_fold_assign" -> qFoldAssign,
+    "q_bpe_fertility" -> qBpeFertility
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bpe_fertility" ->
+      """WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         p0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM ws),
+         pairs AS (SELECT doc_id, i, w[i] || ' ' || w[i+1] AS pg FROM p0),
+         vocab AS (SELECT pg FROM (SELECT pg, count(*) AS c FROM pairs
+                                   GROUP BY pg ORDER BY c DESC, pg LIMIT 32)),
+         m AS (SELECT doc_id, i,
+                      i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+               FROM pairs JOIN vocab USING (pg)),
+         runs AS (SELECT doc_id, grp, count(*) AS L FROM m GROUP BY doc_id, grp),
+         mg AS (SELECT doc_id, SUM((L + 1) // 2) AS nm FROM runs GROUP BY doc_id),
+         d AS (SELECT ws.doc_id, lang, CAST(len(w) AS BIGINT) AS words,
+                      CAST(len(w) - COALESCE(nm, 0) AS BIGINT) AS ntok
+               FROM ws LEFT JOIN mg ON ws.doc_id = mg.doc_id),
+         ch AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS chars FROM documents)
+         SELECT lang, count(*) AS n_docs,
+                CAST(SUM(words) AS BIGINT) AS words,
+                CAST(SUM(ntok) AS BIGINT) AS ntok,
+                CAST(SUM(chars) AS BIGINT) AS chars,
+                CAST(SUM(ntok) * 1000 // SUM(words) AS BIGINT) AS fertility_x1000,
+                CAST(SUM(chars) * 1000 // SUM(ntok) AS BIGINT) AS chars_per_tok_x1000
+         FROM d JOIN ch USING (doc_id) GROUP BY lang ORDER BY lang""",
     "q_pack_sequences" ->
       """WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
          p0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM ws),
@@ -278,6 +301,36 @@ object TrainingOps {
       .join(merges, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         (col("base") - coalesce(col("nm"), lit(0L))).cast(LongType).as("ntok"))
+  }
+
+  /** TOKENIZER FERTILITY per language — tokens-per-word ×1000 and
+    * chars-per-token ×1000 under the [[bpeNtok]] tokenizer-faithful cost
+    * model. Fertility disparity is the cross-language equity metric
+    * tokenizer teams track: a language whose words fragment into more
+    * tokens pays more context budget per sentence, so the mixer reads
+    * this census before setting language weights (the same reason
+    * q_mix_temperature exists). Integer-exact: both ratios are one
+    * truncating division over lang-level sums. Word count is bpeNtok's
+    * own base (size(split(text))) so fertility is exactly tokens/base
+    * under the committed merge table.
+    *
+    * Scale: one bpeNtok pass (vocab broadcast, single corpus explode),
+    * one doc-keyed join to the per-doc char/word projection, and a
+    * lang-sized map-combinable census. */
+  private def qBpeFertility(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val stats = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("words"),
+      length(col("text")).cast(LongType).as("chars"))
+    bpeNtok(docs).join(stats, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("words")).cast(LongType).as("words"),
+        sum(col("ntok")).cast(LongType).as("ntok"),
+        sum(col("chars")).cast(LongType).as("chars"))
+      .withColumn("fertility_x1000", expr("ntok * 1000 DIV words"))
+      .withColumn("chars_per_tok_x1000", expr("chars * 1000 DIV ntok"))
+      .orderBy("lang")
   }
 
   /** The learned BPE merge table itself — rank, bigram, corpus frequency

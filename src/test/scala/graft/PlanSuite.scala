@@ -244,6 +244,9 @@ class PlanSuite extends SparkSuite {
       // distributed ntile carries the Prefix super-bucket theta join,
       // like the round-7 running-window reworks
       "q_win_ntile",
+      // semantic decontam broadcasts the 10-probe benchmark set past the
+      // corpus — the q_sim_knn broadcast-probe NLJ shape
+      "q_decontam_semantic",
       // the freshness monitor crosses its types-sized aggregate with the
       // 1-row global max — another broadcast scalar
       "q_dq_freshness",
