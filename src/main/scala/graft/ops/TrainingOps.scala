@@ -37,10 +37,37 @@ object TrainingOps {
     "q_mix_domains" -> qMixDomains,
     "q_mix_temperature" -> qMixTemperature,
     "q_fold_assign" -> qFoldAssign,
-    "q_bpe_fertility" -> qBpeFertility
+    "q_bpe_fertility" -> qBpeFertility,
+    "q_mix_epochs" -> qMixEpochs
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mix_epochs" ->
+      """WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         p0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM ws),
+         pairs AS (SELECT doc_id, i, w[i] || ' ' || w[i+1] AS pg FROM p0),
+         vocab AS (SELECT pg FROM (SELECT pg, count(*) AS c FROM pairs
+                                   GROUP BY pg ORDER BY c DESC, pg LIMIT 32)),
+         m AS (SELECT doc_id, i,
+                      i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+               FROM pairs JOIN vocab USING (pg)),
+         runs AS (SELECT doc_id, grp, count(*) AS L FROM m GROUP BY doc_id, grp),
+         mg AS (SELECT doc_id, SUM((L + 1) // 2) AS nm FROM runs GROUP BY doc_id),
+         dt AS (SELECT ws.doc_id, source,
+                       CAST(len(w) - COALESCE(nm, 0) AS BIGINT) AS ntok
+                FROM ws LEFT JOIN mg ON ws.doc_id = mg.doc_id),
+         tk AS (SELECT source, count(*) AS n_docs,
+                       CAST(SUM(ntok) AS BIGINT) AS tok,
+                       CAST(floor(sqrt(CAST(SUM(ntok) AS DOUBLE))) AS BIGINT) AS w
+                FROM dt GROUP BY source),
+         tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS t_tot,
+                        CAST(SUM(w) AS BIGINT) AS w_tot FROM tk),
+         a AS (SELECT tk.*, 4 * tot.t_tot * tk.w // tot.w_tot AS alloc FROM tk, tot),
+         e AS (SELECT *, LEAST(400, alloc * 100 // tok) AS epochs_x100 FROM a)
+         SELECT source, n_docs, tok, w, CAST(alloc AS BIGINT) AS alloc,
+                CAST(epochs_x100 AS BIGINT) AS epochs_x100,
+                CAST(tok * epochs_x100 // 100 AS BIGINT) AS served_tok
+         FROM e ORDER BY source""",
     "q_bpe_fertility" ->
       """WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
          p0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM ws),
@@ -731,6 +758,39 @@ object TrainingOps {
         col("rate_4096").cast(LongType).as("rate_4096"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .orderBy("lang")
+  }
+
+  /** DATA-CONSTRAINED EPOCH ALLOCATION (the repeat-planning recipe of
+    * Muennighoff et al. 2023): given a training token budget larger
+    * than the corpus (4× here), split it across source domains by
+    * α=0.5 temperature weights over their tokenizer-faithful token
+    * masses ([[bpeNtok]], the same isqrt discipline as
+    * q_mix_temperature), then convert each domain's allocation into
+    * EPOCHS over its data, capped at 4 (×100 fixed point) — past ~4
+    * repeats extra epochs stop buying loss, so over-allocated domains
+    * return budget as the cap and the census shows exactly which
+    * domains are repeat-bound vs data-rich. Integer-exact end to end:
+    * isqrt weights, one DIV per allocation, one DIV per epoch ratio.
+    *
+    * Scale: one bpeNtok pass, a domain-sized aggregate, a 1-row total
+    * broadcast back over the domain table — nothing row-level after
+    * the token census. */
+  private def qMixEpochs(s: SparkSession, d: String): DataFrame = {
+    val tok = bpeNtok(Tables.documents(s, d))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).cast(LongType).as("tok"))
+      .withColumn("w", floor(sqrt(col("tok").cast("double"))).cast(LongType))
+    val tot = tok.agg(
+      sum(col("tok")).cast(LongType).as("t_tot"),
+      sum(col("w")).cast(LongType).as("w_tot"))
+    tok.crossJoin(broadcast(tot))
+      .withColumn("alloc", expr("4 * t_tot * w DIV w_tot"))
+      .withColumn("epochs_x100", least(lit(400L), expr("alloc * 100 DIV tok")))
+      .withColumn("served_tok", expr("tok * epochs_x100 DIV 100"))
+      .select(col("source"), col("n_docs"), col("tok"), col("w"),
+        col("alloc"), col("epochs_x100"), col("served_tok"))
+      .orderBy("source")
   }
 
   /** K-FOLD cross-validation assignment: every document lands in one of

@@ -265,9 +265,10 @@ class PlanSuite extends SparkSuite {
       // link prediction crosses in the same 1-row mean-weight threshold
       // scalar as q_graph_triangles/q_graph_cc
       "q_graph_jaccard",
-      // temperature mixing and BM25 cross in 1-row total scalars
-      // (corpus size / token total) — broadcast scalars like q_text_tfidf
-      "q_mix_temperature", "q_text_bm25",
+      // temperature mixing, epoch allocation, and BM25 cross in 1-row
+      // total scalars (corpus size / token total) — broadcast scalars
+      // like q_text_tfidf
+      "q_mix_temperature", "q_mix_epochs", "q_text_bm25",
       // the coverage CDF crosses in the 1-row corpus token total —
       // broadcast scalar like q_text_tfidf
       "q_text_coverage",
