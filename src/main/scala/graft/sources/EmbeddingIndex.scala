@@ -78,7 +78,14 @@ object EmbeddingIndex {
         ManifestTable.append(spark, table, derive(input))
       } else {
         val have = ManifestTable.read(spark, table).select(col(key))
-        val missing = input.join(have, Seq(key), "left_anti")
+        // dropDuplicates(key): the key anti-join only screens keys from
+        // PRIOR commits — duplicate keys arriving within one input (a
+        // legal at-least-once delivery shape) would otherwise both pass
+        // and commit duplicate artifact rows. Rows are immutable per key
+        // by the refresh contract, so any one duplicate representative
+        // derives the same artifact row. Cost: a shuffle of the MISSING
+        // set only, never the corpus.
+        val missing = input.join(have, Seq(key), "left_anti").dropDuplicates(key)
         if (!missing.isEmpty) ManifestTable.append(spark, table, derive(missing))
       }
     }
@@ -105,7 +112,11 @@ object EmbeddingIndex {
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        refresh(spark, table, batch, key)(derive)
+        // in-batch key dedup: refresh's cold path (first-ever batch)
+        // derives the input as-is, so duplicates WITHIN one micro-batch
+        // must be collapsed here for the "streamed artifact == batch
+        // rebuild" invariant to hold under at-least-once delivery
+        refresh(spark, table, batch.dropDuplicates(key), key)(derive)
         ()
       }
       .start()

@@ -1,0 +1,204 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** [[ManifestTable]] as a genuine Structured Streaming SOURCE — the
+  * Delta-streaming-source shape on the miniature log format: the offset
+  * is the committed manifest VERSION, a micro-batch is "every data file
+  * the commits in `(startV, endV]` ADDED", and restart replays exactly
+  * the unconsumed version suffix from the engine's own checkpoint.
+  *
+  * {{{
+  *   spark.readStream.format("graft.sources.ManifestStreamSource")
+  *     .option("table", dir).load()
+  * }}}
+  *
+  * Semantics (faithful to the production lake sources):
+  *  - APPEND commits stream their new files' rows — insert-only, the
+  *    streaming-source contract.
+  *  - DELETE commits THROW by default; `option("ignoreDeletes","true")`
+  *    skips them entirely (both the DV lines and any copy-on-write
+  *    rewrite's survivor files — survivors are not new rows, so unlike
+  *    Delta's ignoreChanges re-emission this never duplicates).
+  *  - OVERWRITE / MERGE commits throw unless
+  *    `option("ignoreChanges","true")`, which emits the commit's new
+  *    files as inserts (the documented Delta caveat: carried rows are
+  *    re-emitted, downstream must key-dedup — exactly what
+  *    [[EmbeddingIndex.maintainStreaming]]'s key anti-join does).
+  *  - COMPACT commits are always skipped (physical reorg, logical
+  *    identity).
+  * Row-level delete/update CONSUMPTION is [[ManifestTable.readChanges]]
+  * + [[ChangeFeed]] — a changelog is not an append stream, so it rides
+  * the batch CDF API as in the production formats.
+  *
+  * The reader is a per-file parquet→InternalRow bridge on parquet-hadoop
+  * (the jar Spark itself ships) for the engine's flat transport types —
+  * long/int/double/float/boolean/string/binary — mirroring AvroSource's
+  * honest-subset discipline; the schema comes from the table's own
+  * recorded commit schema, so no inference scan touches data. Scale: the
+  * driver handles only version metadata (KB-scale manifests); every
+  * file's rows decode on its executor, one task per added file — the
+  * same per-file granularity the Avro landing-zone source uses, natural
+  * here because file count == the producers' write parallelism. */
+class ManifestStreamSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ManifestStreamSource.schemaOf(ManifestStreamSource.tableOf(options.asScala.toMap))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = properties.asScala.toMap
+    new ManifestStreamTable(ManifestStreamSource.tableOf(opts), schema,
+      ignoreDeletes = ManifestStreamSource.flag(opts, "ignoreDeletes"),
+      ignoreChanges = ManifestStreamSource.flag(opts, "ignoreChanges"))
+  }
+}
+
+object ManifestStreamSource {
+
+  private[sources] def tableOf(opts: Map[String, String]): String =
+    opts.collectFirst { case (k, v) if k.equalsIgnoreCase("table") => v }
+      .getOrElse(throw new IllegalArgumentException(
+        "ManifestStreamSource requires option(\"table\", dir)"))
+
+  private[sources] def flag(opts: Map[String, String], name: String): Boolean =
+    opts.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** The table's enforced schema, parsed back from the commit metadata's
+    * `name:type` signature — no data file is opened. All fields read as
+    * nullable (parquet repetition decides per row). */
+  private[sources] def schemaOf(table: String): StructType = {
+    val sig = ManifestTable.currentSchema(table).getOrElse(
+      throw new IllegalStateException(
+        s"no schema-bearing commit in $table — commit once before streaming"))
+    StructType(sig.split(",").toSeq.map { f =>
+      val Array(n, t) = f.split(":", 2)
+      StructField(n, org.apache.spark.sql.types.DataType.fromDDL(t), nullable = true)
+    })
+  }
+
+  /** Data files the commits in `(startV, endV]` make newly visible under
+    * the source's op semantics (driver-side, metadata only). */
+  private[sources] def addedFiles(table: String, startV: Long, endV: Long,
+      ignoreDeletes: Boolean, ignoreChanges: Boolean): Seq[String] =
+    ((startV + 1) to endV).flatMap { v =>
+      val op = ManifestTable.snapshotMeta(table, v).getOrElse("op", "unknown")
+      val prev = if (v == 0) Set.empty[String]
+        else ManifestTable.snapshotFiles(table, v - 1).toSet
+      def added = ManifestTable.snapshotFiles(table, v).filterNot(prev)
+      op match {
+        case "append" | "streaming-append" => added
+        case "compact" => Seq.empty
+        case "delete" =>
+          if (ignoreDeletes) Seq.empty
+          else throw new IllegalStateException(
+            s"commit v$v of $table is a DELETE — an insert-only stream cannot " +
+              "represent it; set ignoreDeletes=true to skip, or consume " +
+              "row-level changes via ManifestTable.readChanges/ChangeFeed")
+        case other =>
+          if (ignoreChanges) added
+          else throw new IllegalStateException(
+            s"commit v$v of $table is '$other' (rewrites data) — set " +
+              "ignoreChanges=true to emit its files as inserts (carried rows " +
+              "re-emit; downstream must dedup by key), or consume " +
+              "ManifestTable.readChanges")
+      }
+    }
+}
+
+private class ManifestStreamTable(table: String, schema: StructType,
+    ignoreDeletes: Boolean, ignoreChanges: Boolean)
+  extends Table with SupportsRead {
+  override def name(): String = s"manifest_stream($table)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ManifestMicroBatchStream(table, schema, ignoreDeletes, ignoreChanges)
+      }
+    }
+}
+
+private case class VersionOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+private case class ManifestFilePartition(path: String) extends InputPartition
+
+private class ManifestMicroBatchStream(table: String, schema: StructType,
+    ignoreDeletes: Boolean, ignoreChanges: Boolean)
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  override def initialOffset(): Offset = VersionOffset(-1L)
+  override def latestOffset(): Offset =
+    VersionOffset(ManifestTable.latestVersion(table).getOrElse(-1L))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = latestOffset()
+  override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    ManifestStreamSource.addedFiles(table,
+        start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v,
+        ignoreDeletes, ignoreChanges)
+      .map(p => ManifestFilePartition(p): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestReaderFactory(schema)
+}
+
+private class ManifestReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[ManifestFilePartition].path
+    new PartitionReader[InternalRow] {
+      private val reader: ParquetReader[Group] =
+        ParquetReader.builder[Group](new GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(path)).withConf(new Configuration()).build()
+      private var rec: Group = _
+      override def next(): Boolean = { rec = reader.read(); rec != null }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(schema.fields.toSeq.map { f =>
+          val idx = rec.getType.getFieldIndex(f.name)
+          if (rec.getFieldRepetitionCount(idx) == 0) null
+          else f.dataType match {
+            case LongType => rec.getLong(idx, 0)
+            case IntegerType => rec.getInteger(idx, 0)
+            case DoubleType => rec.getDouble(idx, 0)
+            case FloatType => rec.getFloat(idx, 0)
+            case BooleanType => rec.getBoolean(idx, 0)
+            case StringType => UTF8String.fromBytes(rec.getBinary(idx, 0).getBytes)
+            case BinaryType => rec.getBinary(idx, 0).getBytes
+            case other => throw new IllegalArgumentException(
+              s"ManifestStreamSource does not transport $other (supported: " +
+                "long/int/double/float/boolean/string/binary)")
+          }
+        })
+      override def close(): Unit = reader.close()
+    }
+  }
+}

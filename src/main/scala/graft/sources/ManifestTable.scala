@@ -94,8 +94,17 @@ object ManifestTable {
     * ONLY affected files without reading any DV's row values. */
   private val DvPrefix = "~dv:"
 
-  private def dvLine(dvPath: String, targets: Seq[String]): String =
+  private def dvLine(dvPath: String, targets: Seq[String]): String = {
+    // '|' is the line-format separator and '~dv:' the line discriminator;
+    // an unescaped occurrence in a path would corrupt parseDvLine's
+    // target list and misdirect compact/vacuum. Paths are UUID-generated
+    // today, but the format guards itself rather than trusting callers.
+    (dvPath +: targets).foreach { p =>
+      require(!p.contains("|") && !p.startsWith(DvPrefix),
+        s"manifest path may not contain '|' or start with '$DvPrefix': $p")
+    }
     (DvPrefix + dvPath) + targets.map("|" + _).mkString
+  }
 
   /** Parse a DV manifest line → (sidecar path, targeted data files).
     * Lines written before target tracking parse as target-unknown
@@ -196,6 +205,10 @@ object ManifestTable {
       .zipWithIndex
       .map { case (f, i) =>
         val dst = dataDir(table).resolve(s"$id-part-$i.parquet")
+        // same '|'/'~dv:' guard as dvLine — every staged path may later
+        // appear as a DV line's target segment
+        require(!dst.toString.contains("|") && !dst.toString.startsWith(DvPrefix),
+          s"table path yields manifest-unsafe data path: $dst")
         Files.move(f, dst, StandardCopyOption.ATOMIC_MOVE)
         dst.toString
       }
@@ -249,6 +262,18 @@ object ManifestTable {
       }
       acc.toMap
     } finally r.close()
+  }
+
+  /** A data file's ROW COUNT from its parquet footer — metadata only.
+    * Used to exempt provably-empty files from conservative rewrites:
+    * a zero-row file never gets min/max stats, so without this check
+    * [[deleteWhere]] would classify it stats-less and rewrite it. */
+  def footerRowCount(file: String): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
   }
 
   /** A committed data file's column ranges: the sidecar when present
@@ -475,7 +500,14 @@ object ManifestTable {
       val dvs = snapshotDvs(table, base)
       val oldDvEntries = snapshotEntries(table, base).filter(_.startsWith(DvPrefix))
       val (hit, keep) = files.partition { f =>
-        statsOf(f).get(column).forall { case (mn, mx) => mx >= lo && mn <= hi }
+        statsOf(f).get(column) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          // stats-less file: conservatively a hit UNLESS the footer says
+          // it holds zero rows (empty files never get min/max stats and
+          // provably contain no match — rewriting one would also trip
+          // callers asserting "DV deletes rewrite nothing")
+          case None => footerRowCount(f) > 0
+        }
       }
       if (hit.isEmpty) return base
       // COPY-ON-WRITE vs MERGE-ON-READ, chosen per file from committed
@@ -563,6 +595,120 @@ object ManifestTable {
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
+  }
+
+  /** CHANGE DATA FEED — the row-level changelog the commit log already
+    * implies, materialized: every row inserted or deleted by the commits
+    * in `(fromV, toV]`, tagged `_change_type` ("insert" | "delete") and
+    * `_commit_version`. An update is a delete+insert pair at the same
+    * version (the log stores states, not diffs — MERGE rewrites files, so
+    * its updates surface exactly that way, like a production CDF reading
+    * a non-CDC-writing table). This is the missing hop that lets each
+    * warehouse layer (ODS→DWD→DWS) incrementally consume the PREVIOUS
+    * layer's own commit log instead of an external stream — see
+    * [[ChangeFeed]] for the checkpointed streaming wrapper.
+    *
+    * Derivation is per-commit, proportional to CHANGED FILES, never the
+    * snapshot: for each version step the candidate-arriving rows are the
+    * files ADDED by that commit (current DVs applied) and the
+    * candidate-leaving rows are the files REMOVED (prior DVs applied)
+    * plus rows newly tombstoned by that commit's DELETION VECTORS
+    * (semi-join of the DV's recorded target files on the scan's own
+    * `_metadata` (path, pos), minus positions older DVs already
+    * covered). Rows a rewrite merely CARRIES (copy-on-write survivors)
+    * appear on both sides and cancel via multiset `exceptAll`, so the
+    * emitted changelog is the true row-level delta — at 100 TB a
+    * DV-erasure's feed is tombstone-sized while the lake stands still.
+    * `compact` commits are skipped by definition (physical reorg,
+    * logical identity — the DV materialization proof is [[compact]]'s
+    * own contract). `fromV = -1` feeds from table creation.
+    *
+    * Constraints: the range must lie within RETAINED history (reading
+    * past [[expireVersions]] throws on the missing manifest — the same
+    * contract as Delta's CDF retention), and the schema must not evolve
+    * inside the range (checked; consume up to the evolution, then
+    * restart the feed on the new schema). */
+  def readChanges(spark: SparkSession, table: String, fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val latest = latestVersion(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    require(-1L <= fromV && fromV <= toV && toV <= latest,
+      s"invalid change range ($fromV, $toV] for $table at version $latest")
+    val sigs = (math.max(fromV, 0L) to toV)
+      .flatMap(v => snapshotMeta(table, v).get("schema")).distinct
+    require(sigs.size <= 1,
+      s"schema evolved inside the change range ($fromV, $toV]: $sigs — " +
+        "consume each schema epoch separately")
+    val steps = ((fromV + 1) to toV).flatMap(v => changesAt(spark, table, v))
+    if (steps.nonEmpty) steps.reduce(_ union _)
+    else read(spark, table, Some(toV)).limit(0)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(0L))
+      .limit(0)
+  }
+
+  /** One commit's row-level changes (None when provably change-free):
+    * the per-version step of [[readChanges]]. */
+  private def changesAt(spark: SparkSession, table: String, v: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def tag(df: DataFrame, t: String): DataFrame =
+      df.withColumn("_change_type", lit(t)).withColumn("_commit_version", lit(v))
+    if (snapshotMeta(table, v).get("op").contains("compact")) return None
+    val prevFiles = if (v == 0) Seq.empty[String] else snapshotFiles(table, v - 1)
+    val curFiles = snapshotFiles(table, v)
+    val prevDvs = if (v == 0) Seq.empty[String] else snapshotDvs(table, v - 1)
+    val curDvInfo = snapshotDvInfo(table, v)
+    val added = curFiles.filterNot(prevFiles.toSet)
+    val removed = prevFiles.filterNot(curFiles.toSet)
+    val dvNew = curDvInfo.filterNot(d => prevDvs.contains(d._1))
+    val arriving: Option[DataFrame] =
+      if (added.isEmpty) None
+      else Some(readFiles(spark, added, curDvInfo.map(_._1)))
+    // rows newly tombstoned in files that SURVIVE into v: the DV lines
+    // record their targets, so only those files are opened
+    val tombstoned: Option[DataFrame] =
+      if (dvNew.isEmpty) None
+      else {
+        val targets = dvNew.flatMap(_._2).distinct.filter(curFiles.toSet)
+        if (targets.isEmpty) None
+        else {
+          val base = spark.read.parquet(targets: _*)
+          val cols = base.columns.toSeq
+          val keyed = base.select(col("*"),
+            col("_metadata.file_path").as("__fp"),
+            col("_metadata.row_index").as("__pos"))
+          val newPairs = spark.read.parquet(dvNew.map(_._1): _*)
+            .select(col("path").as("__fp"), col("pos").as("__pos"))
+          val hit = keyed.join(newPairs, Seq("__fp", "__pos"), "left_semi")
+          // a position an OLDER DV already covered was deleted by an
+          // earlier commit — re-tombstoning is a storage no-op and must
+          // not re-emit the delete
+          val fresh =
+            if (prevDvs.isEmpty) hit
+            else hit.join(
+              spark.read.parquet(prevDvs: _*)
+                .select(col("path").as("__fp"), col("pos").as("__pos")),
+              Seq("__fp", "__pos"), "left_anti")
+          Some(fresh.select(cols.map(col): _*))
+        }
+      }
+    val leaving: Option[DataFrame] = {
+      val removedRows =
+        if (removed.isEmpty) None else Some(readFiles(spark, removed, prevDvs))
+      (removedRows, tombstoned) match {
+        case (Some(a), Some(b)) => Some(a union b)
+        case (a, b) => a.orElse(b)
+      }
+    }
+    (arriving, leaving) match {
+      case (None, None) => None
+      case (Some(n), None) => Some(tag(n, "insert"))
+      case (None, Some(o)) => Some(tag(o, "delete"))
+      case (Some(n), Some(o)) =>
+        // copy-on-write SURVIVORS appear on both sides — multiset
+        // exceptAll cancels them, leaving the true row-level delta
+        Some(tag(n.exceptAll(o), "insert") union tag(o.exceptAll(n), "delete"))
+    }
   }
 
   /** Exactly-once streaming sink commit: append `df` tagged with the

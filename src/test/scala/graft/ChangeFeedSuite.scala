@@ -1,0 +1,223 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.{ChangeFeed, ManifestTable}
+
+/** The change-data-feed contract: [[ManifestTable.readChanges]] must emit
+  * the exact row-level delta of every commit class (append, DV delete,
+  * copy-on-write delete, merge, overwrite, compact), [[ChangeFeed]] must
+  * drain it with version-offset checkpointing, and the DSv2
+  * [[graft.sources.ManifestStreamSource]] must stream appends with
+  * engine-checkpointed restart. The load-bearing invariant, asserted per
+  * commit class: replaying the changelog over the FROM snapshot
+  * reconstructs the TO snapshot exactly (multiset equality both ways). */
+class ChangeFeedSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft-cdf").toString
+
+  private def rows(a: Long, b: Long) =
+    spark.range(a, b).select(col("id"), (col("id") % 10).as("k"), (col("id") * 2).as("v"))
+
+  /** snapshot(fromV) + inserts − deletes == snapshot(toV), as multisets. */
+  private def assertReplays(t: String, fromV: Long, toV: Long): Unit = {
+    val ch = ManifestTable.readChanges(spark, t, fromV, toV).cache()
+    val dataCols = ch.columns.filterNot(_.startsWith("_change")).filterNot(_ == "_commit_version")
+    val ins = ch.filter(col("_change_type") === "insert").select(dataCols.map(col): _*)
+    val del = ch.filter(col("_change_type") === "delete").select(dataCols.map(col): _*)
+    val from =
+      if (fromV < 0) ins.limit(0)
+      else ManifestTable.read(spark, t, Some(fromV)).select(dataCols.map(col): _*)
+    val to = ManifestTable.read(spark, t, Some(toV)).select(dataCols.map(col): _*)
+    val rebuilt = from.union(ins).exceptAll(del)
+    assert(rebuilt.exceptAll(to).isEmpty && to.exceptAll(rebuilt).isEmpty,
+      s"changelog ($fromV,$toV] does not replay the snapshot delta")
+    ch.unpersist()
+    ()
+  }
+
+  test("appends feed insert-only changes tagged with their commit version") {
+    val t = freshTable()
+    ManifestTable.append(spark, t, rows(0, 100))
+    ManifestTable.append(spark, t, rows(100, 130))
+    val ch = ManifestTable.readChanges(spark, t, -1, 1)
+    assert(ch.filter(col("_change_type") =!= "insert").isEmpty)
+    assert(ch.count() == 130)
+    assert(ch.filter(col("_commit_version") === 1L).count() == 30)
+    assertReplays(t, -1, 1)
+    // a sub-range sees only its own commits
+    assert(ManifestTable.readChanges(spark, t, 0, 1).count() == 30)
+  }
+
+  test("a deletion-vector delete feeds exactly the tombstoned rows as deletes") {
+    val t = freshTable()
+    ManifestTable.append(spark, t, rows(0, 1000))
+    // narrow predicate → DV path (low overlap of the id span)
+    val v = ManifestTable.deleteWhere(spark, t, "id", 10, 19)
+    val ch = ManifestTable.readChanges(spark, t, v - 1, v)
+    assert(ch.filter(col("_change_type") === "insert").isEmpty,
+      "a pure DV delete must emit no inserts")
+    assert(ch.count() == 10)
+    assert(ch.agg(sum("id")).as[Long].head() == (10L to 19L).sum)
+    assertReplays(t, v - 1, v)
+    // re-deleting the same range re-tombstones already-dead positions:
+    // the feed must NOT re-emit them
+    val v2 = ManifestTable.deleteWhere(spark, t, "id", 10, 25)
+    val ch2 = ManifestTable.readChanges(spark, t, v, v2)
+    assert(ch2.filter(col("_change_type") === "delete").agg(sum("id")).as[Long].head() ==
+      (20L to 25L).sum, "already-deleted positions must not re-emit")
+    assertReplays(t, v, v2)
+  }
+
+  test("a copy-on-write delete feeds only the dying rows — survivors cancel") {
+    val t = freshTable()
+    ManifestTable.append(spark, t, rows(0, 100))
+    // wide predicate over the file's span → rewrite path
+    val v = ManifestTable.deleteWhere(spark, t, "id", 0, 59)
+    val ch = ManifestTable.readChanges(spark, t, v - 1, v)
+    assert(ch.filter(col("_change_type") === "insert").isEmpty,
+      "carried survivors must cancel out of the feed")
+    assert(ch.count() == 60)
+    assertReplays(t, v - 1, v)
+  }
+
+  test("merge feeds update rows as delete+insert pairs; compact feeds nothing") {
+    val t = freshTable()
+    ManifestTable.append(spark, t, rows(0, 50))
+    val updates = spark.range(40, 60).select(col("id"), (col("id") % 10).as("k"),
+      (col("id") * 1000).as("v"))
+    val vm = ManifestTable.merge(spark, t, updates, "id")
+    val ch = ManifestTable.readChanges(spark, t, vm - 1, vm).cache()
+    // 10 updated rows (40..49): old version deleted, new inserted;
+    // 10 fresh inserts (50..59); untouched rows (0..39) silent
+    assert(ch.filter(col("_change_type") === "delete").count() == 10)
+    assert(ch.filter(col("_change_type") === "insert").count() == 20)
+    assert(ch.filter(col("id") < 40).isEmpty, "unchanged rows must not surface")
+    assertReplays(t, vm - 1, vm)
+    ch.unpersist()
+    // DV then compact: the compact commit itself is change-free
+    val vd = ManifestTable.deleteWhere(spark, t, "id", 2, 3)
+    val vc = ManifestTable.compact(spark, t)
+    assert(vc == vd + 1)
+    assert(ManifestTable.readChanges(spark, t, vd, vc).isEmpty,
+      "compaction is physical-only; the feed must be silent")
+    assertReplays(t, vm, vc)
+  }
+
+  test("schema evolution inside a range is rejected; expired history throws") {
+    val t = freshTable()
+    ManifestTable.append(spark, t, rows(0, 10))
+    ManifestTable.overwrite(spark, t, spark.range(5).select(col("id"), col("id").as("other")))
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.readChanges(spark, t, -1, 1)
+    }
+    assert(e.getMessage.contains("schema evolved"))
+    // the evolving commit itself mixes both schemas (old rows leave, new
+    // arrive) — it too is rejected; the new epoch starts AFTER it
+    assert(intercept[IllegalArgumentException] {
+      ManifestTable.readChanges(spark, t, 0, 1)
+    }.getMessage.contains("schema evolved"))
+    ManifestTable.append(spark, t, spark.range(5, 9).select(col("id"), col("id").as("other")))
+    assert(ManifestTable.readChanges(spark, t, 1, 2).count() == 4)
+    assertReplays(t, 1, 2)
+  }
+
+  test("ChangeFeed.availableNow drains once per commit range and checkpoints by version") {
+    val t = freshTable()
+    val cp = Files.createTempDirectory("graft-cdf-cp").toString
+    ManifestTable.append(spark, t, rows(0, 100))
+    var seen = Vector.empty[(Long, Long, Long)] // (fromV, toV, nRows)
+    def drain(): Option[(Long, Long)] =
+      ChangeFeed.availableNow(spark, t, cp) { (ch, a, b) =>
+        seen :+= ((a, b, ch.count()))
+      }
+    assert(drain().contains((-1L, 0L)))
+    assert(drain().isEmpty, "caught-up feed must not re-process")
+    ManifestTable.append(spark, t, rows(100, 120))
+    ManifestTable.deleteWhere(spark, t, "id", 0, 4)
+    assert(drain().contains((0L, 2L)))
+    assert(seen.map(_._3) == Vector(100L, 25L), seen.toString)
+    assert(ChangeFeed.lastProcessed(cp) == 2L)
+    // crash-replay: a consumer that failed before the checkpoint advance
+    // re-receives the SAME range on the next drain (at-least-once)
+    val cp2 = Files.createTempDirectory("graft-cdf-cp2").toString
+    var calls = 0
+    intercept[RuntimeException] {
+      ChangeFeed.availableNow(spark, t, cp2) { (_, _, _) =>
+        calls += 1; throw new RuntimeException("consumer crash")
+      }
+    }
+    assert(ChangeFeed.lastProcessed(cp2) == -1L, "failed drain must not advance")
+    ChangeFeed.availableNow(spark, t, cp2) { (_, a, b) =>
+      calls += 1; assert((a, b) == (-1L, 2L))
+    }
+    assert(calls == 2)
+  }
+
+  test("ManifestStreamSource streams appends with engine-checkpointed restart") {
+    val t = freshTable()
+    val cp = Files.createTempDirectory("graft-mss-cp").toString
+    val out = Files.createTempDirectory("graft-mss-out").toString + "/sink"
+    ManifestTable.append(spark, t, rows(0, 500))
+    ManifestTable.append(spark, t, rows(500, 800))
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.ManifestStreamSource")
+        .option("table", t).option("ignoreDeletes", "true").load()
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try assert(q.awaitTermination(120000), "stream did not drain") finally q.stop()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 800)
+    // new commits: a DV delete (skipped under ignoreDeletes) + an append;
+    // the restarted stream must consume exactly the unconsumed versions
+    ManifestTable.deleteWhere(spark, t, "id", 0, 9)
+    ManifestTable.append(spark, t, rows(800, 1000))
+    drain()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 1000, "restart must pick up only the new versions")
+    assert(got.select("id").distinct().count() == 1000, "no version may re-emit")
+    assert(got.agg(sum("v")).as[Long].head() == (0L until 1000L).map(_ * 2).sum)
+  }
+
+  test("ManifestStreamSource fails loudly on rewriting commits unless opted out") {
+    val t = freshTable()
+    ManifestTable.append(spark, t, rows(0, 100))
+    ManifestTable.deleteWhere(spark, t, "id", 0, 9)
+    def streamAll(opts: Map[String, String]): Long = {
+      val cp = Files.createTempDirectory("graft-mss-cp").toString
+      val r = spark.readStream.format("graft.sources.ManifestStreamSource")
+      val q = opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }
+        .option("table", t).load()
+        .writeStream.format("memory").queryName(s"mss_guard_${opts.size}")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.awaitTermination(120000); () } finally q.stop()
+      spark.table(s"mss_guard_${opts.size}").count()
+    }
+    val e = intercept[Exception] { streamAll(Map.empty) }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty else String.valueOf(x.getMessage) +: msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("DELETE")), msgs(e).toString)
+    assert(streamAll(Map("ignoreDeletes" -> "true")) == 100)
+  }
+
+  test("deleteWhere leaves provably-empty stats-less files untouched") {
+    val t = freshTable()
+    ManifestTable.append(spark, t, rows(0, 1000))
+    ManifestTable.append(spark, t, rows(0, 0)) // zero-row commit → stats-less file(s)
+    val before = ManifestTable.snapshotFiles(t, 1).toSet
+    val v = ManifestTable.deleteWhere(spark, t, "id", 10, 19) // DV path on the data file
+    val after = ManifestTable.snapshotFiles(t, v).toSet
+    assert(after == before, "a zero-row file must be neither rewritten nor dropped")
+    assert(ManifestTable.read(spark, t).count() == 990)
+  }
+}
