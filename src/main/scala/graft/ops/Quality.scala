@@ -61,6 +61,8 @@ object Quality {
     "q_mv_incr" -> qMvIncr,
     "q_gdpr_erasure" -> qGdprErasure,
     "q_gdpr_dv" -> qGdprDv,
+    "q_table_cdf" -> qTableCdf,
+    "q_warehouse_layers" -> qWarehouseLayers,
     "q_quality_gopher" -> qQualityGopher
   )
 
@@ -86,6 +88,28 @@ object Quality {
                 COUNT(DISTINCT user_id) AS n_users
          FROM events WHERE user_id <> 3 AND user_id <> 7
          GROUP BY 1 ORDER BY 1""",
+    "q_table_cdf" ->
+      """SELECT * FROM (
+           SELECT CAST(0 AS BIGINT) AS v, 'insert' AS ctype, count(*) AS n_rows,
+                  CAST(sum(event_id) AS BIGINT) AS sum_id
+           FROM events WHERE event_id % 3 = 0 HAVING count(*) > 0
+           UNION ALL SELECT 1, 'insert', count(*), CAST(sum(event_id) AS BIGINT)
+           FROM events WHERE event_id % 3 = 1 HAVING count(*) > 0
+           UNION ALL SELECT 2, 'insert', count(*), CAST(sum(event_id) AS BIGINT)
+           FROM events WHERE event_id % 3 = 2 HAVING count(*) > 0
+           UNION ALL SELECT 3, 'delete', count(*), CAST(sum(event_id) AS BIGINT)
+           FROM events WHERE user_id = 3 HAVING count(*) > 0
+           UNION ALL SELECT 4, 'delete', count(*), CAST(sum(event_id) AS BIGINT)
+           FROM events WHERE user_id = 7 HAVING count(*) > 0
+         ) ORDER BY v, ctype""",
+    "q_warehouse_layers" ->
+      """SELECT event_type,
+                CAST(EXTRACT(day FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS day,
+                count(*) AS n_events,
+                CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+                CAST(MAX(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS max_cents
+         FROM events WHERE value IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_quality_gopher" ->
       """WITH t AS (
            SELECT string_split(text, ' ') AS ws,
@@ -890,6 +914,103 @@ object Quality {
     materialized
   }
 
+  /** CHANGE DATA FEED under the oracle gate: run a full table lifecycle
+    * (three ingest appends, two scattered GDPR-style deletes — the
+    * DV-vs-rewrite choice is whatever the per-file stats dictate — and a
+    * compaction), then read the table's OWN commit log back as a
+    * row-level changelog via [[graft.sources.ManifestTable.readChanges]]
+    * and census it per (version, change type). The oracle recomputes
+    * every commit's delta definitionally from the base events table, so
+    * the hash match proves the feed emits exactly the rows each commit
+    * inserted/deleted — and nothing for the compaction, whose
+    * physical-only nature is thereby driver-checked, not just asserted.
+    * Path-independence is the deep property under test: whether a delete
+    * rewrote a file (survivors must cancel) or tombstoned it (only DV'd
+    * positions emit), the census is identical.
+    *
+    * Scale (100 TB): the feed derives from CHANGED files + tombstone
+    * sidecars only — an erasure's changelog is user-sized while the lake
+    * stands still; no snapshot diff ever runs. */
+  private def qTableCdf(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val t = s"${graft.Scratch.dir("graft_cdf_q")}/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    for (b <- 0L to 2L)
+      ManifestTable.append(s, t, ev.filter(col("event_id") % 3 === b))
+    ManifestTable.deleteWhere(s, t, "user_id", 3L, 3L) // v3
+    val vDel = ManifestTable.deleteWhere(s, t, "user_id", 7L, 7L) // v4
+    val vC = ManifestTable.compact(s, t) // v5 when DVs exist, else v4
+    require(vDel == 4L, s"oracle pins version literals; lifecycle landed at v$vDel")
+    val ch = ManifestTable.readChanges(s, t, -1L, vC)
+    ch.groupBy(col("_commit_version").as("v"), col("_change_type").as("ctype"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("event_id")).cast(LongType).as("sum_id"))
+      .orderBy("v", "ctype")
+  }
+
+  /** LAYERED WAREHOUSE, each layer consuming the PREVIOUS layer's own
+    * commit log — the reference genre's defining ODS→DWD→DWS
+    * architecture (SURVEY §1.1) closed end-to-end on the engine's own
+    * table format: raw events land in an ODS [[ManifestTable]] batch by
+    * batch; a DWD cleaning stage drains the ODS CHANGE FEED
+    * ([[graft.sources.ChangeFeed]], version-offset checkpoint) and
+    * commits null-screened cents-typed rows; a DWS stage drains the DWD
+    * feed and commits PER-BATCH PARTIAL AGGREGATES per (event_type,
+    * day). Every inter-layer hop is exactly-once end to end:
+    * at-least-once feed delivery (replayed here with a lost checkpoint)
+    * × an idempotent versioned sink commit. The declared read folds the
+    * DWS partials; the oracle recomputes from raw events, so the hash
+    * certifies the whole three-layer incremental dataflow.
+    *
+    * Scale (100 TB): per ingest batch each layer does batch-sized work —
+    * the changelog derives from the commit's own files, the partial
+    * aggregate is map-combinable, and no layer ever rescans another's
+    * history; the serving read scans ≤ |groups|×batches partial rows. */
+  private def qWarehouseLayers(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{ChangeFeed, ManifestTable}
+    val root = s"${graft.Scratch.dir("graft_layers")}/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val ods = s"$root/ods"; val dwd = s"$root/dwd"; val dws = s"$root/dws"
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("event_type"), col("user_id"), col("value"),
+      dayofmonth(col("t")).cast(LongType).as("day"))
+    def clean(ch: DataFrame): DataFrame = ch
+      .filter(col("_change_type") === "insert")
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("day"),
+        (dec(col("value"), 12, 2) * 100).cast(LongType).as("cents"))
+    def partial(ch: DataFrame): DataFrame = ch
+      .filter(col("_change_type") === "insert")
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"),
+        max(col("cents")).as("max_cents"))
+    for (b <- 0L to 2L) {
+      ManifestTable.append(s, ods, ev.filter(col("event_id") % 3 === b))
+      ChangeFeed.availableNow(s, ods, s"$root/cp_dwd") { (ch, _, to) =>
+        ManifestTable.idempotentAppend(s, dwd, clean(ch), to); ()
+      }
+      ChangeFeed.availableNow(s, dwd, s"$root/cp_dws") { (ch, _, to) =>
+        ManifestTable.idempotentAppend(s, dws, partial(ch), to); ()
+      }
+    }
+    // crash-replay: a DWD consumer that LOST its checkpoint re-drains the
+    // whole ODS log in one range; its idempotent sink re-observes the
+    // committed batch id and must commit nothing (at-least-once delivery
+    // × idempotent commit = exactly-once, executed not asserted)
+    ChangeFeed.availableNow(s, ods, s"$root/cp_replay") { (ch, _, to) =>
+      require(ManifestTable.idempotentAppend(s, dwd, clean(ch), to).isEmpty,
+        "replayed feed range must not commit")
+    }
+    ManifestTable.read(s, dws)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cnt")).cast(LongType).as("n_events"),
+        sum(col("sum_cents")).cast(LongType).as("sum_cents"),
+        max(col("max_cents")).cast(LongType).as("max_cents"))
+      .orderBy("event_type", "day")
+  }
+
   /** One summary build + registration per (session, sf-dir) — the MV is a
     * committed artifact like Graph's edge table or the LSH signature
     * index, not a per-query rebuild. Deterministic path, overwrite mode:
@@ -934,35 +1055,44 @@ object Quality {
       true
     })
 
-  /** INCREMENTALLY MAINTAINED MATERIALIZED VIEW: the summary is a
-    * [[graft.sources.ManifestTable]] of PER-BATCH partial aggregates
-    * (cnt / min_value / max_value per (event_type, user_id)), appended
-    * exactly-once per micro-batch via `idempotentAppend` — a replayed
-    * batch (at-least-once delivery, exercised on every call) commits
-    * nothing. No compaction is needed for correctness: the roll-up
-    * rewrite RE-AGGREGATES the summary anyway, and sum-of-sums /
-    * min-of-mins / count-as-sum-of-counts are exactly as correct over
-    * several partial rows per group as over one. Registration pins the
-    * manifest SNAPSHOT read (MVCC: a query sees a consistent summary
-    * version; re-register after maintenance to advance).
+  /** INCREMENTALLY MAINTAINED MATERIALIZED VIEW, fed by the BASE TABLE'S
+    * OWN COMMIT LOG: raw events land in an ODS [[ManifestTable]] batch
+    * by batch, and the summary — a ManifestTable of PER-BATCH partial
+    * aggregates (cnt / min_value / max_value per (event_type, user_id))
+    * — is maintained by draining the ODS CHANGE FEED
+    * ([[graft.sources.ChangeFeed]], version-offset checkpoint) into an
+    * `idempotentAppend` keyed by the drained range's end version. The
+    * hop is exactly-once end to end: a consumer that LOSES its
+    * checkpoint (exercised on every call) re-drains the whole log,
+    * re-observes the committed batch id, and commits nothing. No
+    * compaction is needed for correctness: the roll-up rewrite
+    * RE-AGGREGATES the summary anyway, and sum-of-sums / min-of-mins /
+    * count-as-sum-of-counts are exactly as correct over several partial
+    * rows per group as over one. Registration pins the manifest SNAPSHOT
+    * read (MVCC: a query sees a consistent summary version; re-register
+    * after maintenance to advance).
     *
     * The declared query is written — and oracle-checked — against the
     * base events table; the optimizer re-points it at the committed
-    * partial store. This is the full production MV loop: streaming
-    * maintenance (exactly-once, replay-safe) + transparent rewrite.
+    * partial store. This is the full production MV loop: the base
+    * table's log drives maintenance (no external stream, the
+    * architecture the layered warehouse genre requires) + transparent
+    * rewrite.
     *
     * Scale (100 TB): maintenance cost is one map-combinable partial
-    * aggregate per ingest batch (never a base-table rescan), the summary
-    * grows by ≤ |groups| rows per batch, and the dashboard read is a
+    * aggregate per ingest COMMIT (the changelog derives from that
+    * commit's own files — never a base-table rescan), the summary grows
+    * by ≤ |groups| rows per batch, and the dashboard read is a
     * summary-sized scan. */
   private def qMvIncr(s: SparkSession, d: String): DataFrame = {
     import graft.plans.{MvDef, MvRegistry}
-    import graft.sources.ManifestTable
-    // deterministic scratch table, wiped per call (bench re-runs must
+    import graft.sources.{ChangeFeed, ManifestTable}
+    // deterministic scratch root, wiped per call (bench re-runs must
     // rebuild from batch 0, not append onto a previous run's snapshots)
-    val t = s"${graft.Scratch.dir("graft_mv_incr")}/" +
+    val root = s"${graft.Scratch.dir("graft_mv_incr")}/" +
       s"sf${d.replaceAll("[^A-Za-z0-9.]", "_")}_events_type_user"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val ods = s"$root/ods"; val t = s"$root/mv"
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
     def partials(b: DataFrame) =
@@ -972,13 +1102,20 @@ object Quality {
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))
     MvRegistry.buildGuard(s) {
-      for (b <- 0L to 2L)
-        ManifestTable.idempotentAppend(s, t,
-          partials(ev.filter(col("event_id") % 3 === b)), b)
-      // at-least-once redelivery of batch 1: must be a committed no-op
-      val replay = ManifestTable.idempotentAppend(s, t,
-        partials(ev.filter(col("event_id") % 3 === 1L)), 1L)
-      require(replay.isEmpty, "replayed batch must not commit")
+      for (b <- 0L to 2L) {
+        ManifestTable.append(s, ods, ev.filter(col("event_id") % 3 === b))
+        ChangeFeed.availableNow(s, ods, s"$root/cp") { (ch, _, to) =>
+          ManifestTable.idempotentAppend(s, t,
+            partials(ch.filter(col("_change_type") === "insert")), to); ()
+        }
+      }
+      // at-least-once redelivery: a consumer with a LOST checkpoint
+      // re-drains the full log as one range; must be a committed no-op
+      ChangeFeed.availableNow(s, ods, s"$root/cp_replay") { (ch, _, to) =>
+        require(ManifestTable.idempotentAppend(s, t,
+          partials(ch.filter(col("_change_type") === "insert")), to).isEmpty,
+          "replayed feed range must not commit")
+      }
     }
     MvRegistry.register(s, MvDef(s"events_incr:$d",
       MvRegistry.pathsOf(s.read.parquet(s"$d/events.parquet")),

@@ -147,4 +147,50 @@ class IndexLifecycleSuite extends SparkSuite {
     assert(derived.isEmpty, "a replayed chunk must not re-derive")
     assert(ManifestTable.latestVersion(t).contains(2L), "a replayed chunk must not commit")
   }
+
+  test("index maintenance fed by the corpus table's OWN commit log (ManifestStreamSource)") {
+    val corpus = Files.createTempDirectory("graft-idx-corpus").toString
+    val idx = Files.createTempDirectory("graft-idx-from-log").toString
+    var derived: Seq[Seq[Long]] = Seq.empty
+    def derive(in: DataFrame): DataFrame = {
+      derived = derived :+ in.select("vec_id").as[Long].collect().toSeq.sorted
+      in.select(col("vec_id"), (col("payload") * 2).as("sig"))
+    }
+    // each drain incarnation reads the WHOLE log from v(-1) (no engine
+    // checkpoint on purpose): replay-idempotence must come from the key
+    // anti-join, so the derive census proves new-keys-only per drain
+    def drain(): Unit = {
+      val stream = spark.readStream.format("graft.sources.ManifestStreamSource")
+        .option("table", corpus).load()
+      val q = EmbeddingIndex.maintainStreaming(spark, idx, stream, "vec_id")(derive)
+      try q.processAllAvailable() finally q.stop()
+    }
+    ManifestTable.append(spark, corpus, vecs(0, 100))
+    drain()
+    assert(derived == Seq((0L until 100L).toSeq))
+    // the corpus commits two more versions — including one whose batch
+    // DUPLICATES 10 committed keys and 5 keys WITHIN the batch itself
+    // (at-least-once producer): only genuinely new keys may derive, once
+    ManifestTable.append(spark, corpus, vecs(90, 150))
+    ManifestTable.append(spark, corpus,
+      vecs(150, 200).union(vecs(150, 155)))
+    derived = Seq.empty
+    drain()
+    assert(derived.flatten.sorted == (100L until 200L).toSeq,
+      s"full-log replay must derive exactly the missing keys: ${derived.map(_.size)}")
+    val art = ManifestTable.read(spark, idx)
+    assert(art.count() == 200, "in-batch duplicate keys must not commit twice")
+    // the log-fed artifact equals the batch rebuild row-for-row
+    val ref = Files.createTempDirectory("graft-idx-from-log-ref").toString
+    val batch = EmbeddingIndex.rebuild(spark, ref, vecs(0, 200))(
+      in => in.select(col("vec_id"), (col("payload") * 2).as("sig")))
+    assert(art.exceptAll(batch).unionAll(batch.exceptAll(art)).isEmpty,
+      "log-fed artifact must equal the batch rebuild")
+    // caught-up drain: derives nothing, commits nothing
+    val v = ManifestTable.latestVersion(idx)
+    derived = Seq.empty
+    drain()
+    assert(derived.isEmpty && ManifestTable.latestVersion(idx) == v,
+      "a caught-up drain must neither derive nor commit")
+  }
 }
