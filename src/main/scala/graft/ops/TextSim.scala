@@ -25,6 +25,7 @@ object TextSim {
     "q_sim_knn" -> qSimKnn,
     "q_sim_label" -> qSimLabel,
     "q_sim_ivf" -> qSimIvf,
+    "q_sim_recall" -> qSimRecall,
     "q_index_cells" -> qIndexCells,
     "q_dedup_semantic" -> qDedupSemantic,
     "q_prune_proto" -> qPruneProto,
@@ -119,6 +120,55 @@ object TextSim {
            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
            WHERE a.vec_id < 10)
          WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "q_sim_recall" ->
+      """WITH exact AS (
+           SELECT qid, nid FROM (
+             SELECT a.vec_id AS qid, b.vec_id AS nid,
+                    row_number() OVER (PARTITION BY a.vec_id
+                      ORDER BY list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+                               b.vec_id) AS rnk
+             FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+             WHERE a.vec_id < 10)
+           WHERE rnk <= 5),
+         cells AS (
+           SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.vec_id AS cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(c.embedding AS DOUBLE[])) DESC,
+                               c.vec_id) AS rn
+             FROM embeddings e JOIN embeddings c ON c.vec_id < 16)
+           WHERE rn = 1),
+         pcells AS (
+           SELECT vec_id AS qid, cid, rn AS crnk FROM (
+             SELECT e.vec_id, c.vec_id AS cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(c.embedding AS DOUBLE[])) DESC,
+                               c.vec_id) AS rn
+             FROM embeddings e JOIN embeddings c ON c.vec_id < 16
+             WHERE e.vec_id < 10)
+           WHERE rn <= 4),
+         cand AS (
+           SELECT p.qid, s.vec_id AS nid, MIN(p.crnk) AS best
+           FROM pcells p JOIN cells s ON p.cid = s.cid AND p.qid <> s.vec_id
+           GROUP BY 1, 2),
+         ivf AS (
+           SELECT t.nprobe, c.qid, c.nid,
+                  row_number() OVER (PARTITION BY t.nprobe, c.qid
+                    ORDER BY list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+                             c.nid) AS rnk
+           FROM (VALUES (1), (2), (4)) t(nprobe)
+           JOIN cand c ON c.best <= t.nprobe
+           JOIN embeddings a ON a.vec_id = c.qid
+           JOIN embeddings b ON b.vec_id = c.nid)
+         SELECT CAST(t.nprobe AS BIGINT) AS nprobe,
+                CAST(COUNT(e.qid) AS BIGINT) AS n_hits,
+                CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_possible
+         FROM (VALUES (1), (2), (4)) t(nprobe)
+         LEFT JOIN (SELECT * FROM ivf WHERE rnk <= 5) i ON i.nprobe = t.nprobe
+         LEFT JOIN exact e ON i.qid = e.qid AND i.nid = e.nid
+         GROUP BY t.nprobe ORDER BY nprobe""",
     "q_sim_label" ->
       """WITH nn AS (
            SELECT qid, nid FROM (
@@ -370,6 +420,58 @@ object TextSim {
       .filter(col("rnk") <= 5)
       .select(col("qid"), col("rnk").cast(LongType).as("rnk"), col("nid"))
       .orderBy("qid", "rnk")
+  }
+
+  /** DECLARED ANN RECALL CENSUS — the approximation contract itself as a
+    * hash-checked row: recall@5 of the IVF path per nprobe ∈ {1, 2, 4}
+    * against the exact brute-force kNN, both computed by their
+    * definitions (so DuckDB recomputes BOTH sides and the driver's hash
+    * compare certifies the trade-off curve, not just a suite-asserted
+    * floor). One scored candidate table (nprobe=4 superset, each pair
+    * carrying its best probe-cell rank) serves all three operating
+    * points — the dot products are computed once.
+    *
+    * Scale (100 TB): this is the index-quality report an ANN service
+    * runs per index build over a sampled probe set — candidate work is
+    * cell-bucketed off the committed artifact exactly like the serving
+    * path, the probe set broadcasts, and the final census is three
+    * rows. */
+  private def qSimRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = knn(probes, emb, 5).select(col("qid"), col("nid"))
+    val cells = ivfCells(s, d).select(col("vec_id").as("nid"), col("cid"))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ne"))
+    // probe→cell shortlist with its rank, so one table carries every
+    // nprobe operating point
+    val pc = org.apache.spark.sql.graft.TopK.perGroup(
+        probes.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+          .crossJoin(broadcast(cents))
+          .withColumn("dot", dotExpr),
+        Seq("qid"), Seq(("dot", true), ("cid", false)), 4)
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))))
+      .select(col("qid"), col("cid"), col("crnk"))
+    val scored = pc.join(cells, Seq("cid")).filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid")).agg(min(col("crnk")).as("best"))
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe")), Seq("qid"))
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
+      .withColumn("dot", dotExpr)
+      .select(col("qid"), col("nid"), col("best"), col("dot"))
+    val perNp = Seq(1L, 2L, 4L).map { np =>
+      scored.filter(col("best") <= np)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))))
+        .filter(col("rnk") <= 5)
+        .join(exact, Seq("qid", "nid"), "left_semi")
+        .agg(count(lit(1)).cast(LongType).as("n_hits"))
+        .select(lit(np).as("nprobe"), col("n_hits"))
+    }.reduce(_ unionAll _)
+    perNp
+      .crossJoin(broadcast(exact.agg(count(lit(1)).cast(LongType).as("n_possible"))))
+      .select(col("nprobe"), col("n_hits"), col("n_possible"))
+      .orderBy("nprobe")
   }
 
   /** Census of the committed IVF cell artifact — the declared,

@@ -216,7 +216,11 @@ class PlanSuite extends SparkSuite {
     // (q_dedup_simhash used to be on this list for its all-pairs NLJ pair
     // scan; the executed path is now the banded hamming LSH equi-join, so
     // it must pass the sweep like any other query)
-    val byDesign = Set("q_sim_knn", "q_sim_label", "q_sim_ivf", "q_dedup_embed", "q_join_cross",
+    // q_sim_recall composes the already-adjudicated q_sim_knn/q_sim_ivf
+    // shapes (broadcast probe NLJ, 16-row centroid cross) plus a 1-row
+    // n_possible scalar cross
+    val byDesign = Set("q_sim_knn", "q_sim_label", "q_sim_ivf", "q_sim_recall",
+      "q_dedup_embed", "q_join_cross",
       "q_str_fuzzy", "q_text_heavy", "q_gap_interp",
       "q_text_tfidf", "q_sim_quant", "q_anomaly_iqr", "q_rfm", "q_cluster_kmeans",
       "q_tpch_q15", "q_tpch_q22", "q_tpch_q11",
