@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -41,21 +41,45 @@ object TrainingOps {
     "q_mix_epochs" -> qMixEpochs
   )
 
+  /** Shared DuckDB prelude replaying the ITERATIVE learner + fold apply
+    * of [[bpeMerges]]/[[bpeNtok]]: a recursive CTE re-learns the 32
+    * merges by recounting the working tokenization every round (two
+    * references to the recursive table — the corpus rows and the global
+    * top-pair subquery), then `tokenized` applies the learned list as a
+    * list_reduce fold of boundary-framed replaces. Embedded by every
+    * BPE-consuming oracle so the driver hash-checks the iteration
+    * itself. */
+  private val bpeLearnSql =
+    """bpe(r, s, pat, freq) AS (
+         SELECT 0, chr(2) || replace(text, ' ', chr(3)||chr(2)) || chr(3),
+                CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+         FROM documents
+         UNION ALL
+         SELECT r + 1,
+                replace(s, best.pg, chr(2) || replace(best.pg[2:len(best.pg)-1], chr(3)||chr(2), ' ') || chr(3)),
+                best.pg, best.c
+         FROM bpe,
+              (SELECT pg, CAST(count(*) AS BIGINT) AS c FROM (
+                 SELECT unnest(list_transform(range(1, len(ts)), i -> chr(2)||ts[i]||chr(3)||chr(2)||ts[i+1]||chr(3))) AS pg
+                 FROM (SELECT string_split(s[2:len(s)-1], chr(3)||chr(2)) AS ts FROM bpe)
+               ) GROUP BY pg ORDER BY c DESC, pg LIMIT 1) best
+         WHERE r < 32),
+       merges AS (SELECT r, any_value(pat) AS pat, CAST(any_value(freq) AS BIGINT) AS freq
+                  FROM bpe WHERE r >= 1 GROUP BY r),
+       ml AS (SELECT coalesce(list(pat ORDER BY r), CAST([] AS VARCHAR[])) AS ms FROM merges),
+       tokenized AS (
+         SELECT doc_id, lang, source,
+                CAST(len(string_split(
+                  list_reduce(
+                    list_prepend(chr(2) || replace(text, ' ', chr(3)||chr(2)) || chr(3), ms),
+                    (acc, p) -> replace(acc, p, chr(2) || replace(p[2:len(p)-1], chr(3)||chr(2), ' ') || chr(3))),
+                  chr(3)||chr(2))) AS BIGINT) AS ntok
+         FROM documents, ml)"""
+
   val oracle: Map[String, String] = Map(
     "q_mix_epochs" ->
-      """WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
-         p0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM ws),
-         pairs AS (SELECT doc_id, i, w[i] || ' ' || w[i+1] AS pg FROM p0),
-         vocab AS (SELECT pg FROM (SELECT pg, count(*) AS c FROM pairs
-                                   GROUP BY pg ORDER BY c DESC, pg LIMIT 32)),
-         m AS (SELECT doc_id, i,
-                      i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
-               FROM pairs JOIN vocab USING (pg)),
-         runs AS (SELECT doc_id, grp, count(*) AS L FROM m GROUP BY doc_id, grp),
-         mg AS (SELECT doc_id, SUM((L + 1) // 2) AS nm FROM runs GROUP BY doc_id),
-         dt AS (SELECT ws.doc_id, source,
-                       CAST(len(w) - COALESCE(nm, 0) AS BIGINT) AS ntok
-                FROM ws LEFT JOIN mg ON ws.doc_id = mg.doc_id),
+      s"""WITH RECURSIVE $bpeLearnSql,
+         dt AS (SELECT doc_id, source, ntok FROM tokenized),
          tk AS (SELECT source, count(*) AS n_docs,
                        CAST(SUM(ntok) AS BIGINT) AS tok,
                        CAST(floor(sqrt(CAST(SUM(ntok) AS DOUBLE))) AS BIGINT) AS w
@@ -69,41 +93,19 @@ object TrainingOps {
                 CAST(tok * epochs_x100 // 100 AS BIGINT) AS served_tok
          FROM e ORDER BY source""",
     "q_bpe_fertility" ->
-      """WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
-         p0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM ws),
-         pairs AS (SELECT doc_id, i, w[i] || ' ' || w[i+1] AS pg FROM p0),
-         vocab AS (SELECT pg FROM (SELECT pg, count(*) AS c FROM pairs
-                                   GROUP BY pg ORDER BY c DESC, pg LIMIT 32)),
-         m AS (SELECT doc_id, i,
-                      i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
-               FROM pairs JOIN vocab USING (pg)),
-         runs AS (SELECT doc_id, grp, count(*) AS L FROM m GROUP BY doc_id, grp),
-         mg AS (SELECT doc_id, SUM((L + 1) // 2) AS nm FROM runs GROUP BY doc_id),
-         d AS (SELECT ws.doc_id, lang, CAST(len(w) AS BIGINT) AS words,
-                      CAST(len(w) - COALESCE(nm, 0) AS BIGINT) AS ntok
-               FROM ws LEFT JOIN mg ON ws.doc_id = mg.doc_id),
-         ch AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS chars FROM documents)
-         SELECT lang, count(*) AS n_docs,
-                CAST(SUM(words) AS BIGINT) AS words,
-                CAST(SUM(ntok) AS BIGINT) AS ntok,
-                CAST(SUM(chars) AS BIGINT) AS chars,
-                CAST(SUM(ntok) * 1000 // SUM(words) AS BIGINT) AS fertility_x1000,
-                CAST(SUM(chars) * 1000 // SUM(ntok) AS BIGINT) AS chars_per_tok_x1000
-         FROM d JOIN ch USING (doc_id) GROUP BY lang ORDER BY lang""",
+      s"""WITH RECURSIVE $bpeLearnSql,
+         st AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+                       CAST(len(text) AS BIGINT) AS chars FROM documents)
+         SELECT t.lang, count(*) AS n_docs,
+                CAST(SUM(st.words) AS BIGINT) AS words,
+                CAST(SUM(t.ntok) AS BIGINT) AS ntok,
+                CAST(SUM(st.chars) AS BIGINT) AS chars,
+                CAST(SUM(t.ntok) * 1000 // SUM(st.words) AS BIGINT) AS fertility_x1000,
+                CAST(SUM(st.chars) * 1000 // SUM(t.ntok) AS BIGINT) AS chars_per_tok_x1000
+         FROM tokenized t JOIN st USING (doc_id) GROUP BY t.lang ORDER BY t.lang""",
     "q_pack_sequences" ->
-      """WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
-         p0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM ws),
-         pairs AS (SELECT doc_id, i, w[i] || ' ' || w[i+1] AS pg FROM p0),
-         vocab AS (SELECT pg FROM (SELECT pg, count(*) AS c FROM pairs
-                                   GROUP BY pg ORDER BY c DESC, pg LIMIT 32)),
-         m AS (SELECT doc_id, i,
-                      i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
-               FROM pairs JOIN vocab USING (pg)),
-         runs AS (SELECT doc_id, grp, count(*) AS L FROM m GROUP BY doc_id, grp),
-         mg AS (SELECT doc_id, SUM((L + 1) // 2) AS nm FROM runs GROUP BY doc_id),
-         d AS (SELECT ws.doc_id, lang, ws.doc_id // 1000 AS shard,
-                      len(w) - COALESCE(nm, 0) AS ntok
-               FROM ws LEFT JOIN mg ON ws.doc_id = mg.doc_id),
+      s"""WITH RECURSIVE $bpeLearnSql,
+         d AS (SELECT doc_id, lang, doc_id // 1000 AS shard, ntok FROM tokenized),
          c AS (SELECT lang, shard, ntok,
                       SUM(ntok) OVER (PARTITION BY lang, shard ORDER BY doc_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -112,13 +114,12 @@ object TrainingOps {
                 count(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens
          FROM c GROUP BY lang, shard, bin ORDER BY lang, shard, bin""",
     "q_bpe_vocab" ->
-      """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
-         p0 AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM ws),
-         pairs AS (SELECT w[i] || ' ' || w[i+1] AS pair FROM p0),
-         v AS (SELECT pair, count(*) AS freq FROM pairs GROUP BY pair)
-         SELECT CAST(row_number() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS rnk,
-                pair, CAST(freq AS BIGINT) AS freq
-         FROM v ORDER BY freq DESC, pair LIMIT 32""",
+      s"""WITH RECURSIVE $bpeLearnSql
+         SELECT CAST(r AS BIGINT) AS rnk,
+                string_split(pat[2:len(pat)-1], chr(3)||chr(2))[1] AS lhs,
+                string_split(pat[2:len(pat)-1], chr(3)||chr(2))[2] AS rhs,
+                freq
+         FROM merges ORDER BY rnk""",
     "q_text_tfidf" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          tf AS (SELECT doc_id, w, count(*) AS tf FROM words WHERE len(w) > 0 GROUP BY doc_id, w),
@@ -295,39 +296,87 @@ object TrainingOps {
          ORDER BY r.lang"""
   )
 
-  /** Toy-BPE tokenizer cost model, shared by [[qPackSequences]] and
-    * declared as [[qBpeVocab]]'s merge table.
+  /** ITERATIVE BPE tokenizer (learn + apply), shared by
+    * [[qPackSequences]] / [[qBpeFertility]] / [[qMixEpochs]] and
+    * declared as [[qBpeVocab]]'s merge table — the real algorithm now,
+    * not the single-round cost model it replaced: each of the 32 rounds
+    * takes the single most frequent adjacent pair OF THE CURRENT
+    * TOKENIZATION (count desc, pattern asc — fully deterministic),
+    * merges all its non-overlapping occurrences leftmost-first, and
+    * RECOUNTS, so merges 2..32 see the merged symbols rounds 1..k−1
+    * created (word-level analog: merged tokens are space-joined
+    * phrases).
     *
-    * Learn: the merge table is the corpus's top-32 adjacent-token
-    * bigrams (count desc, bigram asc — fully deterministic). Apply: ONE
-    * greedy left-to-right merge round — a position i merges iff its
-    * bigram is in the table and position i−1 didn't merge. Greedy
-    * selection is sequential on its face, but over BASE tokens it
-    * reduces exactly to gaps-and-islands: mergeable positions form
-    * maximal runs, and a run of length L yields ⌈L/2⌉ merges — so the
-    * whole tokenizer is explode → broadcast-join(32-row merge table) →
-    * one window per doc, no UDF, no sequential state, and the DuckDB
-    * oracle replays the identical algebra. Token count = base tokens −
-    * merges, the same accounting a real BPE's first merge round does;
-    * whitespace counting (the old proxy) systematically overcounts
-    * exactly the high-frequency collocations BPE compresses. */
-  private[graft] def bpeNtok(docs: DataFrame): DataFrame = {
-    val ws = docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
-    val pairs = ws.filter(size(col("w")) >= 2) // sequence(1,0) is DESCENDING — guard 1-token docs
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")))
-      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("pg"))
-    val vocab = pairs.groupBy(col("pg")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("pg")).limit(32).select("pg")
-    val merges = pairs.join(broadcast(vocab), Seq("pg"))
-      .withColumn("grp", col("i") - row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("i"))))
-      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("L"))
-      .groupBy(col("doc_id")).agg(sum(expr("(L + 1) DIV 2")).as("nm"))
-    ws.select(col("doc_id"), col("lang"), size(col("w")).cast(LongType).as("base"))
-      .join(merges, Seq("doc_id"), "left")
+    * Representation is the trick that keeps both learn and apply
+    * relational: a document is ONE STRING of framed tokens
+    * `{STX}tok{ETX}{STX}tok{ETX}…` (STX/ETX = chr(2)/chr(3), bytes the
+    * fixture text cannot contain), a merge pattern is the framed
+    * pair `{STX}L{ETX}{STX}R{ETX}`, and applying a merge is a plain
+    * `replace(s, pat, merged)` — string replace is leftmost-first
+    * non-overlapping, exactly BPE's merge order, and the frames make a
+    * pattern match ONLY at token boundaries (a token's text can never
+    * contain the frame bytes). DuckDB replays the identical algebra
+    * (recursive CTE for learning, list_reduce fold for apply), so every
+    * consumer stays hash-checked.
+    *
+    * Scale notes: learning is 32 × (one explode-count + one top-1 + one
+    * narrow replace) with the round's corpus MATERIALIZED
+    * (localCheckpoint) so round k never recomputes rounds 1..k−1 — on a
+    * cluster these are checkpointed tables; the per-round reduction to
+    * one row broadcasts back, no driver value ever collected. The
+    * production shortcut (count word TYPES once, iterate over the
+    * frequency table) does not apply at word level where sequences are
+    * whole documents. Apply is one narrow fold of 32 replaces under a
+    * broadcast merge list. The learned table is cached per (session,
+    * fixture) like the IVF cell artifact — a production pipeline
+    * commits it next to the tokenized shards. */
+  private val bpeMergesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** `{STX}tok{ETX}…` framing of a whitespace-tokenized text column. */
+  private def bpeWrap(textCol: String): Column =
+    expr(s"concat(chr(2), replace($textCol, ' ', chr(3) || chr(2)), chr(3))")
+
+  /** SQL fragment: rewrite one framed pair `pg` into its merged token. */
+  private def bpeMergeSql(pg: String): String =
+    s"concat(chr(2), replace(substring($pg, 2, length($pg) - 2), chr(3) || chr(2), ' '), chr(3))"
+
+  /** The learned 32-entry iterative merge table: (rnk, pg, freq) where
+    * `pg` is the framed pair pattern. Deterministic; cached per
+    * (session, fixture dir). */
+  private[graft] def bpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeMergesCache.getOrElseUpdate((s, d), {
+      var corpus = Tables.documents(s, d)
+        .select(bpeWrap("text").as("s")).localCheckpoint()
+      val rounds = (1 to 32).map { r =>
+        val best = corpus
+          .select(split(expr("substring(s, 2, length(s) - 2)"), "\u0003\u0002").as("ts"))
+          .filter(size(col("ts")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(ts) - 1), i -> concat(chr(2), element_at(ts, i), chr(3), chr(2), element_at(ts, i + 1), chr(3)))")).as("pg"))
+          .groupBy(col("pg")).agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("pg")).limit(1)
+          .select(lit(r.toLong).as("rnk"), col("pg"), col("freq").cast(LongType).as("freq"))
+          .localCheckpoint()
+        corpus = corpus.crossJoin(broadcast(best.select(col("pg"))))
+          .select(expr(s"replace(s, pg, ${bpeMergeSql("pg")})").as("s"))
+          .localCheckpoint()
+        best
+      }
+      rounds.reduce(_ unionAll _).localCheckpoint()
+    })
+
+  /** Apply the learned merge table — a fold of 32 boundary-safe
+    * replaces in rank order (real BPE inference) — and count tokens. */
+  private[graft] def bpeNtok(s: SparkSession, d: String, docs: DataFrame): DataFrame = {
+    val ms = bpeMerges(s, d)
+      .agg(sort_array(collect_list(struct(col("rnk"), col("pg")))).as("ms"))
+    docs.select(col("doc_id"), col("lang"), bpeWrap("text").as("s"))
+      .crossJoin(broadcast(ms))
       .select(col("doc_id"), col("lang"),
-        (col("base") - coalesce(col("nm"), lit(0L))).cast(LongType).as("ntok"))
+        size(split(expr(
+          s"aggregate(ms, s, (acc, m) -> replace(acc, m.pg, ${bpeMergeSql("m.pg")}))"),
+          "\u0003\u0002")).cast(LongType).as("ntok"))
   }
 
   /** TOKENIZER FERTILITY per language — tokens-per-word ×1000 and
@@ -349,7 +398,7 @@ object TrainingOps {
     val stats = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast(LongType).as("words"),
       length(col("text")).cast(LongType).as("chars"))
-    bpeNtok(docs).join(stats, Seq("doc_id"))
+    bpeNtok(s, d, docs).join(stats, Seq("doc_id"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("words")).cast(LongType).as("words"),
@@ -360,24 +409,20 @@ object TrainingOps {
       .orderBy("lang")
   }
 
-  /** The learned BPE merge table itself — rank, bigram, corpus frequency
-    * (the top-32 [[bpeNtok]] merges). A production pipeline commits this
+  /** The learned ITERATIVE merge table itself — rank, left/right symbol,
+    * frequency AT MERGE TIME (the recounted frequency round k actually
+    * saw, not the raw-corpus count). A production pipeline commits this
     * artifact next to the tokenized shards; here it is the declared,
-    * oracle-checked face of the tokenizer. */
-  private def qBpeVocab(s: SparkSession, d: String): DataFrame = {
-    val ws = Tables.documents(s, d).select(split(col("text"), " ").as("w"))
-    val pairs = ws.filter(size(col("w")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("pair"))
-    // global sort-limit (distributed TakeOrdered) BEFORE the ranking
-    // window, so the single-partition row_number only ever sees 32 rows
-    pairs.groupBy(col("pair")).agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("pair")).limit(32)
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("freq").desc, col("pair"))).cast(LongType))
-      .select(col("rnk"), col("pair"), col("freq").cast(LongType).as("freq"))
+    * oracle-checked face of the tokenizer: the DuckDB oracle re-learns
+    * all 32 rounds by recursive recounting, so the hash certifies the
+    * iteration itself. */
+  private def qBpeVocab(s: SparkSession, d: String): DataFrame =
+    bpeMerges(s, d)
+      .select(col("rnk"),
+        expr("split(substring(pg, 2, length(pg) - 2), chr(3) || chr(2))[0]").as("lhs"),
+        expr("split(substring(pg, 2, length(pg) - 2), chr(3) || chr(2))[1]").as("rhs"),
+        col("freq"))
       .orderBy("rnk")
-  }
 
   /** Greedy sequence packing into 2048-token context windows. A doc's bin
     * is the window its starting offset falls in (cum-before-doc DIV
@@ -393,7 +438,7 @@ object TrainingOps {
   private def qPackSequences(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bpeNtok(Tables.documents(s, d))
+    bpeNtok(s, d, Tables.documents(s, d))
       .withColumn("shard", expr("doc_id DIV 1000"))
       .withColumn("cum", sum(col("ntok")).over(w))
       .withColumn("bin", expr("(cum - ntok) DIV 2048"))
@@ -776,7 +821,7 @@ object TrainingOps {
     * broadcast back over the domain table — nothing row-level after
     * the token census. */
   private def qMixEpochs(s: SparkSession, d: String): DataFrame = {
-    val tok = bpeNtok(Tables.documents(s, d))
+    val tok = bpeNtok(s, d, Tables.documents(s, d))
       .join(Tables.documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).cast(LongType).as("tok"))

@@ -141,43 +141,58 @@ class TrainingOpsSuite extends SparkSuite {
     assert(got == expected, s"distributed vs local k-means mismatch:\n$got\n$expected")
   }
 
-  test("toy-BPE token counts equal a literal sequential greedy merge, doc by doc") {
-    // the relational tokenizer claims greedy left-to-right merging
-    // reduces to gaps-and-islands (⌈run/2⌉ merges per run); this replays
-    // the REAL sequential algorithm over every fixture doc with the same
-    // learned merge table and demands equality — if the reduction were
-    // wrong anywhere (overlap handling, run boundaries, ties), some doc
-    // would disagree
+  test("iterative BPE equals a literal single-machine BPE: merge table AND token counts") {
+    // the relational learner claims to BE the textbook algorithm (top
+    // pair of the CURRENT tokenization, greedy leftmost merge, recount,
+    // 32 rounds, freq-desc/pattern-asc tiebreak); this replays it
+    // sequentially in plain Scala over every fixture doc and demands
+    // bit-equality of the learned table (symbols AND merge-time
+    // frequencies) and of every doc's final token count — any divergence
+    // in overlap handling, recount timing, or tie order would surface
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf0001)
-    // the learned merge table, exactly as bpeNtok derives it
-    val vocab = docs.select(split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("pg"))
-      .groupBy("pg").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("pg")).limit(32)
-      .select("pg").as[String].collect().toSet
+    var seqs = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).toVector }
+    // tie order compares the FRAMED pattern, exactly the engine's key
+    def pat(l: String, r: String): String =
+      "\u0002" + l + "\u0003\u0002" + r + "\u0003"
 
-    def sequentialGreedy(text: String): Long = {
-      val w = text.split(" ", -1)
-      var i = 0
-      var merges = 0L
-      while (i < w.length - 1) {
-        if (vocab.contains(s"${w(i)} ${w(i + 1)}")) { merges += 1; i += 2 }
-        else i += 1
+    var ref = Vector.empty[(Long, String, String, Long)] // (rnk, lhs, rhs, freq)
+    for (rnk <- 1 to 32) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((_, s) <- seqs; i <- 0 until s.length - 1)
+        counts.updateWith((s(i), s(i + 1)))(c => Some(c.getOrElse(0L) + 1))
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, pat(l, r)) }
+        ref :+= ((rnk.toLong, l, r, c))
+        seqs = seqs.map { case (id, s) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == l && s(i + 1) == r) { out += s"$l $r"; i += 2 }
+            else { out += s(i); i += 1 }
+          }
+          id -> out.result()
+        }
       }
-      w.length - merges
     }
 
-    val expected = docs.select("doc_id", "text").as[(Long, String)].collect()
-      .map { case (id, t) => id -> sequentialGreedy(t) }.toMap
-    val got = graft.ops.TrainingOps.bpeNtok(docs)
+    val gotTable = graft.ops.TrainingOps.bpeMerges(spark, sf0001)
+      .select(col("rnk"),
+        expr("split(substring(pg, 2, length(pg) - 2), chr(3) || chr(2))[0]"),
+        expr("split(substring(pg, 2, length(pg) - 2), chr(3) || chr(2))[1]"),
+        col("freq"))
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toVector
+    assert(gotTable == ref,
+      s"merge tables differ; first diff: ${gotTable.zip(ref).find(p => p._1 != p._2)}")
+
+    val expected = seqs.map { case (id, s) => id -> s.length.toLong }.toMap
+    val got = graft.ops.TrainingOps.bpeNtok(spark, sf0001, docs)
       .select("doc_id", "ntok").as[(Long, Long)].collect().toMap
     assert(got.size == expected.size)
     val diffs = expected.collect { case (id, e) if got(id) != e => (id, e, got(id)) }
-    assert(diffs.isEmpty, s"docs where relational != sequential greedy: ${diffs.take(5)}")
-    // and the compression is real: the merge round must shrink the corpus
+    assert(diffs.isEmpty, s"docs where relational != sequential BPE: ${diffs.take(5)}")
+    // and the compression is real: 32 merges must shrink the corpus
     val base = docs.select(size(split(col("text"), " "))).as[Int].collect().map(_.toLong).sum
     assert(got.values.sum < base, "the merge table must compress the corpus")
   }
