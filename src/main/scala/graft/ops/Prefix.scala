@@ -55,7 +55,13 @@ object Prefix {
     * cross-bucket carry a distributed lead() needs. Implemented by
     * mirroring: negate b and v, take the prefix max, negate back
     * (integer DIV truncates toward zero, so negated buckets still group
-    * into contiguous monotone super-buckets). */
+    * into contiguous monotone super-buckets).
+    *
+    * Domain exclusion: `Long.MinValue` (for either `b` or `v`) negates
+    * to itself in two's complement, so a MinValue input would silently
+    * corrupt the mirror — out of contract here. Every current caller
+    * feeds timestamps / non-negative measures; a general caller must
+    * pre-shift or use a direct descending-window implementation. */
   def bucketSuffixMin(perBucket: DataFrame, keys: Seq[String], superSize: Long): DataFrame = {
     val n = perBucket.withColumn("b", -col("b")).withColumn("v", -col("v"))
     core(n, keys, superSize, max, greatest(_, _), "nxt")
