@@ -1,9 +1,13 @@
 #!/usr/bin/env python3
 """Local pre-flight mirror of the driver's t2 compare (SURVEY.md §5.1).
 
-Usage: oracle_check.py <sfDir> <verifyOutDir>
+Usage: oracle_check.py <sfDir> <verifyOutDir> [--only-present]
        oracle_check.py --partition-sweep <sfDir> [workDir]
        oracle_check.py --strategy-sweep <sfDir> [workDir]
+
+--only-present compares only the queries actually dumped under
+<verifyOutDir> (for subset runs, e.g. the sf0.1 superlinear-family
+sweep) instead of failing on oracle entries with no result dir.
 
 For each query dir under <verifyOutDir>: load the Spark-written parquet,
 run the query's oracle SQL (from oracle_sql.json) in DuckDB over views named
@@ -41,7 +45,7 @@ def cell(v):
     return str(v)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only_present=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -92,7 +96,7 @@ def main(sf_dir, out_dir):
             print(f"  {name}: OK ({len(a)} rows)")
             n_pass += 1
     missing = sorted(set(oracles) - set(declared))
-    if missing:
+    if missing and not only_present:
         print(f"WARN: oracle entries with no result dir (query threw?): {missing}")
         n_fail += len(missing)
     print(f"== {n_pass} pass, {n_fail} fail ==")
@@ -159,4 +163,4 @@ if __name__ == "__main__":
         work = sys.argv[3] if len(sys.argv) > 3 else "/tmp"
         strategy_sweep(sys.argv[2], work)
     else:
-        main(sys.argv[1], sys.argv[2])
+        main(sys.argv[1], sys.argv[2], only_present="--only-present" in sys.argv[3:])

@@ -50,4 +50,92 @@ class ConcurrencySuite extends SparkSuite {
       }
     } finally pool.shutdown()
   }
+
+  test("maintenance safety property: 200 random append/delete/compact/expire/vacuum schedules") {
+    // the r7 in-round bug (vacuum deleting a live deletion-vector
+    // sidecar, d800860) existed only as its specific regression test;
+    // this is the INVARIANT as a property over random schedules:
+    //  (1) vacuum never removes any file reachable from any retained
+    //      manifest (data files, DV sidecars, their .stats sidecars);
+    //  (2) the latest snapshot always equals an in-memory reference
+    //      model of the logical table contents.
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    import graft.sources.ManifestTable
+    import spark.implicits._
+
+    def reachable(t: String): Set[String] = {
+      val md = Paths.get(t, "manifests")
+      if (!Files.isDirectory(md)) return Set.empty
+      import scala.jdk.CollectionConverters._
+      val vs = {
+        val s = Files.list(md)
+        try s.iterator().asScala.map(_.getFileName.toString).toVector
+        finally s.close()
+      }.filter(_.matches("v\\d{8}\\.manifest"))
+        .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
+      vs.flatMap { v =>
+        ManifestTable.snapshotFiles(t, v) ++ ManifestTable.snapshotDvs(t, v)
+      }.toSet
+    }
+
+    def runSchedule(seed: Int): Unit = {
+      val rng = new scala.util.Random(7000 + seed)
+      val t = Files.createTempDirectory(s"graft-vacprop-$seed").toString
+      var model = Vector.empty[(Long, Long)]
+      var nextId = 0L
+      // seed commit so delete/compact always have a base
+      def append(): Unit = {
+        val n = 5 + rng.nextInt(20)
+        val rowsV = (0 until n).map(i => (nextId + i, (nextId + i) * 3))
+        nextId += n
+        model ++= rowsV
+        ManifestTable.append(spark, t,
+          rowsV.toDF("id", "v").coalesce(1))
+        ()
+      }
+      append()
+      val opsN = 4 + rng.nextInt(3)
+      for (_ <- 0 until opsN) {
+        rng.nextInt(10) match {
+          case 0 | 1 | 2 => append()
+          case 3 | 4 | 5 =>
+            // random range: sometimes narrow (DV path), sometimes wide (COW)
+            val lo = rng.nextLong(math.max(nextId, 1L))
+            val hi = lo + (if (rng.nextBoolean()) rng.nextInt(3).toLong
+                           else rng.nextInt(40).toLong)
+            model = model.filterNot { case (id, _) => id >= lo && id <= hi }
+            ManifestTable.deleteWhere(spark, t, "id", lo, hi)
+            ()
+          case 6 => ManifestTable.compact(spark, t); ()
+          case 7 => ManifestTable.expireVersions(t, 1 + rng.nextInt(3)); ()
+          case _ =>
+            val before = reachable(t)
+            val existedBefore = before.filter(f => Files.exists(Paths.get(f)))
+            val statsBefore = before.map(_ + ".stats").filter(f => Files.exists(Paths.get(f)))
+            ManifestTable.vacuum(t, retentionMs = 0L)
+            val gone = (existedBefore ++ statsBefore).filterNot(f => Files.exists(Paths.get(f)))
+            assert(gone.isEmpty,
+              s"seed $seed: vacuum removed reachable files: ${gone.take(3)}")
+        }
+      }
+      ManifestTable.vacuum(t, retentionMs = 0L)
+      val after = reachable(t).filterNot(f => Files.exists(Paths.get(f)))
+      assert(after.isEmpty, s"seed $seed: final vacuum removed reachable files")
+      // the latest snapshot equals the reference model, row for row
+      val got = ManifestTable.read(spark, t).as[(Long, Long)].collect().sorted.toVector
+      assert(got == model.sorted,
+        s"seed $seed: snapshot diverged from model (${got.size} vs ${model.size} rows)")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+      ()
+    }
+    // schedules are independent tables — drive 10 at a time so 200 of
+    // them finish in test time (and the maintenance ops get exercised
+    // under genuine JVM concurrency for free)
+    val pool = Executors.newFixedThreadPool(10)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(
+      Future.sequence((0 until 200).map(s => Future(runSchedule(s)))), 20.minutes)
+    finally pool.shutdown()
+  }
 }
