@@ -746,7 +746,13 @@ object Warehouse {
     * on doc_id while the executed path exercises a genuine multi-frame
     * container round-trip — the same claim q_multimodal_frames makes
     * with the stub codec, now under a real parser. Payloads never
-    * shuffle; 3 longs per asset reach the aggregate. */
+    * shuffle; 3 longs per asset reach the aggregate.
+    *
+    * Cost floor (r7 verdict item 8, profiled): the ~1-2 s sf0.1 line is
+    * the ~9k per-frame GIF palette writes themselves — writer/reader
+    * construction is amortized per partition below, and removing it did
+    * not move the line beyond host noise. Raising the 2000-asset bound
+    * scales this linearly; the bound is the knob. */
   private def qMultimodalGif(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // bounded slice, q_source_binary's precedent: the capability under
@@ -758,10 +764,16 @@ object Warehouse {
       .filter(col("doc_id") < 2000)
       .select(col("doc_id"), col("source")).as[(Long, String)]
     val gifs = docs.mapPartitions { it =>
+      // ONE writer per partition (r7 verdict item 8): the per-row
+      // getImageWritersByFormatName registry scan + writer construction
+      // was pure allocation overhead; reset() restores the writer for
+      // the next asset. The encode work itself (palette quantization per
+      // frame) is the irreducible floor.
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       it.map { case (id, source) =>
         val n = (2 + id % 6).toInt
         val h = (6 + id % 4).toInt
-        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        writer.reset()
         val bos = new java.io.ByteArrayOutputStream()
         val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
         writer.setOutput(ios)
@@ -782,13 +794,14 @@ object Warehouse {
         }
         writer.endWriteSequence()
         ios.close()
-        writer.dispose()
         (id, source, bos.toByteArray)
       }
     }
     val feats = gifs.mapPartitions { it =>
+      // ONE reader per partition, reset per asset — same amortization
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       it.map { case (_, source, payload) =>
-        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        reader.reset()
         reader.setInput(javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(payload)))
         val n = reader.getNumImages(true)
@@ -800,7 +813,6 @@ object Warehouse {
           k += 1
           i += 2
         }
-        reader.dispose()
         (source, n.toLong, k.toLong, sumW)
       }
     }.toDF("source", "n_frames", "n_sampled", "sum_w")
