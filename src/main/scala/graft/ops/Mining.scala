@@ -707,9 +707,29 @@ object Mining {
     * combinable, one token-keyed exchange shared by tf and df); the
     * 5-term query and the df rows it needs broadcast; dl joins on the
     * doc key the tf table already carries; the leaderboard prunes
-    * through a 5-row window per term. The corpus is never pair-joined. */
-  private def qTextBm25(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+    * through a 5-row window per term. The corpus is never pair-joined.
+    *
+    * WAND-STYLE MAX-SCORE PRUNE (r7 verdict item 7), exact by
+    * construction: the score is monotone DECREASING in dl for fixed tf
+    * (numerator fixed, denominator grows), so `ub = score(tf, dl_min)`
+    * upper-bounds any posting's true score. The 5 highest-tf postings
+    * per term (the impact-ordered list head, a map-side TopK heap —
+    * never a sort) are scored EXACTLY; their minimum `t5` is 5 real
+    * docs' scores, hence a lower bound on the term's true 5th-best.
+    * Every posting with `ub < t5` is provably outside the top-5 (strict
+    * inequality, so doc-id tie-breaks cannot resurrect it) and skips
+    * the dl join + exact scoring + window entirely; terms with < 5
+    * postings prune nothing. At 100 TB this is what keeps a 30 %-df
+    * query term from dragging its whole posting list through the
+    * ranking stages — survivors ≈ the high-tf head (bound measured in
+    * SkewStressSuite against a manufactured hot token). The RRF sparse
+    * tower (q_hybrid_rrf) deliberately does NOT carry this prune: its
+    * score is a SET-SUM over shared tokens, where exact skipping needs
+    * WAND's ordered-posting random-access model — per-(doc) bounds
+    * can't be known before enumerating the doc's shared tokens, which
+    * is the enumeration itself in a hash-partitioned engine. */
+  private[graft] def bm25Parts(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
     val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
@@ -724,13 +744,26 @@ object Mining {
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val qt = tf.groupBy(col("w")).agg(sum(col("tf")).cast(LongType).as("cf"))
       .orderBy(col("cf").desc, col("w")).limit(5).select("w")
-    tf.join(broadcast(qt), Seq("w"))
+    def score(dlRef: String) = expr(
+      s"((idf2 + 1) * tf * 22 * sd * 1000) DIV (10 * sd * tf + 3 * sd + 9 * $dlRef * nd)")
+    val post = tf.join(broadcast(qt), Seq("w"))
       .join(broadcast(df), Seq("w"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(tot))
       .withColumn("idf2", (length(bin(expr("nd DIV df"))) - 1).cast(LongType))
-      .withColumn("score_x1000", expr(
-        "((idf2 + 1) * tf * 22 * sd * 1000) DIV (10 * sd * tf + 3 * sd + 9 * dl * nd)"))
+    // impact-list head: 5 highest-tf postings per term, scored exactly
+    val thr = org.apache.spark.sql.graft.TopK.perGroup(
+        post, Seq("w"), Seq(("tf", true), ("doc_id", false)), 5)
+      .join(dl, Seq("doc_id"))
+      .withColumn("sc", score("dl"))
+      .groupBy(col("w")).agg(min(col("sc")).as("t5"), count(lit(1)).as("ncand"))
+    val surv = post
+      .join(broadcast(thr), Seq("w"))
+      .crossJoin(broadcast(dl.agg(min(col("dl")).as("dl_min"))))
+      .withColumn("ub", score("dl_min"))
+      .filter(col("ncand") < 5 || col("ub") >= col("t5"))
+    val board = surv
+      .join(dl, Seq("doc_id"))
+      .withColumn("score_x1000", score("dl"))
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
           .orderBy(col("score_x1000").desc, col("doc_id"))))
@@ -738,7 +771,11 @@ object Mining {
       .select(col("w").as("term"), col("rnk").cast(LongType).as("rnk"),
         col("doc_id"), col("score_x1000"))
       .orderBy("term", "rnk")
+    (post, surv, board)
   }
+
+  private def qTextBm25(s: SparkSession, d: String): DataFrame =
+    bm25Parts(Tables.documents(s, d))._3
 
   /** Per-occurrence bigram stream (doc_id, lang, n_trans, w1, w2) — one
     * row per transition, streaming-safe (no aggregation, so the

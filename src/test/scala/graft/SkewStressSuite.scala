@@ -249,4 +249,55 @@ class SkewStressSuite extends SparkSuite {
     assert(bucketSec < naiveSec * 1.5,
       f"bucketed $bucketSec%.2fs lost badly to naive $naiveSec%.2fs")
   }
+
+  test("hot query term (30% of docs): BM25 max-score prune bounds the ranked set, exactly") {
+    // manufactured WAND stress: token 'hot' lands in ~30% of 20k docs
+    // (tf 1..4, long docs) plus 5 short champion docs with tf=8 — the
+    // impact-list head. The prune must (a) keep the leaderboard
+    // bit-identical to an independently computed no-prune reference and
+    // (b) shrink the ranked set for the hot term to ~the head, not the
+    // 6k-posting list (the straggler a 30%-df term manufactures at
+    // cluster scale).
+    val docs = spark.range(20000).select(col("id").as("doc_id"),
+      expr("""concat('the ',
+        CASE WHEN id < 5 THEN 'hot hot hot hot hot hot hot hot'
+             WHEN id % 10 < 3 THEN concat(
+               array_join(array_repeat('hot', CAST(1 + id % 4 AS INT)), ' '), ' ',
+               array_join(transform(sequence(1, 30), i -> concat('f', id, 'x', i)), ' '))
+             ELSE array_join(transform(sequence(1, 30), i -> concat('f', id, 'x', i)), ' ')
+        END)""").as("text"))
+      .localCheckpoint()
+    val (post, surv, board) = graft.ops.Mining.bm25Parts(docs)
+
+    // independent no-prune reference, same integer algebra
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("dl"))
+    val tot = dl.agg(sum(col("dl")).cast("long").as("sd"), count(lit(1)).as("nd"))
+    val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val qt = tf.groupBy(col("w")).agg(sum(col("tf")).cast("long").as("cf"))
+      .orderBy(col("cf").desc, col("w")).limit(5).select("w")
+    val ref = tf.join(broadcast(qt), Seq("w")).join(broadcast(dfT), Seq("w"))
+      .join(dl, Seq("doc_id")).crossJoin(broadcast(tot))
+      .withColumn("idf2", (length(bin(expr("nd DIV df"))) - 1).cast("long"))
+      .withColumn("score_x1000", expr(
+        "((idf2 + 1) * tf * 22 * sd * 1000) DIV (10 * sd * tf + 3 * sd + 9 * dl * nd)"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
+          .orderBy(col("score_x1000").desc, col("doc_id"))))
+      .filter(col("rnk") <= 5)
+      .select(col("w").as("term"), col("rnk").cast("long").as("rnk"),
+        col("doc_id"), col("score_x1000"))
+    assert(board.collect().map(_.toString).sorted.toSeq ==
+      ref.collect().map(_.toString).sorted.toSeq,
+      "pruned leaderboard must be bit-identical to the no-prune reference")
+
+    val postHot = post.filter(col("w") === "hot").count()
+    val survHot = surv.filter(col("w") === "hot").count()
+    info(s"hot-term postings $postHot -> survivors $survHot")
+    assert(postHot > 5000, s"fixture must manufacture a hot posting list, got $postHot")
+    assert(survHot * 20 < postHot,
+      s"max-score prune must bound the hot term's ranked set: $survHot of $postHot")
+  }
 }
