@@ -22,6 +22,12 @@ python3 scripts/oracle_check.py "$GATE_SF" /tmp/graft_ci_dump
 SUPERLINEAR="q_dedup_exact q_dedup_url q_dedup_near q_dedup_minhash q_dedup_prefix q_dedup_simhash q_dedup_contain q_dedup_span q_dedup_cluster q_dedup_purge q_dedup_incr q_dedup_embed q_dedup_semantic q_prune_proto q_sim_knn q_sim_label q_sim_quant q_sim_recall q_index_cells q_index_inverted q_hybrid_rrf q_text_bm25 q_decontam q_decontam_semantic q_basket_lift"
 rm -rf /tmp/graft_ci_sf01
 sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/graft_ci_sf01 $SUPERLINEAR"
+# a query that THREW leaves no result dir and Verify still exits 0 —
+# --only-present would silently skip it, masking exactly the
+# scale-dependent failure this sweep exists to catch; require every dump
+for q in $SUPERLINEAR; do
+  [ -d "/tmp/graft_ci_sf01/$q" ] || { echo "sf0.1 sweep: $q produced no dump (threw?)"; exit 1; }
+done
 python3 scripts/oracle_check.py /root/testdata/sf0.1 /tmp/graft_ci_sf01 --only-present
 
 python3 scripts/oracle_check.py --partition-sweep "$SWEEP_SF"

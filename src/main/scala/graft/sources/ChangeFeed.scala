@@ -14,14 +14,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * PREVIOUS layer's table instead of an external stream — the layered
   * real-time-warehouse architecture closed end-to-end (SURVEY §1.1).
   *
-  * Delivery contract: AT-LEAST-ONCE. A crash between `process` and the
-  * checkpoint advance replays the same version range on the next drain,
-  * so consumers must be replay-idempotent — exactly the property the
-  * existing sinks already have (ManifestTable.idempotentAppend dedups on
-  * batch id; EmbeddingIndex.refresh dedups on key; an aggregate MERGE
-  * keyed on group is naturally convergent). The checkpoint itself is a
-  * single version number published atomically (tmp + ATOMIC_MOVE), so a
-  * torn write can never be observed.
+  * Delivery contract: AT-LEAST-ONCE, in PER-VERSION batches. The drain
+  * walks the unconsumed versions one commit at a time — process the
+  * changelog `(v−1, v]`, then advance the checkpoint to `v` — so a
+  * replayed batch is always the SAME deterministic unit regardless of
+  * what producers committed since the crash. (A range-sized batch would
+  * break exactly-once: crash after processing `(0,1]` but before the
+  * advance, then a producer commits v2 — the redelivery would arrive as
+  * `(0,2]` under a NEW batch id, smuggling v1's rows past any
+  * end-version-keyed dedup.) Consumers must be replay-idempotent per
+  * version — exactly the property the existing sinks have
+  * (ManifestTable.idempotentAppend keyed on the batch's end version;
+  * EmbeddingIndex.refresh dedups on key; an aggregate MERGE keyed on
+  * group is naturally convergent). The checkpoint itself is a single
+  * version number published atomically (tmp + ATOMIC_MOVE), so a torn
+  * write can never be observed.
   *
   * Scale notes: the offset store is one integer per consumer — no state
   * grows with the data. The changelog is proportional to the CHANGED
@@ -47,18 +54,23 @@ object ChangeFeed {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Drain everything the table has committed past this checkpoint:
-    * compute the changelog `(from, to]`, run `process(changes, from, to)`,
-    * advance the checkpoint to `to`. Returns the processed range, or
-    * None when the feed is already caught up (process not called — a
-    * caught-up drain costs two directory listings). */
+  /** Drain everything the table has committed past this checkpoint,
+    * one version per batch: for each unconsumed v, run
+    * `process(readChanges(v−1, v], v−1, v)` then advance the checkpoint
+    * to v. The head version is sampled ONCE at drain start (commits
+    * landing mid-drain wait for the next drain, so a drain always
+    * terminates). Returns the overall processed range, or None when the
+    * feed is already caught up (process not called — a caught-up drain
+    * costs two directory listings). */
   def availableNow(spark: SparkSession, table: String, checkpoint: String)
       (process: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
     val from = lastProcessed(checkpoint)
     val to = ManifestTable.latestVersion(table).getOrElse(-1L)
     if (to <= from) return None
-    process(ManifestTable.readChanges(spark, table, from, to), from, to)
-    advance(checkpoint, to)
+    for (v <- (from + 1) to to) {
+      process(ManifestTable.readChanges(spark, table, v - 1, v), v - 1, v)
+      advance(checkpoint, v)
+    }
     Some((from, to))
   }
 }

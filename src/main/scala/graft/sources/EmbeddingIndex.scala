@@ -75,7 +75,13 @@ object EmbeddingIndex {
     val lock = locks.getOrElseUpdate(table, new Object)
     lock.synchronized {
       if (ManifestTable.latestVersion(table).isEmpty) {
-        ManifestTable.append(spark, table, derive(input))
+        // cold build dedups too: duplicate keys within the FIRST input
+        // (same at-least-once shape the warm path screens) would
+        // otherwise seed permanent duplicate artifact rows that every
+        // later key anti-join faithfully preserves. Rows are immutable
+        // per key by contract, so any representative derives the same
+        // artifact row; the shuffle is corpus-sized exactly once.
+        ManifestTable.append(spark, table, derive(input.dropDuplicates(key)))
       } else {
         val have = ManifestTable.read(spark, table).select(col(key))
         // dropDuplicates(key): the key anti-join only screens keys from
@@ -112,11 +118,10 @@ object EmbeddingIndex {
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // in-batch key dedup: refresh's cold path (first-ever batch)
-        // derives the input as-is, so duplicates WITHIN one micro-batch
-        // must be collapsed here for the "streamed artifact == batch
-        // rebuild" invariant to hold under at-least-once delivery
-        refresh(spark, table, batch.dropDuplicates(key), key)(derive)
+        // in-batch duplicate keys are screened inside refresh (both the
+        // cold build and the warm missing-set path), so at-least-once
+        // delivery cannot commit duplicate artifact rows
+        refresh(spark, table, batch, key)(derive)
         ()
       }
       .start()

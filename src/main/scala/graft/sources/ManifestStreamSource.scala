@@ -83,15 +83,40 @@ object ManifestStreamSource {
 
   /** The table's enforced schema, parsed back from the commit metadata's
     * `name:type` signature — no data file is opened. All fields read as
-    * nullable (parquet repetition decides per row). */
+    * nullable (parquet repetition decides per row). The field split is
+    * NESTING-AWARE: type DDL can itself contain commas
+    * (`DECIMAL(12,2)`, `STRUCT<...>`), so a naive split would shear a
+    * legitimate signature into garbage fragments; unsupported transport
+    * types still fail, but with the reader's clean diagnostic instead of
+    * a MatchError. */
   private[sources] def schemaOf(table: String): StructType = {
     val sig = ManifestTable.currentSchema(table).getOrElse(
       throw new IllegalStateException(
         s"no schema-bearing commit in $table — commit once before streaming"))
-    StructType(sig.split(",").toSeq.map { f =>
-      val Array(n, t) = f.split(":", 2)
-      StructField(n, org.apache.spark.sql.types.DataType.fromDDL(t), nullable = true)
+    StructType(splitTopLevel(sig).map { f =>
+      f.split(":", 2) match {
+        case Array(n, t) =>
+          StructField(n, org.apache.spark.sql.types.DataType.fromDDL(t), nullable = true)
+        case _ => throw new IllegalArgumentException(
+          s"malformed schema signature field '$f' in $table")
+      }
     })
+  }
+
+  /** Split a schema signature on commas at bracket depth 0 only
+    * (parens and angle brackets both nest in type DDL). */
+  private[sources] def splitTopLevel(sig: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    sig.foreach {
+      case c @ ('(' | '<') => depth += 1; cur += c
+      case c @ (')' | '>') => depth -= 1; cur += c
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.result()
   }
 
   /** Data files the commits in `(startV, endV]` make newly visible under
@@ -151,16 +176,24 @@ private class ManifestMicroBatchStream(table: String, schema: StructType,
     ignoreDeletes: Boolean, ignoreChanges: Boolean)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
+  // Trigger.AvailableNow contract: the end offset is FROZEN at prepare
+  // time — without this, a concurrent writer keeps advancing the live
+  // head and the "drain what's available now" query never terminates.
+  @volatile private var availableNowCap: Option[Long] = None
+  private def liveHead: Long = ManifestTable.latestVersion(table).getOrElse(-1L)
+
   override def initialOffset(): Offset = VersionOffset(-1L)
   override def latestOffset(): Offset =
-    VersionOffset(ManifestTable.latestVersion(table).getOrElse(-1L))
+    VersionOffset(availableNowCap.getOrElse(liveHead))
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def reportLatestOffset(): Offset = latestOffset()
+  override def reportLatestOffset(): Offset = VersionOffset(liveHead)
   override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
-  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = Some(liveHead)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     ManifestStreamSource.addedFiles(table,

@@ -127,7 +127,7 @@ class ChangeFeedSuite extends SparkSuite {
     assertReplays(t, 1, 2)
   }
 
-  test("ChangeFeed.availableNow drains once per commit range and checkpoints by version") {
+  test("ChangeFeed.availableNow drains one version per batch and checkpoints each") {
     val t = freshTable()
     val cp = Files.createTempDirectory("graft-cdf-cp").toString
     ManifestTable.append(spark, t, rows(0, 100))
@@ -141,22 +141,58 @@ class ChangeFeedSuite extends SparkSuite {
     ManifestTable.append(spark, t, rows(100, 120))
     ManifestTable.deleteWhere(spark, t, "id", 0, 4)
     assert(drain().contains((0L, 2L)))
-    assert(seen.map(_._3) == Vector(100L, 25L), seen.toString)
+    // per-version batches: (0,1] then (1,2], each checkpointed
+    assert(seen == Vector((-1L, 0L, 100L), (0L, 1L, 20L), (1L, 2L, 5L)), seen.toString)
     assert(ChangeFeed.lastProcessed(cp) == 2L)
-    // crash-replay: a consumer that failed before the checkpoint advance
-    // re-receives the SAME range on the next drain (at-least-once)
+    // crash-replay: a consumer that failed mid-drain resumes at the
+    // failed VERSION, not the whole log (at-least-once per version)
     val cp2 = Files.createTempDirectory("graft-cdf-cp2").toString
-    var calls = 0
+    var calls = Vector.empty[(Long, Long)]
     intercept[RuntimeException] {
-      ChangeFeed.availableNow(spark, t, cp2) { (_, _, _) =>
-        calls += 1; throw new RuntimeException("consumer crash")
+      ChangeFeed.availableNow(spark, t, cp2) { (_, a, b) =>
+        calls :+= ((a, b))
+        if (calls.size == 2) throw new RuntimeException("consumer crash")
       }
     }
-    assert(ChangeFeed.lastProcessed(cp2) == -1L, "failed drain must not advance")
-    ChangeFeed.availableNow(spark, t, cp2) { (_, a, b) =>
-      calls += 1; assert((a, b) == (-1L, 2L))
+    assert(ChangeFeed.lastProcessed(cp2) == 0L,
+      "versions processed before the crash must stay checkpointed")
+    ChangeFeed.availableNow(spark, t, cp2) { (_, a, b) => calls :+= ((a, b)) }
+    assert(calls == Vector((-1L, 0L), (0L, 1L), (0L, 1L), (1L, 2L)),
+      s"the crashed version must replay, earlier ones must not: $calls")
+  }
+
+  test("exactly-once survives a crash between sink commit and checkpoint advance with a racing producer") {
+    // the failure this shape exists to prevent: consumer processes
+    // (0,1] and its idempotent sink commits batchId=1, then the
+    // CONSUMER crashes before the checkpoint advances; a producer
+    // meanwhile commits v2. If redelivery arrived as one (0,2] range
+    // under batchId=2, v1's rows would land twice. Per-version batches
+    // make the redelivery deterministic: (0,1] replays under batchId=1
+    // (screened), then (1,2] commits once.
+    val src = freshTable()
+    val sink = freshTable()
+    val cp = Files.createTempDirectory("graft-cdf-x1").toString
+    def sinkBatch(ch: DataFrame, to: Long): Unit = {
+      ManifestTable.idempotentAppend(spark, sink,
+        ch.filter(col("_change_type") === "insert").select("id", "k", "v"), to)
+      ()
     }
-    assert(calls == 2)
+    ManifestTable.append(spark, src, rows(0, 50))
+    ChangeFeed.availableNow(spark, src, cp) { (ch, _, to) => sinkBatch(ch, to) }
+    ManifestTable.append(spark, src, rows(50, 60))
+    // drain v1: sink commits, then the consumer dies BEFORE the advance
+    intercept[RuntimeException] {
+      ChangeFeed.availableNow(spark, src, cp) { (ch, _, to) =>
+        sinkBatch(ch, to)
+        throw new RuntimeException("crash after sink commit, before advance")
+      }
+    }
+    assert(ChangeFeed.lastProcessed(cp) == 0L)
+    ManifestTable.append(spark, src, rows(60, 70)) // racing producer
+    ChangeFeed.availableNow(spark, src, cp) { (ch, _, to) => sinkBatch(ch, to) }
+    val got = ManifestTable.read(spark, sink)
+    assert(got.count() == 70, s"rows must land exactly once, got ${got.count()}")
+    assert(got.select("id").distinct().count() == 70)
   }
 
   test("ManifestStreamSource streams appends with engine-checkpointed restart") {
