@@ -597,6 +597,35 @@ object ManifestTable {
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
   }
 
+  /** TIMESTAMP time travel (`AS OF <timestamp>`): the version whose
+    * manifest was the latest published at or before `asOfMillis`, from
+    * the manifest file's own mtime — the same commit-time source the
+    * production formats use (a manifest is written exactly once, at
+    * publish, and never touched again, so its mtime IS the commit
+    * time). Commit times are monotone in version by the CAS protocol
+    * (version N+1 publishes only after N exists), so the pick is
+    * well-defined; ties within one clock tick resolve to the HIGHEST
+    * version of that tick, matching "state as of that instant". Throws
+    * when the timestamp predates the earliest RETAINED commit
+    * ([[expireVersions]] ends timestamp travel exactly as it ends
+    * version travel). */
+  def versionAsOf(table: String, asOfMillis: Long): Long = {
+    val md = manifestDir(table)
+    if (!Files.isDirectory(md))
+      throw new IllegalStateException(s"no committed snapshot in $table")
+    val at = listDir(md)
+      .filter(_.getFileName.toString.matches("v\\d{8}\\.manifest"))
+      .filter(m => Files.getLastModifiedTime(m).toMillis <= asOfMillis)
+      .map(versionOf)
+    if (at.isEmpty) throw new IllegalArgumentException(
+      s"timestamp $asOfMillis predates the earliest retained commit of $table")
+    at.max
+  }
+
+  /** Read the snapshot as of a wall-clock instant — see [[versionAsOf]]. */
+  def readAsOf(spark: SparkSession, table: String, asOfMillis: Long): DataFrame =
+    read(spark, table, Some(versionAsOf(table, asOfMillis)))
+
   /** CHANGE DATA FEED — the row-level changelog the commit log already
     * implies, materialized: every row inserted or deleted by the commits
     * in `(fromV, toV]`, tagged `_change_type` ("insert" | "delete") and

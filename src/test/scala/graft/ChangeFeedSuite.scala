@@ -246,6 +246,55 @@ class ChangeFeedSuite extends SparkSuite {
     assert(streamAll(Map("ignoreDeletes" -> "true")) == 100)
   }
 
+  test("property: the changelog replays random append/delete/merge/overwrite/compact schedules") {
+    // q_table_cdf pins ONE lifecycle; this is the invariant as a
+    // property — for random schedules over every commit class, the
+    // changelog of ANY version range must replay the from-snapshot into
+    // the to-snapshot exactly (multiset both ways, via assertReplays).
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    def runSchedule(seed: Int): Unit = {
+      val rng = new scala.util.Random(9100 + seed)
+      val t = freshTable()
+      var nextId = 0L
+      def fresh(n: Int) = {
+        val df = rows(nextId, nextId + n); nextId += n; df
+      }
+      ManifestTable.append(spark, t, fresh(30).coalesce(1))
+      for (_ <- 0 until (3 + rng.nextInt(3))) {
+        rng.nextInt(10) match {
+          case 0 | 1 | 2 => ManifestTable.append(spark, t, fresh(10 + rng.nextInt(20)).coalesce(1))
+          case 3 | 4 =>
+            val lo = rng.nextLong(math.max(nextId, 1L))
+            ManifestTable.deleteWhere(spark, t, "id", lo,
+              lo + (if (rng.nextBoolean()) rng.nextInt(3).toLong else rng.nextInt(40).toLong))
+          case 5 | 6 =>
+            // merge: half updates to existing ids, half fresh inserts
+            val base = rng.nextLong(math.max(nextId, 1L))
+            val upd = spark.range(base, base + 10)
+              .select(col("id"), (col("id") % 10).as("k"), (col("id") * 7).as("v"))
+            ManifestTable.merge(spark, t, upd, "id")
+            nextId = math.max(nextId, base + 10)
+          case 7 => ManifestTable.overwrite(spark, t, fresh(15).coalesce(1))
+          case _ => ManifestTable.compact(spark, t)
+        }
+      }
+      val latest = ManifestTable.latestVersion(t).get
+      assertReplays(t, -1, latest)
+      // and an arbitrary interior range
+      val from = rng.nextLong(latest + 1) - 1 // in [-1, latest)
+      assertReplays(t, from, latest)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+      ()
+    }
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(
+      Future.sequence((0 until 50).map(s => Future(runSchedule(s)))), 20.minutes)
+    finally pool.shutdown()
+  }
+
   test("deleteWhere leaves provably-empty stats-less files untouched") {
     val t = freshTable()
     ManifestTable.append(spark, t, rows(0, 1000))

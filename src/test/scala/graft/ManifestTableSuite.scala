@@ -73,6 +73,31 @@ class ManifestTableSuite extends SparkSuite {
       "overwrite must not orphan files any snapshot still lists")
   }
 
+  test("timestamp time travel: AS OF an instant picks the last commit at or before it") {
+    val t = freshTable()
+    ManifestTable.append(spark, t, range(0, 100)) // v0
+    Thread.sleep(30) // separate the commit mtimes by a real clock tick
+    ManifestTable.append(spark, t, range(100, 150)) // v1
+    def mtime(v: Long): Long = java.nio.file.Files.getLastModifiedTime(
+      Paths.get(t, "manifests", f"v$v%08d.manifest")).toMillis
+    val (t0, t1) = (mtime(0), mtime(1))
+    assert(t0 < t1, "test precondition: distinct commit mtimes")
+    assert(ManifestTable.versionAsOf(t, t0) == 0L)
+    assert(ManifestTable.versionAsOf(t, t1 - 1) == 0L, "instants between commits see the older one")
+    assert(ManifestTable.versionAsOf(t, t1) == 1L)
+    assert(ManifestTable.readAsOf(spark, t, t0).count() == 100)
+    assert(ManifestTable.readAsOf(spark, t, System.currentTimeMillis()).count() == 150)
+    assert(intercept[IllegalArgumentException] {
+      ManifestTable.versionAsOf(t, t0 - 1)
+    }.getMessage.contains("predates"))
+    // expiration ends timestamp travel exactly like version travel
+    ManifestTable.expireVersions(t, 1)
+    assert(intercept[IllegalArgumentException] {
+      ManifestTable.versionAsOf(t, t0)
+    }.getMessage.contains("predates"))
+    assert(ManifestTable.versionAsOf(t, t1) == 1L)
+  }
+
   test("MERGE upsert lands atomically: updates win, inserts land, history survives") {
     val t = freshTable()
     ManifestTable.append(spark, t, range(0, 10)) // v0: id 0..9, v = 2*id
