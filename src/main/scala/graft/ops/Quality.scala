@@ -62,6 +62,7 @@ object Quality {
     "q_gdpr_erasure" -> qGdprErasure,
     "q_gdpr_dv" -> qGdprDv,
     "q_table_cdf" -> qTableCdf,
+    "q_table_evolve" -> qTableEvolve,
     "q_warehouse_layers" -> qWarehouseLayers,
     "q_quality_gopher" -> qQualityGopher
   )
@@ -102,6 +103,15 @@ object Quality {
            UNION ALL SELECT 4, 'delete', count(*), CAST(sum(event_id) AS BIGINT)
            FROM events WHERE user_id = 7 HAVING count(*) > 0
          ) ORDER BY v, ctype""",
+    "q_table_evolve" ->
+      """SELECT st, count(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS sum_cents
+         FROM (
+           SELECT CASE WHEN o_orderkey % 3 = 1 THEN o_orderstatus
+                       ELSE 'pre' END AS st,
+                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           FROM orders
+           WHERE (o_orderkey % 3 = 0 OR o_orderkey % 3 = 1) AND o_orderkey > 99)
+         GROUP BY st ORDER BY st""",
     "q_warehouse_layers" ->
       """SELECT event_type,
                 CAST(EXTRACT(day FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS day,
@@ -948,6 +958,42 @@ object Quality {
       .agg(count(lit(1)).as("n_rows"),
         sum(col("event_id")).cast(LongType).as("sum_id"))
       .orderBy("v", "ctype")
+  }
+
+  /** ADD-COLUMN SCHEMA EVOLUTION under the oracle gate: commit orders
+    * under the narrow (k, cents) schema, [[ManifestTable.appendEvolve]]
+    * a second slice bringing an `st` status column — NO pre-evolution
+    * file is rewritten (required in-plan), readers fill the evolved
+    * column with null for old rows via the committed signature — then
+    * run a retention DELETE whose pruning spans BOTH schema epochs and
+    * aggregate the merged read. The oracle recomputes the whole
+    * lifecycle relationally, so the hash certifies read-time evolution
+    * end to end: old rows surface as the 'pre' class, evolved rows keep
+    * their status through the delete's copy-on-write/DV machinery. At
+    * 100 TB this is the whole point of evolution-by-metadata: adding a
+    * column costs one manifest line, not a lake rewrite. */
+  private def qTableEvolve(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val t = s"${graft.Scratch.dir("graft_evolve_q")}/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey").as("k"),
+      (dec(col("o_totalprice"), 12, 2) * 100).cast(LongType).as("cents"))
+    val oSt = Tables.orders(s, d).select(
+      col("o_orderkey").as("k"),
+      (dec(col("o_totalprice"), 12, 2) * 100).cast(LongType).as("cents"),
+      col("o_orderstatus").as("st"))
+    ManifestTable.append(s, t, o.filter(col("k") % 3 === 0))
+    val before = ManifestTable.snapshotFiles(t, 0).toSet
+    val v1 = ManifestTable.appendEvolve(s, t, oSt.filter(col("k") % 3 === 1))
+    require(before.subsetOf(ManifestTable.snapshotFiles(t, v1).toSet),
+      "evolution must not rewrite any pre-evolution file")
+    ManifestTable.deleteWhere(s, t, "k", 0L, 99L) // retention purge across epochs
+    ManifestTable.read(s, t)
+      .groupBy(coalesce(col("st"), lit("pre")).as("st"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).cast(LongType).as("sum_cents"))
+      .orderBy("st")
   }
 
   /** LAYERED WAREHOUSE, each layer consuming the PREVIOUS layer's own

@@ -162,8 +162,23 @@ object ManifestTable {
   def read(spark: SparkSession, table: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
-    readFiles(spark, snapshotFiles(table, v), snapshotDvs(table, v))
+    readFiles(spark, snapshotFiles(table, v), snapshotDvs(table, v),
+      snapshotMeta(table, v).get("schema"))
   }
+
+  /** The recorded signature parsed back to a StructType (all fields
+    * nullable — the signature does not record nullability, and ADD
+    * COLUMN evolution makes the new column null for pre-evolution
+    * files anyway). None when the sig does not round-trip through the
+    * DDL parser (never the case for the engine's transport types). */
+  private def sigToSchema(sig: String): Option[org.apache.spark.sql.types.StructType] =
+    try Some(org.apache.spark.sql.types.StructType(
+      ManifestStreamSource.splitTopLevel(sig).map { f =>
+        val Array(n, t) = f.split(":", 2)
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.DataType.fromDDL(t), nullable = true)
+      }))
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Scan `files` with the snapshot's deletion vectors applied.
     * Positions come from the scan itself (`_metadata.row_index` — the
@@ -171,12 +186,23 @@ object ManifestTable {
     * data files are immutable), so the anti-join keys are exactly the
     * (path, pos) pairs [[deleteWhere]] recorded. The DV side is
     * tombstone-sized — at 100 TB it is the erased keys' rows, not the
-    * table — and the join key is (string, long), never payload. */
+    * table — and the join key is (string, long), never payload.
+    *
+    * When the snapshot records a schema signature the scan uses it
+    * EXPLICITLY (`spark.read.schema(...)`): after an [[appendEvolve]]
+    * the snapshot's files are schema-heterogeneous, and the explicit
+    * schema both pins the column order to the committed signature and
+    * fills the evolved columns with null for pre-evolution files — the
+    * production formats' read-time null-fill, without mergeSchema's
+    * footer-sampling pass. */
   private def readFiles(spark: SparkSession, files: Seq[String],
-      dvs: Seq[String]): DataFrame = {
+      dvs: Seq[String], sig: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     if (files.isEmpty) return spark.emptyDataFrame
-    val base = spark.read.parquet(files: _*)
+    val base = sig.flatMap(sigToSchema) match {
+      case Some(sch) => spark.read.schema(sch).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
     if (dvs.isEmpty) base
     else {
       val cols = base.columns.toSeq
@@ -309,13 +335,14 @@ object ManifestTable {
       throw new IllegalStateException(s"no committed snapshot in $table"))
     val files = snapshotFiles(table, v)
     val dvs = snapshotDvs(table, v)
+    val sig = snapshotMeta(table, v).get("schema")
     val live = files.filter { f =>
       statsOf(f).get(col).forall { case (mn, mx) => mx >= lo && mn <= hi }
     }
     val base =
       if (files.isEmpty) spark.emptyDataFrame
-      else if (live.isEmpty) spark.read.parquet(files: _*).limit(0)
-      else readFiles(spark, live, dvs)
+      else if (live.isEmpty) readFiles(spark, files, Seq.empty, sig).limit(0)
+      else readFiles(spark, live, dvs, sig)
     if (files.isEmpty) base
     else base.filter(base.col(col) >= lo && base.col(col) <= hi)
   }
@@ -393,6 +420,39 @@ object ManifestTable {
       val v = base.getOrElse(-1L) + 1
       if (publish(table, v, prev ++ staged,
           Map("op" -> "append", "schema" -> schemaSig(df)))) return v
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
+  }
+
+  /** ADD-COLUMN SCHEMA EVOLUTION on append — the production formats'
+    * `mergeSchema` write, made explicit: `df` must bring the table's
+    * current columns as a strict PREFIX plus one or more new columns
+    * appended. Existing data files stand untouched (no rewrite — at
+    * 100 TB this is the whole point of read-time evolution); from this
+    * commit on, every reader uses the committed signature explicitly,
+    * so pre-evolution files yield NULL for the new columns. Narrowing,
+    * renames, or type changes stay an explicit [[overwrite]].
+    * Note for change-feed consumers: evolution starts a new schema
+    * epoch — [[readChanges]] ranges may not cross it (documented
+    * there); restart the feed on the new schema. */
+  def appendEvolve(spark: SparkSession, table: String, df: DataFrame,
+      maxRetries: Int = 20): Long = {
+    val bring = schemaSig(df)
+    currentSchema(table).foreach { have =>
+      val hf = ManifestStreamSource.splitTopLevel(have)
+      val bf = ManifestStreamSource.splitTopLevel(bring)
+      require(bf.size > hf.size && bf.take(hf.size) == hf,
+        s"appendEvolve must extend the schema: table has [$have], write brings [$bring]")
+    }
+    val staged = stage(df, table)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(table)
+      val prev = base.map(snapshotEntries(table, _)).getOrElse(Seq.empty)
+      val v = base.getOrElse(-1L) + 1
+      if (publish(table, v, prev ++ staged,
+          Map("op" -> "append-evolve", "schema" -> bring))) return v
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
@@ -532,7 +592,8 @@ object ManifestTable {
       // tombstoned row would resurrect it
       val stagedData =
         if (rewriteF.isEmpty) Seq.empty
-        else stage(readFiles(spark, rewriteF, dvs)
+        else stage(readFiles(spark, rewriteF, dvs,
+            snapshotMeta(table, base).get("schema"))
           .filter(!(c(column) >= lo && c(column) <= hi)), table)
       // DV path records (path, pos) of the dying rows from the scan's
       // own `_metadata` — tombstone-sized output, no data file touched.
@@ -587,7 +648,12 @@ object ManifestTable {
         if (info.exists(_._2.isEmpty)) files // legacy DV line: full rewrite
         else files.filter(info.flatMap(_._2).toSet)
       val untouched = files.filterNot(affected.toSet)
-      val current = readFiles(spark, affected, dvPaths)
+      // the committed signature rides along: after an appendEvolve the
+      // affected set can mix schema epochs, and an unsigned scan would
+      // take one sample file's schema and silently drop evolved columns
+      // from the rewrite
+      val current = readFiles(spark, affected, dvPaths,
+        snapshotMeta(table, base).get("schema"))
       val staged = if (affected.isEmpty) Seq.empty else stage(current, table)
       if (publish(table, base + 1, untouched ++ staged,
           Map("op" -> "compact",
@@ -683,6 +749,7 @@ object ManifestTable {
     def tag(df: DataFrame, t: String): DataFrame =
       df.withColumn("_change_type", lit(t)).withColumn("_commit_version", lit(v))
     if (snapshotMeta(table, v).get("op").contains("compact")) return None
+    val sig = snapshotMeta(table, v).get("schema")
     val prevFiles = if (v == 0) Seq.empty[String] else snapshotFiles(table, v - 1)
     val curFiles = snapshotFiles(table, v)
     val prevDvs = if (v == 0) Seq.empty[String] else snapshotDvs(table, v - 1)
@@ -692,7 +759,7 @@ object ManifestTable {
     val dvNew = curDvInfo.filterNot(d => prevDvs.contains(d._1))
     val arriving: Option[DataFrame] =
       if (added.isEmpty) None
-      else Some(readFiles(spark, added, curDvInfo.map(_._1)))
+      else Some(readFiles(spark, added, curDvInfo.map(_._1), sig))
     // rows newly tombstoned in files that SURVIVE into v: the DV lines
     // record their targets, so only those files are opened
     val tombstoned: Option[DataFrame] =
@@ -701,7 +768,10 @@ object ManifestTable {
         val targets = dvNew.flatMap(_._2).distinct.filter(curFiles.toSet)
         if (targets.isEmpty) None
         else {
-          val base = spark.read.parquet(targets: _*)
+          val base = sig.flatMap(sigToSchema) match {
+            case Some(sch) => spark.read.schema(sch).parquet(targets: _*)
+            case None => spark.read.parquet(targets: _*)
+          }
           val cols = base.columns.toSeq
           val keyed = base.select(col("*"),
             col("_metadata.file_path").as("__fp"),
@@ -723,7 +793,7 @@ object ManifestTable {
       }
     val leaving: Option[DataFrame] = {
       val removedRows =
-        if (removed.isEmpty) None else Some(readFiles(spark, removed, prevDvs))
+        if (removed.isEmpty) None else Some(readFiles(spark, removed, prevDvs, sig))
       (removedRows, tombstoned) match {
         case (Some(a), Some(b)) => Some(a union b)
         case (a, b) => a.orElse(b)

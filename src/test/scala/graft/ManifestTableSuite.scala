@@ -98,6 +98,56 @@ class ManifestTableSuite extends SparkSuite {
     assert(ManifestTable.versionAsOf(t, t1) == 1L)
   }
 
+  test("appendEvolve: ADD COLUMN without rewriting a file; old rows read null; history keeps its schema") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val t = freshTable()
+    ManifestTable.append(spark, t, range(0, 100)) // (id, v)
+    val filesBefore = ManifestTable.snapshotFiles(t, 0).toSet
+    val evolved = spark.range(100, 130)
+      .select(col("id"), (col("id") * 2).as("v"), (col("id") % 5).as("w"))
+    val v1 = ManifestTable.appendEvolve(spark, t, evolved)
+    assert(ManifestTable.snapshotFiles(t, v1).toSet.intersect(filesBefore) == filesBefore,
+      "evolution must not rewrite any pre-evolution file")
+    val now = ManifestTable.read(spark, t)
+    assert(now.columns.toSeq == Seq("id", "v", "w"))
+    assert(now.count() == 130)
+    assert(now.filter(col("id") < 100 && col("w").isNull).count() == 100,
+      "pre-evolution rows must read null for the new column")
+    assert(now.filter(col("w").isNotNull).count() == 30)
+    // time travel to v0 still serves the OLD schema
+    assert(ManifestTable.read(spark, t, Some(0L)).columns.toSeq == Seq("id", "v"))
+    // plain append now enforces the EVOLVED schema
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, t, range(200, 210))
+    }
+    // narrowing or reordering is not evolution
+    intercept[IllegalArgumentException] {
+      ManifestTable.appendEvolve(spark, t, range(200, 210))
+    }
+    // a DV delete spanning both schema epochs stays exact
+    val vd = ManifestTable.deleteWhere(spark, t, "id", 95, 104)
+    val after = ManifestTable.read(spark, t, Some(vd))
+    assert(after.count() == 120)
+    assert(after.agg(fsum(col("w"))).head.getLong(0) ==
+      (105L until 130L).map(_ % 5).sum)
+    // stats-pruned reads fill the evolved column too
+    val pruned = ManifestTable.readPruned(spark, t, "id", 0, 50)
+    assert(pruned.columns.toSeq == Seq("id", "v", "w") && pruned.count() == 51)
+    // a WIDE delete copy-on-write-rewrites the EVOLVED file: the rewrite
+    // scan must carry the committed signature (an unsigned mixed-schema
+    // scan would sample one file's schema and silently drop w)
+    val vw = ManifestTable.deleteWhere(spark, t, "id", 105, 125)
+    val fin = ManifestTable.read(spark, t, Some(vw))
+    assert(fin.count() == 99)
+    assert(fin.filter(col("w").isNotNull).count() == 4,
+      "evolved survivors must keep their evolved column through the rewrite")
+    assert(fin.agg(fsum(col("w"))).head.getLong(0) == (126L to 129L).map(_ % 5).sum)
+    // and compaction of any remaining DVs preserves it too
+    ManifestTable.compact(spark, t)
+    val comp = ManifestTable.read(spark, t)
+    assert(comp.filter(col("w").isNotNull).count() == 4 && comp.count() == 99)
+  }
+
   test("MERGE upsert lands atomically: updates win, inserts land, history survives") {
     val t = freshTable()
     ManifestTable.append(spark, t, range(0, 10)) // v0: id 0..9, v = 2*id
