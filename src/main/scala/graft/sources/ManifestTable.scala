@@ -720,21 +720,29 @@ object ManifestTable {
     *
     * Constraints: the range must lie within RETAINED history (reading
     * past [[expireVersions]] throws on the missing manifest — the same
-    * contract as Delta's CDF retention), and the schema must not evolve
-    * inside the range (checked; consume up to the evolution, then
-    * restart the feed on the new schema). */
+    * contract as Delta's CDF retention). ADD-COLUMN evolution
+    * ([[appendEvolve]]) does NOT break the feed: the range's schemas
+    * must form a PREFIX CHAIN toward the end-version signature, and the
+    * whole changelog is emitted in the FINAL schema with pre-evolution
+    * rows null-filled — Delta CDF's behavior. Any OTHER in-range schema
+    * change (overwrite evolution: narrowing, renames, type changes) is
+    * rejected; consume up to it, then restart the feed. */
   def readChanges(spark: SparkSession, table: String, fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val latest = latestVersion(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
     require(-1L <= fromV && fromV <= toV && toV <= latest,
       s"invalid change range ($fromV, $toV] for $table at version $latest")
+    val finalSig = snapshotMeta(table, toV).get("schema")
     val sigs = (math.max(fromV, 0L) to toV)
       .flatMap(v => snapshotMeta(table, v).get("schema")).distinct
-    require(sigs.size <= 1,
-      s"schema evolved inside the change range ($fromV, $toV]: $sigs — " +
+    val finalFields = finalSig.map(ManifestStreamSource.splitTopLevel).getOrElse(Seq.empty)
+    require(sigs.forall(s =>
+        ManifestStreamSource.splitTopLevel(s) == finalFields.take(
+          ManifestStreamSource.splitTopLevel(s).size)),
+      s"schema changed non-additively inside the change range ($fromV, $toV]: $sigs — " +
         "consume each schema epoch separately")
-    val steps = ((fromV + 1) to toV).flatMap(v => changesAt(spark, table, v))
+    val steps = ((fromV + 1) to toV).flatMap(v => changesAt(spark, table, v, finalSig))
     if (steps.nonEmpty) steps.reduce(_ union _)
     else read(spark, table, Some(toV)).limit(0)
       .withColumn("_change_type", lit("insert"))
@@ -744,12 +752,15 @@ object ManifestTable {
 
   /** One commit's row-level changes (None when provably change-free):
     * the per-version step of [[readChanges]]. */
-  private def changesAt(spark: SparkSession, table: String, v: Long): Option[DataFrame] = {
+  private def changesAt(spark: SparkSession, table: String, v: Long,
+      sig: Option[String]): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{col, lit}
     def tag(df: DataFrame, t: String): DataFrame =
       df.withColumn("_change_type", lit(t)).withColumn("_commit_version", lit(v))
     if (snapshotMeta(table, v).get("op").contains("compact")) return None
-    val sig = snapshotMeta(table, v).get("schema")
+    // every step reads under the RANGE-FINAL signature (prefix-chain
+    // checked by the caller), so pre-evolution steps null-fill the
+    // evolved columns and the per-version unions stay type-aligned
     val prevFiles = if (v == 0) Seq.empty[String] else snapshotFiles(table, v - 1)
     val curFiles = snapshotFiles(table, v)
     val prevDvs = if (v == 0) Seq.empty[String] else snapshotDvs(table, v - 1)

@@ -32,7 +32,16 @@ class ChangeFeedSuite extends SparkSuite {
     val del = ch.filter(col("_change_type") === "delete").select(dataCols.map(col): _*)
     val from =
       if (fromV < 0) ins.limit(0)
-      else ManifestTable.read(spark, t, Some(fromV)).select(dataCols.map(col): _*)
+      else {
+        // a from-snapshot older than an ADD-COLUMN evolution lacks the
+        // evolved columns; logically they are null there — lift them so
+        // the multiset replay compares in the final schema
+        val raw = ManifestTable.read(spark, t, Some(fromV))
+        raw.select(dataCols.map { c =>
+          if (raw.columns.contains(c)) col(c)
+          else lit(null).cast(ch.schema(c).dataType).as(c)
+        }: _*)
+      }
     val to = ManifestTable.read(spark, t, Some(toV)).select(dataCols.map(col): _*)
     val rebuilt = from.union(ins).exceptAll(del)
     assert(rebuilt.exceptAll(to).isEmpty && to.exceptAll(rebuilt).isEmpty,
@@ -116,15 +125,41 @@ class ChangeFeedSuite extends SparkSuite {
     val e = intercept[IllegalArgumentException] {
       ManifestTable.readChanges(spark, t, -1, 1)
     }
-    assert(e.getMessage.contains("schema evolved"))
-    // the evolving commit itself mixes both schemas (old rows leave, new
-    // arrive) — it too is rejected; the new epoch starts AFTER it
+    assert(e.getMessage.contains("non-additively"))
+    // the rewriting commit itself mixes both schemas (old rows leave,
+    // new arrive) — it too is rejected; the new epoch starts AFTER it
     assert(intercept[IllegalArgumentException] {
       ManifestTable.readChanges(spark, t, 0, 1)
-    }.getMessage.contains("schema evolved"))
+    }.getMessage.contains("non-additively"))
     ManifestTable.append(spark, t, spark.range(5, 9).select(col("id"), col("id").as("other")))
     assert(ManifestTable.readChanges(spark, t, 1, 2).count() == 4)
     assertReplays(t, 1, 2)
+  }
+
+  test("ADD-COLUMN evolution does NOT break the feed: changelog emits in the final schema") {
+    val t = freshTable()
+    ManifestTable.append(spark, t, rows(0, 40))
+    ManifestTable.appendEvolve(spark, t,
+      spark.range(40, 50).select(col("id"), (col("id") % 10).as("k"),
+        (col("id") * 2).as("v"), (col("id") % 3).as("w")))
+    ManifestTable.deleteWhere(spark, t, "id", 35, 44) // spans both epochs
+    val ch = ManifestTable.readChanges(spark, t, -1, 2).cache()
+    assert(ch.columns.toSeq == Seq("id", "k", "v", "w", "_change_type", "_commit_version"))
+    // pre-evolution inserts null-fill the evolved column
+    assert(ch.filter(col("_commit_version") === 0 && col("w").isNotNull).isEmpty)
+    assert(ch.filter(col("_commit_version") === 1 && col("w").isNull).isEmpty)
+    // deletes from both epochs surface, old-epoch ones null-filled
+    val dels = ch.filter(col("_change_type") === "delete")
+    assert(dels.count() == 10)
+    assert(dels.filter(col("w").isNull).count() == 5)
+    assertReplays(t, -1, 2)
+    assertReplays(t, 0, 2)
+    ch.unpersist()
+    // a ChangeFeed consumer rides straight through the evolution
+    val cp = Files.createTempDirectory("graft-cdf-evo").toString
+    var batches = Vector.empty[Int]
+    ChangeFeed.availableNow(spark, t, cp) { (c, _, _) => batches :+= c.columns.length }
+    assert(batches.size == 3, "one batch per version, no epoch restart needed")
   }
 
   test("ChangeFeed.availableNow drains one version per batch and checkpoints each") {
