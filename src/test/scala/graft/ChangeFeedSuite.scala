@@ -330,6 +330,22 @@ class ChangeFeedSuite extends SparkSuite {
     finally pool.shutdown()
   }
 
+  test("streaming-source schema parse is nesting-aware: DECIMAL/ARRAY commas survive") {
+    import graft.sources.ManifestStreamSource.{schemaOf, splitTopLevel}
+    assert(splitTopLevel("a:BIGINT,b:DECIMAL(12,2),c:ARRAY<FLOAT>,d:STRING") ==
+      Seq("a:BIGINT", "b:DECIMAL(12,2)", "c:ARRAY<FLOAT>", "d:STRING"))
+    // a committed table with a comma-bearing type: stream DEFINITION
+    // must parse its signature cleanly (the reader rejects unsupported
+    // transport types per row, with its own diagnostic)
+    val t = freshTable()
+    ManifestTable.append(spark, t,
+      spark.range(5).select(col("id"),
+        col("id").cast("decimal(12,2)").as("d"), (col("id") * 2).as("v")))
+    val sch = schemaOf(t)
+    assert(sch.fieldNames.toSeq == Seq("id", "d", "v"))
+    assert(sch("d").dataType == org.apache.spark.sql.types.DecimalType(12, 2))
+  }
+
   test("deleteWhere leaves provably-empty stats-less files untouched") {
     val t = freshTable()
     ManifestTable.append(spark, t, rows(0, 1000))
