@@ -89,7 +89,7 @@ object ManifestStreamSource {
     * legitimate signature into garbage fragments; unsupported transport
     * types still fail, but with the reader's clean diagnostic instead of
     * a MatchError. */
-  private[sources] def schemaOf(table: String): StructType = {
+  private[graft] def schemaOf(table: String): StructType = {
     val sig = ManifestTable.currentSchema(table).getOrElse(
       throw new IllegalStateException(
         s"no schema-bearing commit in $table — commit once before streaming"))
@@ -105,7 +105,7 @@ object ManifestStreamSource {
 
   /** Split a schema signature on commas at bracket depth 0 only
     * (parens and angle brackets both nest in type DDL). */
-  private[sources] def splitTopLevel(sig: String): Seq[String] = {
+  private[graft] def splitTopLevel(sig: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
@@ -130,6 +130,14 @@ object ManifestStreamSource {
       def added = ManifestTable.snapshotFiles(table, v).filterNot(prev)
       op match {
         case "append" | "streaming-append" => added
+        // ADD-COLUMN evolution is still an insert-only commit: its files
+        // stream like any append. A stream defined BEFORE the evolution
+        // keeps its fixed schema (the reader projects by field name, so
+        // evolved columns are simply not read until the stream restarts
+        // and re-infers the latest signature) — adopt new columns by
+        // restarting; the engine checkpoint resumes at the committed
+        // version either way.
+        case "append-evolve" => added
         case "compact" => Seq.empty
         case "delete" =>
           if (ignoreDeletes) Seq.empty
@@ -216,6 +224,10 @@ private class ManifestReaderFactory(schema: StructType) extends PartitionReaderF
       override def next(): Boolean = { rec = reader.read(); rec != null }
       override def get(): InternalRow =
         InternalRow.fromSeq(schema.fields.toSeq.map { f =>
+          // a pre-evolution file simply lacks evolved fields — null-fill,
+          // the same read-time evolution contract as the batch reader
+          if (!rec.getType.containsField(f.name)) null
+          else {
           val idx = rec.getType.getFieldIndex(f.name)
           if (rec.getFieldRepetitionCount(idx) == 0) null
           else f.dataType match {
@@ -229,6 +241,7 @@ private class ManifestReaderFactory(schema: StructType) extends PartitionReaderF
             case other => throw new IllegalArgumentException(
               s"ManifestStreamSource does not transport $other (supported: " +
                 "long/int/double/float/boolean/string/binary)")
+          }
           }
         })
       override def close(): Unit = reader.close()

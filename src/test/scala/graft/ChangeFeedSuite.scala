@@ -346,6 +346,32 @@ class ChangeFeedSuite extends SparkSuite {
     assert(sch("d").dataType == org.apache.spark.sql.types.DecimalType(12, 2))
   }
 
+  test("streaming source across ADD-COLUMN evolution: project-before-restart, null-fill after") {
+    val t = freshTable()
+    val out = Files.createTempDirectory("graft-mss-evo").toString + "/sink"
+    ManifestTable.append(spark, t, rows(0, 100))
+    ManifestTable.appendEvolve(spark, t,
+      spark.range(100, 120).select(col("id"), (col("id") % 10).as("k"),
+        (col("id") * 2).as("v"), (col("id") % 3).as("w")))
+    // a FRESH stream infers the evolved schema and must null-fill the
+    // pre-evolution files it reads
+    val cp = Files.createTempDirectory("graft-mss-evo-cp").toString
+    val q = spark.readStream.format("graft.sources.ManifestStreamSource")
+      .option("table", t).load()
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.columns.toSeq == Seq("id", "k", "v", "w"))
+    assert(got.count() == 120)
+    assert(got.filter(col("id") < 100 && col("w").isNotNull).isEmpty,
+      "pre-evolution rows must null-fill the evolved column")
+    assert(got.filter(col("id") >= 100 && col("w").isNull).isEmpty)
+  }
+
   test("deleteWhere leaves provably-empty stats-less files untouched") {
     val t = freshTable()
     ManifestTable.append(spark, t, rows(0, 1000))
