@@ -59,10 +59,38 @@ object Mining {
     "q_anomaly_seasonal" -> qAnomalySeasonal,
     "q_text_coverage" -> qTextCoverage,
     "q_text_perplexity" -> qTextPerplexity,
-    "q_shard_curriculum" -> qShardCurriculum
+    "q_shard_curriculum" -> qShardCurriculum,
+    "q_dsir_weights" -> qDsirWeights
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dsir_weights" ->
+      """WITH ws AS (SELECT doc_id, lang,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         p0 AS (SELECT doc_id, lang, w, unnest(generate_series(1, len(w) - 1)) AS i
+                FROM ws WHERE len(w) >= 2),
+         bg AS (SELECT doc_id, lang,
+                  CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 3)) AS BIGINT) % 256 AS b
+                FROM p0),
+         raw AS (SELECT b, count(*) AS cr FROM bg GROUP BY b),
+         tgt AS (SELECT b, count(*) AS ct FROM bg WHERE doc_id % 10 = 0 GROUP BY b),
+         tot AS (SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS nr,
+                        (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM tgt) AS nt),
+         lm AS (SELECT raw.b,
+                  CAST(len(bin((COALESCE(ct, 0) + 1) * nr))
+                       - len(bin((cr + 1) * nt)) AS BIGINT) AS wgt
+                FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot),
+         sc AS (SELECT bg.doc_id, SUM(lm.wgt) AS score
+                FROM bg JOIN lm ON bg.b = lm.b GROUP BY bg.doc_id),
+         x AS (SELECT d.lang, COALESCE(sc.score, 0) AS score
+               FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+         SELECT lang, count(*) AS n_docs,
+                CAST(COUNT(*) FILTER (score >= 0) AS BIGINT) AS n_kept,
+                CAST(SUM(score) AS BIGINT) AS sum_score,
+                CAST(MIN(score) AS BIGINT) AS min_score,
+                CAST(MAX(score) AS BIGINT) AS max_score
+         FROM x GROUP BY lang ORDER BY lang""",
     "q_basket_lift" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
          n AS (SELECT count(DISTINCT o) AS nb FROM b),
@@ -776,6 +804,61 @@ object Mining {
 
   private def qTextBm25(s: SparkSession, d: String): DataFrame =
     bm25Parts(Tables.documents(s, d))._3
+
+  /** DSIR-STYLE IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection
+    * via Importance Resampling"), integer-exact: score every document
+    * by how much more likely its hashed-bigram features are under a
+    * TARGET distribution (the held-out curated slice, doc_id % 10 = 0
+    * standing in for the Wikipedia-quality target) than under the raw
+    * corpus. Features are md5-hashed bigram buckets (256 bins — the
+    * hashed n-gram trick that makes the two "LMs" fixed-size count
+    * tables); the per-bucket log-ratio is quantized to integer log2
+    * with add-one smoothing, ilog2((ct+1)·Nraw) − ilog2((cr+1)·Ntgt),
+    * so both engines compute identical arithmetic (the perplexity
+    * filter's discipline, extended to SIGNED ratios by differencing
+    * two non-negative ilog2 terms). A document's weight is the sum of
+    * its occurrences' bucket weights; the census reports per-language
+    * population, resample-kept (weight ≥ 0 — at parity with raw or
+    * better), and the weight range — what a curation run inspects
+    * before drawing the resample.
+    *
+    * Scale (100 TB): both count tables are 256-row broadcasts, the
+    * corpus bigram stream is derived once (checkpointed) and scanned
+    * twice (counts, scoring), the per-doc aggregate is map-combinable,
+    * and no shuffle carries more than doc-keyed partial sums — the
+    * exact shape that lets DSIR run over a web crawl in one pass per
+    * stage. */
+  private def qDsirWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bg = bigramStream(docs)
+      .withColumn("b",
+        conv(substring(md5(concat(col("w1"), lit(" "), col("w2"))), 1, 3), 16, 10)
+          .cast(LongType) % 256)
+      .select(col("doc_id"), col("b"))
+      .localCheckpoint()
+    val raw = bg.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = bg.filter(col("doc_id") % 10 === 0)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val lm = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      .crossJoin(broadcast(raw.agg(sum(col("cr")).cast(LongType).as("nr"))))
+      .crossJoin(broadcast(tgt.agg(sum(col("ct")).cast(LongType).as("nt"))))
+      .withColumn("wgt",
+        (length(bin(expr("(ct + 1) * nr"))) - length(bin(expr("(cr + 1) * nt"))))
+          .cast(LongType))
+    val perDoc = bg.join(broadcast(lm.select(col("b"), col("wgt"))), Seq("b"))
+      .groupBy(col("doc_id")).agg(sum(col("wgt")).as("score"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("score", coalesce(col("score"), lit(0L)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= 0, 1L).otherwise(0L)).cast(LongType).as("n_kept"),
+        sum(col("score")).cast(LongType).as("sum_score"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy("lang")
+  }
 
   /** Per-occurrence bigram stream (doc_id, lang, n_trans, w1, w2) — one
     * row per transition, streaming-safe (no aggregation, so the

@@ -330,6 +330,38 @@ class ChangeFeedSuite extends SparkSuite {
     finally pool.shutdown()
   }
 
+  test("changelog derivation opens ONLY the changed files, never the snapshot") {
+    // the scale claim as a sharp plan-level assertion (the readPruned
+    // file-open discipline, applied to the feed): a 20-file table's
+    // per-commit changelog must read the commit's own files + tombstone
+    // sidecars — at 100 TB this is what keeps an erasure's feed
+    // user-sized while the lake stands still
+    val t = freshTable()
+    for (b <- 0 until 20)
+      ManifestTable.append(spark, t, rows(b * 50L, b * 50L + 50).coalesce(1))
+    val all = ManifestTable.snapshotFiles(t, 19)
+    assert(all.size == 20)
+    def names(fs: Iterable[String]) = fs.map(_.split('/').last).toSet
+    // narrow DV delete lands in one file's span
+    val vd = ManifestTable.deleteWhere(spark, t, "id", 100, 104)
+    val hit = all.filter(f => ManifestTable.statsOf(f).get("id")
+      .exists { case (lo, hi) => hi >= 100 && lo <= 104 })
+    assert(hit.size == 1, s"fixture: exactly one file should overlap, got ${hit.size}")
+    val dvs = ManifestTable.snapshotDvs(t, vd)
+    val opened = names(ManifestTable.readChanges(spark, t, vd - 1, vd).inputFiles)
+    assert(opened.subsetOf(names(hit) ++ names(dvs)),
+      s"DV changelog must open only the hit file + sidecars, opened $opened")
+    assert(names(all.filterNot(hit.toSet)).intersect(opened).isEmpty,
+      "untouched snapshot files must never be opened by the feed")
+    // an append's changelog opens only the new file (+ carried DV sidecars)
+    val va = ManifestTable.append(spark, t, rows(5000, 5050).coalesce(1))
+    val added = ManifestTable.snapshotFiles(t, va)
+      .filterNot(ManifestTable.snapshotFiles(t, va - 1).toSet)
+    val openedA = names(ManifestTable.readChanges(spark, t, va - 1, va).inputFiles)
+    assert(openedA.subsetOf(names(added) ++ names(ManifestTable.snapshotDvs(t, va))),
+      s"append changelog must open only the added file, opened $openedA")
+  }
+
   test("streaming-source schema parse is nesting-aware: DECIMAL/ARRAY commas survive") {
     import graft.sources.ManifestStreamSource.{schemaOf, splitTopLevel}
     assert(splitTopLevel("a:BIGINT,b:DECIMAL(12,2),c:ARRAY<FLOAT>,d:STRING") ==

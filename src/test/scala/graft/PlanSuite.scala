@@ -226,6 +226,8 @@ class PlanSuite extends SparkSuite {
       "q_tpch_q15", "q_tpch_q22", "q_tpch_q11",
       // q_mix_domains crosses in its 1-row (n_tot, w_tot) scalar the same way
       "q_mix_domains",
+      // DSIR crosses in its two 1-row count totals (nr, nt)
+      "q_dsir_weights",
       // the iterative-BPE consumers cross in the 1-row broadcast merge
       // LIST (32 structs collected to one row) that the fold-apply
       // replaces over — same broadcast-scalar shape as q_mix_domains
