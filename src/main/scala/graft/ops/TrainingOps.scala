@@ -333,6 +333,27 @@ object TrainingOps {
   private val bpeMergesCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Sessions whose application-end listener is already installed. The
+    * cache holds localCheckpoint'ed DataFrames keyed by session, so
+    * without eviction a stopped session's checkpoint blocks and the
+    * session object itself stay pinned for the JVM lifetime (test
+    * suites and long-lived multi-session drivers accumulate). A
+    * SparkListenerApplicationEnd fires exactly once per stopped
+    * session and drops every cache entry keyed by it. */
+  private val bpeEvictionHooked =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
+
+  private def hookEviction(s: SparkSession): Unit =
+    bpeEvictionHooked.getOrElseUpdate(s, {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          bpeMergesCache.keys.filter(_._1 eq s).foreach(bpeMergesCache.remove)
+          bpeEvictionHooked.remove(s)
+        }
+      })
+    })
+
   /** `{STX}tok{ETX}…` framing of a whitespace-tokenized text column. */
   private def bpeWrap(textCol: String): Column =
     expr(s"concat(chr(2), replace($textCol, ' ', chr(3) || chr(2)), chr(3))")
@@ -344,7 +365,8 @@ object TrainingOps {
   /** The learned 32-entry iterative merge table: (rnk, pg, freq) where
     * `pg` is the framed pair pattern. Deterministic; cached per
     * (session, fixture dir). */
-  private[graft] def bpeMerges(s: SparkSession, d: String): DataFrame =
+  private[graft] def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    hookEviction(s)
     bpeMergesCache.getOrElseUpdate((s, d), {
       var corpus = Tables.documents(s, d)
         .select(bpeWrap("text").as("s")).localCheckpoint()
@@ -365,6 +387,7 @@ object TrainingOps {
       }
       rounds.reduce(_ unionAll _).localCheckpoint()
     })
+  }
 
   /** Apply the learned merge table — a fold of 32 boundary-safe
     * replaces in rank order (real BPE inference) — and count tokens. */

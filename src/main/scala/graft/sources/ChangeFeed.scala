@@ -68,7 +68,15 @@ object ChangeFeed {
     val to = ManifestTable.latestVersion(table).getOrElse(-1L)
     if (to <= from) return None
     for (v <- (from + 1) to to) {
-      process(ManifestTable.readChanges(spark, table, v - 1, v), v - 1, v)
+      // provably change-free commits (compact rewrites carry every row)
+      // advance the checkpoint WITHOUT invoking the consumer: a sink
+      // like idempotentAppend would otherwise publish one empty
+      // snapshot version per upstream compact, inflating the
+      // downstream manifest history for no data
+      val changeFree =
+        ManifestTable.snapshotMeta(table, v).get("op").contains("compact")
+      if (!changeFree)
+        process(ManifestTable.readChanges(spark, table, v - 1, v), v - 1, v)
       advance(checkpoint, v)
     }
     Some((from, to))

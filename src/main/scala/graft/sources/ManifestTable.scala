@@ -354,7 +354,16 @@ object ManifestTable {
     val md = manifestDir(table)
     Files.createDirectories(md)
     val tmp = md.resolve(s".tmp-${UUID.randomUUID()}")
-    val header = meta.toSeq.sortBy(_._1).map { case (k, x) => s"#$k=$x" }
+    // IN-COMMIT timestamp (#ts=millis): recorded in the manifest header
+    // at publish, so AS OF never depends on file mtimes — mtimes break
+    // under coarse-granularity filesystems, directory copies/restores,
+    // and multi-host clock views of the same store (the reason Delta
+    // moved to in-commit timestamps). versionAsOf reads this, falling
+    // back to mtime only for pre-tracking manifests.
+    val stamped =
+      if (meta.contains("ts")) meta
+      else meta + ("ts" -> System.currentTimeMillis().toString)
+    val header = stamped.toSeq.sortBy(_._1).map { case (k, x) => s"#$k=$x" }
     Files.write(tmp, (header ++ files).mkString("\n").getBytes("UTF-8"))
     val target = md.resolve(f"v$v%08d.manifest")
     try {
@@ -390,6 +399,41 @@ object ManifestTable {
           s"[$bring] — evolve explicitly via overwrite")
     }
 
+  /** Reconcile a committer's schema signature against the table's
+    * CURRENT signature inside the commit loop — validating once before
+    * the loop is not enough, because losing the CAS to a concurrent
+    * [[appendEvolve]] means the schema moved underneath us: republishing
+    * the pre-evolution signature would make readers (who scan with the
+    * latest committed signature explicitly) silently null out the
+    * winner's evolved column from files that contain it. Rules:
+    *  - equal signatures → publish as brought;
+    *  - the table extended past us (brought is a strict prefix) →
+    *    publish the table's WIDER signature: our files lack the new
+    *    trailing columns and read-time null-fill makes them valid
+    *    under it ([[readFiles]] reads parquet by name);
+    *  - we extend the table (strict prefix the other way) → legal only
+    *    for an evolving committer (`allowExtend`);
+    *  - anything else (two concurrent evolutions adding DIFFERENT
+    *    columns, a concurrent overwrite to an unrelated schema) is a
+    *    true write conflict — no ordering of the two column sets is
+    *    positionally consistent, so fail loudly instead of dropping a
+    *    column, exactly like Delta's metadata-changed conflict. */
+  private[graft] def reconcileSig(table: String, bring: String,
+      allowExtend: Boolean): String =
+    currentSchema(table) match {
+      case None => bring
+      case Some(have) if have == bring => bring
+      case Some(have) =>
+        val hf = ManifestStreamSource.splitTopLevel(have)
+        val bf = ManifestStreamSource.splitTopLevel(bring)
+        if (hf.size > bf.size && hf.take(bf.size) == bf) have
+        else if (allowExtend && bf.size > hf.size && bf.take(hf.size) == hf) bring
+        else throw new IllegalStateException(
+          s"schema conflict on $table: a concurrent commit moved the table to " +
+            s"[$have], irreconcilable with this write's [$bring] — retry the " +
+            "write against the new schema")
+    }
+
   /** Commit history: (version, operation) for every still-readable
     * manifest, oldest first — the DESCRIBE HISTORY primitive (operations
     * recorded from the first tracked commit on; older manifests report
@@ -411,6 +455,7 @@ object ManifestTable {
       maxRetries: Int = 20): Long = {
     enforceSchema(table, df)
     val staged = stage(df, table)
+    val bring = schemaSig(df)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(table)
@@ -418,8 +463,11 @@ object ManifestTable {
       // files: an append that dropped a DV line would resurrect rows
       val prev = base.map(snapshotEntries(table, _)).getOrElse(Seq.empty)
       val v = base.getOrElse(-1L) + 1
+      // re-reconcile against the FRESH base every attempt: a lost CAS
+      // may mean a concurrent appendEvolve widened the schema
       if (publish(table, v, prev ++ staged,
-          Map("op" -> "append", "schema" -> schemaSig(df)))) return v
+          Map("op" -> "append",
+            "schema" -> reconcileSig(table, bring, allowExtend = false)))) return v
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
@@ -451,8 +499,11 @@ object ManifestTable {
       val base = latestVersion(table)
       val prev = base.map(snapshotEntries(table, _)).getOrElse(Seq.empty)
       val v = base.getOrElse(-1L) + 1
+      // a lost CAS may mean another evolve landed first: publish the
+      // wider of the two when one extends the other, conflict otherwise
       if (publish(table, v, prev ++ staged,
-          Map("op" -> "append-evolve", "schema" -> bring))) return v
+          Map("op" -> "append-evolve",
+            "schema" -> reconcileSig(table, bring, allowExtend = true)))) return v
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
@@ -664,25 +715,34 @@ object ManifestTable {
   }
 
   /** TIMESTAMP time travel (`AS OF <timestamp>`): the version whose
-    * manifest was the latest published at or before `asOfMillis`, from
-    * the manifest file's own mtime — the same commit-time source the
-    * production formats use (a manifest is written exactly once, at
-    * publish, and never touched again, so its mtime IS the commit
-    * time). Commit times are monotone in version by the CAS protocol
-    * (version N+1 publishes only after N exists), so the pick is
-    * well-defined; ties within one clock tick resolve to the HIGHEST
-    * version of that tick, matching "state as of that instant". Throws
-    * when the timestamp predates the earliest RETAINED commit
-    * ([[expireVersions]] ends timestamp travel exactly as it ends
-    * version travel). */
+    * commit time is the latest at or before `asOfMillis`. Commit time
+    * is the IN-COMMIT `#ts` header stamped by [[publish]] — file mtimes
+    * are unreliable (coarse 1 s granularity on some filesystems,
+    * rewritten by directory copies/restores, skewed across writer
+    * hosts), which is exactly why the production formats record the
+    * timestamp inside the commit; mtime remains only as the fallback
+    * for pre-tracking manifests. Observed times are forced MONOTONE in
+    * version (running max) so a skewed writer's clock can never make
+    * AS OF pick a version that contradicts the CAS order; ties resolve
+    * to the HIGHEST version at that instant, matching "state as of
+    * that instant". Throws when the timestamp predates the earliest
+    * RETAINED commit ([[expireVersions]] ends timestamp travel exactly
+    * as it ends version travel). */
   def versionAsOf(table: String, asOfMillis: Long): Long = {
     val md = manifestDir(table)
     if (!Files.isDirectory(md))
       throw new IllegalStateException(s"no committed snapshot in $table")
-    val at = listDir(md)
+    val manifests = listDir(md)
       .filter(_.getFileName.toString.matches("v\\d{8}\\.manifest"))
-      .filter(m => Files.getLastModifiedTime(m).toMillis <= asOfMillis)
-      .map(versionOf)
+      .sortBy(versionOf)
+    var runMax = Long.MinValue
+    val at = manifests.flatMap { m =>
+      val v = versionOf(m)
+      val t = snapshotMeta(table, v).get("ts").map(_.toLong)
+        .getOrElse(Files.getLastModifiedTime(m).toMillis)
+      runMax = math.max(runMax, t)
+      if (runMax <= asOfMillis) Some(v) else None
+    }
     if (at.isEmpty) throw new IllegalArgumentException(
       s"timestamp $asOfMillis predates the earliest retained commit of $table")
     at.max
@@ -838,6 +898,7 @@ object ManifestTable {
     if (committed >= batchId) return None
     enforceSchema(table, df)
     val staged = stage(df, table)
+    val bring = schemaSig(df)
     var attempt = 0
     while (attempt < 20) {
       if (committed >= batchId) return None // lost a race to our own replay
@@ -846,7 +907,8 @@ object ManifestTable {
       val v = base.getOrElse(-1L) + 1
       if (publish(table, v, prev ++ staged,
           Map("lastBatchId" -> batchId.toString,
-            "op" -> "streaming-append", "schema" -> schemaSig(df))))
+            "op" -> "streaming-append",
+            "schema" -> reconcileSig(table, bring, allowExtend = false))))
         return Some(v)
       attempt += 1
     }

@@ -196,6 +196,31 @@ class ChangeFeedSuite extends SparkSuite {
       s"the crashed version must replay, earlier ones must not: $calls")
   }
 
+  test("availableNow skips change-free compact commits but still advances the checkpoint") {
+    val t = freshTable()
+    val cp = Files.createTempDirectory("graft-cdf-cpc").toString
+    ManifestTable.append(spark, t, rows(0, 50))
+    // v1: force the DV path so the following compact has work to do
+    ManifestTable.deleteWhere(spark, t, "id", 0, 9, dvBelowOverlap = 2.0)
+    var calls = Vector.empty[(Long, Long)]
+    def drain(): Option[(Long, Long)] =
+      ChangeFeed.availableNow(spark, t, cp) { (_, a, b) => calls :+= ((a, b)) }
+    assert(drain().contains((-1L, 1L)))
+    assert(calls == Vector((-1L, 0L), (0L, 1L)))
+    // a compact is provably change-free: the consumer must NOT run (a
+    // sink like idempotentAppend would publish an empty version per
+    // compact), but the checkpoint must advance past it
+    val vc = ManifestTable.compact(spark, t)
+    assert(drain().contains((1L, vc)))
+    assert(calls.size == 2, s"compact must not invoke the consumer: $calls")
+    assert(ChangeFeed.lastProcessed(cp) == vc,
+      "the checkpoint must advance over the skipped compact")
+    // and the feed keeps flowing after the skipped version
+    ManifestTable.append(spark, t, rows(100, 110))
+    assert(drain().contains((vc, vc + 1)))
+    assert(calls.last == ((vc, vc + 1)))
+  }
+
   test("exactly-once survives a crash between sink commit and checkpoint advance with a racing producer") {
     // the failure this shape exists to prevent: consumer processes
     // (0,1] and its idempotent sink commits batchId=1, then the

@@ -353,6 +353,26 @@ class InvariantSuite extends SparkSuite {
     assert(growth > 5.0, s"10x corpus should grow candidates ~10x, got $growth (c1=$c1 c10=$c10)")
   }
 
+  test("scale probe: probe-sampled exact pair scan grows linearly at 10x corpus size") {
+    // q_dedup_embed's ground-truth contract: exact pairs for a bounded
+    // probe slice (v1 < 500) × the full corpus. The theta-join's pair
+    // work is |probe| × n — linear in corpus size — where the unbounded
+    // all-pairs form would be n²/2 (100x at 10x). Measure the executed
+    // pair count directly on synthetic ids.
+    def pairs(n: Int): Long = {
+      val ids = spark.range(n).select(col("id"))
+      ids.select(col("id").as("v1")).filter(col("v1") < 500)
+        .join(ids.select(col("id").as("v2")), col("v1") < col("v2"))
+        .count()
+    }
+    val p1 = pairs(1500)
+    val p10 = pairs(15000)
+    val growth = p10.toDouble / p1
+    assert(growth < 20.0,
+      s"probe-bounded pair scan must be ~linear (all-pairs would be ~100x): p1=$p1 p10=$p10 growth=$growth")
+    assert(growth > 5.0, s"10x corpus should grow pairs ~10x, got $growth")
+  }
+
   test("scale probe: LSH band-bucket histogram grows linearly per bucket at 10x") {
     // sign-LSH buckets (16 per band) must stay BALANCED as the corpus
     // grows: every bucket's load scales ~10x, so per-band candidate work

@@ -5,6 +5,7 @@ import java.util.concurrent.Executors
 
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration._
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 import graft.sources.ManifestTable
@@ -73,15 +74,91 @@ class ManifestTableSuite extends SparkSuite {
       "overwrite must not orphan files any snapshot still lists")
   }
 
+  test("commit-loop schema reconcile: a retry against a moved schema keeps the winner's column") {
+    val t = freshTable()
+    ManifestTable.append(spark, t, range(0, 10)) // schema (id, v)
+    val sigOld = "id:BIGINT,v:BIGINT"
+    val sigNew = "id:BIGINT,v:BIGINT,w:BIGINT"
+    // pre-move: the brought signature stands
+    assert(ManifestTable.reconcileSig(t, sigOld, allowExtend = false) == sigOld)
+    // the table evolves underneath an in-flight append
+    ManifestTable.appendEvolve(spark, t,
+      spark.range(10, 20).select(col("id"), (col("id") * 2).as("v"), (col("id") % 3).as("w")))
+    // the stale committer's retry must publish the table's WIDER
+    // signature — republishing (id, v) would make readers null out w
+    // from the winner's files
+    assert(ManifestTable.reconcileSig(t, sigOld, allowExtend = false) == sigNew)
+    assert(ManifestTable.reconcileSig(t, sigOld, allowExtend = true) == sigNew)
+    // an evolving committer bringing a further extension keeps it
+    val sigWider = sigNew + ",x:BIGINT"
+    assert(ManifestTable.reconcileSig(t, sigWider, allowExtend = true) == sigWider)
+    // a NON-evolving committer may never widen the table's schema
+    intercept[IllegalStateException] {
+      ManifestTable.reconcileSig(t, sigWider, allowExtend = false)
+    }
+    // two concurrent evolutions adding DIFFERENT columns are a true
+    // write conflict — no ordering of the column sets is positionally
+    // consistent, so fail loudly instead of dropping one
+    intercept[IllegalStateException] {
+      ManifestTable.reconcileSig(t, sigOld + ",y:BIGINT", allowExtend = true)
+    }
+  }
+
+  test("append racing appendEvolve: every post-evolution commit records the evolved schema") {
+    // the end-to-end shape of the reconcile fix: appenders validated
+    // against the OLD schema keep retrying through the evolve's CAS win;
+    // whatever interleaving the scheduler picks, no commit at or after
+    // the evolution version may record the pre-evolution signature (that
+    // is the silent-column-drop bug), and the final read must keep every
+    // row and every non-null w the evolver wrote
+    val t = freshTable()
+    ManifestTable.append(spark, t, range(0, 10)) // v0, schema (id, v)
+    val pool = Executors.newFixedThreadPool(9)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val appenders = (0 until 8).map { i =>
+        Future {
+          try {
+            ManifestTable.append(spark, t,
+              range(100 + i * 10, 110 + i * 10)); 10L
+          } catch {
+            // an appender that first touched the table AFTER the evolve
+            // fails the up-front enforceSchema — correct and counted
+            case _: IllegalArgumentException | _: IllegalStateException => 0L
+          }
+        }
+      }
+      val evolver = Future {
+        ManifestTable.appendEvolve(spark, t,
+          spark.range(1000, 1030)
+            .select(col("id"), (col("id") * 2).as("v"), (col("id") % 7).as("w")))
+      }
+      val appended = Await.result(Future.sequence(appenders), 120.seconds).sum
+      val evolveV = Await.result(evolver, 120.seconds)
+      val evolvedSig = "id:BIGINT,v:BIGINT,w:BIGINT"
+      ManifestTable.history(t).foreach { case (v, _) =>
+        val sig = ManifestTable.snapshotMeta(t, v)("schema")
+        if (v >= evolveV)
+          assert(sig == evolvedSig,
+            s"v$v committed after the evolution must record the evolved schema, got [$sig]")
+      }
+      val fin = ManifestTable.read(spark, t)
+      assert(fin.columns.toSeq == Seq("id", "v", "w"))
+      assert(fin.count() == 10 + appended + 30)
+      assert(fin.filter(col("w").isNotNull).count() == 30,
+        "the evolver's column must survive every racing appender's retry")
+    } finally pool.shutdown()
+  }
+
   test("timestamp time travel: AS OF an instant picks the last commit at or before it") {
     val t = freshTable()
     ManifestTable.append(spark, t, range(0, 100)) // v0
-    Thread.sleep(30) // separate the commit mtimes by a real clock tick
+    Thread.sleep(30) // separate the in-commit timestamps by a real tick
     ManifestTable.append(spark, t, range(100, 150)) // v1
-    def mtime(v: Long): Long = java.nio.file.Files.getLastModifiedTime(
-      Paths.get(t, "manifests", f"v$v%08d.manifest")).toMillis
-    val (t0, t1) = (mtime(0), mtime(1))
-    assert(t0 < t1, "test precondition: distinct commit mtimes")
+    // commit time is the IN-COMMIT #ts header, not the file mtime
+    def cts(v: Long): Long = ManifestTable.snapshotMeta(t, v)("ts").toLong
+    val (t0, t1) = (cts(0), cts(1))
+    assert(t0 < t1, "test precondition: distinct in-commit timestamps")
     assert(ManifestTable.versionAsOf(t, t0) == 0L)
     assert(ManifestTable.versionAsOf(t, t1 - 1) == 0L, "instants between commits see the older one")
     assert(ManifestTable.versionAsOf(t, t1) == 1L)
@@ -90,12 +167,50 @@ class ManifestTableSuite extends SparkSuite {
     assert(intercept[IllegalArgumentException] {
       ManifestTable.versionAsOf(t, t0 - 1)
     }.getMessage.contains("predates"))
+    // mtimes are UNRELIABLE (coarse-granularity filesystems, directory
+    // copies/restores, multi-host clock skew): trashing every manifest
+    // mtime must not move AS OF, because the in-commit #ts drives it
+    val md = Paths.get(t, "manifests")
+    java.nio.file.Files.list(md).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".manifest"))
+      .foreach(m => java.nio.file.Files.setLastModifiedTime(
+        m, java.nio.file.attribute.FileTime.fromMillis(t1 + 86400000L)))
+    assert(ManifestTable.versionAsOf(t, t0) == 0L,
+      "AS OF must survive a directory copy/restore that rewrites mtimes")
+    assert(ManifestTable.versionAsOf(t, t1) == 1L)
     // expiration ends timestamp travel exactly like version travel
     ManifestTable.expireVersions(t, 1)
     assert(intercept[IllegalArgumentException] {
       ManifestTable.versionAsOf(t, t0)
     }.getMessage.contains("predates"))
     assert(ManifestTable.versionAsOf(t, t1) == 1L)
+  }
+
+  test("timestamp time travel: pre-tracking manifests fall back to mtime, monotone with #ts successors") {
+    val t = freshTable()
+    ManifestTable.append(spark, t, range(0, 10)) // v0
+    ManifestTable.append(spark, t, range(10, 20)) // v1
+    // strip the #ts header from v0 — a legacy manifest from before
+    // in-commit timestamp tracking
+    val m0 = Paths.get(t, "manifests", "v00000000.manifest")
+    val legacy = new String(java.nio.file.Files.readAllBytes(m0), "UTF-8")
+      .linesIterator.filterNot(_.startsWith("#ts=")).mkString("\n")
+    java.nio.file.Files.write(m0, legacy.getBytes("UTF-8"))
+    val mt0 = java.nio.file.Files.getLastModifiedTime(m0).toMillis
+    // fallback: v0's commit time is its mtime
+    assert(ManifestTable.versionAsOf(t, mt0) >= 0L)
+    // a legacy mtime far in the FUTURE must not shadow v1 (running max
+    // keeps observed commit times monotone in version): AS OF "now"
+    // still resolves to the latest version
+    java.nio.file.Files.setLastModifiedTime(
+      m0, java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 86400000L))
+    assert(intercept[IllegalArgumentException] {
+      ManifestTable.versionAsOf(t, System.currentTimeMillis())
+    }.getMessage.contains("predates"))
+    assert(ManifestTable.versionAsOf(
+      t, System.currentTimeMillis() + 172800000L) == 1L,
+      "monotone commit times: v1 is never hidden behind a skewed v0")
   }
 
   test("appendEvolve: ADD COLUMN without rewriting a file; old rows read null; history keeps its schema") {
