@@ -62,6 +62,7 @@ object Quality {
     "q_gdpr_erasure" -> qGdprErasure,
     "q_gdpr_dv" -> qGdprDv,
     "q_table_cdf" -> qTableCdf,
+    "q_table_cdf_merge" -> qTableCdfMerge,
     "q_table_evolve" -> qTableEvolve,
     "q_warehouse_layers" -> qWarehouseLayers,
     "q_quality_gopher" -> qQualityGopher
@@ -102,6 +103,26 @@ object Quality {
            FROM events WHERE user_id = 3 HAVING count(*) > 0
            UNION ALL SELECT 4, 'delete', count(*), CAST(sum(event_id) AS BIGINT)
            FROM events WHERE user_id = 7 HAVING count(*) > 0
+         ) ORDER BY v, ctype""",
+    "q_table_cdf_merge" ->
+      """WITH ec AS (
+           SELECT event_id, user_id,
+                  CAST(COALESCE(CAST(value AS DECIMAL(12,2)), 0) * 100 AS BIGINT) AS cents
+           FROM events)
+         SELECT * FROM (
+           SELECT CAST(0 AS BIGINT) AS v, 'insert' AS ctype, count(*) AS n_rows,
+                  CAST(sum(event_id) AS BIGINT) AS sum_id,
+                  CAST(sum(cents) AS BIGINT) AS sum_cents
+           FROM ec WHERE event_id % 2 = 0 HAVING count(*) > 0
+           UNION ALL SELECT 1, 'insert', count(*), CAST(sum(event_id) AS BIGINT),
+                  CAST(sum(cents + 7) AS BIGINT)
+           FROM ec WHERE event_id % 4 = 1 HAVING count(*) > 0
+           UNION ALL SELECT 1, 'update_postimage', count(*), CAST(sum(event_id) AS BIGINT),
+                  CAST(sum(cents + 7) AS BIGINT)
+           FROM ec WHERE event_id % 4 = 0 HAVING count(*) > 0
+           UNION ALL SELECT 1, 'update_preimage', count(*), CAST(sum(event_id) AS BIGINT),
+                  CAST(sum(cents) AS BIGINT)
+           FROM ec WHERE event_id % 4 = 0 HAVING count(*) > 0
          ) ORDER BY v, ctype""",
     "q_table_evolve" ->
       """SELECT st, count(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS sum_cents
@@ -957,6 +978,49 @@ object Quality {
     ch.groupBy(col("_commit_version").as("v"), col("_change_type").as("ctype"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("event_id")).cast(LongType).as("sum_id"))
+      .orderBy("v", "ctype")
+  }
+
+  /** CDF UPDATE SEMANTICS under the oracle gate (Delta-parity
+    * changelogs): seed a keyed table, MERGE an upsert batch into it
+    * ([[ManifestTable.merge]] records the merge key in the commit
+    * meta), then read the change feed back and census it per (version,
+    * change type). The feed pairs the merge's delta by the recorded
+    * key: rows whose key existed emit as update_preimage (old state) +
+    * update_postimage (new state); fresh keys emit as plain inserts;
+    * untouched rows stay silent (copy-on-write survivors cancel). The
+    * oracle recomputes every class definitionally from the base events
+    * table, so the hash certifies the PAIRING itself — sum_cents
+    * separates the pre/post images (old cents vs bumped cents), which
+    * no insert/delete relabeling could fake.
+    *
+    * Scale (100 TB): the pairing join runs on the commit's DELTA (both
+    * sides are changed-rows-sized, never the snapshot), keyed by the
+    * merge key the commit itself recorded — an SCD2/audit consumer
+    * downstream reads paired updates without ever reconstructing them
+    * from a full-table diff. */
+  private def qTableCdfMerge(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val t = s"${graft.Scratch.dir("graft_cdf_m")}/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    // null values coalesce to 0 cents: a null-cents "update" would be
+    // byte-identical to its preimage and correctly cancel, which the
+    // definitional oracle cannot see — normalize instead
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      (coalesce(col("value").cast("decimal(12,2)"), lit(0)) * 100)
+        .cast(LongType).as("cents"))
+    ManifestTable.append(s, t, ev.filter(col("event_id") % 2 === 0)) // v0
+    // the upsert batch: half the existing keys with bumped cents
+    // (updates), plus brand-new odd keys (inserts)
+    val upserts = ev.filter(col("event_id") % 4 === 0 || col("event_id") % 4 === 1)
+      .select(col("event_id"), col("user_id"), (col("cents") + 7L).as("cents"))
+    val vm = ManifestTable.merge(s, t, upserts, "event_id") // v1
+    require(vm == 1L, s"oracle pins version literals; merge landed at v$vm")
+    val ch = ManifestTable.readChanges(s, t, -1L, vm)
+    ch.groupBy(col("_commit_version").as("v"), col("_change_type").as("ctype"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("event_id")).cast(LongType).as("sum_id"),
+        sum(col("cents")).cast(LongType).as("sum_cents"))
       .orderBy("v", "ctype")
   }
 

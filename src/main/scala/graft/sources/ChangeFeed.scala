@@ -61,9 +61,30 @@ object ChangeFeed {
     * landing mid-drain wait for the next drain, so a drain always
     * terminates). Returns the overall processed range, or None when the
     * feed is already caught up (process not called — a caught-up drain
-    * costs two directory listings). */
-  def availableNow(spark: SparkSession, table: String, checkpoint: String)
+    * costs two directory listings).
+    *
+    * SCHEMA-EPOCH SEGMENTATION: an overwrite that changes the schema
+    * non-additively (narrowing, rename, type change — anything
+    * [[ManifestTable.readChanges]] rejects) starts a NEW epoch: the old
+    * rows cannot be expressed in the new schema, so no row-level
+    * changelog across the boundary exists, by construction. The drain
+    * segments automatically — versions before the boundary deliver in
+    * the old schema as usual; AT the boundary it invokes
+    * `onEpochRestart(newSchemaSig, v)` so the consumer can void its
+    * derived state (truncate the downstream table — the old rows are
+    * all logically deleted), then delivers the boundary snapshot as an
+    * insert-only changelog in the new schema (the new epoch's initial
+    * load) and continues draining. Without an `onEpochRestart` the
+    * drain fails loudly at the boundary instead of letting a consumer
+    * that assumed schema stability corrupt its state silently; versions
+    * before the boundary stay checkpointed, so supplying the handler
+    * and re-draining resumes exactly at the boundary. ADD-COLUMN
+    * evolution ([[ManifestTable.appendEvolve]]) is NOT a boundary —
+    * the feed rides through it in the final schema. */
+  def availableNow(spark: SparkSession, table: String, checkpoint: String,
+      onEpochRestart: Option[(String, Long) => Unit] = None)
       (process: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
+    import org.apache.spark.sql.functions.lit
     val from = lastProcessed(checkpoint)
     val to = ManifestTable.latestVersion(table).getOrElse(-1L)
     if (to <= from) return None
@@ -75,10 +96,36 @@ object ChangeFeed {
       // downstream manifest history for no data
       val changeFree =
         ManifestTable.snapshotMeta(table, v).get("op").contains("compact")
-      if (!changeFree)
-        process(ManifestTable.readChanges(spark, table, v - 1, v), v - 1, v)
+      if (!changeFree) {
+        if (epochBoundary(table, v)) {
+          val sig = ManifestTable.snapshotMeta(table, v)("schema")
+          onEpochRestart.getOrElse(throw new IllegalStateException(
+            s"$table v$v starts a new schema epoch ([$sig]); pass " +
+              "onEpochRestart to let the feed segment across it"))(sig, v)
+          process(ManifestTable.read(spark, table, Some(v))
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)), v - 1, v)
+        } else
+          process(ManifestTable.readChanges(spark, table, v - 1, v), v - 1, v)
+      }
       advance(checkpoint, v)
     }
     Some((from, to))
+  }
+
+  /** True iff version `v` rewrote the schema NON-additively relative to
+    * v−1 (the previous fields are not a prefix of the new ones) — the
+    * epoch boundary [[ManifestTable.readChanges]] rejects ranges
+    * across. Legacy commits without a recorded schema never bound. */
+  private def epochBoundary(table: String, v: Long): Boolean = {
+    if (v <= 0) return false
+    (ManifestTable.snapshotMeta(table, v - 1).get("schema"),
+      ManifestTable.snapshotMeta(table, v).get("schema")) match {
+      case (Some(prev), Some(cur)) =>
+        val pf = ManifestStreamSource.splitTopLevel(prev)
+        val cf = ManifestStreamSource.splitTopLevel(cur)
+        cf.take(pf.size) != pf
+      case _ => false
+    }
   }
 }

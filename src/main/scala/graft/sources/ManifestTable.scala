@@ -567,8 +567,12 @@ object ManifestTable {
             .coalesce(col(s"u.$c"), col(s"t.$c")).as(c)
         }: _*)
       val staged = stage(merged, table)
+      // the merge KEY rides in the commit meta so the change feed can
+      // pair this commit's delete+insert rows back into
+      // update_preimage/update_postimage (Delta-parity CDF updates)
       if (publish(table, base + 1, staged,
-          Map("op" -> "merge", "schema" -> schemaSig(merged)))) return base + 1
+          Map("op" -> "merge", "mergeKey" -> key,
+            "schema" -> schemaSig(merged)))) return base + 1
       attempt += 1 // lost the race: recompute against the new snapshot
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
@@ -754,11 +758,16 @@ object ManifestTable {
 
   /** CHANGE DATA FEED — the row-level changelog the commit log already
     * implies, materialized: every row inserted or deleted by the commits
-    * in `(fromV, toV]`, tagged `_change_type` ("insert" | "delete") and
-    * `_commit_version`. An update is a delete+insert pair at the same
-    * version (the log stores states, not diffs — MERGE rewrites files, so
-    * its updates surface exactly that way, like a production CDF reading
-    * a non-CDC-writing table). This is the missing hop that lets each
+    * in `(fromV, toV]`, tagged `_change_type` ("insert" | "delete" |
+    * "update_preimage" | "update_postimage") and `_commit_version`.
+    * MERGE commits record their key in the commit meta, so the feed
+    * pairs their delete+insert delta back into
+    * update_preimage/update_postimage by that key — Delta CDF's update
+    * semantics, which SCD2 maintenance and audit-diff consumers need.
+    * Commits with no recorded key (plain rewrites, overwrites) still
+    * surface updates as delete+insert pairs at the same version, like
+    * a production CDF reading a non-CDC-writing table. This is the
+    * missing hop that lets each
     * warehouse layer (ODS→DWD→DWS) incrementally consume the PREVIOUS
     * layer's own commit log instead of an external stream — see
     * [[ChangeFeed]] for the checkpointed streaming wrapper.
@@ -877,7 +886,28 @@ object ManifestTable {
       case (Some(n), Some(o)) =>
         // copy-on-write SURVIVORS appear on both sides — multiset
         // exceptAll cancels them, leaving the true row-level delta
-        Some(tag(n.exceptAll(o), "insert") union tag(o.exceptAll(n), "delete"))
+        val ins = n.exceptAll(o)
+        val del = o.exceptAll(n)
+        snapshotMeta(table, v).get("mergeKey") match {
+          case Some(k) =>
+            // MERGE commits recorded their key: a key present on BOTH
+            // sides of the delta is an update — its old state emits as
+            // update_preimage and its new state as update_postimage
+            // (Delta CDF's change types), so SCD2 maintenance, audit
+            // diffs, and Debezium-style sinks get paired updates
+            // instead of reconstructing them. The pairing join is
+            // delta-sized on both sides (never the snapshot); an
+            // update that left the row byte-identical cancelled above
+            // and correctly emits nothing.
+            val updKeys = ins.select(col(k)).intersect(del.select(col(k)))
+            Some(
+              tag(ins.join(updKeys, Seq(k), "left_anti"), "insert") union
+              tag(ins.join(updKeys, Seq(k), "left_semi"), "update_postimage") union
+              tag(del.join(updKeys, Seq(k), "left_anti"), "delete") union
+              tag(del.join(updKeys, Seq(k), "left_semi"), "update_preimage"))
+          case None =>
+            Some(tag(ins, "insert") union tag(del, "delete"))
+        }
     }
   }
 

@@ -28,8 +28,10 @@ class ChangeFeedSuite extends SparkSuite {
   private def assertReplays(t: String, fromV: Long, toV: Long): Unit = {
     val ch = ManifestTable.readChanges(spark, t, fromV, toV).cache()
     val dataCols = ch.columns.filterNot(_.startsWith("_change")).filterNot(_ == "_commit_version")
-    val ins = ch.filter(col("_change_type") === "insert").select(dataCols.map(col): _*)
-    val del = ch.filter(col("_change_type") === "delete").select(dataCols.map(col): _*)
+    val ins = ch.filter(col("_change_type").isin("insert", "update_postimage"))
+      .select(dataCols.map(col): _*)
+    val del = ch.filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(dataCols.map(col): _*)
     val from =
       if (fromV < 0) ins.limit(0)
       else {
@@ -95,17 +97,29 @@ class ChangeFeedSuite extends SparkSuite {
     assertReplays(t, v - 1, v)
   }
 
-  test("merge feeds update rows as delete+insert pairs; compact feeds nothing") {
+  test("merge feeds paired update pre/postimages; compact feeds nothing") {
     val t = freshTable()
     ManifestTable.append(spark, t, rows(0, 50))
     val updates = spark.range(40, 60).select(col("id"), (col("id") % 10).as("k"),
       (col("id") * 1000).as("v"))
     val vm = ManifestTable.merge(spark, t, updates, "id")
     val ch = ManifestTable.readChanges(spark, t, vm - 1, vm).cache()
-    // 10 updated rows (40..49): old version deleted, new inserted;
+    // 10 updated rows (40..49): paired by the recorded merge key into
+    // update_preimage (old state) + update_postimage (new state);
     // 10 fresh inserts (50..59); untouched rows (0..39) silent
-    assert(ch.filter(col("_change_type") === "delete").count() == 10)
-    assert(ch.filter(col("_change_type") === "insert").count() == 20)
+    assert(ch.filter(col("_change_type") === "update_preimage").count() == 10)
+    assert(ch.filter(col("_change_type") === "update_postimage").count() == 10)
+    assert(ch.filter(col("_change_type") === "insert").count() == 10)
+    assert(ch.filter(col("_change_type") === "delete").isEmpty,
+      "a pure upsert merge deletes nothing")
+    // the images pair exactly: same keys, old values on the pre side
+    assert(ch.filter(col("_change_type") === "update_preimage")
+      .agg(sum("v")).as[Long].head() == (40L until 50L).map(_ * 2).sum)
+    assert(ch.filter(col("_change_type") === "update_postimage")
+      .agg(sum("v")).as[Long].head() == (40L until 50L).map(_ * 1000).sum)
+    assert(ch.filter(col("_change_type").startsWith("update"))
+      .groupBy(col("id")).count().filter(col("count") =!= 2).isEmpty,
+      "every updated key must carry exactly one preimage and one postimage")
     assert(ch.filter(col("id") < 40).isEmpty, "unchanged rows must not surface")
     assertReplays(t, vm - 1, vm)
     ch.unpersist()
@@ -219,6 +233,47 @@ class ChangeFeedSuite extends SparkSuite {
     ManifestTable.append(spark, t, rows(100, 110))
     assert(drain().contains((vc, vc + 1)))
     assert(calls.last == ((vc, vc + 1)))
+  }
+
+  test("availableNow segments across a non-additive schema epoch via onEpochRestart") {
+    val t = freshTable()
+    val cp = Files.createTempDirectory("graft-cdf-cpe").toString
+    ManifestTable.append(spark, t, rows(0, 30)) // v0: (id, k, v)
+    ManifestTable.append(spark, t, rows(30, 40)) // v1
+    // v2: overwrite-evolution — renamed/narrowed schema starts a new epoch
+    ManifestTable.overwrite(spark, t,
+      spark.range(100, 120).select(col("id"), (col("id") * 3).as("w")))
+    ManifestTable.append(spark, t,
+      spark.range(120, 125).select(col("id"), (col("id") * 3).as("w"))) // v3
+    // a consumer that did not opt in fails LOUDLY at the boundary, with
+    // the pre-boundary versions checkpointed (no silent corruption)
+    val ex = intercept[IllegalStateException] {
+      ChangeFeed.availableNow(spark, t, cp) { (_, _, _) => () }
+    }
+    assert(ex.getMessage.contains("schema epoch"))
+    assert(ChangeFeed.lastProcessed(cp) == 1L,
+      "old-epoch versions drained before the boundary must stay checkpointed")
+    // opting in: the handler voids derived state, then the boundary
+    // delivers the new snapshot as an insert-only initial load and the
+    // drain continues through the new epoch — one call, no manual steps
+    var state = Map.empty[Long, Long] // id -> downstream value
+    var restarts = Vector.empty[(String, Long)]
+    def drain(): Option[(Long, Long)] =
+      ChangeFeed.availableNow(spark, t, cp,
+        onEpochRestart = Some((sig, v) => { state = Map.empty; restarts :+= ((sig, v)) })) {
+        (ch, _, _) =>
+          val ins = ch.filter(col("_change_type").isin("insert", "update_postimage"))
+          val del = ch.filter(col("_change_type").isin("delete", "update_preimage"))
+          val valueCol = ins.columns.find(c => c == "v" || c == "w").get
+          state ++= ins.select(col("id"), col(valueCol)).as[(Long, Long)].collect().toMap
+          state --= del.select(col("id")).as[Long].collect()
+      }
+    assert(drain().contains((1L, 3L)))
+    assert(restarts.map(_._2) == Vector(2L), s"exactly one epoch restart at v2: $restarts")
+    assert(restarts.head._1.contains("w:BIGINT"))
+    val expect = (100L until 125L).map(i => i -> i * 3).toMap
+    assert(state == expect,
+      "the downstream state must equal the new-epoch snapshot after segmentation")
   }
 
   test("exactly-once survives a crash between sink commit and checkpoint advance with a racing producer") {
