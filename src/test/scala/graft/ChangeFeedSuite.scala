@@ -339,6 +339,41 @@ class ChangeFeedSuite extends SparkSuite {
     assert(got.agg(sum("v")).as[Long].head() == (0L until 1000L).map(_ * 2).sum)
   }
 
+  test("typed transport: timestamp, date, decimal, and array columns stream exactly") {
+    val t = freshTable()
+    val cp = Files.createTempDirectory("graft-mss-typed-cp").toString
+    val out = Files.createTempDirectory("graft-mss-typed-out").toString + "/sink"
+    // the full typed surface: timestamp (whatever encoding the session
+    // writes — INT96 legacy or INT64), date, decimal, array<float> with
+    // an embedded NULL element, string — plus an all-null tail batch
+    val df = spark.range(0, 300).select(
+      col("id"),
+      expr("timestamp_micros(id * 1000000 + 123456)").as("ts"),
+      expr("date_add(DATE'2020-01-01', CAST(id AS INT))").as("d"),
+      expr("CAST(CAST(id AS DECIMAL(12,2)) / 7 AS DECIMAL(12,2))").as("dec"),
+      expr("transform(sequence(0, CAST(id % 5 AS INT)), " +
+        "x -> CAST(IF(x = 2, NULL, x / 3.0) AS FLOAT))").as("emb"),
+      expr("concat('s', id)").as("s"))
+    ManifestTable.append(spark, t, df)
+    ManifestTable.append(spark, t, spark.range(300, 310).select(col("id"),
+      lit(null).cast("timestamp").as("ts"), lit(null).cast("date").as("d"),
+      lit(null).cast("decimal(12,2)").as("dec"),
+      lit(null).cast("array<float>").as("emb"), lit(null).cast("string").as("s")))
+    val q = spark.readStream.format("graft.sources.ManifestStreamSource")
+      .option("table", t).load()
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000), "stream did not drain") finally q.stop()
+    val got = spark.read.parquet(out)
+    val want = ManifestTable.read(spark, t)
+    assert(got.count() == 310)
+    assert(got.exceptAll(want).unionAll(want.exceptAll(got)).isEmpty,
+      "the streamed rows must equal the batch read value-for-value across every type")
+  }
+
   test("ManifestStreamSource fails loudly on rewriting commits unless opted out") {
     val t = freshTable()
     ManifestTable.append(spark, t, rows(0, 100))

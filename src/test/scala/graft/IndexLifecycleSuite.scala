@@ -193,4 +193,27 @@ class IndexLifecycleSuite extends SparkSuite {
     assert(derived.isEmpty && ManifestTable.latestVersion(idx) == v,
       "a caught-up drain must neither derive nor commit")
   }
+
+  test("an embeddings-shaped corpus streams through the DSv2 source into maintenance (stream == batch)") {
+    // the typed-transport payoff: a REAL array<float> corpus table feeds
+    // streaming index maintenance through ManifestStreamSource — the
+    // shape that previously had to fall back to the batch ChangeFeed
+    val corpus = Files.createTempDirectory("graft-idx-embcorpus").toString
+    val idx = Files.createTempDirectory("graft-idx-embidx").toString
+    val emb = Tables.embeddings(spark, sf0001) // (vec_id, embedding array<float>)
+    ManifestTable.append(spark, corpus, emb.filter(col("vec_id") < 300))
+    ManifestTable.append(spark, corpus, emb.filter(col("vec_id") >= 300))
+    def derive(in: DataFrame): DataFrame = in.select(col("vec_id"),
+      expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))").as("sig"))
+    val stream = spark.readStream.format("graft.sources.ManifestStreamSource")
+      .option("table", corpus).load()
+    val q = EmbeddingIndex.maintainStreaming(spark, idx, stream, "vec_id")(derive)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = ManifestTable.read(spark, idx)
+    val ref = Files.createTempDirectory("graft-idx-embref").toString
+    val batch = EmbeddingIndex.rebuild(spark, ref, emb)(derive)
+    assert(streamed.count() == emb.count())
+    assert(streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed)).isEmpty,
+      "the stream-maintained artifact must equal the batch rebuild over the float vectors")
+  }
 }
