@@ -46,8 +46,46 @@ object Multimodal {
     (w, h)
   }
 
+  /** REAL raster rescale (the declared resize stage's codec since r9;
+    * the byte stub below remains only for opaque non-image payloads):
+    * decode the PNG container via javax.imageio, nearest-neighbor
+    * resample the raster with java.awt.image.AffineTransformOp so the
+    * longest side fits `maxDim` — target dims are the aspect-preserving
+    * integer closed form max(1, side·maxDim/longest), so an oracle can
+    * recompute them from the source dims alone — then re-encode PNG.
+    * Nearest-neighbor is chosen deliberately: it never synthesizes a
+    * color (every output pixel IS some input pixel), which is the
+    * pinnable exactness property interpolating kernels lack. An image
+    * already inside the budget passes through byte-identical. */
+  def resizeImage(payload: Array[Byte], maxDim: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val m = math.max(w, h)
+    if (m <= maxDim) return payload
+    val rw = math.max(1, w * maxDim / m)
+    val rh = math.max(1, h * maxDim / m)
+    // draw through an RGB canvas first: AffineTransformOp refuses some
+    // decoder-native color models as filter destinations
+    val src = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = src.createGraphics()
+    g.drawImage(img, 0, 0, null)
+    g.dispose()
+    val dst = new java.awt.image.BufferedImage(
+      rw, rh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val op = new java.awt.image.AffineTransformOp(
+      java.awt.geom.AffineTransform.getScaleInstance(
+        rw.toDouble / w, rh.toDouble / h),
+      java.awt.image.AffineTransformOp.TYPE_NEAREST_NEIGHBOR)
+    op.filter(src, dst)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", bos)
+    bos.toByteArray
+  }
+
   /** STUB codec: "resize" = deterministic byte subsampling to the target
-    * pixel budget. Real impl: bilinear/Lanczos resample of decoded pixels. */
+    * pixel budget, kept for OPAQUE (non-image) payloads only — the
+    * declared resize stage runs [[resizeImage]], the real raster codec. */
   def resize(payload: Array[Byte], maxBytes: Int): Array[Byte] =
     if (payload.length <= maxBytes) payload
     else {

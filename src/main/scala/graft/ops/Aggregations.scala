@@ -444,19 +444,30 @@ object Aggregations {
       (dec(col("l_extendedprice"), 12, 2) * 100).cast(LongType).as("c"),
       col("l_quantity").cast(LongType).as("w"))
     val byF = Window.partitionBy(col("f"))
-    // pass 1: bucket weight histogram + cumulative walk over buckets
+    // pass 1: bucket weight histogram, then ONE grouped fold finds each
+    // flag's median bucket. The r8 form ran two windows over the
+    // histogram (a cumulative sum ordered by bucket AND a whole-
+    // partition total), costing two window sorts; the histogram is
+    // metadata-sized by construction (price-span/65536 buckets per
+    // flag), so collecting it per flag and folding the sorted array —
+    // total first, then the first bucket whose running mass crosses
+    // half — does the same walk in one shuffle with zero window execs.
     val hist = x.groupBy(col("f"), expr("c DIV 65536").as("b"))
       .agg(sum(col("w")).as("wb"))
-    val hcum = hist
-      .withColumn("cb", sum(col("wb")).over(
-        byF.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tot", sum(col("wb")).over(byF))
-    val pick = hcum.filter(col("cb") * 2 >= col("tot"))
-      .groupBy(col("f"))
-      .agg(min(col("b")).as("mb"),
-        expr("min_by(cb - wb, b)").as("before"),
-        max(col("tot")).as("tot"))
-      .withColumnRenamed("f", "pf")
+    val pick = hist.groupBy(col("f"))
+      .agg(sort_array(collect_list(struct(col("b"), col("wb")))).as("hs"))
+      .withColumn("tot", expr("aggregate(hs, CAST(0 AS BIGINT), (a, h) -> a + h.wb)"))
+      // fold state (cum, mb, before): once mb is found (>= 0) the fold
+      // carries it unchanged; `before` is the mass strictly before the
+      // median bucket — exactly pass 2's running-sum offset
+      .withColumn("st", expr(
+        "aggregate(hs, named_struct('cum', CAST(0 AS BIGINT), 'mb', CAST(-1 AS BIGINT), 'before', CAST(0 AS BIGINT)), " +
+          "(a, h) -> IF(a.mb >= 0, a, named_struct(" +
+          "'cum', a.cum + h.wb, " +
+          "'mb', IF((a.cum + h.wb) * 2 >= tot, h.b, CAST(-1 AS BIGINT)), " +
+          "'before', IF((a.cum + h.wb) * 2 >= tot, a.cum, CAST(0 AS BIGINT)))))"))
+      .select(col("f").as("pf"), col("st.mb").as("mb"),
+        col("st.before").as("before"), col("tot"))
     // pass 2: only the median bucket's rows shuffle and sort
     val c2 = x
       .join(broadcast(pick),

@@ -255,11 +255,12 @@ object Warehouse {
                 CAST(8000 AS BIGINT) AS rate
          FROM documents WHERE doc_id < 2000 GROUP BY source ORDER BY source""",
     "q_multimodal_resize" ->
-      """WITH b AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS nb
-                    FROM documents)
-         SELECT media_id, CAST(nb AS BIGINT) AS nbytes,
-                CAST(CASE WHEN nb <= 64 THEN nb
-                          ELSE LEAST(64, (nb - 1) // (nb // 64) + 1) END AS BIGINT) AS resized
+      """WITH b AS (SELECT doc_id AS media_id,
+                           8 + doc_id % 24 AS w, 8 + (doc_id * 7) % 16 AS h
+                    FROM documents WHERE doc_id < 2000)
+         SELECT media_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+                CAST(GREATEST(1, (w * 8) // GREATEST(w, h)) AS BIGINT) AS rw,
+                CAST(GREATEST(1, (h * 8) // GREATEST(w, h)) AS BIGINT) AS rh
          FROM b ORDER BY media_id""",
     "q_multimodal_frames" ->
       """WITH b AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS nb
@@ -984,21 +985,45 @@ object Warehouse {
       .as[graft.multimodal.Multimodal.MediaRow]
   }
 
-  /** Multimodal resize stage: `Multimodal.resize` (STUB codec — byte
-    * subsampling to a 64-byte budget; real deployments swap in a pixel
-    * resampler) inside the same iterator-to-iterator mapPartitions shape
-    * as the decode stage. Emits (original, resized) byte sizes per asset;
-    * the oracle replays the subsample-count arithmetic on octet_length,
-    * so the partition-local transform is exact end to end. */
+  /** Multimodal resize stage on the REAL raster codec (r9 — the last
+    * multimodal stub retired): each asset's deterministic PNG (same
+    * closed-form raster generator as q_multimodal_png) is rescaled by
+    * `Multimodal.resizeImage` — an actual java.awt.image
+    * nearest-neighbor AffineTransformOp resample of decoded pixels,
+    * re-encoded as PNG — and the emitted output dims come from
+    * DECODING the resized container, so the full decode→resample→
+    * encode→decode path executes per asset. Target dims are the
+    * aspect-preserving integer closed form max(1, side·8/longest),
+    * which the DuckDB oracle recomputes from doc_id arithmetic alone;
+    * the nearest-neighbor no-invented-colors property is pinned in
+    * InvariantSuite. Same iterator-to-iterator mapPartitions shape:
+    * payloads are born and die inside one task, only 5 longs per asset
+    * reach the wide stage. Bounded ≤2000 assets like every sibling
+    * codec query (the capability is the codec path, not corpus size). */
   private def qMultimodalResize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    mediaAssets(s, d).mapPartitions { it =>
-      // per-partition setup would initialize the real codec here, once
-      it.map { r =>
-        val rs = graft.multimodal.Multimodal.resize(r.payload, 64)
-        (r.media_id, r.payload.length.toLong, rs.length.toLong)
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") < 2000)
+      .select(col("doc_id")).as[Long]
+    docs.mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + id % 24).toInt
+        val h = (8 + (id * 7) % 16).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, (id * 2654435761L).toInt + x * 31 + y); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val rs = graft.multimodal.Multimodal.resizeImage(bos.toByteArray, 8)
+        val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rs))
+        (id, w.toLong, h.toLong, dec.getWidth.toLong, dec.getHeight.toLong)
       }
-    }.toDF("media_id", "nbytes", "resized")
+    }.toDF("media_id", "w", "h", "rw", "rh")
       .orderBy("media_id")
   }
 

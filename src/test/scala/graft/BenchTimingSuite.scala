@@ -71,4 +71,48 @@ class BenchTimingSuite extends AnyFunSuite {
     val s3 = Iterator[Either[String, Double]](Right(3.0), Right(1.0), Left("Z: broke"))
     assert(Bench.minOfK(() => s3.next()) == Left("Z: broke"))
   }
+
+  test("minOfK: a sample >3x its committed reference escalates to a third pass") {
+    // both early samples inside one host-stall window: the committed
+    // bench_detail reference says this query runs in 0.2s, so a 0.9s
+    // running min is a stall, not a timing — resample
+    var calls = 0
+    val samples = Iterator(Right(0.9), Right(0.95), Right(0.21))
+    val r = Bench.minOfK(() => { calls += 1; samples.next() }, ref = Some(0.2))
+    assert(r == Right(0.21) && calls == 3)
+  }
+
+  test("minOfK: still stalled after the third pass earns exactly one fourth") {
+    var calls = 0
+    val samples = Iterator(Right(0.9), Right(0.95), Right(0.91), Right(0.22))
+    val r = Bench.minOfK(() => { calls += 1; samples.next() }, ref = Some(0.2))
+    assert(r == Right(0.22) && calls == 4)
+  }
+
+  test("minOfK: four samples is the cap — a genuine regression must surface") {
+    var calls = 0
+    val samples = Iterator(Right(0.9), Right(0.95), Right(0.91), Right(0.93))
+    val r = Bench.minOfK(() => { calls += 1; samples.next() }, ref = Some(0.2))
+    assert(r == Right(0.9) && calls == 4,
+      "a persistent 4.5x-of-reference timing is a regression, not a stall")
+  }
+
+  test("minOfK: the reference rule has a 0.3s floor — sub-noise timings never escalate") {
+    var calls = 0
+    val samples = Iterator(Right(0.2), Right(0.21))
+    val r = Bench.minOfK(() => { calls += 1; samples.next() }, ref = Some(0.05))
+    assert(r == Right(0.2) && calls == 2)
+  }
+
+  test("loadRefs: parses the committed detail for the matching sf, ignores other sfs") {
+    val f = java.nio.file.Files.createTempFile("graft-bench-detail", ".json")
+    val json = """{"metric":"total","value":12.3,"unit":"sec","n_queries":2,""" +
+      """"n_errors":0,"errors":{},"queries":{"q_a":1.234,"q_b":0.560},"sf":"/root/testdata/sf0.1"}"""
+    java.nio.file.Files.write(f, json.getBytes("UTF-8"))
+    val refs = Bench.loadRefs(f.toString, "/root/testdata/sf0.1")
+    assert(refs == Map("q_a" -> 1.234, "q_b" -> 0.56))
+    assert(Bench.loadRefs(f.toString, "/root/testdata/sf0.01").isEmpty,
+      "a detail recorded at another sf must not gate this run's samples")
+    assert(Bench.loadRefs("/nonexistent/detail.json", "/root/testdata/sf0.1").isEmpty)
+  }
 }

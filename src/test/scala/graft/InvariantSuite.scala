@@ -230,6 +230,37 @@ class InvariantSuite extends SparkSuite {
     assert(counts.forall(_ == 4))
   }
 
+  test("resizeImage: real raster rescale — exact target dims, no invented colors, in-budget passthrough") {
+    def png(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def decode(p: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+    // exact closed-form dims on a non-square downscale (31x23 -> 8x5)
+    val src = png(31, 23, (x, y) => x * 31 + y * 7919)
+    val out = decode(Multimodal.resizeImage(src, 8))
+    assert(out.getWidth == 8 && out.getHeight == 23 * 8 / 31)
+    // nearest-neighbor invents NO colors: every output pixel is a source
+    // pixel (the property an interpolating or byte-subsampling fake lacks)
+    val srcColors = (for (y <- 0 until 23; x <- 0 until 31)
+      yield (x * 31 + y * 7919) & 0xffffff).toSet
+    for (y <- 0 until out.getHeight; x <- 0 until out.getWidth)
+      assert(srcColors.contains(out.getRGB(x, y) & 0xffffff),
+        s"output pixel ($x,$y) must be some source pixel")
+    // a constant raster downscales to the same constant
+    val flat = decode(Multimodal.resizeImage(png(20, 20, (_, _) => 0x123456), 8))
+    for (y <- 0 until flat.getHeight; x <- 0 until flat.getWidth)
+      assert((flat.getRGB(x, y) & 0xffffff) == 0x123456)
+    // an image already inside the budget passes through byte-identical
+    val small = png(8, 6, (x, y) => x + y)
+    assert(Multimodal.resizeImage(small, 8).toSeq == small.toSeq)
+  }
+
   test("pure kernels: resize/frameSample/decodeDims properties") {
     check(Prop.forAll { (bytes: Array[Byte]) =>
       val r = Multimodal.resize(bytes, 32)
