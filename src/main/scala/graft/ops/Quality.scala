@@ -63,6 +63,8 @@ object Quality {
     "q_gdpr_dv" -> qGdprDv,
     "q_table_cdf" -> qTableCdf,
     "q_table_cdf_merge" -> qTableCdfMerge,
+    "q_scd2_cdf" -> qScd2Cdf,
+    "q_table_zorder" -> qTableZorder,
     "q_table_evolve" -> qTableEvolve,
     "q_warehouse_layers" -> qWarehouseLayers,
     "q_quality_gopher" -> qQualityGopher
@@ -124,6 +126,33 @@ object Quality {
                   CAST(sum(cents) AS BIGINT)
            FROM ec WHERE event_id % 4 = 0 HAVING count(*) > 0
          ) ORDER BY v, ctype""",
+    "q_scd2_cdf" ->
+      """WITH opens AS (
+           SELECT c_custkey, c_mktsegment AS seg, CAST(0 AS BIGINT) AS valid_from
+           FROM customer WHERE c_custkey % 2 = 0
+           UNION ALL
+           SELECT c_custkey, 'SEG_' || CAST(c_custkey % 3 AS VARCHAR), CAST(1 AS BIGINT)
+           FROM customer WHERE c_custkey % 4 = 0
+           UNION ALL
+           SELECT c_custkey, c_mktsegment, CAST(1 AS BIGINT)
+           FROM customer WHERE c_custkey % 4 = 1
+           UNION ALL
+           SELECT c_custkey, 'SEG2_' || CAST(c_custkey % 5 AS VARCHAR), CAST(2 AS BIGINT)
+           FROM customer WHERE c_custkey % 8 IN (0, 1))
+         SELECT c_custkey, seg,
+                LAG(seg) OVER w AS old_seg,
+                valid_from,
+                LEAD(valid_from) OVER w AS valid_to
+         FROM opens
+         WINDOW w AS (PARTITION BY c_custkey ORDER BY valid_from)
+         ORDER BY c_custkey, valid_from""",
+    "q_table_zorder" ->
+      """SELECT l_suppkey, count(*) AS n_rows,
+                CAST(sum(l_partkey) AS BIGINT) AS sum_part,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem
+         WHERE l_partkey BETWEEN 100 AND 299 AND l_suppkey BETWEEN 3 AND 6
+         GROUP BY l_suppkey ORDER BY l_suppkey""",
     "q_table_evolve" ->
       """SELECT st, count(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS sum_cents
          FROM (
@@ -1022,6 +1051,98 @@ object Quality {
         sum(col("event_id")).cast(LongType).as("sum_id"),
         sum(col("cents")).cast(LongType).as("sum_cents"))
       .orderBy("v", "ctype")
+  }
+
+  /** Z-ORDER CLUSTERING under the oracle gate: land lineitem's
+    * (partkey, suppkey, quantity) projection as a row-order
+    * ManifestTable, [[ManifestTable.clusterBy]] it on (l_partkey,
+    * l_suppkey) — the OPTIMIZE ZORDER maintenance rewrite, one
+    * range-partitioned shuffle on the bit-interleaved cell id — then
+    * serve a conjunctive 2-D box through [[ManifestTable.readPruned2]],
+    * which opens only files whose committed per-file [min, max] stats
+    * intersect BOTH ranges. The oracle recomputes the box census
+    * relationally, so the hash certifies the rewrite carried every row
+    * and the pruned read lost none — pruning is a performance property,
+    * never a correctness input. The LAYOUT property (a z-ordered box
+    * opens strictly fewer files than the row-order layout, and file
+    * count tracks box area) is pinned in ManifestTableSuite at a fixed
+    * sf, where it is deterministic.
+    *
+    * Scale (100 TB): this is the canonical answer to "2-D range scans
+    * on a petabyte fact table": one clustering rewrite amortizes every
+    * later box scan from full-table to box-area file opens, with
+    * correctness independent of the layout. */
+  private def qTableZorder(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val t = s"${graft.Scratch.dir("graft_zorder_q")}/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val li = Tables.lineitem(s, d).select(
+      col("l_partkey"), col("l_suppkey"),
+      col("l_quantity").cast(LongType).as("qty"))
+    ManifestTable.append(s, t, li.repartition(32)) // v0: row-order layout
+    ManifestTable.clusterBy(s, t, "l_partkey", "l_suppkey") // v1: z-ordered
+    ManifestTable.readPruned2(s, t,
+        "l_partkey", 100L, 299L, "l_suppkey", 3L, 6L)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_partkey")).cast(LongType).as("sum_part"),
+        sum(col("qty")).cast(LongType).as("sum_qty"))
+      .orderBy("l_suppkey")
+  }
+
+  /** INCREMENTAL SCD2 FROM THE CHANGE FEED — the consumer the CDF
+    * update pairing exists for: a keyed dimension table goes through a
+    * seed append and two MERGE waves, then the slowly-changing-dimension
+    * history is derived ENTIRELY from the table's own changelog. Every
+    * insert/update_postimage opens a validity interval at its commit
+    * version (valid_to = the next opening's version via one window over
+    * the changelog); the paired update_preimage supplies each
+    * transition's old attribute — the Debezium-style audit column that
+    * delete+insert changelogs force consumers to reconstruct by
+    * re-joining the whole dimension. The oracle rebuilds the identical
+    * history definitionally (LAG/LEAD over the closed-form epochs), so
+    * the hash certifies both the interval chaining AND the pre/post
+    * pairing.
+    *
+    * Scale (100 TB): the SCD2 maintenance work is changelog-sized —
+    * one window + one delta-sized join per drained range; the dimension
+    * itself is never rescanned. That is the whole point of CDF-fed
+    * SCD2 vs snapshot-diff SCD2. */
+  private def qScd2Cdf(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.expressions.Window
+    val t = s"${graft.Scratch.dir("graft_scd2_cdf")}/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    ManifestTable.append(s, t,
+      cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))) // v0
+    // wave 1: re-segment half the seeded keys, insert fresh odd keys
+    ManifestTable.merge(s, t,
+      cust.filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"), concat(lit("SEG_"), col("c_custkey") % 3).as("seg"))
+        .union(cust.filter(col("c_custkey") % 4 === 1)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+      "c_custkey") // v1
+    // wave 2: a second re-segmentation touching both populations
+    val vm = ManifestTable.merge(s, t,
+      cust.filter(col("c_custkey") % 8 === 0 || col("c_custkey") % 8 === 1)
+        .select(col("c_custkey"), concat(lit("SEG2_"), col("c_custkey") % 5).as("seg")),
+      "c_custkey") // v2
+    require(vm == 2L, s"oracle pins version literals; lifecycle landed at v$vm")
+    val ch = ManifestTable.readChanges(s, t, -1L, vm)
+    val opens = ch.filter(col("_change_type").isin("insert", "update_postimage"))
+      .select(col("c_custkey"), col("seg"), col("_commit_version").as("valid_from"))
+    val pre = ch.filter(col("_change_type") === "update_preimage")
+      .select(col("c_custkey"), col("seg").as("old_seg"),
+        col("_commit_version").as("valid_from"))
+    opens
+      .join(pre, Seq("c_custkey", "valid_from"), "left")
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy(col("c_custkey")).orderBy(col("valid_from"))))
+      .select(col("c_custkey"), col("seg"), col("old_seg"),
+        col("valid_from"), col("valid_to"))
+      .orderBy("c_custkey", "valid_from")
   }
 
   /** ADD-COLUMN SCHEMA EVOLUTION under the oracle gate: commit orders

@@ -94,8 +94,8 @@ object ChangeFeed {
       // like idempotentAppend would otherwise publish one empty
       // snapshot version per upstream compact, inflating the
       // downstream manifest history for no data
-      val changeFree =
-        ManifestTable.snapshotMeta(table, v).get("op").contains("compact")
+      val changeFree = ManifestTable.snapshotMeta(table, v).get("op")
+        .exists(o => o == "compact" || o == "cluster")
       if (!changeFree) {
         if (epochBoundary(table, v)) {
           val sig = ManifestTable.snapshotMeta(table, v)("schema")

@@ -140,7 +140,7 @@ object ManifestStreamSource {
         // restarting; the engine checkpoint resumes at the committed
         // version either way.
         case "append-evolve" => added
-        case "compact" => Seq.empty
+        case "compact" | "cluster" => Seq.empty // physical reorg, logical identity
         case "delete" =>
           if (ignoreDeletes) Seq.empty
           else throw new IllegalStateException(

@@ -399,6 +399,103 @@ object ManifestTable {
           s"[$bring] — evolve explicitly via overwrite")
     }
 
+  /** Z-ORDER CLUSTERING rewrite (the OPTIMIZE ZORDER BY maintenance op
+    * of the production lake formats): rewrite the snapshot with rows
+    * ordered by the bit-interleaving of two columns, so every data
+    * file's committed [min, max] stats are TIGHT in BOTH dimensions and
+    * [[readPruned2]]'s conjunctive 2-D range scans open only the files
+    * whose z-range the query box touches — linear row-order layouts are
+    * tight in at most one dimension, so every 2-D box degenerates to a
+    * near-full file scan on the other. Normalization to 10-bit cells
+    * uses the GLOBAL min/max assembled from the per-file stats sidecars
+    * (manifest metadata only — no data pass); the rewrite itself is one
+    * range-partitioned shuffle on the z-value (Spark's range partitioner
+    * samples boundaries, the same discipline Delta's OPTIMIZE uses).
+    * Logically an identity (every row carried), so the change feed and
+    * streaming source treat `cluster` commits exactly like `compact`.
+    * Like compact, it is NOT snapshot-dependent-free: on a lost CAS the
+    * rewrite recomputes from the fresh snapshot. */
+  def clusterBy(spark: SparkSession, table: String, c1: String, c2: String,
+      files: Int = 32, maxRetries: Int = 20): Long = {
+    import org.apache.spark.sql.functions.{col, lit, shiftright, greatest, least}
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(table).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot in $table"))
+      val fs = snapshotFiles(table, base)
+      val ranges = fs.flatMap(f => Seq(c1, c2).flatMap(c =>
+        statsOf(f).get(c).map(c -> _)))
+      def bound(c: String, f: ((Long, Long)) => Long, agg: Seq[Long] => Long): Long = {
+        val xs = ranges.collect { case (`c`, r) => f(r) }
+        if (xs.isEmpty) 0L else agg(xs)
+      }
+      val (lo1, hi1) = (bound(c1, _._1, _.min), bound(c1, _._2, _.max))
+      val (lo2, hi2) = (bound(c2, _._1, _.min), bound(c2, _._2, _.max))
+      val cur = read(spark, table, Some(base))
+      def cell(c: String, lo: Long, hi: Long) = {
+        val span = math.max(hi - lo, 1L)
+        // equi-width 10-bit cell id; clamp for stats-less files' rows
+        greatest(lit(0L), least(lit(1023L),
+          (col(c) - lit(lo)) * 1024L / lit(span + 1)))
+      }
+      val (b1, b2) = (cell(c1, lo1, hi1), cell(c2, lo2, hi2))
+      val z = (0 until 10).map { i =>
+        shiftright(b1, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+          shiftright(b2, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+      }.reduce(_ + _)
+      val ordered = cur.repartitionByRange(files, z).sortWithinPartitions(z)
+      val staged = stage(ordered, table)
+      if (publish(table, base + 1, staged,
+          Map("op" -> "cluster",
+            "schema" -> schemaSig(cur)))) return base + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
+  }
+
+  /** Conjunctive 2-D stats-pruned read: only files whose committed
+    * [min, max] ranges intersect BOTH boxes are opened (the exact
+    * filter still applies, so the result equals `read().filter(...)`
+    * regardless of stats quality or layout — pruning is a performance
+    * property, correctness never depends on it). After [[clusterBy]] on
+    * the same two columns, the opened-file count tracks the box area
+    * instead of the box's widest side. */
+  def readPruned2(spark: SparkSession, table: String,
+      c1: String, lo1: Long, hi1: Long,
+      c2: String, lo2: Long, hi2: Long,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    val files = snapshotFiles(table, v)
+    val dvs = snapshotDvs(table, v)
+    val sig = snapshotMeta(table, v).get("schema")
+    def live(f: String): Boolean =
+      statsOf(f).get(c1).forall { case (mn, mx) => mx >= lo1 && mn <= hi1 } &&
+        statsOf(f).get(c2).forall { case (mn, mx) => mx >= lo2 && mn <= hi2 }
+    val kept = files.filter(live)
+    val base =
+      if (files.isEmpty) spark.emptyDataFrame
+      else if (kept.isEmpty) readFiles(spark, files, Seq.empty, sig).limit(0)
+      else readFiles(spark, kept, dvs, sig)
+    if (files.isEmpty) base
+    else base.filter(base.col(c1) >= lo1 && base.col(c1) <= hi1 &&
+      base.col(c2) >= lo2 && base.col(c2) <= hi2)
+  }
+
+  /** Files a 2-D pruned read would open — the [[readPruned2]] planning
+    * step exposed for layout diagnostics and tests. */
+  def prunedFileCount2(table: String,
+      c1: String, lo1: Long, hi1: Long,
+      c2: String, lo2: Long, hi2: Long,
+      version: Option[Long] = None): Int = {
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    snapshotFiles(table, v).count { f =>
+      statsOf(f).get(c1).forall { case (mn, mx) => mx >= lo1 && mn <= hi1 } &&
+        statsOf(f).get(c2).forall { case (mn, mx) => mx >= lo2 && mn <= hi2 }
+    }
+  }
+
   /** Reconcile a committer's schema signature against the table's
     * CURRENT signature inside the commit loop — validating once before
     * the loop is not enough, because losing the CAS to a concurrent
@@ -826,7 +923,10 @@ object ManifestTable {
     import org.apache.spark.sql.functions.{col, lit}
     def tag(df: DataFrame, t: String): DataFrame =
       df.withColumn("_change_type", lit(t)).withColumn("_commit_version", lit(v))
-    if (snapshotMeta(table, v).get("op").contains("compact")) return None
+    // compact and cluster commits are PHYSICAL reorganizations that
+    // carry every row — logically change-free by contract
+    if (snapshotMeta(table, v).get("op").exists(o => o == "compact" || o == "cluster"))
+      return None
     // every step reads under the RANGE-FINAL signature (prefix-chain
     // checked by the caller), so pre-evolution steps null-fill the
     // evolved columns and the per-version unions stay type-aligned

@@ -74,6 +74,39 @@ class ManifestTableSuite extends SparkSuite {
       "overwrite must not orphan files any snapshot still lists")
   }
 
+  test("z-order clustering: 2-D pruning tracks the box, rewrite is a logical identity") {
+    val t = freshTable()
+    // two query dimensions (a, b) UNCORRELATED with insertion order p —
+    // the realistic fact-table case where arrival order helps no 2-D box
+    val df = spark.range(0, 40000).select(
+      (col("id") % 200).as("a"), expr("id DIV 200").as("b"),
+      ((col("id") * 2654435761L) % 40000).as("p"))
+    ManifestTable.append(spark, t, df.repartitionByRange(32, col("p")))
+    val box = ("a", 50L, 69L, "b", 50L, 69L)
+    def opened(): Int = ManifestTable.prunedFileCount2(t,
+      box._1, box._2, box._3, box._4, box._5, box._6)
+    val before = opened()
+    assert(before >= 24, s"row-order layout must be unprunable for the 2-D box, got $before/32")
+    val v1 = ManifestTable.clusterBy(spark, t, "a", "b")
+    val after = opened()
+    assert(after <= before / 4,
+      s"z-ordered files must track the 1% box area: $before -> $after")
+    // the rewrite is a logical identity: row-for-row equal, feed-silent
+    val r0 = ManifestTable.read(spark, t, Some(0L))
+    val r1 = ManifestTable.read(spark, t, Some(v1))
+    assert(r1.exceptAll(r0).unionAll(r0.exceptAll(r1)).isEmpty)
+    assert(ManifestTable.readChanges(spark, t, 0L, v1).isEmpty,
+      "cluster commits are physical-only; the change feed must be silent")
+    // pruned read == plain filtered read (correctness never rides on stats)
+    val pruned = ManifestTable.readPruned2(spark, t,
+      box._1, box._2, box._3, box._4, box._5, box._6)
+    val plain = r1.filter(col("a").between(50, 69) && col("b").between(50, 69))
+    assert(pruned.count() == 400) // 20 b-rows x 20 matching a-values each
+    assert(pruned.exceptAll(plain).unionAll(plain.exceptAll(pruned)).isEmpty)
+    assert(ManifestTable.vacuum(t) == 0,
+      "clustering must not orphan any file a snapshot still lists")
+  }
+
   test("commit-loop schema reconcile: a retry against a moved schema keeps the winner's column") {
     val t = freshTable()
     ManifestTable.append(spark, t, range(0, 10)) // schema (id, v)
