@@ -32,6 +32,7 @@ object TextSim {
     "q_dedup_embed" -> qDedupEmbed,
     "q_dedup_lsh" -> qDedupLsh,
     "q_lsh_recall" -> qLshRecall,
+    "q_sim_pq" -> qSimPq,
     "q_text_stats" -> qTextStats,
     "q_text_ngram" -> qTextNgram,
     "q_text_langid" -> qTextLangid,
@@ -258,6 +259,31 @@ object TextSim {
          WHERE a.vec_id < 500
            AND list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
          ORDER BY v1, v2""",
+    "q_sim_pq" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
+           FROM embeddings),
+         ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+         bs AS (SELECT vec_id, m, list_slice(v, m*8+1, m*8+8) AS bv FROM e CROSS JOIN ms),
+         cents AS (SELECT vec_id AS c, m, bv AS cv FROM bs WHERE vec_id < 16),
+         dists AS (SELECT b.vec_id, b.m, c.c,
+                          CAST(list_sum([ (b.bv[i] - c.cv[i]) * (b.bv[i] - c.cv[i])
+                                          FOR i IN generate_series(1, 8) ]) AS BIGINT) AS dist
+                   FROM bs b JOIN cents c ON b.m = c.m),
+         codes AS (SELECT vec_id, m, c FROM (
+                     SELECT vec_id, m, c,
+                            row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS r
+                     FROM dists) WHERE r = 1),
+         dt AS (SELECT vec_id AS probe_id, m, c, dist FROM dists WHERE vec_id < 8),
+         ad AS (SELECT dt.probe_id, codes.vec_id, CAST(SUM(dt.dist) AS BIGINT) AS adist
+                FROM codes JOIN dt ON codes.m = dt.m AND codes.c = dt.c
+                GROUP BY dt.probe_id, codes.vec_id)
+         SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id, adist FROM (
+           SELECT probe_id, vec_id, adist,
+                  row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rnk
+           FROM ad)
+         WHERE rnk <= 5 ORDER BY probe_id, rnk""",
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
                 COUNT(DISTINCT source) AS n_sources,
@@ -671,6 +697,64 @@ object TextSim {
       .filter(col("dot") >= 0.4)
       .select("v1", "v2")
       .orderBy("v1", "v2")
+  }
+
+  /** PRODUCT QUANTIZATION ANN (Jégou et al. 2011, the memory-bound scale
+    * path beyond IVF): the 64-dim space splits into M = 8 subspaces of
+    * 8 dims; each subspace gets a K = 16-entry codebook; every base
+    * vector compresses to 8 four-bit codes (4 BYTES per vector — a 64×
+    * compression of the float payload, which is what lets a 100 TB
+    * corpus's index live in RAM); a query scans compressed codes with an
+    * ADC lookup table (per-subspace distances to all 16 centroids,
+    * 128 adds per base vector instead of 64 mults). Engine-exact
+    * discipline: codebooks are DEFINITIONAL (subspace slices of the 16
+    * lowest-id vectors — the q_lsh_recall/IVF convention) and ALL
+    * arithmetic is fixed-point (components scaled by 2^20 and floored
+    * to BIGINT — float→double→×2^20 is exact IEEE, so both engines see
+    * identical integers and the squared-L2 sums are associative), which
+    * makes encode, the ADC table, and the final ranking integer-exact
+    * and the DuckDB oracle a full definitional replay. Ties break on
+    * (distance, centroid id) / (distance, vec_id).
+    *
+    * Scale (100 TB): codebooks are a 128-row broadcast; encode is one
+    * narrow map over the corpus (the committed-artifact pattern of
+    * lsh_sigs/ivf_cells applies unchanged); the ADC scan shuffles only
+    * (vec_id, m, code) triples joined to a broadcast probe table —
+    * never raw vectors. Production systems learn codebooks with
+    * per-subspace k-means (the engine's q_cluster_kmeans kernel) —
+    * definitional slices keep the oracle exact without a training loop.
+    * Recall vs the exact ranking is pinned in OperatorUnitSuite. */
+  private def qSimPq(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eInt = Tables.embeddings(s, d).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))").as("v"))
+    def slices(df: DataFrame, idAs: String, sliceAs: String): DataFrame = df
+      .select(col("vec_id").as(idAs), col("v"),
+        explode(array((0 until 8).map(lit): _*)).as("m"))
+      .select(col(idAs), col("m"), expr("slice(v, m * 8 + 1, 8)").as(sliceAs))
+    val cents = slices(eInt.filter(col("vec_id") < 16), "c", "cv")
+    val bs = slices(eInt, "vec_id", "bv")
+    // squared L2 per (vector, subspace, centroid) — integer-exact fold
+    val dists = bs.join(broadcast(cents), Seq("m"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(bv, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+    val codes = dists
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("c"))).as("mc"))
+      .select(col("vec_id"), col("m"), col("mc.c").as("c"))
+    // ADC: the probes' per-(m, centroid) distance table is exactly the
+    // dists rows of the probe vectors — broadcast-joined onto the codes
+    val dt = dists.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("m"), col("c"), col("dist"))
+    val ad = codes.join(broadcast(dt), Seq("m", "c"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("dist")).as("adist"))
+    ad.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("rnk").cast(LongType).as("rnk"),
+        col("vec_id"), col("adist").cast(LongType).as("adist"))
+      .orderBy("probe_id", "rnk")
   }
 
   /** True iff 4-bit band `band` is the LOWEST band whose nibble of

@@ -376,6 +376,49 @@ class OperatorUnitSuite extends SparkSuite {
       "test precondition: some pairs must first agree above band 0")
   }
 
+  test("q_sim_pq: ADC ranking structure + recall against the exact fixed-point ranking") {
+    val out = SparkEntry.queries("q_sim_pq")(spark, sf0001).cache()
+    // structure: 8 probes x exactly ranks 1..5, adist >= 0 and
+    // non-decreasing in rank
+    val byProbe = out.groupBy("probe_id").agg(
+      count(lit(1)).as("n"), min("rnk").as("lo"), max("rnk").as("hi"))
+    assert(byProbe.filter(col("n") =!= 5 || col("lo") =!= 1 || col("hi") =!= 5).count() == 0)
+    assert(out.count() == 40 && out.filter(col("adist") < 0).count() == 0)
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(x => math.floor(x.toDouble * 1048576).toLong).toArray }
+    val base = vecs.toMap
+    // rank 1 carries the MINIMUM POSSIBLE ADC distance: the probe's own
+    // codes are the per-subspace argmins of its lookup table, so
+    // Σ_m min_c d(p_m, c_m) lower-bounds every vector's approximate
+    // distance — whatever vector wins the tie-break
+    def sl(v: Array[Long], m: Int) = v.slice(m * 8, m * 8 + 8)
+    def ds(a: Array[Long], b: Array[Long]): Long =
+      (0 until 8).map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val adistSelf = (0L until 8L).map { p =>
+      p -> (0 until 8).map { m =>
+        (0L until 16L).map(c => ds(sl(base(p), m), sl(base(c), m))).min
+      }.sum
+    }.toMap
+    val rank1 = out.filter(col("rnk") === 1)
+      .select("probe_id", "adist").as[(Long, Long)].collect().toMap
+    (0L until 8L).foreach(p => assert(rank1(p) == adistSelf(p),
+      s"probe $p rank-1 adist ${rank1(p)} must equal the ADC minimum ${adistSelf(p)}"))
+    // recall@5 vs the EXACT fixed-point squared-L2 ranking (driver-side
+    // recompute over the 500-vector fixture)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      (0 until 64).map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val exactTop = (0L until 8L).map { p =>
+      p -> vecs.map { case (id, v) => (d2(base(p), v), id) }.sorted.take(5).map(_._2).toSet
+    }.toMap
+    val got = out.select("probe_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    val recall = (0L until 8L).map(p => (got(p) & exactTop(p)).size).sum / 40.0
+    assert(recall >= 0.3,
+      f"PQ-16 ADC recall@5 must beat random at this geometry, got $recall%.2f")
+    out.unpersist()
+  }
+
   test("q_dedup_semantic: census conserves the corpus; a cell's min-id vector is never pruned") {
     val out = SparkEntry.queries("q_dedup_semantic")(spark, sf0001).cache()
     val nVecs = Tables.embeddings(spark, sf0001).count()
