@@ -46,6 +46,29 @@ object Multimodal {
     (w, h)
   }
 
+  /** The deterministic PNG fixture raster shared by every multimodal
+    * codec query (the fixtures ship no binary column, so this closed
+    * form doubles as the payload generator): dims are a closed form of
+    * `id`, pixels a closed form of (id, x, y), and the three DuckDB
+    * oracles replay the dims arithmetic — ONE definition here keeps the
+    * Scala sites and the oracle SQL from drifting apart. Returns
+    * (width, height, png bytes). */
+  def genPng(id: Long): (Int, Int, Array[Byte]) = {
+    val w = (8 + id % 24).toInt
+    val h = (8 + (id * 7) % 16).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (id * 2654435761L).toInt + x * 31 + y); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    (w, h, bos.toByteArray)
+  }
+
   /** REAL raster rescale (the declared resize stage's codec since r9;
     * the byte stub below remains only for opaque non-image payloads):
     * decode the PNG container via javax.imageio, nearest-neighbor
@@ -59,6 +82,12 @@ object Multimodal {
     * already inside the budget passes through byte-identical. */
   def resizeImage(payload: Array[Byte], maxDim: Int): Array[Byte] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    // ImageIO.read signals "no registered decoder" with null, not an
+    // exception — fail with the cause named instead of an NPE deep in a
+    // task (opaque non-image payloads belong to the byte-stub resize)
+    require(img != null,
+      s"resizeImage: undecodable image payload (${payload.length} bytes) — " +
+        "no registered ImageIO reader accepts it")
     val (w, h) = (img.getWidth, img.getHeight)
     val m = math.max(w, h)
     if (m <= maxDim) return payload

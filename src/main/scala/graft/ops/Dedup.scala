@@ -241,10 +241,9 @@ object Dedup {
     * module's edge cache. ~1 KB per doc, so the cache is corpus-bounded,
     * not pair-bounded; on a cluster this would be a persisted table the
     * dedup suite builds first. */
-  private val arraysCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val arraysCache = new graft.SessionCache[DataFrame]()
   private def cachedDocArrays(s: SparkSession, d: String): DataFrame =
-    arraysCache.getOrElseUpdate((s, d),
+    arraysCache.get(s, d)(
       docShingleArrays(Tables.documents(s, d)).localCheckpoint())
 
   /** Exact Jaccard >= 0.8 verify of candidate pairs against the per-doc
@@ -390,10 +389,9 @@ object Dedup {
     * this (all four run once before the timed loop), so timed samples
     * see steady state. [[clearCaches]] releases both cache layers for
     * long-lived sessions. */
-  private val interCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val interCache = new graft.SessionCache[DataFrame]()
   private def interCounts(s: SparkSession, d: String): DataFrame =
-    interCache.getOrElseUpdate((s, d),
+    interCache.get(s, d)(
       interCountsOf(cachedDocArrays(s, d)).localCheckpoint())
 
   /** Drop every checkpointed shingle-array and inter-count table this
@@ -401,13 +399,11 @@ object Dedup {
     * sessions — entries are otherwise held for the life of the session,
     * which is correct for the bench/verify harness but not for a
     * server embedding the library). */
-  def clearCaches(): Unit = {
-    for (cache <- Seq(arraysCache, interCache); (k, df) <- cache) {
-      cache.remove(k)
+  def clearCaches(): Unit =
+    Seq(arraysCache, interCache).foreach(_.clear { df =>
       // localCheckpoint data lives in block storage until unpersisted
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
-    }
-  }
+    })
 
   /** [[interCounts]] over any pre-materialized shingle-array table. */
   def interCountsOf(arrays: DataFrame): DataFrame = {

@@ -518,11 +518,11 @@ object Formats {
     * methodology). saveAsTable(overwrite) keeps re-runs idempotent even
     * when a previous JVM left the warehouse directory behind. */
   private val bucketCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+    new graft.SessionCache[(String, String)](serializedBuilds = true)
 
   private def bucketedTables(s: SparkSession, d: String): (String, String) =
-    bucketCache.synchronized {
-      bucketCache.getOrElseUpdate((s, d), {
+    bucketCache.get(s, d) {
+      {
         val sf = d.replaceAll("[^A-Za-z0-9]", "_")
         s.sql("CREATE DATABASE IF NOT EXISTS graft_bucketed")
         val ot = s"graft_bucketed.orders_b_$sf"
@@ -557,7 +557,7 @@ object Formats {
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .mode("overwrite").saveAsTable(lt)
         (ot, lt)
-      })
+      }
     }
 
   /** Co-located (bucketed) join — the storage-side half of the shuffle

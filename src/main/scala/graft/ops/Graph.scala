@@ -208,11 +208,10 @@ object Graph {
     * per query (the 4-table join dominates each kernel's cost). The
     * localCheckpoint bounds the shared lineage; the cache key includes
     * the session so a restarted session re-derives. */
-  private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val edgeCache = new graft.SessionCache[DataFrame]()
 
   private def edges(s: SparkSession, d: String): DataFrame =
-    edgeCache.getOrElseUpdate((s, d), deriveEdges(s, d))
+    edgeCache.get(s, d)(deriveEdges(s, d))
 
   private def deriveEdges(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

@@ -1246,8 +1246,7 @@ object Quality {
     * committed artifact like Graph's edge table or the LSH signature
     * index, not a per-query rebuild. Deterministic path, overwrite mode:
     * a concurrent bench warmup rebuild writes identical bytes. */
-  private val mvReady =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+  private val mvReady = new graft.SessionCache[Boolean]()
 
   /** The docs MV summary's store, inside the per-JVM scratch namespace
     * ([[graft.Scratch]]): independent JVMs rebuilding a shared global
@@ -1258,7 +1257,7 @@ object Quality {
       s"sf${d.replaceAll("[^A-Za-z0-9.]", "_")}_docs_src_lang"
 
   private def ensureDocsMv(s: SparkSession, d: String): Unit =
-    mvReady.getOrElseUpdate((s, d), {
+    mvReady.get(s, d) {
       import graft.plans.{MvDef, MvRegistry}
       // "sf" prefix: a leading underscore (from replacing the leading "/")
       // would make the directory HIDDEN to Spark's file index (paths
@@ -1284,7 +1283,7 @@ object Quality {
         Set("source", "lang"),
         s.read.parquet(path).queryExecution.analyzed))
       true
-    })
+    }
 
   /** INCREMENTALLY MAINTAINED MATERIALIZED VIEW, fed by the BASE TABLE'S
     * OWN COMMIT LOG: raw events land in an ODS [[ManifestTable]] batch

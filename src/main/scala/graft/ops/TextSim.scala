@@ -628,8 +628,7 @@ object TextSim {
     * candidate join carries (vec_id, band, 4-bit value) rows only; the
     * all-pairs O(n²) scan never happens. No oracle (recall is
     * probabilistic, not exact). */
-  private val sigsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val sigsCache = new graft.SessionCache[DataFrame]()
 
   private def qDedupLsh(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
@@ -655,11 +654,11 @@ object TextSim {
     // ~0.16 s) on every consumer run buys nothing — the same contract
     // as the Dedup/bpeMerges caches. New sessions (or a changed corpus
     // table) go through refresh as before.
-    val sigs = sigsCache.getOrElseUpdate((s, d), {
+    val sigs = sigsCache.get(s, d) {
       graft.sources.EmbeddingIndex.refresh(
         s, graft.sources.EmbeddingIndex.tableFor(d, "lsh_sigs"), emb, "vec_id")(
         in => in.select(col("vec_id"), sigExpr.as("sig")))
-    })
+    }
     val bandCols = (0 until 16).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), 4 * b).bitwiseAND(lit(15L)).as("v"))

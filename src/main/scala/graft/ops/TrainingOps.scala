@@ -330,29 +330,7 @@ object TrainingOps {
     * broadcast merge list. The learned table is cached per (session,
     * fixture) like the IVF cell artifact — a production pipeline
     * commits it next to the tokenized shards. */
-  private val bpeMergesCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
-  /** Sessions whose application-end listener is already installed. The
-    * cache holds localCheckpoint'ed DataFrames keyed by session, so
-    * without eviction a stopped session's checkpoint blocks and the
-    * session object itself stay pinned for the JVM lifetime (test
-    * suites and long-lived multi-session drivers accumulate). A
-    * SparkListenerApplicationEnd fires exactly once per stopped
-    * session and drops every cache entry keyed by it. */
-  private val bpeEvictionHooked =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
-
-  private def hookEviction(s: SparkSession): Unit =
-    bpeEvictionHooked.getOrElseUpdate(s, {
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          bpeMergesCache.keys.filter(_._1 eq s).foreach(bpeMergesCache.remove)
-          bpeEvictionHooked.remove(s)
-        }
-      })
-    })
+  private val bpeMergesCache = new graft.SessionCache[DataFrame]()
 
   /** `{STX}tok{ETX}…` framing of a whitespace-tokenized text column. */
   private def bpeWrap(textCol: String): Column =
@@ -366,8 +344,7 @@ object TrainingOps {
     * `pg` is the framed pair pattern. Deterministic; cached per
     * (session, fixture dir). */
   private[graft] def bpeMerges(s: SparkSession, d: String): DataFrame = {
-    hookEviction(s)
-    bpeMergesCache.getOrElseUpdate((s, d), {
+    bpeMergesCache.get(s, d) {
       var corpus = Tables.documents(s, d)
         .select(bpeWrap("text").as("s")).localCheckpoint()
       val rounds = (1 to 32).map { r =>
@@ -386,7 +363,7 @@ object TrainingOps {
         best
       }
       rounds.reduce(_ unionAll _).localCheckpoint()
-    })
+    }
   }
 
   /** Apply the learned merge table — a fold of 32 boundary-safe

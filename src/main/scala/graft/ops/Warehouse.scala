@@ -640,19 +640,8 @@ object Warehouse {
       .select(col("doc_id"), col("source")).as[(Long, String)]
     val pngs = docs.mapPartitions { it =>
       it.map { case (id, source) =>
-        val w = (8 + id % 24).toInt
-        val h = (8 + (id * 7) % 16).toInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { img.setRGB(x, y, (id * 2654435761L).toInt + x * 31 + y); x += 1 }
-          y += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        (id, source, bos.toByteArray)
+        val (_, _, payload) = graft.multimodal.Multimodal.genPng(id)
+        (id, source, payload)
       }
     }
     val feats = pngs.mapPartitions { it =>
@@ -691,20 +680,10 @@ object Warehouse {
       .select(col("doc_id")).as[Long]
     val sigs = docs.mapPartitions { it =>
       it.map { id =>
-        val w = (8 + id % 24).toInt
-        val h = (8 + (id * 7) % 16).toInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { img.setRGB(x, y, (id * 2654435761L).toInt + x * 31 + y); x += 1 }
-          y += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        val (w, h, payload) = graft.multimodal.Multimodal.genPng(id)
         val dec = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bos.toByteArray))
+          new java.io.ByteArrayInputStream(payload))
+        var y = 0
         val bsum = new Array[Long](64)
         val bcnt = new Array[Long](64)
         var tsum = 0L
@@ -1007,19 +986,8 @@ object Warehouse {
       .select(col("doc_id")).as[Long]
     docs.mapPartitions { it =>
       it.map { id =>
-        val w = (8 + id % 24).toInt
-        val h = (8 + (id * 7) % 16).toInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { img.setRGB(x, y, (id * 2654435761L).toInt + x * 31 + y); x += 1 }
-          y += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        val rs = graft.multimodal.Multimodal.resizeImage(bos.toByteArray, 8)
+        val (w, h, payload) = graft.multimodal.Multimodal.genPng(id)
+        val rs = graft.multimodal.Multimodal.resizeImage(payload, 8)
         val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rs))
         (id, w.toLong, h.toLong, dec.getWidth.toLong, dec.getHeight.toLong)
       }

@@ -88,17 +88,23 @@ object ChangeFeed {
     val from = lastProcessed(checkpoint)
     val to = ManifestTable.latestVersion(table).getOrElse(-1L)
     if (to <= from) return None
+    // one manifest-header read per version: the previous iteration's
+    // meta doubles as this iteration's v−1 (a fresh drain reads v−1
+    // once at entry), so an N-version backlog costs ~N header reads,
+    // not 3-4N
+    var prevMeta: Map[String, String] =
+      if (from >= 0) ManifestTable.snapshotMeta(table, from) else Map.empty
     for (v <- (from + 1) to to) {
-      // provably change-free commits (compact rewrites carry every row)
-      // advance the checkpoint WITHOUT invoking the consumer: a sink
-      // like idempotentAppend would otherwise publish one empty
-      // snapshot version per upstream compact, inflating the
+      val meta = ManifestTable.snapshotMeta(table, v)
+      // provably change-free commits (compact/cluster rewrites carry
+      // every row) advance the checkpoint WITHOUT invoking the
+      // consumer: a sink like idempotentAppend would otherwise publish
+      // one empty snapshot version per upstream reorg, inflating the
       // downstream manifest history for no data
-      val changeFree = ManifestTable.snapshotMeta(table, v).get("op")
-        .exists(o => o == "compact" || o == "cluster")
+      val changeFree = meta.get("op").exists(o => o == "compact" || o == "cluster")
       if (!changeFree) {
-        if (epochBoundary(table, v)) {
-          val sig = ManifestTable.snapshotMeta(table, v)("schema")
+        if (epochBoundary(prevMeta, meta)) {
+          val sig = meta("schema")
           onEpochRestart.getOrElse(throw new IllegalStateException(
             s"$table v$v starts a new schema epoch ([$sig]); pass " +
               "onEpochRestart to let the feed segment across it"))(sig, v)
@@ -109,23 +115,23 @@ object ChangeFeed {
           process(ManifestTable.readChanges(spark, table, v - 1, v), v - 1, v)
       }
       advance(checkpoint, v)
+      prevMeta = meta
     }
     Some((from, to))
   }
 
-  /** True iff version `v` rewrote the schema NON-additively relative to
-    * v−1 (the previous fields are not a prefix of the new ones) — the
-    * epoch boundary [[ManifestTable.readChanges]] rejects ranges
-    * across. Legacy commits without a recorded schema never bound. */
-  private def epochBoundary(table: String, v: Long): Boolean = {
-    if (v <= 0) return false
-    (ManifestTable.snapshotMeta(table, v - 1).get("schema"),
-      ManifestTable.snapshotMeta(table, v).get("schema")) match {
+  /** True iff a commit rewrote the schema NON-additively relative to
+    * its predecessor (the previous fields are not a prefix of the new
+    * ones) — the epoch boundary [[ManifestTable.readChanges]] rejects
+    * ranges across. Legacy commits without a recorded schema never
+    * bound. */
+  private def epochBoundary(prevMeta: Map[String, String],
+      meta: Map[String, String]): Boolean =
+    (prevMeta.get("schema"), meta.get("schema")) match {
       case (Some(prev), Some(cur)) =>
         val pf = ManifestStreamSource.splitTopLevel(prev)
         val cf = ManifestStreamSource.splitTopLevel(cur)
         cf.take(pf.size) != pf
       case _ => false
     }
-  }
 }
