@@ -65,6 +65,8 @@ object Quality {
     "q_table_cdf_merge" -> qTableCdfMerge,
     "q_scd2_cdf" -> qScd2Cdf,
     "q_table_zorder" -> qTableZorder,
+    "q_expectations" -> qExpectations,
+    "q_mv_updates" -> qMvUpdates,
     "q_table_evolve" -> qTableEvolve,
     "q_warehouse_layers" -> qWarehouseLayers,
     "q_quality_gopher" -> qQualityGopher
@@ -153,6 +155,31 @@ object Quality {
          FROM lineitem
          WHERE l_partkey BETWEEN 100 AND 299 AND l_suppkey BETWEEN 3 AND 6
          GROUP BY l_suppkey ORDER BY l_suppkey""",
+    "q_expectations" ->
+      """WITH cls AS (
+           SELECT event_id,
+                  CASE WHEN NOT COALESCE(event_type IN ('click', 'view', 'signup', 'purchase'), FALSE)
+                         THEN 'known_type'
+                       WHEN NOT COALESCE(value <= 400, FALSE) THEN 'value_range'
+                       WHEN NOT COALESCE(user_id % 37 <> 0, FALSE) THEN 'user_allowed'
+                       ELSE 'passed' END AS cls
+           FROM events)
+         SELECT cls, count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS sum_id
+         FROM cls GROUP BY cls ORDER BY cls""",
+    "q_mv_updates" ->
+      """WITH ec AS (
+           SELECT event_id, user_id,
+                  CAST(COALESCE(CAST(value AS DECIMAL(12,2)), 0) * 100 AS BIGINT) AS cents
+           FROM events),
+         fin AS (
+           SELECT user_id,
+                  CASE WHEN event_id % 8 IN (0, 1) THEN cents + 18
+                       WHEN event_id % 4 IN (0, 1) THEN cents + 7
+                       ELSE cents END AS cents
+           FROM ec WHERE event_id % 2 = 0 OR event_id % 4 = 1)
+         SELECT user_id % 8 AS grp, CAST(sum(cents) AS BIGINT) AS sum_cents,
+                count(*) AS n_rows
+         FROM fin GROUP BY 1 ORDER BY grp""",
     "q_table_evolve" ->
       """SELECT st, count(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS sum_cents
          FROM (
@@ -1053,6 +1080,42 @@ object Quality {
       .orderBy("v", "ctype")
   }
 
+  /** WRITER EXPECTATIONS under the oracle gate (the DLT
+    * expect-or-quarantine contract): ingest the events batch through
+    * [[ManifestTable.appendExpect]] with an ORDERED rule list — known
+    * event type, value ceiling, user allowlist — then census BOTH
+    * landed tables back: quarantined rows grouped by the first rule
+    * they failed, passing rows as one 'passed' class. The oracle
+    * recomputes the routing with the same first-non-TRUE CASE ladder,
+    * so the hash certifies rule ORDER (a row failing two rules must be
+    * attributed to the earlier one), the null-is-a-violation
+    * convention, and that the per-table commits lost nothing.
+    *
+    * Scale (100 TB): routing is one predicate column on the ingest
+    * batch — no shuffle, no table rescan; the quarantine side is a
+    * full ManifestTable an audit pipeline can CDF-consume. */
+  private def qExpectations(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val root = s"${graft.Scratch.dir("graft_expect_q")}/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val (t, qt) = (s"$root/main", s"$root/quarantine")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ManifestTable.appendExpect(s, t, ev, Seq(
+      "known_type" -> "event_type IN ('click', 'view', 'signup', 'purchase')",
+      "value_range" -> "value <= 400",
+      "user_allowed" -> "user_id % 37 <> 0"), qt)
+    val passed = ManifestTable.read(s, t)
+      .groupBy(lit("passed").as("cls"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("event_id")).cast(LongType).as("sum_id"))
+    val quarantined = ManifestTable.read(s, qt)
+      .groupBy(col("_violation").as("cls"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("event_id")).cast(LongType).as("sum_id"))
+    passed.unionAll(quarantined).orderBy("cls")
+  }
+
   /** Z-ORDER CLUSTERING under the oracle gate: land lineitem's
     * (partkey, suppkey, quantity) projection as a row-order
     * ManifestTable, [[ManifestTable.clusterBy]] it on (l_partkey,
@@ -1284,6 +1347,64 @@ object Quality {
         s.read.parquet(path).queryExecution.analyzed))
       true
     }
+
+  /** UPDATE-AWARE INCREMENTAL VIEW MAINTENANCE — [[qMvIncr]]'s loop
+    * extended to a base table that gets MERGED, not just appended: the
+    * change feed's paired update_preimage/update_postimage rows carry
+    * SIGNED contributions (+post, −pre, +insert, −delete) into
+    * per-batch partial aggregates, appended replay-safely via
+    * `idempotentAppend` keyed by the drained version. The MV read folds
+    * the signed partials (sum-of-signed-sums; counts as signed row
+    * sums), so after two merge waves the folded view equals a fresh
+    * aggregate of the final snapshot — which is exactly what the oracle
+    * recomputes from the closed-form lifecycle. Groups whose every row
+    * updated away net out to zero and are filtered by the folded
+    * count. This is textbook IVM over a changelog (the delta-table
+    * method), running on the engine's own CDF instead of an external
+    * CDC stream.
+    *
+    * Scale (100 TB): per merge commit the maintenance work is
+    * delta-sized (the changelog derives from changed files only); the
+    * partial store grows by ≤ |touched groups| rows per batch; no base
+    * rescan ever happens. Periodic compaction of the partial store is
+    * the same roll-up [[qMvIncr]] documents. */
+  private def qMvUpdates(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{ChangeFeed, ManifestTable}
+    val root = s"${graft.Scratch.dir("graft_mvu")}/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val (ods, mv, cp) = (s"$root/ods", s"$root/mv", s"$root/cp")
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      (coalesce(col("value").cast("decimal(12,2)"), lit(0)) * 100)
+        .cast(LongType).as("cents"))
+    ManifestTable.append(s, ods, ev.filter(col("event_id") % 2 === 0)) // v0
+    // wave 1: bump half the existing rows, insert fresh odd rows
+    ManifestTable.merge(s, ods,
+      ev.filter(col("event_id") % 4 === 0 || col("event_id") % 4 === 1)
+        .select(col("event_id"), col("user_id"), (col("cents") + 7L).as("cents")),
+      "event_id") // v1
+    // wave 2: bump a quarter again — rows now carry cents + 7 + 11
+    ManifestTable.merge(s, ods,
+      ev.filter(col("event_id") % 8 === 0 || col("event_id") % 8 === 1)
+        .select(col("event_id"), col("user_id"), (col("cents") + 18L).as("cents")),
+      "event_id") // v2
+    ChangeFeed.availableNow(s, ods, cp) { (ch, _, toV) =>
+      val signed = ch.withColumn("sgn",
+        when(col("_change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L))
+      ManifestTable.idempotentAppend(s, mv,
+        signed.groupBy((col("user_id") % 8).as("grp"))
+          .agg(sum(col("sgn") * col("cents")).cast(LongType).as("d_cents"),
+            sum(col("sgn")).cast(LongType).as("d_rows")),
+        batchId = toV)
+      ()
+    }
+    ManifestTable.read(s, mv)
+      .groupBy(col("grp"))
+      .agg(sum(col("d_cents")).cast(LongType).as("sum_cents"),
+        sum(col("d_rows")).cast(LongType).as("n_rows"))
+      .filter(col("n_rows") > 0)
+      .orderBy("grp")
+  }
 
   /** INCREMENTALLY MAINTAINED MATERIALIZED VIEW, fed by the BASE TABLE'S
     * OWN COMMIT LOG: raw events land in an ODS [[ManifestTable]] batch

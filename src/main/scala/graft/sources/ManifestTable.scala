@@ -399,6 +399,40 @@ object ManifestTable {
           s"[$bring] — evolve explicitly via overwrite")
     }
 
+  /** WRITER EXPECTATIONS with QUARANTINE (the Delta-Live-Tables
+    * `expect_or_quarantine` contract): every row is checked against the
+    * ordered expectation list (name → SQL predicate); a row whose FIRST
+    * non-TRUE predicate is `name` lands in the `quarantine` table
+    * tagged `_violation = name`, rows passing every predicate append to
+    * the main table. NULL predicate results count as violations
+    * (constraint semantics: a row must prove itself TRUE). Each table's
+    * commit is individually atomic; the pair is NOT one cross-table
+    * transaction — the same per-table guarantee DLT gives, stated
+    * honestly. Returns (main version, quarantine version), None where
+    * nothing landed on that side.
+    *
+    * Scale (100 TB): the routing is one predicate column over the
+    * ingest batch — no shuffle, no second scan of the table; bad rows
+    * cost exactly their own bytes, and the quarantine table is itself
+    * a ManifestTable (time-travelable, vacuumable, CDF-feedable — an
+    * audit pipeline can consume its change feed). */
+  def appendExpect(spark: SparkSession, table: String, df: DataFrame,
+      expectations: Seq[(String, String)], quarantine: String)
+      : (Option[Long], Option[Long]) = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not, when}
+    require(expectations.nonEmpty, "appendExpect needs at least one expectation")
+    val violation = expectations.foldRight(
+      lit(null).cast("string")) { case ((name, pred), rest) =>
+      when(not(coalesce(expr(pred), lit(false))), lit(name)).otherwise(rest)
+    }
+    val tagged = df.withColumn("_violation", violation)
+    val bad = tagged.filter(col("_violation").isNotNull)
+    val good = tagged.filter(col("_violation").isNull).drop("_violation")
+    val qv = if (bad.isEmpty) None else Some(append(spark, quarantine, bad))
+    val mv = if (good.isEmpty) None else Some(append(spark, table, good))
+    (mv, qv)
+  }
+
   /** Z-ORDER CLUSTERING rewrite (the OPTIMIZE ZORDER BY maintenance op
     * of the production lake formats): rewrite the snapshot with rows
     * ordered by the bit-interleaving of two columns, so every data

@@ -74,6 +74,36 @@ class ManifestTableSuite extends SparkSuite {
       "overwrite must not orphan files any snapshot still lists")
   }
 
+  test("appendExpect routes rows by their FIRST failed expectation; clean batches skip quarantine") {
+    val t = freshTable()
+    val qt = freshTable()
+    val df = spark.range(0, 100).select(col("id"),
+      when(col("id") % 10 === 0, lit(null).cast("long"))
+        .otherwise(col("id") * 2).as("v"))
+    // id%10==0 -> v null (null predicate = violation of rule 1);
+    // id in [50,99] fails rule 2 — but ids 50,60,..,90 must still be
+    // attributed to rule 1 (order decides)
+    val (mv, qv) = ManifestTable.appendExpect(spark, t, df, Seq(
+      "v_present" -> "v IS NOT NULL",
+      "id_small" -> "id < 50"), qt)
+    assert(mv.contains(0L) && qv.contains(0L))
+    val main = ManifestTable.read(spark, t)
+    val quar = ManifestTable.read(spark, qt)
+    assert(main.columns.toSeq == Seq("id", "v"), "passing rows carry no tag column")
+    assert(quar.columns.toSeq == Seq("id", "v", "_violation"))
+    assert(main.count() == 45, "ids 1..49 minus the 5 null-v ones")
+    assert(main.filter(col("id") >= 50 || col("id") % 10 === 0).isEmpty)
+    assert(quar.filter(col("_violation") === "v_present").count() == 10,
+      "ALL null-v rows attribute to the first rule, even those also failing id_small")
+    assert(quar.filter(col("_violation") === "id_small").count() == 45)
+    // a fully clean batch commits nothing to quarantine
+    val (mv2, qv2) = ManifestTable.appendExpect(spark, t,
+      spark.range(200, 210).select((col("id") % 50).as("id"), (col("id") * 2).as("v")),
+      Seq("v_present" -> "v IS NOT NULL", "id_small" -> "id < 50"), qt)
+    assert(mv2.contains(1L) && qv2.isEmpty,
+      "a clean batch must not commit an empty quarantine version")
+  }
+
   test("z-order clustering: 2-D pruning tracks the box, rewrite is a logical identity") {
     val t = freshTable()
     // two query dimensions (a, b) UNCORRELATED with insertion order p —
