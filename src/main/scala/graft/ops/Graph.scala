@@ -49,7 +49,8 @@ object Graph {
     "q_graph_sssp" -> qGraphSssp,
     "q_graph_cc" -> qGraphCc,
     "q_graph_jaccard" -> qGraphJaccard,
-    "q_graph_labelprop" -> qGraphLabelprop
+    "q_graph_labelprop" -> qGraphLabelprop,
+    "q_graph_kcore" -> qGraphKcore
   )
 
   private val edgeSql =
@@ -198,7 +199,36 @@ object Graph {
                      FROM e GROUP BY 1) o ON o.src = n_nationkey
           LEFT JOIN (SELECT dst, count(*) AS deg_in, SUM(w) AS str_in
                      FROM e GROUP BY 1) i ON i.dst = n_nationkey
-          ORDER BY nationkey"""
+          ORDER BY nationkey""",
+    "q_graph_kcore" -> {
+      def peel(prev: String, out: String, k: Int): String =
+        s"""$out AS MATERIALIZED (
+             SELECT adj.v AS node
+             FROM adj JOIN $prev pa ON adj.v = pa.node
+                      JOIN $prev pb ON adj.nb = pb.node
+             GROUP BY adj.v HAVING count(*) >= $k)"""
+      def chain(k: Int): String =
+        (s"""k${k}v0 AS (SELECT DISTINCT v AS node FROM adj)""" +:
+          (0 until 5).map(i => peel(s"k${k}v$i", s"k${k}v${i + 1}", k)))
+          .mkString(",\n") +
+          s""",
+          k$k AS (SELECT $k AS k, adj.v AS node, count(*) AS core_deg
+                  FROM adj JOIN k${k}v5 ca ON adj.v = ca.node
+                           JOIN k${k}v5 cb ON adj.nb = cb.node
+                  GROUP BY adj.v)"""
+      s"""WITH e0 AS MATERIALIZED ($edgeSql),
+          u0 AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, SUM(w) AS w
+                 FROM e0 GROUP BY 1, 2),
+          tot AS (SELECT count(*) AS n, SUM(w) AS s FROM u0),
+          u AS MATERIALIZED (SELECT a, b FROM u0, tot WHERE w * n > s),
+          adj AS MATERIALIZED (SELECT a AS v, b AS nb FROM u
+                               UNION ALL SELECT b, a FROM u),
+          ${chain(2)},
+          ${chain(3)}
+          SELECT k, CAST(node AS BIGINT) AS nationkey, core_deg
+          FROM (SELECT * FROM k2 UNION ALL SELECT * FROM k3)
+          ORDER BY k, nationkey"""
+    }
   )
 
   /** Directed weighted trade edges, materialized ONCE per (session, sf)
@@ -512,5 +542,71 @@ object Graph {
       .join(broadcast(deg.select(col("v").as("b"), col("deg").as("degb"))), "b")
       .select(col("a"), col("b"), col("common"),
         expr("common * 1000000 DIV (dega + degb - common)").as("jac_x1e6"))
+  }
+
+  /** K-CORE kernel: `rounds` synchronous peel steps unrolled into one
+    * lazy plan. Each step keeps exactly the vertices whose degree WITHIN
+    * the surviving set is ≥ k (the textbook iterative peeling — Seidman
+    * 1983; fixed synchronous rounds instead of convergence detection so
+    * the result is a pure function of the graph, the same contract as
+    * [[qGraphLabelprop]]). Each round is one Pregel superstep: adj joins
+    * the survivor set on BOTH endpoints (vertex-keyed shuffles, or
+    * broadcasts while the survivor set fits) and a map-side-combinable
+    * per-vertex degree count — no driver round-trips, no convergence
+    * flag, identical under any partitioning (integer counts only). At
+    * 100 TB the survivor set shrinks monotonically, so later rounds
+    * get CHEAPER; the fixed round count bounds the plan depth and the
+    * peel reaches fixpoint once `rounds` ≥ the graph's degeneracy
+    * ordering depth (tiny for power-law graphs).
+    *
+    * @param adj symmetric adjacency, columns `v, nb: Long`
+    * @return `(node, core_deg)` — members of the k-core with their
+    *         within-core degree
+    */
+  def kcore(adj: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def within(vs: DataFrame): DataFrame =
+      adj.join(vs.select(col("node").as("va")), col("v") === col("va"))
+        .join(vs.select(col("node").as("vb")), col("nb") === col("vb"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("deg"))
+    // each round joins adj against the survivor set TWICE, so a fully
+    // lazy unroll doubles the plan per round (2^rounds analysis cost —
+    // measured 4 s at sf0.001 in Catalyst alone). The survivor set is
+    // vertex-sized, so localCheckpoint per round keeps every plan
+    // 2-joins deep for pennies of storage — the same lineage-bounding
+    // call the PageRank edge derivation makes.
+    val v0 = adj.select(col("v").as("node")).distinct().localCheckpoint()
+    val core = (1 to rounds).foldLeft(v0) { (vs, _) =>
+      within(vs).filter(col("deg") >= k).select(col("v").as("node"))
+        .localCheckpoint()
+    }
+    within(core).select(col("v").as("node"), col("deg").as("core_deg"))
+  }
+
+  /** K-core census over the above-average-weight undirected trade
+    * backbone (the CC/triangle edge set): the 2-core and 3-core
+    * memberships with each member's within-core degree, 5 unrolled peel
+    * rounds per k. The k-core is the standard graph-mining density
+    * primitive (spam/cohesion filtering, community seeding); declaring
+    * both k values in one result exercises the kernel at two peel
+    * depths against a single chained-CTE oracle. */
+  private def qGraphKcore(s: SparkSession, d: String): DataFrame = {
+    val u0 = edges(s, d)
+      .groupBy(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .agg(sum(col("w")).as("w"))
+    val tot = u0.agg(count(lit(1)).as("n"), sum(col("w")).as("s"))
+    val u = u0.crossJoin(broadcast(tot))
+      .filter(col("w") * col("n") > col("s"))
+      .select("a", "b").localCheckpoint()
+    val adj = u.select(col("a").as("v"), col("b").as("nb"))
+      .unionAll(u.select(col("b").as("v"), col("a").as("nb")))
+    val k2 = kcore(adj, 2, 5)
+      .select(lit(2).as("k"), col("node"), col("core_deg"))
+    val k3 = kcore(adj, 3, 5)
+      .select(lit(3).as("k"), col("node"), col("core_deg"))
+    k2.unionAll(k3)
+      .select(col("k"), col("node").as("nationkey"), col("core_deg"))
+      .orderBy("k", "nationkey")
   }
 }

@@ -67,6 +67,8 @@ object Quality {
     "q_table_zorder" -> qTableZorder,
     "q_expectations" -> qExpectations,
     "q_mv_updates" -> qMvUpdates,
+    "q_mv_join" -> qMvJoin,
+    "q_table_restore" -> qTableRestore,
     "q_table_evolve" -> qTableEvolve,
     "q_warehouse_layers" -> qWarehouseLayers,
     "q_quality_gopher" -> qQualityGopher
@@ -180,6 +182,40 @@ object Quality {
          SELECT user_id % 8 AS grp, CAST(sum(cents) AS BIGINT) AS sum_cents,
                 count(*) AS n_rows
          FROM fin GROUP BY 1 ORDER BY grp""",
+    "q_table_restore" ->
+      """WITH ec AS (
+           SELECT event_id, user_id,
+                  CAST(COALESCE(CAST(value AS DECIMAL(12,2)), 0) * 100 AS BIGINT) AS cents
+           FROM events),
+         cdf AS (
+           SELECT 'cdf' AS part, 'insert' AS key, count(*) AS n_rows,
+                  CAST(SUM(cents) AS BIGINT) AS sum_cents
+           FROM ec WHERE event_id % 2 = 0 AND user_id BETWEEN 0 AND 3
+           UNION ALL
+           SELECT 'cdf', 'delete', count(*), CAST(SUM(cents) AS BIGINT)
+           FROM ec WHERE event_id % 4 = 1),
+         fin AS (
+           SELECT 'final' AS part, CAST(user_id % 4 AS VARCHAR) AS key,
+                  count(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+           FROM ec WHERE event_id % 2 = 0 OR event_id % 4 = 3
+           GROUP BY 2)
+         SELECT * FROM (SELECT * FROM cdf UNION ALL SELECT * FROM fin)
+         ORDER BY part, key""",
+    "q_mv_join" ->
+      """WITH o AS (
+           SELECT o_custkey AS ckey,
+                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    + CASE WHEN o_orderkey % 4 IN (0, 1) THEN 7 ELSE 0 END AS cents
+           FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1),
+         c AS (
+           SELECT c_custkey AS ckey,
+                  CASE WHEN c_custkey % 5 = 0 THEN 'REASSIGNED'
+                       ELSE c_mktsegment END AS seg
+           FROM customer)
+         SELECT seg, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                count(*) AS n_rows
+         FROM o JOIN c USING (ckey)
+         GROUP BY seg ORDER BY seg""",
     "q_table_evolve" ->
       """SELECT st, count(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS sum_cents
          FROM (
@@ -1368,6 +1404,136 @@ object Quality {
     * partial store grows by ≤ |touched groups| rows per batch; no base
     * rescan ever happens. Periodic compaction of the partial store is
     * the same roll-up [[qMvIncr]] documents. */
+  /** INCREMENTALLY MAINTAINED JOIN VIEW — the delta-join algebra over
+    * TWO base tables' change feeds. The view is `orders ⋈ customer`
+    * aggregated per market segment; both bases are [[graft.sources.ManifestTable]]s
+    * and the view is a ManifestTable of SIGNED per-batch partials. The
+    * maintenance identities, applied in commit-log order (one table's
+    * delta at a time, so the ΔA⋈ΔB cross-term never arises):
+    *
+    *   MV after ΔO  =  MV + ΔO ⋈ C_current        (orders feed)
+    *   MV after ΔC  =  MV + O_current ⋈ ΔC        (customer feed)
+    *
+    * where Δ rows carry the CDF sign (+1 insert/update_postimage, −1
+    * delete/update_preimage) — a MERGE that bumps an order's cents nets
+    * to the cents delta, and a MERGE that moves a customer between
+    * segments moves ALL that customer's joined cents across segments in
+    * one batch, with no view recomputation. The lifecycle exercised:
+    * initial loads (batch 0 aggregates the two v0 snapshots directly
+    * and the feeds' v0 entries are drained unconsumed), an orders-side
+    * MERGE (updates + fresh inserts), then a customer-side MERGE
+    * (segment reassignment — pure update_pre/postimage pairs). Each hop
+    * lands via `idempotentAppend` keyed by a feed-disambiguated batch
+    * id, so replays commit nothing.
+    *
+    * At 100 TB this is THE reason CDF update images exist: each
+    * maintenance batch's cost is |Δ| ⋈ (key-pruned other side) — the
+    * delta is tiny and shuffles only on the join key, while full view
+    * recomputation would re-join the whole fact table. The declared
+    * result reads the view and folds the signed partials; the oracle
+    * recomputes the final join-aggregate from the fixture tables. */
+  /** RESTORE lifecycle — roll a table back to a pre-erasure version and
+    * prove BOTH reader paths stay exact: the restored SNAPSHOT (final
+    * census below includes a post-restore append, so the table verifiably
+    * lives on) and the CHANGE FEED ACROSS THE RESTORE, whose per-commit
+    * diff must emit the un-deleted rows as inserts — including rows that
+    * come back by the restore DROPPING a later erasure's deletion
+    * vectors while their data file never moved (the `dvGone`
+    * resurrection path in [[graft.sources.ManifestTable]]'s `changesAt`;
+    * a file-diff-only CDF would silently miss them). Script: load even
+    * events (v0) → GDPR-erase users 0–3 (v1, per-file CoW-or-DV) →
+    * append the %4==1 wave (v2) → RESTORE to v0 (v3, metadata-only:
+    * zero data copied) → append the %4==3 wave (v4). Declared result:
+    * the restore commit's changelog census (inserts = exactly the
+    * erased users' rows, deletes = exactly the v2 wave) plus the final
+    * per-user-group census. */
+  private def qTableRestore(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val root = s"${graft.Scratch.dir("graft_restore")}/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val t = s"$root/t"
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      (coalesce(col("value").cast("decimal(12,2)"), lit(0)) * 100)
+        .cast(LongType).as("cents"))
+    ManifestTable.append(s, t, ev.filter(col("event_id") % 2 === 0)) // v0
+    ManifestTable.deleteWhere(s, t, "user_id", 0L, 3L)               // v1
+    ManifestTable.append(s, t, ev.filter(col("event_id") % 4 === 1)) // v2
+    val v3 = ManifestTable.restore(t, 0L)                            // v3
+    ManifestTable.append(s, t, ev.filter(col("event_id") % 4 === 3)) // v4
+    val cdf = ManifestTable.readChanges(s, t, v3 - 1, v3)
+      .groupBy(col("_change_type").as("key"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).cast(LongType).as("sum_cents"))
+      .select(lit("cdf").as("part"), col("key"), col("n_rows"), col("sum_cents"))
+    val fin = ManifestTable.read(s, t)
+      .groupBy((col("user_id") % 4).cast(StringType).as("key"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).cast(LongType).as("sum_cents"))
+      .select(lit("final").as("part"), col("key"), col("n_rows"), col("sum_cents"))
+    cdf.unionAll(fin).orderBy("part", "key")
+  }
+
+  private def qMvJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{ChangeFeed, ManifestTable}
+    val root = s"${graft.Scratch.dir("graft_mvj")}/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val (ordT, custT, mv) = (s"$root/ord", s"$root/cust", s"$root/mv")
+    val (cpO, cpC) = (s"$root/cpo", s"$root/cpc")
+    val ord = Tables.orders(s, d).select(
+      col("o_orderkey").as("okey"), col("o_custkey").as("ckey"),
+      (dec(col("o_totalprice"), 12, 2) * 100).cast(LongType).as("cents"))
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey").as("ckey"), col("c_mktsegment").as("seg"))
+    ManifestTable.append(s, ordT, ord.filter(col("okey") % 2 === 0)) // ord v0
+    ManifestTable.append(s, custT, cust)                             // cust v0
+    // drain both feeds' v0 entries UNCONSUMED: batch 0 below seeds the
+    // view from the full v0⋈v0 join-aggregate instead
+    ChangeFeed.availableNow(s, ordT, cpO)((_, _, _) => ())
+    ChangeFeed.availableNow(s, custT, cpC)((_, _, _) => ())
+    def signed(ch: DataFrame): DataFrame = ch.withColumn("sgn",
+      when(col("_change_type").isin("insert", "update_postimage"), 1L)
+        .otherwise(-1L))
+    def partial(joined: DataFrame): DataFrame =
+      joined.groupBy(col("seg"))
+        .agg(sum(col("sgn") * col("cents")).cast(LongType).as("d_cents"),
+          sum(col("sgn")).cast(LongType).as("d_rows"))
+    ManifestTable.idempotentAppend(s, mv,
+      partial(ManifestTable.read(s, ordT).withColumn("sgn", lit(1L))
+        .join(ManifestTable.read(s, custT), "ckey")), batchId = 0L)
+    // wave 1 (orders side): bump cents on the surviving %4==0 rows and
+    // MERGE-insert the fresh %4==1 rows → ord v1
+    ManifestTable.merge(s, ordT,
+      ord.filter(col("okey") % 4 === 0 || col("okey") % 4 === 1)
+        .select(col("okey"), col("ckey"), (col("cents") + 7L).as("cents")),
+      "okey")
+    ChangeFeed.availableNow(s, ordT, cpO) { (ch, _, toV) =>
+      ManifestTable.idempotentAppend(s, mv,
+        partial(signed(ch).select(col("ckey"), col("cents"), col("sgn"))
+          .join(ManifestTable.read(s, custT), "ckey")),
+        batchId = 2 * toV)
+      ()
+    }
+    // wave 2 (customer side): reassign every 5th customer's segment —
+    // pure update_preimage/update_postimage pairs → cust v1
+    ManifestTable.merge(s, custT,
+      cust.filter(col("ckey") % 5 === 0)
+        .select(col("ckey"), lit("REASSIGNED").as("seg")),
+      "ckey")
+    ChangeFeed.availableNow(s, custT, cpC) { (ch, _, toV) =>
+      ManifestTable.idempotentAppend(s, mv,
+        partial(ManifestTable.read(s, ordT)
+          .join(signed(ch).select(col("ckey"), col("seg"), col("sgn")), "ckey")),
+        batchId = 2 * toV + 1)
+      ()
+    }
+    ManifestTable.read(s, mv)
+      .groupBy(col("seg"))
+      .agg(sum(col("d_cents")).cast(LongType).as("sum_cents"),
+        sum(col("d_rows")).cast(LongType).as("n_rows"))
+      .filter(col("n_rows") > 0)
+      .orderBy("seg")
+  }
+
   private def qMvUpdates(s: SparkSession, d: String): DataFrame = {
     import graft.sources.{ChangeFeed, ManifestTable}
     val root = s"${graft.Scratch.dir("graft_mvu")}/${d.replaceAll("[^A-Za-z0-9.]", "_")}"

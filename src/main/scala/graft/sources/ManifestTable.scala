@@ -664,6 +664,36 @@ object ManifestTable {
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
   }
 
+  /** RESTORE — roll the table back to `toVersion` as a NEW commit (the
+    * production lake formats' RESTORE): the new manifest carries the
+    * restored version's entries VERBATIM (data files, deletion vectors,
+    * stats sidecars — a metadata-only commit, zero data copied or read),
+    * with the restored schema signature republished so readers and the
+    * change feed see the correct epoch. History is preserved: the
+    * rolled-back versions stay time-travelable, and [[readChanges]]
+    * across the restore emits the true row-level delta — including rows
+    * RESURRECTED by dropping a later erasure's deletion vectors (the
+    * `dvGone` path in the per-commit diff). The target must lie within
+    * RETAINED history (same contract as time travel: [[expireVersions]]
+    * + [[vacuum]] bound what a restore can reach, and vacuum never
+    * deletes files a retained manifest still references, so the
+    * restored entries are guaranteed present). The commit is
+    * base-independent (the restored state is a pure function of the
+    * immutable target manifest), so a lost CAS just republishes at the
+    * next version. */
+  def restore(table: String, toVersion: Long, maxRetries: Int = 20): Long = {
+    val entries = snapshotEntries(table, toVersion) // throws past retention
+    val meta = Map("op" -> "restore", "restoreOf" -> toVersion.toString) ++
+      snapshotMeta(table, toVersion).get("schema").map("schema" -> _)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = latestVersion(table).getOrElse(-1L) + 1
+      if (publish(table, v, entries, meta)) return v
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
+  }
+
   /** MERGE INTO (upsert) as a transactional snapshot: read the latest
     * snapshot, full-outer-merge `updates` on `key` (update rows win,
     * unmatched updates insert, unmatched targets survive), commit the
@@ -966,8 +996,11 @@ object ManifestTable {
     // evolved columns and the per-version unions stay type-aligned
     val prevFiles = if (v == 0) Seq.empty[String] else snapshotFiles(table, v - 1)
     val curFiles = snapshotFiles(table, v)
-    val prevDvs = if (v == 0) Seq.empty[String] else snapshotDvs(table, v - 1)
+    val prevDvInfo =
+      if (v == 0) Seq.empty[(String, Seq[String])] else snapshotDvInfo(table, v - 1)
+    val prevDvs = prevDvInfo.map(_._1)
     val curDvInfo = snapshotDvInfo(table, v)
+    val curDvs = curDvInfo.map(_._1)
     val added = curFiles.filterNot(prevFiles.toSet)
     val removed = prevFiles.filterNot(curFiles.toSet)
     val dvNew = curDvInfo.filterNot(d => prevDvs.contains(d._1))
@@ -1005,6 +1038,42 @@ object ManifestTable {
           Some(fresh.select(cols.map(col): _*))
         }
       }
+    // rows RESURRECTED by this commit dropping a deletion vector while
+    // the tombstoned file survives (a [[restore]] to a pre-erasure
+    // version is the producer): the mirror image of `tombstoned` —
+    // positions the dropped DV covered, minus positions a surviving DV
+    // still covers, read only from the dropped DV's recorded targets
+    val dvGone = prevDvInfo.filterNot(d => curDvs.contains(d._1))
+    val resurrected: Option[DataFrame] =
+      if (dvGone.isEmpty) None
+      else {
+        val targets = dvGone.flatMap(_._2).distinct.filter(curFiles.toSet)
+        if (targets.isEmpty) None
+        else {
+          val base = sig.flatMap(sigToSchema) match {
+            case Some(sch) => spark.read.schema(sch).parquet(targets: _*)
+            case None => spark.read.parquet(targets: _*)
+          }
+          val cols = base.columns.toSeq
+          val keyed = base.select(col("*"),
+            col("_metadata.file_path").as("__fp"),
+            col("_metadata.row_index").as("__pos"))
+          val gonePairs = spark.read.parquet(dvGone.map(_._1): _*)
+            .select(col("path").as("__fp"), col("pos").as("__pos"))
+          val hit = keyed.join(gonePairs, Seq("__fp", "__pos"), "left_semi")
+          val fresh =
+            if (curDvs.isEmpty) hit
+            else hit.join(
+              spark.read.parquet(curDvs: _*)
+                .select(col("path").as("__fp"), col("pos").as("__pos")),
+              Seq("__fp", "__pos"), "left_anti")
+          Some(fresh.select(cols.map(col): _*))
+        }
+      }
+    val arrivingAll: Option[DataFrame] = (arriving, resurrected) match {
+      case (Some(a), Some(b)) => Some(a union b)
+      case (a, b) => a.orElse(b)
+    }
     val leaving: Option[DataFrame] = {
       val removedRows =
         if (removed.isEmpty) None else Some(readFiles(spark, removed, prevDvs, sig))
@@ -1013,7 +1082,7 @@ object ManifestTable {
         case (a, b) => a.orElse(b)
       }
     }
-    (arriving, leaving) match {
+    (arrivingAll, leaving) match {
       case (None, None) => None
       case (Some(n), None) => Some(tag(n, "insert"))
       case (None, Some(o)) => Some(tag(o, "delete"))

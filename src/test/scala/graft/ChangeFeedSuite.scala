@@ -97,6 +97,40 @@ class ChangeFeedSuite extends SparkSuite {
     assertReplays(t, v - 1, v)
   }
 
+  test("restore rolls back as a new commit; the feed resurrects DV-erased rows") {
+    val t = freshTable()
+    ManifestTable.append(spark, t, rows(0, 1000)) // v0
+    // narrow predicate → DV path: the data file survives, tombstoned
+    val v1 = ManifestTable.deleteWhere(spark, t, "id", 10, 19)
+    assert(ManifestTable.snapshotDvs(t, v1).nonEmpty, "precondition: DV erasure")
+    ManifestTable.append(spark, t, rows(2000, 2050)) // v2
+    val v3 = ManifestTable.restore(t, 0L)
+    assert(v3 == 3 && ManifestTable.snapshotMeta(t, v3).get("op").contains("restore"))
+    // the restored snapshot IS v0, and the rolled-back versions remain
+    // time-travelable
+    assert(ManifestTable.read(spark, t).count() == 1000)
+    assert(ManifestTable.read(spark, t, Some(v1)).count() == 990)
+    // the restore commit's changelog: the 10 DV-erased rows come back as
+    // inserts (dvGone resurrection — their file never moved) and the v2
+    // wave leaves as deletes
+    val ch = ManifestTable.readChanges(spark, t, v3 - 1, v3)
+    val ins = ch.filter(col("_change_type") === "insert")
+    assert(ins.count() == 10 && ins.agg(sum("id")).as[Long].head() == (10L to 19L).sum,
+      "dropping the DV must re-emit exactly the tombstoned rows as inserts")
+    assert(ch.filter(col("_change_type") === "delete").count() == 50)
+    assertReplays(t, v3 - 1, v3)
+    // and across the whole history: creation → post-restore state
+    assertReplays(t, -1, v3)
+    // the table lives on: a post-restore append commits and reads
+    ManifestTable.append(spark, t, rows(3000, 3010))
+    assert(ManifestTable.read(spark, t).count() == 1010)
+    // restoring to a version not yet born must refuse (the target
+    // manifest does not exist — same failure class as expired history)
+    intercept[java.nio.file.NoSuchFileException] {
+      ManifestTable.restore(t, 99L)
+    }
+  }
+
   test("merge feeds paired update pre/postimages; compact feeds nothing") {
     val t = freshTable()
     ManifestTable.append(spark, t, rows(0, 50))

@@ -51,7 +51,7 @@ class ConcurrencySuite extends SparkSuite {
     } finally pool.shutdown()
   }
 
-  test("maintenance safety property: 200 random append/delete/compact/expire/vacuum schedules") {
+  test("maintenance safety property: 200 random append/delete/compact/expire/vacuum/restore schedules") {
     // the r7 in-round bug (vacuum deleting a live deletion-vector
     // sidecar, d800860) existed only as its specific regression test;
     // this is the INVARIANT as a property over random schedules:
@@ -79,11 +79,25 @@ class ConcurrencySuite extends SparkSuite {
       }.toSet
     }
 
+    def retainedVersions(t: String): Vector[Long] = {
+      val md = Paths.get(t, "manifests")
+      if (!Files.isDirectory(md)) return Vector.empty
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(md)
+      try s.iterator().asScala.map(_.getFileName.toString).toVector
+      finally s.close()
+    }.filter(_.matches("v\\d{8}\\.manifest"))
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong).sorted
+
     def runSchedule(seed: Int): Unit = {
       val rng = new scala.util.Random(7000 + seed)
       val t = Files.createTempDirectory(s"graft-vacprop-$seed").toString
       var model = Vector.empty[(Long, Long)]
       var nextId = 0L
+      // logical contents per committed version, for restore's reference
+      var hist = Map.empty[Long, Vector[(Long, Long)]]
+      def record(): Unit =
+        ManifestTable.latestVersion(t).foreach(v => hist += v -> model)
       // seed commit so delete/compact always have a base
       def append(): Unit = {
         val n = 5 + rng.nextInt(20)
@@ -92,12 +106,12 @@ class ConcurrencySuite extends SparkSuite {
         model ++= rowsV
         ManifestTable.append(spark, t,
           rowsV.toDF("id", "v").coalesce(1))
-        ()
+        record()
       }
       append()
       val opsN = 4 + rng.nextInt(3)
       for (_ <- 0 until opsN) {
-        rng.nextInt(10) match {
+        rng.nextInt(12) match {
           case 0 | 1 | 2 => append()
           case 3 | 4 | 5 =>
             // random range: sometimes narrow (DV path), sometimes wide (COW)
@@ -106,9 +120,19 @@ class ConcurrencySuite extends SparkSuite {
                            else rng.nextInt(40).toLong)
             model = model.filterNot { case (id, _) => id >= lo && id <= hi }
             ManifestTable.deleteWhere(spark, t, "id", lo, hi)
-            ()
-          case 6 => ManifestTable.compact(spark, t); ()
+            record()
+          case 6 => ManifestTable.compact(spark, t); record()
           case 7 => ManifestTable.expireVersions(t, 1 + rng.nextInt(3)); ()
+          case 8 | 9 =>
+            // restore to a random RETAINED version (expire may have
+            // dropped early ones); the model rolls back with it
+            val vs = retainedVersions(t)
+            if (vs.nonEmpty) {
+              val rv = vs(rng.nextInt(vs.size))
+              ManifestTable.restore(t, rv)
+              model = hist(rv)
+              record()
+            }
           case _ =>
             val before = reachable(t)
             val existedBefore = before.filter(f => Files.exists(Paths.get(f)))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 import graft.Dsl.dec
 import graft.expr.DotProductD
-import graft.ops.Dedup
+import graft.ops.{Dedup, Graph}
 import graft.streaming.StreamOps
 
 /** Per-operator unit tests on tiny literal inputs with hand-computed
@@ -573,6 +573,32 @@ class OperatorUnitSuite extends SparkSuite {
       "labels are vertex ids")
     assert(out.size > 1, "the thresholded backbone must yield >1 community")
     assert(out.exists(_._2 > 1), "at least one real (multi-member) community")
+  }
+
+  test("q_graph_kcore: cores nest, every member meets the degree bound") {
+    val out = SparkEntry.queries("q_graph_kcore")(spark, sf0001)
+      .as[(Int, Long, Long)].collect().toSeq
+    val k2 = out.filter(_._1 == 2)
+    val k3 = out.filter(_._1 == 3)
+    assert(out.forall { case (k, _, deg) => deg >= k },
+      "within-core degree >= k for every surviving member")
+    assert(k3.map(_._2).toSet.subsetOf(k2.map(_._2).toSet),
+      "the 3-core is contained in the 2-core")
+    assert(k2.nonEmpty, "the strong-trade backbone has a non-empty 2-core")
+    // the same member must never report a HIGHER degree in the smaller
+    // (denser) core than in the enclosing one
+    val d2 = k2.map(r => r._2 -> r._3).toMap
+    assert(k3.forall { case (_, v, deg) => deg <= d2(v) })
+  }
+
+  test("kcore kernel: exact peel on a hand graph (triangle + pendant path)") {
+    // 0-1-2 triangle, plus path 2-3-4: the 2-core is exactly {0,1,2}
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L))
+    val adj = (edges ++ edges.map(_.swap)).toDF("v", "nb")
+    val got = Graph.kcore(adj, 2, 4).as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // the 3-core of the same graph is empty (max within-set degree is 2)
+    assert(Graph.kcore(adj, 3, 4).isEmpty)
   }
 
   test("canonicalUrl folds scheme/www/port/query/fragment/slash variants to one form") {

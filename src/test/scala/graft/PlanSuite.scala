@@ -276,6 +276,8 @@ class PlanSuite extends SparkSuite {
       // as q_graph_triangles); incremental dedup crosses in the 1-row
       // max-doc-id batch cut — broadcast scalars like q_text_tfidf
       "q_graph_cc", "q_dedup_incr",
+      // k-core crosses in the same 1-row mean-weight threshold scalar
+      "q_graph_kcore",
       // link prediction crosses in the same 1-row mean-weight threshold
       // scalar as q_graph_triangles/q_graph_cc
       "q_graph_jaccard",
