@@ -37,13 +37,80 @@ object Advanced {
     "q_funnel_session" -> qFunnelSession,
     "q_attribution" -> qAttribution,
     "q_attribution_linear" -> qAttributionLinear,
+    "q_attribution_markov" -> qAttributionMarkov,
     "q_ab_metrics" -> qAbMetrics,
     "q_cohort_ltv" -> qCohortLtv,
     "q_rolling_wau" -> qRollingWau,
     "q_peak_concurrency" -> qPeakConcurrency
   )
 
+  private def markovStepSql(prev: String, out: String): String =
+    s"""$out AS MATERIALIZED (
+         SELECT g.rm, g.st,
+                CASE WHEN g.st = 'conv' THEN 1000000
+                     WHEN g.st = 'null' OR g.st = g.rm THEN 0
+                     ELSE COALESCE(mv.mv, 0) END AS u
+         FROM grid g LEFT JOIN (
+           SELECT pk.rm, pk.f AS st, SUM(pk.p * pu.u) // 1000000 AS mv
+           FROM pk JOIN $prev pu ON pu.rm = pk.rm AND pu.st = pk.t
+           GROUP BY 1, 2) mv ON mv.rm = g.rm AND mv.st = g.st)"""
+
   val oracle: Map[String, String] = Map(
+    "q_attribution_markov" ->
+      s"""WITH ev AS (
+            SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   epoch_us(ts) AS tu, event_id,
+                   CASE WHEN event_type = 'purchase' THEN 'conv'
+                        ELSE event_type END AS st
+            FROM events),
+          seq AS (SELECT user_id, day, st,
+                         row_number() OVER (PARTITION BY user_id, day
+                                            ORDER BY tu, event_id) AS rn
+                  FROM ev),
+          pr AS (SELECT user_id, day, MIN(rn) AS prn FROM seq
+                 WHERE st = 'conv' GROUP BY 1, 2),
+          kept AS MATERIALIZED (
+            SELECT s.user_id, s.day, s.rn, s.st, pr.prn
+            FROM seq s LEFT JOIN pr
+              ON s.user_id = pr.user_id AND s.day = pr.day
+            WHERE pr.prn IS NULL OR s.rn <= pr.prn),
+          core AS (SELECT LAG(st, 1, 'start') OVER (PARTITION BY user_id, day
+                                                    ORDER BY rn) AS f,
+                          st AS t
+                   FROM kept),
+          tails AS (SELECT st AS f, 'null' AS t FROM (
+                      SELECT st, row_number() OVER (PARTITION BY user_id, day
+                                                    ORDER BY rn DESC) AS rrn
+                      FROM kept WHERE prn IS NULL)
+                    WHERE rrn = 1),
+          cnt AS (SELECT f, t, count(*) AS n FROM (
+                    SELECT f, t FROM core UNION ALL SELECT f, t FROM tails)
+                  GROUP BY 1, 2),
+          tot AS (SELECT f, SUM(n) AS tot FROM cnt GROUP BY 1),
+          p AS MATERIALIZED (
+            SELECT cnt.f, cnt.t, (n * 1000000) // tot AS p
+            FROM cnt JOIN tot ON cnt.f = tot.f),
+          keys AS MATERIALIZED (
+            SELECT DISTINCT f AS rm FROM p WHERE f <> 'start'
+            UNION ALL SELECT '__base__'),
+          states AS (SELECT f AS st FROM p UNION SELECT t FROM p),
+          grid AS MATERIALIZED (SELECT rm, st FROM keys CROSS JOIN states),
+          pk AS MATERIALIZED (SELECT rm, f, t, p FROM p CROSS JOIN keys),
+          u0 AS (SELECT rm, st,
+                        CASE WHEN st = 'conv' THEN 1000000 ELSE 0 END AS u
+                 FROM grid),
+          ${markovStepSql("u0", "u1")},
+          ${markovStepSql("u1", "u2")},
+          ${markovStepSql("u2", "u3")},
+          ${markovStepSql("u3", "u4")},
+          ${markovStepSql("u4", "u5")},
+          ${markovStepSql("u5", "u6")},
+          res AS (SELECT rm, u FROM u6 WHERE st = 'start'),
+          base AS (SELECT u AS base_x1e6 FROM res WHERE rm = '__base__')
+          SELECT rm AS channel, CAST(u AS BIGINT) AS removal_x1e6,
+                 CAST(base_x1e6 AS BIGINT) AS base_x1e6,
+                 CAST(base_x1e6 - u AS BIGINT) AS effect_x1e6
+          FROM res, base WHERE rm <> '__base__' ORDER BY channel""",
     "q_rolling_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
                      FROM events),
@@ -597,6 +664,94 @@ object Advanced {
       .agg(count(lit(1)).as("n_credits"),
         sum(col("credit")).cast(LongType).as("credited_cents"))
       .orderBy("event_type")
+  }
+
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2016's data-driven
+    * model, made oracle-exact): each (user, day) session becomes a state
+    * path — channel states in event order, truncated at the first
+    * purchase (absorbed into `conv`) or closed by the `null` absorber —
+    * and the first-order transition matrix is estimated from the
+    * transition counts in parts-per-million (floor division, so the
+    * matrix itself is integer-exact). Conversion probability from
+    * `start` is computed by SIX truncated absorption rounds (fixed-round
+    * contract like the graph kernels — a convergence loop would make
+    * the declared result data-dependent), and each channel's REMOVAL
+    * EFFECT re-runs the same rounds with that channel forced into the
+    * null absorber (u(removed) ≡ 0 — equivalent to redirecting its
+    * inbound edges to null, no matrix rewrite needed). All removal
+    * variants evaluate in ONE plan: the transition matrix is replicated
+    * per removed-channel key by a broadcast cross against the
+    * channels-plus-baseline key table, so no driver-side loop over the
+    * data-dependent channel set ever happens.
+    *
+    * Scale (100 TB): the distributed work is the sessionized windowing
+    * and the transition count — both keyed by (user, day), map-side
+    * combinable. Everything after the count is matrix-sized
+    * (|states|² × |channels| ≲ a few hundred rows, localCheckpoint'd),
+    * which is why removal-effect attribution is tractable at any corpus
+    * size while path-enumeration attribution is not. */
+  private def qAttributionMarkov(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val SCALE = 1000000L
+    val ev = Tables.events(s, d).select(
+      col("user_id"), to_date(col("t")).as("day"),
+      unix_micros(col("t")).as("tu"), col("event_id"),
+      when(col("event_type") === "purchase", lit("conv"))
+        .otherwise(col("event_type")).as("st"))
+    val ordered = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("tu"), col("event_id"))
+    val seq = ev.withColumn("rn", row_number().over(ordered))
+    val pr = seq.filter(col("st") === "conv")
+      .groupBy(col("user_id"), col("day")).agg(min(col("rn")).as("prn"))
+    val kept = seq.join(pr, Seq("user_id", "day"), "left")
+      .filter(col("prn").isNull || col("rn") <= col("prn"))
+    val byRn = Window.partitionBy(col("user_id"), col("day")).orderBy(col("rn"))
+    val core = kept
+      .select(lag(col("st"), 1, "start").over(byRn).as("f"), col("st").as("t"))
+    val lastRn = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("rn").desc)
+    val tails = kept.filter(col("prn").isNull)
+      .withColumn("rrn", row_number().over(lastRn)).filter(col("rrn") === 1)
+      .select(col("st").as("f"), lit("null").as("t"))
+    val cnt = core.unionAll(tails).groupBy(col("f"), col("t"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("f")).agg(sum(col("n")).as("tot"))
+    val p = cnt.join(tot, "f")
+      .select(col("f"), col("t"), expr(s"n * $SCALE DIV tot").as("p"))
+      .localCheckpoint()
+    val keys = p.select(col("f").as("rm")).distinct()
+      .filter(col("rm") =!= "start")
+      .unionAll(Seq("__base__").toDF("rm")).localCheckpoint()
+    val states = p.select(col("f").as("st"))
+      .union(p.select(col("t").as("st"))).distinct().localCheckpoint()
+    val grid = states.crossJoin(broadcast(keys))
+    val pk = p.crossJoin(broadcast(keys)).localCheckpoint()
+    val u0 = grid.select(col("rm"), col("st"),
+      when(col("st") === "conv", lit(SCALE)).otherwise(lit(0L)).as("u"))
+    def step(u: DataFrame): DataFrame = {
+      val prop = pk
+        .join(u.select(col("rm"), col("st").as("t"), col("u")), Seq("rm", "t"))
+        .groupBy(col("rm"), col("f").as("st"))
+        .agg(sum(col("p") * col("u")).as("raw"))
+        .select(col("rm"), col("st"), expr(s"raw DIV $SCALE").as("mv"))
+      grid.join(prop, Seq("rm", "st"), "left")
+        .select(col("rm"), col("st"),
+          when(col("st") === "conv", lit(SCALE))
+            .when(col("st") === "null" || col("st") === col("rm"), lit(0L))
+            .otherwise(coalesce(col("mv"), lit(0L))).as("u"))
+        .localCheckpoint()
+    }
+    val u6 = (1 to 6).foldLeft(u0.localCheckpoint())((u, _) => step(u))
+    val res = u6.filter(col("st") === "start")
+      .select(col("rm"), col("u"))
+    val base = res.filter(col("rm") === "__base__")
+      .select(col("u").as("base_x1e6"))
+    res.filter(col("rm") =!= "__base__")
+      .crossJoin(broadcast(base))
+      .select(col("rm").as("channel"), col("u").as("removal_x1e6"),
+        col("base_x1e6"),
+        (col("base_x1e6") - col("u")).as("effect_x1e6"))
+      .orderBy("channel")
   }
 
   /** A/B experiment readout — the genre's experimentation ADS table. The

@@ -10,6 +10,21 @@ import graft.ops.{Advanced, Joins, Skew}
 class AdvancedSuite extends SparkSuite {
   import spark.implicits._
 
+  test("markov attribution: removal never helps, base is shared, channels complete") {
+    val out = SparkEntry.queries("q_attribution_markov")(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // one row per non-conv channel present in the fixture event mix
+    assert(out.map(_._1).sorted == Seq("click", "error", "signup", "view"))
+    val bases = out.map(_._3).distinct
+    assert(bases.size == 1 && bases.head > 0 && bases.head <= 1000000L,
+      "baseline conversion probability is one shared ppm scalar in (0, 1]")
+    assert(out.forall { case (_, rem, base, eff) =>
+      eff == base - rem && eff >= 0 && rem >= 0
+    }, "forcing a channel into the null absorber can only lose probability")
+    // at least one channel must carry real removal effect on this mix
+    assert(out.exists(_._4 > 0))
+  }
+
   test("as-of: linear union+window form equals the range-join + top-1 form") {
     val a = Joins.asofViaUnionWindow(spark, sf0001)
       .as[(Long, Option[Long])].collect().toSet

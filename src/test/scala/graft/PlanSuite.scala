@@ -278,6 +278,10 @@ class PlanSuite extends SparkSuite {
       "q_graph_cc", "q_dedup_incr",
       // k-core crosses in the same 1-row mean-weight threshold scalar
       "q_graph_kcore",
+      // Markov attribution replicates its matrix-sized transition table
+      // per removed-channel key (≤ |channels|+1 broadcast rows) and
+      // crosses in the 1-row baseline scalar
+      "q_attribution_markov",
       // link prediction crosses in the same 1-row mean-weight threshold
       // scalar as q_graph_triangles/q_graph_cc
       "q_graph_jaccard",
