@@ -49,8 +49,17 @@ object Features {
     "q_feat_scale" -> qFeatScale,
     "q_feat_hash" -> qFeatHash,
     "q_feat_target_encode" -> qFeatTargetEncode,
-    "q_agg_corr" -> qAggCorr
+    "q_agg_corr" -> qAggCorr,
+    "q_embed_pca" -> qEmbedPca
   )
+
+  /** Truncate-TOWARD-ZERO integer division text: Spark's `DIV` truncates
+    * toward zero while DuckDB's `//` floors toward −∞, so the two differ
+    * by one on negative numerators — this CASE pins both engines to the
+    * toward-zero convention. `b` must be positive. `op` is `DIV` when
+    * compiled by Spark, `//` when embedded in oracle SQL. */
+  private def tdiv(a: String, b: String, op: String = "DIV"): String =
+    s"(CASE WHEN ($a) >= 0 THEN ($a) $op ($b) ELSE -((-($a)) $op ($b)) END)"
 
   /** Shared IEEE-double formula text for corr/slope/intercept — the SAME
     * string is compiled by Spark and DuckDB, so every multiply/divide/sqrt
@@ -63,7 +72,50 @@ object Features {
   private val interceptTxt =
     s"round((CAST(sy AS DOUBLE) - ($covTxt / $varxTxt) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4)"
 
+  private def pcaStepSql(prev: String, k: Int): String =
+    s"""r$k AS (SELECT cov.i, SUM(cov.c * pv.v) AS r
+               FROM cov JOIN $prev pv ON pv.i = cov.j GROUP BY 1),
+        m$k AS (SELECT MAX(ABS(r)) AS mx FROM r$k),
+        v$k AS MATERIALIZED (
+          SELECT i, CAST(CASE WHEN mx = 0 THEN 0
+                              ELSE ${tdiv("r * 1000", "mx", "//")} END AS BIGINT) AS v
+          FROM r$k, m$k)"""
+
   val oracle: Map[String, String] = Map(
+    "q_embed_pca" ->
+      s"""WITH e AS (SELECT vec_id,
+                            list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 127) AS BIGINT)) AS q
+                     FROM embeddings),
+          nn AS (SELECT count(*) AS n FROM e),
+          ds AS (SELECT unnest(generate_series(1, 64)) AS ii),
+          el AS (SELECT vec_id, ii - 1 AS i, q[ii] AS v FROM e CROSS JOIN ds),
+          mu AS (SELECT i, ${tdiv("SUM(v)", "(SELECT n FROM nn)", "//")} AS mu
+                 FROM el GROUP BY i),
+          ce AS MATERIALIZED (
+            SELECT el.vec_id, el.i, el.v - mu.mu AS cq
+            FROM el JOIN mu USING (i)),
+          cov AS MATERIALIZED (
+            SELECT a.i, b.i AS j,
+                   ${tdiv("SUM(a.cq * b.cq)", "(SELECT n FROM nn)", "//")} AS c
+            FROM ce a JOIN ce b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+          v0 AS (SELECT i, CAST(1000 AS BIGINT) AS v FROM mu),
+          ${pcaStepSql("v0", 1)},
+          ${pcaStepSql("v1", 2)},
+          ${pcaStepSql("v2", 3)},
+          ${pcaStepSql("v3", 4)},
+          ${pcaStepSql("v4", 5)},
+          ${pcaStepSql("v5", 6)},
+          ${pcaStepSql("v6", 7)},
+          ${pcaStepSql("v7", 8)},
+          cv AS (SELECT cov.i, SUM(cov.c * pv.v) AS cv
+                 FROM cov JOIN v8 pv ON pv.i = cov.j GROUP BY 1),
+          lam AS (SELECT SUM(v8.v * cv.cv) AS num, SUM(v8.v * v8.v) AS den
+                  FROM cv JOIN v8 ON cv.i = v8.i)
+          SELECT CAST(i AS BIGINT) AS dim, v AS v_x1000,
+                 (SELECT CAST(${tdiv("num * 1000", "den", "//")} AS BIGINT)
+                  FROM lam) AS lambda_x1000
+          FROM v8 ORDER BY dim""",
     "q_chunk_docs" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          c AS (SELECT doc_id, w, len(w) AS ntok,
@@ -300,5 +352,82 @@ object Features {
         expr(slopeTxt).as("slope"),
         expr(interceptTxt).as("intercept"))
       .orderBy("rf")
+  }
+
+  /** TOP PRINCIPAL COMPONENT of the embedding corpus by INTEGER-EXACT
+    * power iteration — the dimensionality-reduction step real vector
+    * pipelines run before quantization/whitening, here made
+    * oracle-checkable end to end. Embeddings quantize to int8 range
+    * (`floor(x·127)`, the q_sim_quant convention), means truncate toward
+    * zero, and the centered 64×64 covariance accumulates as exact int64
+    * pair products DIV n. Eight power-iteration rounds follow, each
+    * re-normalized to ±1000 fixed point by the L∞ norm (no square roots
+    * — integer arithmetic only), with every division pinned to
+    * truncate-toward-zero in BOTH engines ([[tdiv]]: Spark `DIV`
+    * truncates, DuckDB `//` floors — they disagree on negatives, the
+    * cross-engine trap this operator exists to document). The fixed
+    * round count is the declared contract (like the graph kernels); the
+    * Rayleigh quotient ships as `lambda_x1000`.
+    *
+    * Scale (100 TB): the ONLY corpus-sized work is the pair-product
+    * explode (64² per vector) feeding one map-side-combinable
+    * 4096-group aggregate — no self-join, no shuffle of the embedding
+    * table itself; means arrive as a broadcast 64-long array, and the
+    * whole iteration runs on the matrix-sized (64×64, checkpointed)
+    * covariance. Driver-free: n, means, and norms are 1-row broadcast
+    * scalars. */
+  private def qEmbedPca(s: SparkSession, d: String): DataFrame =
+    pcaTop(Tables.embeddings(s, d).select(
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127D) AS BIGINT))").as("q")),
+      rounds = 8)
+
+  /** The power-iteration kernel behind [[qEmbedPca]] — see that query's
+    * Scaladoc for the integer-exactness and scale contract. Exposed so
+    * the suite can verify eigenvector ALIGNMENT on planted anisotropic
+    * data: the fixture embeddings are near-isotropic (λ₂/λ₁ ≈ 0.93), so
+    * no finite fixed-round iteration aligns there and the declared
+    * query's value is the exact fixed-round contract itself.
+    *
+    * @param emb one column `q: array<long>`, all rows the same length
+    * @return `(dim, v_x1000, lambda_x1000)` */
+  def pcaTop(emb: DataFrame, rounds: Int): DataFrame = {
+    val n = emb.agg(count(lit(1)).as("n"))
+    val el = emb.select(posexplode(col("q")).as(Seq("i", "v")))
+    val mu = el.groupBy(col("i")).agg(sum(col("v")).as("sv"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), expr(tdiv("sv", "n")).as("mu"))
+    val muArr = mu.agg(expr(
+      "transform(sort_array(collect_list(struct(i, mu))), p -> p.mu)").as("m"))
+    val pairs = emb.crossJoin(broadcast(muArr))
+      .select(explode(expr(
+        """flatten(transform(q, (x, i) -> transform(q, (y, j) ->
+             named_struct('i', i, 'j', j,
+               'p', (x - element_at(m, i + 1)) * (y - element_at(m, j + 1))))))""")).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+    val cov = pairs.groupBy(col("i"), col("j")).agg(sum(col("p")).as("sp"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"), expr(tdiv("sp", "n")).as("c"))
+      .localCheckpoint()
+    def step(v: DataFrame): DataFrame = {
+      val r = cov.join(v.select(col("i").as("j"), col("v")), "j")
+        .groupBy(col("i")).agg(sum(col("c") * col("v")).as("r"))
+      val mx = r.agg(max(abs(col("r"))).as("mx"))
+      r.crossJoin(broadcast(mx))
+        .select(col("i"),
+          expr(s"CAST(CASE WHEN mx = 0 THEN 0 ELSE ${tdiv("r * 1000", "mx")} END AS BIGINT)")
+            .as("v"))
+        .localCheckpoint()
+    }
+    val v0 = mu.select(col("i"), lit(1000L).as("v")).localCheckpoint()
+    val v8 = (1 to rounds).foldLeft(v0)((v, _) => step(v))
+    val cv = cov.join(v8.select(col("i").as("j"), col("v")), "j")
+      .groupBy(col("i")).agg(sum(col("c") * col("v")).as("cv"))
+    val lam = cv.join(v8, "i")
+      .agg(sum(col("v") * col("cv")).as("num"), sum(col("v") * col("v")).as("den"))
+      .select(expr(s"CAST(${tdiv("num * 1000", "den")} AS BIGINT)").as("lambda_x1000"))
+    v8.crossJoin(broadcast(lam))
+      .select(col("i").cast(LongType).as("dim"), col("v").as("v_x1000"),
+        col("lambda_x1000"))
+      .orderBy("dim")
   }
 }

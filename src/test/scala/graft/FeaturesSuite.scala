@@ -26,6 +26,42 @@ class FeaturesSuite extends SparkSuite {
     out.unpersist()
   }
 
+  test("embed_pca: L-inf fixed point, shared positive Rayleigh quotient, 64 dims") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_embed_pca")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 64 && out.map(_._1).toSeq == (0L until 64L))
+    val vL: Array[Long] = out.map(_._2)
+    assert(vL.map(math.abs).max == 1000L, "L-inf normalized: some component at ±1000")
+    val lam = out.map(_._3).distinct
+    assert(lam.length == 1 && lam.head > 0, "one shared positive Rayleigh quotient")
+  }
+
+  test("pcaTop kernel: recovers a planted dominant direction (|cos| > 0.999)") {
+    import graft.ops.Features
+    import spark.implicits._
+    // planted model: q_k = s_k · 3d + small deterministic noise, with a
+    // fixed 16-dim direction d — the eigengap is wide, so 8 integer
+    // rounds MUST align (the fixture embeddings are near-isotropic,
+    // which is why alignment is pinned here and not there)
+    val dims = 16
+    val dir = Array.tabulate(dims)(i => (i % 7 - 3).toLong)
+    val rows = (0 until 200).map { k =>
+      val s = (k % 5 - 2) * 10L
+      Array.tabulate(dims)(i => s * dir(i) * 3 + ((k * dims + i) % 11 - 5))
+    }
+    val df = rows.map(r => Tuple1(r.toSeq)).toDF("q")
+    val got = Features.pcaTop(df, rounds = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == dims)
+    val v = got.map(_._2.toDouble)
+    val dn = math.sqrt(dir.map(x => (x * x).toDouble).sum)
+    val vn = math.sqrt(v.map(x => x * x).sum)
+    val cos = math.abs((0 until dims).map(i => v(i) * dir(i)).sum / (vn * dn))
+    assert(cos > 0.999, s"planted direction must be recovered (|cos|=$cos)")
+    assert(got.map(_._3).distinct.length == 1 && got.head._3 > 0)
+  }
+
   test("index_inverted: postings are sorted, bounded at 8, and df >= postings length") {
     val out = SparkEntry.queries("q_index_inverted")(spark, sf0001).cache()
     val rows = out.collect()

@@ -282,6 +282,9 @@ class PlanSuite extends SparkSuite {
       // per removed-channel key (≤ |channels|+1 broadcast rows) and
       // crosses in the 1-row baseline scalar
       "q_attribution_markov",
+      // PCA crosses in 1-row scalars (n, the 64-long mean array, the
+      // per-round L-inf norm, the Rayleigh quotient) — broadcast scalars
+      "q_embed_pca",
       // link prediction crosses in the same 1-row mean-weight threshold
       // scalar as q_graph_triangles/q_graph_cc
       "q_graph_jaccard",
