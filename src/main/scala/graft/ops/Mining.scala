@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.Tables
@@ -60,10 +60,51 @@ object Mining {
     "q_text_coverage" -> qTextCoverage,
     "q_text_perplexity" -> qTextPerplexity,
     "q_shard_curriculum" -> qShardCurriculum,
-    "q_dsir_weights" -> qDsirWeights
+    "q_dsir_weights" -> qDsirWeights,
+    "q_text_textrank" -> qTextTextrank
   )
 
+  private def trStepSql(prev: String, out: String): String =
+    s"""$out AS MATERIALIZED (
+         SELECT tn.id, (15 * (1000000000000 // (SELECT nn FROM tcnt)) +
+                 85 * COALESCE(SUM(($prev.r * te.w) // tow.wout), 0)) // 100 AS r
+         FROM tn LEFT JOIN te ON te.dst = tn.id
+         LEFT JOIN $prev ON $prev.id = te.src
+         LEFT JOIN tow ON tow.src = te.src
+         GROUP BY tn.id)"""
+
   val oracle: Map[String, String] = Map(
+    "q_text_textrank" ->
+      s"""WITH tok AS (SELECT string_split(text, ' ') AS ws FROM documents),
+          prs AS (SELECT ws[i] AS w, ws[i + 1] AS nx
+                  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                        FROM tok WHERE len(ws) >= 2)
+                  WHERE ws[i] <> ws[i + 1]),
+          u0 AS (SELECT LEAST(w, nx) AS a, GREATEST(w, nx) AS b, count(*) AS cnt
+                 FROM prs GROUP BY 1, 2),
+          tot AS (SELECT count(*) AS n, SUM(cnt) AS s FROM u0),
+          u AS MATERIALIZED (SELECT a, b, cnt FROM u0, tot WHERE cnt * n > s),
+          vid AS MATERIALIZED (
+            SELECT word, CAST(('0x' || substr(md5(word), 1, 12)) AS BIGINT) AS id
+            FROM (SELECT a AS word FROM u UNION SELECT b FROM u)),
+          te AS MATERIALIZED (
+            SELECT CAST(('0x' || substr(md5(a), 1, 12)) AS BIGINT) AS src,
+                   CAST(('0x' || substr(md5(b), 1, 12)) AS BIGINT) AS dst, cnt AS w
+            FROM u
+            UNION ALL
+            SELECT CAST(('0x' || substr(md5(b), 1, 12)) AS BIGINT),
+                   CAST(('0x' || substr(md5(a), 1, 12)) AS BIGINT), cnt
+            FROM u),
+          tn AS (SELECT id FROM vid),
+          tcnt AS (SELECT count(*) AS nn FROM tn),
+          tow AS (SELECT src, SUM(w) AS wout FROM te GROUP BY 1),
+          tr0 AS (SELECT id, 1000000000000 // (SELECT nn FROM tcnt) AS r FROM tn),
+          ${trStepSql("tr0", "tr1")},
+          ${trStepSql("tr1", "tr2")},
+          ${trStepSql("tr2", "tr3")}
+          SELECT word, CAST(r AS BIGINT) AS rank
+          FROM tr3 JOIN vid USING (id)
+          ORDER BY rank DESC, word LIMIT 20""",
     "q_dsir_weights" ->
       """WITH ws AS (SELECT doc_id, lang,
                   list_filter(string_split(text, ' '), x -> x <> '') AS w
@@ -985,5 +1026,53 @@ object Mining {
         max(col("ppl")).cast(LongType).as("max_ppl"),
         sum(col("n_trans")).cast(LongType).as("sum_trans"))
       .orderBy("shard")
+  }
+
+  /** TEXTRANK keyword extraction (Mihalcea & Tarau 2004): top-20 corpus
+    * keywords by PageRank over the word CO-OCCURRENCE backbone —
+    * adjacent-token pairs, undirected, thresholded at the scale-
+    * invariant mean weight (the Graph-family backbone convention). The
+    * ranking REUSES [[Graph.pagerank]] verbatim — the same int64
+    * fixed-point Pregel kernel that ranks the trade graph ranks the
+    * vocabulary graph, which is the point: one oracle-exact iterative
+    * kernel, two declared workloads. Words enter the kernel as
+    * md5-derived 48-bit ids (the q_feat_hash convention, identical in
+    * both engines) and ranks join back to the word table for the
+    * report.
+    *
+    * Scale (100 TB): pair generation is a NARROW array-adjacency
+    * explode (no window, no shuffle of the corpus order) feeding one
+    * map-combinable (a, b) count; everything after is vocabulary-sized.
+    * Each of the 3 PageRank supersteps is one exchange. */
+  private def qTextTextrank(s: SparkSession, d: String): DataFrame = {
+    def hid(c: Column): Column =
+      conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
+    val prs = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """transform(slice(ws, 1, size(ws) - 1),
+             (x, i) -> named_struct('w', x, 'nx', element_at(ws, i + 2)))""")).as("p"))
+      .select(col("p.w").as("w"), col("p.nx").as("nx"))
+      .filter(col("w") =!= col("nx"))
+    val u0 = prs.groupBy(least(col("w"), col("nx")).as("a"),
+        greatest(col("w"), col("nx")).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = u0.agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"))
+    val u = u0.crossJoin(broadcast(tot))
+      .filter(col("cnt") * col("n") > col("s"))
+      .select(col("a"), col("b"), col("cnt")).localCheckpoint()
+    val vid = u.select(col("a").as("word")).union(u.select(col("b").as("word")))
+      .distinct()
+      .select(col("word"), hid(col("word")).as("id")).localCheckpoint()
+    val edges = u.select(hid(col("a")).as("src"), hid(col("b")).as("dst"),
+        col("cnt").as("w"))
+      .unionAll(u.select(hid(col("b")).as("src"), hid(col("a")).as("dst"),
+        col("cnt").as("w")))
+    Graph.pagerank(vid.select(col("id")), edges, 3)
+      .join(vid, "id")
+      .orderBy(col("r").desc, col("word"))
+      .limit(20)
+      .select(col("word"), col("r").as("rank"))
   }
 }

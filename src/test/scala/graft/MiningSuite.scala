@@ -6,6 +6,20 @@ import org.apache.spark.sql.types.LongType
 /** Invariants for the corpus-mining tier (ops/Mining). */
 class MiningSuite extends SparkSuite {
 
+  test("textrank: 20 corpus words ranked descending with positive fixed-point mass") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_text_textrank")(spark, sf0001)
+      .as[(String, Long)].collect().toSeq
+    assert(out.size == 20)
+    assert(out.map(_._2) == out.map(_._2).sorted.reverse, "ranks descend")
+    assert(out.forall(_._2 > 0), "every keyword carries positive rank mass")
+    // every keyword is a real corpus token (adjacency came from the text)
+    val vocab = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct().as[String].collect().toSet
+    assert(out.forall(r => vocab.contains(r._1)))
+  }
+
   test("dedup_span: fractions bounded, near-dup docs carry high span overlap") {
     val out = SparkEntry.queries("q_dedup_span")(spark, sf0001).cache()
     assert(out.filter(col("n_dup") > col("n_grams")).count() == 0)

@@ -285,6 +285,9 @@ class PlanSuite extends SparkSuite {
       // PCA crosses in 1-row scalars (n, the 64-long mean array, the
       // per-round L-inf norm, the Rayleigh quotient) — broadcast scalars
       "q_embed_pca",
+      // textrank reuses the pagerank kernel's 1-row vertex-count scalar
+      // plus the mean-weight backbone threshold
+      "q_text_textrank",
       // link prediction crosses in the same 1-row mean-weight threshold
       // scalar as q_graph_triangles/q_graph_cc
       "q_graph_jaccard",
