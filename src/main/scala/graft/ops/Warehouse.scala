@@ -48,10 +48,36 @@ object Warehouse {
     "q_profile" -> qProfile,
     "q_rfm" -> qRfm,
     "q_score_decay" -> qScoreDecay,
-    "q_twap" -> qTwap
+    "q_twap" -> qTwap,
+    "q_ts_ewma" -> qTsEwma
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_ewma" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         idx AS (SELECT event_type, day, cents,
+                        row_number() OVER (PARTITION BY event_type
+                                           ORDER BY day) AS rn
+                 FROM daily),
+         r AS (
+           SELECT event_type, rn, cents AS y, CAST(0 AS BIGINT) AS spikes
+           FROM idx WHERE rn = 1
+           UNION ALL
+           SELECT i.event_type, i.rn, (r.y + i.cents) // 2,
+                  r.spikes + CASE WHEN i.cents > 2 * r.y THEN 1 ELSE 0 END
+           FROM r JOIN idx i
+             ON i.event_type = r.event_type AND i.rn = r.rn + 1),
+         fin AS (SELECT event_type, MAX(rn) AS n_days,
+                        CAST(SUM(cents) AS BIGINT) AS sum_cents
+                 FROM idx GROUP BY 1)
+         SELECT f.event_type, CAST(f.n_days AS BIGINT) AS n_days, f.sum_cents,
+                CAST(r.y AS BIGINT) AS ewma_cents,
+                CAST(r.spikes AS BIGINT) AS n_spikes
+         FROM fin f JOIN r ON r.event_type = f.event_type AND r.rn = f.n_days
+         ORDER BY f.event_type""",
     "q_score_decay" ->
       """WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS m FROM events),
          ev AS (SELECT user_id,
@@ -1173,6 +1199,44 @@ object Warehouse {
       .orderBy(col("score").desc, col("user_id"))
       .limit(25)
       .select(col("user_id"), col("n_events"), col("score"))
+  }
+
+  /** EXPONENTIAL MOVING AVERAGE over the per-type daily revenue series —
+    * the sequential recurrence (`y_t = (y_{t−1} + x_t) DIV 2`, α = ½ in
+    * integer halving so the whole chain is exact) that no window frame
+    * can express, computed as a BOUNDED per-key FOLD: each type's
+    * day-grain series collects into one sorted array (time-bounded by
+    * construction — a day grain over any retention window is thousands
+    * of elements, never corpus-sized) and `aggregate()` folds it in one
+    * codegen'd pass, carrying (ewma, spike-count) in a struct
+    * accumulator. Spikes are days where revenue more than doubles the
+    * running EWMA — the monitoring signal this series exists for. The
+    * oracle replays the identical recurrence with a recursive CTE over
+    * the day index, so the hash certifies every step of the fold, not
+    * just the endpoint shape.
+    *
+    * Scale (100 TB): the heavy stage is the (type, day) daily aggregate
+    * — map-side combinable over the raw events, the only corpus-sized
+    * work. The fold state is day-count-sized per key; keys (event
+    * types) are few, and a high-cardinality variant shards the same
+    * fold by (key, epoch) with epoch-boundary carry. */
+  private def qTsEwma(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("t")).as("day"))
+      .agg(sum((dec(col("value"), 12, 2) * 100).cast(LongType)).as("cents"))
+    daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("cents")))).as("xs"),
+        count(lit(1)).as("n_days"),
+        sum(col("cents")).cast(LongType).as("sum_cents"))
+      .withColumn("acc", expr(
+        """aggregate(xs, named_struct('y', -1L, 'spikes', 0L), (a, x) ->
+             named_struct(
+               'y', CASE WHEN a.y < 0L THEN x.cents ELSE (a.y + x.cents) DIV 2L END,
+               'spikes', a.spikes +
+                 CASE WHEN a.y >= 0L AND x.cents > 2L * a.y THEN 1L ELSE 0L END))"""))
+      .select(col("event_type"), col("n_days"), col("sum_cents"),
+        col("acc.y").as("ewma_cents"), col("acc.spikes").as("n_spikes"))
+      .orderBy("event_type")
   }
 
   private def qRfm(s: SparkSession, d: String): DataFrame = {

@@ -173,6 +173,42 @@ object StreamOps {
         })
   }
 
+  case class DayRev(event_type: String, day: java.sql.Date, cents: Long)
+  case class EwmaState(lastDayMs: Long, y: Long, spikes: Long,
+    nDays: Long, sumCents: Long)
+  case class EwmaOut(event_type: String, n_days: Long, sum_cents: Long,
+    ewma_cents: Long, n_spikes: Long)
+
+  /** Streaming twin of the q_ts_ewma recurrence: per-type EWMA (α = ½
+    * integer halving) rolled forward in keyed state — the daily-job
+    * shape where each micro-batch delivers finished day-grain rows in
+    * day order (the batch fold's contract made incremental). Within a
+    * batch the group's rows SORT BY DAY before folding (iterator order
+    * after the shuffle is not guaranteed); cross-batch order is the
+    * producer's contract and is ASSERTED, not assumed — a violated
+    * roll-forward would silently corrupt every later EWMA value.
+    * State per key is five longs; emits the updated summary per key per
+    * batch (OutputMode.Update), so the LAST row per key equals the
+    * batch fold — equivalence-tested. */
+  def ewmaStreaming(daily: Dataset[DayRev]): Dataset[EwmaOut] = {
+    import daily.sparkSession.implicits._
+    daily.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (et: String, rows: Iterator[DayRev], state: GroupState[EwmaState]) => {
+          var st = state.getOption.getOrElse(
+            EwmaState(Long.MinValue, -1L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(_.day.getTime).foreach { r =>
+            require(r.day.getTime > st.lastDayMs,
+              s"day-grain rows for $et must roll forward in day order")
+            val y2 = if (st.y < 0) r.cents else (st.y + r.cents) / 2
+            val sp = st.spikes + (if (st.y >= 0 && r.cents > 2 * st.y) 1L else 0L)
+            st = EwmaState(r.day.getTime, y2, sp, st.nDays + 1, st.sumCents + r.cents)
+          }
+          state.update(st)
+          Iterator(EwmaOut(et, st.nDays, st.sumCents, st.y, st.spikes))
+        })
+  }
+
   /** Per-(user, day) RATE LIMITING / quota enforcement — the keyed-state
     * throttle every event-ingestion tier runs (billing caps, abuse
     * control, notification dedup): only the first `cap` events of a key

@@ -69,6 +69,34 @@ class StreamBatchEquivSuite extends SparkSuite {
     assert(got == want)
   }
 
+  test("streaming EWMA roll-forward: last update per type == batch fold (q_ts_ewma)") {
+    import graft.streaming.StreamOps.DayRev
+    // finished day-grain rows, replayed in day order (the daily-job
+    // contract the op asserts)
+    val daily = batchEvents.filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("t")).as("day"))
+      .agg(sum((col("value").cast("decimal(12,2)") * 100).cast("long")).as("cents"))
+      .orderBy("day", "event_type")
+      .as[DayRev].collect().toSeq
+    val ms = MemoryStream(Encoders.product[DayRev], spark.sqlContext)
+    val q = StreamOps.ewmaStreaming(ms.toDS())
+      .writeStream.format("memory").queryName("ewma_s").outputMode("update").start()
+    try {
+      val n = daily.size
+      Seq(daily.slice(0, n / 3), daily.slice(n / 3, (2 * n) / 3), daily.slice((2 * n) / 3, n))
+        .foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    // last emitted update per key is the final state
+    val got = spark.table("ewma_s")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+          .orderBy(col("n_days").desc)))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("event_type")
+    val want = SparkEntry.queries("q_ts_ewma")(spark, sf0001)
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
   test("flatMapGroupsWithState running purchase totals: final state == batch aggregate") {
     val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
     val typed = ms.toDS().map(e => StreamOps.EvRow(
