@@ -69,6 +69,7 @@ object Quality {
     "q_mv_updates" -> qMvUpdates,
     "q_mv_join" -> qMvJoin,
     "q_table_restore" -> qTableRestore,
+    "q_table_stats_agg" -> qTableStatsAgg,
     "q_table_evolve" -> qTableEvolve,
     "q_warehouse_layers" -> qWarehouseLayers,
     "q_quality_gopher" -> qQualityGopher
@@ -182,6 +183,17 @@ object Quality {
          SELECT user_id % 8 AS grp, CAST(sum(cents) AS BIGINT) AS sum_cents,
                 count(*) AS n_rows
          FROM fin GROUP BY 1 ORDER BY grp""",
+    "q_table_stats_agg" ->
+      """WITH ec AS (
+           SELECT event_id, user_id,
+                  CAST(COALESCE(CAST(value AS DECIMAL(12,2)), 0) * 100 AS BIGINT) AS cents
+           FROM events)
+         SELECT count(*) AS n_rows,
+                CAST(MIN(user_id) AS BIGINT) AS min_user_id,
+                CAST(MAX(user_id) AS BIGINT) AS max_user_id,
+                MIN(cents) AS min_cents, MAX(cents) AS max_cents
+         FROM ec
+         WHERE event_id % 3 IN (0, 1) AND user_id NOT BETWEEN 2 AND 3""",
     "q_table_restore" ->
       """WITH ec AS (
            SELECT event_id, user_id,
@@ -1447,6 +1459,27 @@ object Quality {
     * the restore commit's changelog census (inserts = exactly the
     * erased users' rows, deletes = exactly the v2 wave) plus the final
     * per-user-group census. */
+  /** METADATA-ONLY AGGREGATE under the oracle — two multi-file appends,
+    * then a GDPR-style erasure (per-file CoW or DV from stats), then
+    * `ManifestTable.statsAggregate` answers count/min/max for two
+    * columns: `n_rows` from sidecar row counts minus distinct live
+    * tombstones, min/max from clean files' sidecar ranges with ONLY the
+    * DV-poisoned files re-read (the metadata-only discipline is pinned
+    * by inputFiles in ManifestTableSuite; this row pins the VALUES). */
+  private def qTableStatsAgg(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val root = s"${graft.Scratch.dir("graft_statsagg")}/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val t = s"$root/t"
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      (coalesce(col("value").cast("decimal(12,2)"), lit(0)) * 100)
+        .cast(LongType).as("cents"))
+    ManifestTable.append(s, t, ev.filter(col("event_id") % 3 === 0).repartition(4))
+    ManifestTable.append(s, t, ev.filter(col("event_id") % 3 === 1).repartition(4))
+    ManifestTable.deleteWhere(s, t, "user_id", 2L, 3L)
+    ManifestTable.statsAggregate(s, t, Seq("user_id", "cents"))
+  }
+
   private def qTableRestore(s: SparkSession, d: String): DataFrame = {
     import graft.sources.ManifestTable
     val root = s"${graft.Scratch.dir("graft_restore")}/${d.replaceAll("[^A-Za-z0-9.]", "_")}"

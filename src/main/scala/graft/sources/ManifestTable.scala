@@ -253,12 +253,26 @@ object ManifestTable {
     * the pruning consumer are identical.) */
   private def harvestStats(file: String): Unit = {
     val stats = footerStats(file)
-    if (stats.nonEmpty) {
-      val lines = stats.toSeq.sortBy(_._1)
-        .map { case (c, (lo, hi)) => s"$c=$lo..$hi" }
-      Files.write(Paths.get(file + ".stats"),
-        lines.mkString("\n").getBytes("UTF-8"))
-    }
+    // the row count rides in the sidecar too (`#rows=N`) so
+    // metadata-only aggregates ([[statsAggregate]]) never re-open
+    // footers; legacy sidecars without it fall back per file
+    val head = s"#rows=${footerRowCount(file)}"
+    val lines = head +: stats.toSeq.sortBy(_._1)
+      .map { case (c, (lo, hi)) => s"$c=$lo..$hi" }
+    Files.write(Paths.get(file + ".stats"),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** A committed data file's row count from its `.stats` sidecar
+    * (`#rows=N` header), falling back to the parquet footer for files
+    * staged before the sidecar carried it. Metadata only either way. */
+  def statsRowCount(file: String): Long = {
+    val sc = Paths.get(file + ".stats")
+    if (Files.exists(sc))
+      Files.readAllLines(sc).asScala
+        .find(_.startsWith("#rows=")).map(_.stripPrefix("#rows=").toLong)
+        .getOrElse(footerRowCount(file))
+    else footerRowCount(file)
   }
 
   /** INT64 column [min, max] ranges from a parquet FOOTER — metadata
@@ -514,6 +528,81 @@ object ManifestTable {
     if (files.isEmpty) base
     else base.filter(base.col(c1) >= lo1 && base.col(c1) <= hi1 &&
       base.col(c2) >= lo2 && base.col(c2) <= hi2)
+  }
+
+  /** METADATA-ONLY AGGREGATE — the lakehouse "answer it from the log"
+    * fast path: COUNT(*) plus per-column MIN/MAX of the latest snapshot
+    * computed from commit-time `.stats` sidecars and deletion-vector
+    * sidecars, opening ZERO data files in the append-only case.
+    * Exactness rules:
+    *  - `n_rows` is ALWAYS exact: Σ sidecar row counts (`#rows=` header,
+    *    footer fallback for legacy files) minus the DISTINCT tombstoned
+    *    positions of surviving files — a position two DVs both recorded
+    *    counts once; DV sidecars are delta-sized parquet and the only
+    *    Spark scan in the common case.
+    *  - `min_<c>` / `max_<c>` come from the sidecar ranges of CLEAN
+    *    files (no DV targets them, stats present for the column). A
+    *    DV'd or stats-less file is POISONED for min/max — its extreme
+    *    row might be tombstoned / unknown — so EXACTLY those files are
+    *    re-read merge-on-read and folded in. At 100 TB an erasure
+    *    poisons a user-sized file set while the lake's min/max still
+    *    answer from metadata; NULLs need no care because parquet stats
+    *    and SQL MIN/MAX both ignore them.
+    * Returns one row: `n_rows`, then `min_<c>`, `max_<c>` per col. */
+  def statsAggregate(spark: SparkSession, table: String,
+      cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit, count, min, max,
+      least, greatest, regexp_replace}
+    val v = latestVersion(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    val files = snapshotFiles(table, v)
+    val dvInfo = snapshotDvInfo(table, v)
+    val dvs = dvInfo.map(_._1)
+    val dvTargets = dvInfo.flatMap(_._2).distinct.filter(files.toSet).toSet
+    val sig = snapshotMeta(table, v).get("schema")
+    val statsBy = files.map(f => f -> statsOf(f)).toMap
+    val poisoned = files.filter(f => dvTargets.contains(f) ||
+      cols.exists(cc => !statsBy(f).contains(cc)))
+    val clean = files.filterNot(poisoned.toSet)
+    val baseCount = files.map(statsRowCount).sum
+    val tomb: DataFrame =
+      if (dvs.isEmpty || dvTargets.isEmpty)
+        spark.range(1).select(lit(0L).as("tomb"))
+      else {
+        val fdf = spark.createDataset(files)(
+          org.apache.spark.sql.Encoders.STRING).toDF("path")
+        // DV sidecars record `_metadata.file_path` (a file: URI); the
+        // manifest records plain paths — normalize the scheme away
+        // before the membership check
+        spark.read.parquet(dvs: _*)
+          .select(regexp_replace(c("path"), "^file:/+", "/").as("path"),
+            c("pos")).distinct()
+          .join(fdf, Seq("path"), "left_semi")
+          .agg(count(lit(1)).cast("long").as("tomb"))
+      }
+    val cleanAgg: Map[String, (Option[Long], Option[Long])] = cols.map { cc =>
+      val rs = clean.flatMap(statsBy(_).get(cc))
+      cc -> (rs.map(_._1).minOption, rs.map(_._2).maxOption)
+    }.toMap
+    val pExprs = cols.flatMap(cc =>
+      Seq(min(c(cc)).as(s"pmin_$cc"), max(c(cc)).as(s"pmax_$cc")))
+    val pAgg: DataFrame =
+      if (poisoned.isEmpty)
+        spark.range(1).select(cols.flatMap(cc => Seq(
+          lit(null).cast("long").as(s"pmin_$cc"),
+          lit(null).cast("long").as(s"pmax_$cc"))): _*)
+      else readFiles(spark, poisoned, dvs, sig)
+        .agg(pExprs.head, pExprs.tail: _*)
+    val outCols = (lit(baseCount) - c("tomb")).as("n_rows") +:
+      cols.flatMap { cc =>
+        val (mn, mx) = cleanAgg(cc)
+        Seq(
+          least(lit(mn.map(Long.box).orNull).cast("long"), c(s"pmin_$cc"))
+            .as(s"min_$cc"),
+          greatest(lit(mx.map(Long.box).orNull).cast("long"), c(s"pmax_$cc"))
+            .as(s"max_$cc"))
+      }
+    tomb.crossJoin(pAgg).select(outCols: _*)
   }
 
   /** Files a 2-D pruned read would open — the [[readPruned2]] planning

@@ -850,4 +850,40 @@ class ManifestTableSuite extends SparkSuite {
     // pruning still works after vacuum
     assert(ManifestTable.readPruned(spark, t, "k", 10L, 19L).count() == 10L)
   }
+
+  test("statsAggregate: metadata-only when clean; only DV-poisoned files re-open; values exact") {
+    val t = freshTable()
+    for (b <- 0 until 6)
+      ManifestTable.append(spark, t, range(b * 100L, b * 100L + 100).coalesce(1))
+    def recompute() = {
+      val r = ManifestTable.read(spark, t)
+        .agg(count(lit(1)), min(col("id")), max(col("id")), min(col("v")), max(col("v")))
+        .as[(Long, Long, Long, Long, Long)].head()
+      Seq(r._1, r._2, r._3, r._4, r._5)
+    }
+    def metaAgg() = ManifestTable.statsAggregate(spark, t, Seq("id", "v"))
+    // append-only: the answer comes from sidecars alone — the plan
+    // touches ZERO files (no DVs, no poisoned reads)
+    val a0 = metaAgg()
+    assert(a0.inputFiles.isEmpty, s"expected metadata-only, read ${a0.inputFiles.toSeq}")
+    assert(a0.as[(Long, Long, Long, Long, Long)].head().productIterator.toSeq == recompute())
+    // a narrow DV erasure poisons exactly the hit file for min/max and
+    // adds the DV sidecar scan for the exact count
+    val vd = ManifestTable.deleteWhere(spark, t, "id", 110, 119)
+    val dvs = ManifestTable.snapshotDvs(t, vd)
+    assert(dvs.nonEmpty, "precondition: the narrow delete must take the DV path")
+    val hit = ManifestTable.snapshotFiles(t, vd).filter(f =>
+      ManifestTable.statsOf(f).get("id").exists { case (lo, hi) => hi >= 110 && lo <= 119 })
+    val a1 = metaAgg()
+    def names(fs: Iterable[String]) = fs.map(_.split('/').last).toSet
+    assert(names(a1.inputFiles).subsetOf(names(hit) ++ names(dvs)),
+      s"only the poisoned file + DV sidecars may open, got ${names(a1.inputFiles)}")
+    assert(a1.as[(Long, Long, Long, Long, Long)].head().productIterator.toSeq == recompute())
+    // the erased extreme is respected: delete the global max, and the
+    // metadata answer must NOT report the tombstoned row's value
+    ManifestTable.deleteWhere(spark, t, "id", 599, 599)
+    val a2 = metaAgg().as[(Long, Long, Long, Long, Long)].head()
+    assert(a2._3 == 598L && a2._5 == 1196L, s"max must step past the erased row, got $a2")
+    assert(a2.productIterator.toSeq == recompute())
+  }
 }

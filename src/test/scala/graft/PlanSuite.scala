@@ -288,6 +288,9 @@ class PlanSuite extends SparkSuite {
       // textrank reuses the pagerank kernel's 1-row vertex-count scalar
       // plus the mean-weight backbone threshold
       "q_text_textrank",
+      // the metadata-only aggregate crosses its two 1-row pieces (the
+      // tombstone count and the poisoned-file min/max) — broadcast scalars
+      "q_table_stats_agg",
       // link prediction crosses in the same 1-row mean-weight threshold
       // scalar as q_graph_triangles/q_graph_cc
       "q_graph_jaccard",
