@@ -113,7 +113,8 @@ object Features {
           lam AS (SELECT SUM(v8.v * cv.cv) AS num, SUM(v8.v * v8.v) AS den
                   FROM cv JOIN v8 ON cv.i = v8.i)
           SELECT CAST(i AS BIGINT) AS dim, v AS v_x1000,
-                 (SELECT CAST(${tdiv("num * 1000", "den", "//")} AS BIGINT)
+                 (SELECT CAST(CASE WHEN den = 0 THEN 0
+                              ELSE ${tdiv("num * 1000", "den", "//")} END AS BIGINT)
                   FROM lam) AS lambda_x1000
           FROM v8 ORDER BY dim""",
     "q_chunk_docs" ->
@@ -424,7 +425,11 @@ object Features {
       .groupBy(col("i")).agg(sum(col("c") * col("v")).as("cv"))
     val lam = cv.join(v8, "i")
       .agg(sum(col("v") * col("cv")).as("num"), sum(col("v") * col("v")).as("den"))
-      .select(expr(s"CAST(${tdiv("num * 1000", "den")} AS BIGINT)").as("lambda_x1000"))
+      // den = 0 iff the covariance degenerated to zero (constant
+      // corpus) — same guard as the per-round mx = 0 case
+      .select(expr(
+        s"CAST(CASE WHEN den = 0 THEN 0 ELSE ${tdiv("num * 1000", "den")} END AS BIGINT)")
+        .as("lambda_x1000"))
     v8.crossJoin(broadcast(lam))
       .select(col("i").cast(LongType).as("dim"), col("v").as("v_x1000"),
         col("lambda_x1000"))

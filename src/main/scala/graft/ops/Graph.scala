@@ -215,7 +215,7 @@ object Graph {
           k$k AS (SELECT $k AS k, adj.v AS node, count(*) AS core_deg
                   FROM adj JOIN k${k}v5 ca ON adj.v = ca.node
                            JOIN k${k}v5 cb ON adj.nb = cb.node
-                  GROUP BY adj.v)"""
+                  GROUP BY adj.v HAVING count(*) >= $k)"""
       s"""WITH e0 AS MATERIALIZED ($edgeSql),
           u0 AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, SUM(w) AS w
                  FROM e0 GROUP BY 1, 2),
@@ -253,6 +253,26 @@ object Graph {
         col("c_nationkey").cast(LongType).as("dst"))
       .agg(count(lit(1)).as("w"))
       .localCheckpoint()
+
+  /** The ABOVE-MEAN-WEIGHT undirected backbone every kernel in this
+    * tier (and TextRank's vocabulary graph) thresholds on, in one
+    * place: symmetrize to a ≤ b, sum weights, keep edges with
+    * w·n·num > s·den — the threshold cross-multiplies against the mean
+    * weight, so it is scale-invariant (no absolute count baked in) and
+    * the graph stays sparse at every sf instead of saturating. The
+    * 1-row (n, s) total broadcasts (the adjudicated scalar cross).
+    *
+    * @param pairs columns `src, dst` (any orderable type), `w: Long`
+    * @return `(a, b, w)` with a ≤ b, above-threshold only */
+  def meanWeightBackbone(pairs: DataFrame, num: Int = 1, den: Int = 1): DataFrame = {
+    val u0 = pairs.groupBy(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .agg(sum(col("w")).as("w"))
+    val tot = u0.agg(count(lit(1)).as("n"), sum(col("w")).as("s"))
+    u0.crossJoin(broadcast(tot))
+      .filter(col("w") * col("n") * num > col("s") * den)
+      .select(col("a"), col("b"), col("w"))
+  }
 
   /** Weighted PageRank kernel, `iterations` Pregel supersteps unrolled
     * into one lazy plan. Each step: ranks join edges on src
@@ -372,13 +392,7 @@ object Graph {
     * the per-vertex aggregate. The threshold cross-multiplies against the
     * mean weight (w·n > Σw) — scale-invariant, no magic constants. */
   private def qGraphTriangles(s: SparkSession, d: String): DataFrame = {
-    val u0 = edges(s, d)
-      .groupBy(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .agg(sum(col("w")).as("w"))
-    val tot = u0.agg(count(lit(1)).as("n"), sum(col("w")).as("s"))
-    val u = u0.crossJoin(broadcast(tot))
-      .filter(col("w") * col("n") > col("s"))
+    val u = meanWeightBackbone(edges(s, d))
       .select("a", "b").localCheckpoint()
     triangleCounts(u)
       .select(col("v").as("nationkey"), col("n_tri"))
@@ -397,13 +411,7 @@ object Graph {
     * no above-threshold edge don't participate (no singleton rows),
     * mirrored by the oracle's edge-derived recursive closure. */
   private def qGraphCc(s: SparkSession, d: String): DataFrame = {
-    val u0 = edges(s, d)
-      .groupBy(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .agg(sum(col("w")).as("w"))
-    val tot = u0.agg(count(lit(1)).as("n"), sum(col("w")).as("s"))
-    val u = u0.crossJoin(broadcast(tot))
-      .filter(col("w") * col("n") > col("s"))
+    val u = meanWeightBackbone(edges(s, d))
       .select(col("a").as("d1"), col("b").as("d2"))
     Dedup.connectedComponents(u)
       .groupBy(col("lbl").as("component"))
@@ -426,17 +434,10 @@ object Graph {
     * count is the fixed contract (not convergence-detected) so the
     * declared result is a pure function of the graph. */
   private def qGraphLabelprop(s: SparkSession, d: String): DataFrame = {
-    val u0 = edges(s, d)
-      .groupBy(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .agg(sum(col("w")).as("w"))
-    val tot = u0.agg(count(lit(1)).as("n"), sum(col("w")).as("s"))
     // 4/3 × mean weight — tighter than the CC/triangle backbone's 1×
     // mean so the graph keeps COMMUNITY structure instead of collapsing
-    // to one dense blob after the first round (still scale-invariant:
-    // cross-multiplied against the mean, no absolute count baked in)
-    val u = u0.crossJoin(broadcast(tot))
-      .filter(col("w") * col("n") * 3 > col("s") * 4)
+    // to one dense blob after the first round
+    val u = meanWeightBackbone(edges(s, d), num = 3, den = 4)
       .select("a", "b").localCheckpoint()
     val adj = u.select(col("a").as("v"), col("b").as("nb"))
       .unionAll(u.select(col("b").as("v"), col("a").as("nb")))
@@ -501,13 +502,7 @@ object Graph {
     * frequency cap / salting applies (documented there), while this
     * declared form is the exact definitional query. */
   private def qGraphJaccard(s: SparkSession, d: String): DataFrame = {
-    val u0 = edges(s, d)
-      .groupBy(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .agg(sum(col("w")).as("w"))
-    val tot = u0.agg(count(lit(1)).as("n"), sum(col("w")).as("s"))
-    val u = u0.crossJoin(broadcast(tot))
-      .filter(col("w") * col("n") > col("s"))
+    val u = meanWeightBackbone(edges(s, d))
       .select("a", "b").localCheckpoint()
     jaccardCandidates(u)
       .orderBy(col("jac_x1e6").desc, col("a"), col("b"))
@@ -580,7 +575,12 @@ object Graph {
       within(vs).filter(col("deg") >= k).select(col("v").as("node"))
         .localCheckpoint()
     }
-    within(core).select(col("v").as("node"), col("deg").as("core_deg"))
+    // the final census RE-APPLIES the degree bound: if `rounds` stopped
+    // short of the peel fixpoint (a long pendant path peels two ends
+    // per round), survivors below k must not report as core members —
+    // the emitted invariant is core_deg >= k unconditionally
+    within(core).filter(col("deg") >= k)
+      .select(col("v").as("node"), col("deg").as("core_deg"))
   }
 
   /** K-core census over the above-average-weight undirected trade
@@ -591,13 +591,7 @@ object Graph {
     * both k values in one result exercises the kernel at two peel
     * depths against a single chained-CTE oracle. */
   private def qGraphKcore(s: SparkSession, d: String): DataFrame = {
-    val u0 = edges(s, d)
-      .groupBy(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .agg(sum(col("w")).as("w"))
-    val tot = u0.agg(count(lit(1)).as("n"), sum(col("w")).as("s"))
-    val u = u0.crossJoin(broadcast(tot))
-      .filter(col("w") * col("n") > col("s"))
+    val u = meanWeightBackbone(edges(s, d))
       .select("a", "b").localCheckpoint()
     val adj = u.select(col("a").as("v"), col("b").as("nb"))
       .unionAll(u.select(col("b").as("v"), col("a").as("nb")))

@@ -89,11 +89,13 @@ object Mining {
             FROM (SELECT a AS word FROM u UNION SELECT b FROM u)),
           te AS MATERIALIZED (
             SELECT CAST(('0x' || substr(md5(a), 1, 12)) AS BIGINT) AS src,
-                   CAST(('0x' || substr(md5(b), 1, 12)) AS BIGINT) AS dst, cnt AS w
+                   CAST(('0x' || substr(md5(b), 1, 12)) AS BIGINT) AS dst,
+                   LEAST(cnt, 1048576) AS w
             FROM u
             UNION ALL
             SELECT CAST(('0x' || substr(md5(b), 1, 12)) AS BIGINT),
-                   CAST(('0x' || substr(md5(a), 1, 12)) AS BIGINT), cnt
+                   CAST(('0x' || substr(md5(a), 1, 12)) AS BIGINT),
+                   LEAST(cnt, 1048576)
             FROM u),
           tn AS (SELECT id FROM vid),
           tcnt AS (SELECT count(*) AS nn FROM tn),
@@ -1055,20 +1057,21 @@ object Mining {
              (x, i) -> named_struct('w', x, 'nx', element_at(ws, i + 2)))""")).as("p"))
       .select(col("p.w").as("w"), col("p.nx").as("nx"))
       .filter(col("w") =!= col("nx"))
-    val u0 = prs.groupBy(least(col("w"), col("nx")).as("a"),
-        greatest(col("w"), col("nx")).as("b"))
-      .agg(count(lit(1)).as("cnt"))
-    val tot = u0.agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"))
-    val u = u0.crossJoin(broadcast(tot))
-      .filter(col("cnt") * col("n") > col("s"))
-      .select(col("a"), col("b"), col("cnt")).localCheckpoint()
+    val u = Graph.meanWeightBackbone(
+        prs.select(col("w").as("src"), col("nx").as("dst"), lit(1L).as("w")))
+      .select(col("a"), col("b"), col("w").as("cnt")).localCheckpoint()
     val vid = u.select(col("a").as("word")).union(u.select(col("b").as("word")))
       .distinct()
       .select(col("word"), hid(col("word")).as("id")).localCheckpoint()
-    val edges = u.select(hid(col("a")).as("src"), hid(col("b")).as("dst"),
-        col("cnt").as("w"))
-      .unionAll(u.select(hid(col("b")).as("src"), hid(col("a")).as("dst"),
-        col("cnt").as("w")))
+    // weight SATURATION at 2^20: the pagerank kernel's per-edge
+    // contribution is r·w with r up to the 10^12 mass, so an uncapped
+    // web-scale stop-word pair count (10^9+) would overflow int64 —
+    // silently in Spark, loudly in DuckDB. Past a million
+    // co-occurrences an edge is saturated evidence anyway; the cap is
+    // part of the declared semantics, mirrored in the oracle.
+    val w = least(col("cnt"), lit(1048576L)).as("w")
+    val edges = u.select(hid(col("a")).as("src"), hid(col("b")).as("dst"), w)
+      .unionAll(u.select(hid(col("b")).as("src"), hid(col("a")).as("dst"), w))
     Graph.pagerank(vid.select(col("id")), edges, 3)
       .join(vid, "id")
       .orderBy(col("r").desc, col("word"))

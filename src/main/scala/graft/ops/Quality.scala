@@ -1439,9 +1439,12 @@ object Quality {
     * id, so replays commit nothing.
     *
     * At 100 TB this is THE reason CDF update images exist: each
-    * maintenance batch's cost is |Δ| ⋈ (key-pruned other side) — the
-    * delta is tiny and shuffles only on the join key, while full view
-    * recomputation would re-join the whole fact table. The declared
+    * maintenance batch's cost is |Δ| ⋈ other-side — the delta is tiny,
+    * shuffles only on the join key, and the planner broadcasts it
+    * against the other side's scan (here the full table; a
+    * key-bucketed layout or a `readPruned` slice over the delta's key
+    * range narrows that scan further at scale). Full view recomputation
+    * would instead re-join fact×dim from scratch per change. The declared
     * result reads the view and folds the signed partials; the oracle
     * recomputes the final join-aggregate from the fixture tables. */
   /** RESTORE lifecycle — roll a table back to a pre-erasure version and

@@ -66,7 +66,9 @@ object Warehouse {
            SELECT event_type, rn, cents AS y, CAST(0 AS BIGINT) AS spikes
            FROM idx WHERE rn = 1
            UNION ALL
-           SELECT i.event_type, i.rn, (r.y + i.cents) // 2,
+           SELECT i.event_type, i.rn,
+                  CASE WHEN (r.y + i.cents) >= 0 THEN (r.y + i.cents) // 2
+                       ELSE -((-(r.y + i.cents)) // 2) END,
                   r.spikes + CASE WHEN i.cents > 2 * r.y THEN 1 ELSE 0 END
            FROM r JOIN idx i
              ON i.event_type = r.event_type AND i.rn = r.rn + 1),
@@ -1228,12 +1230,19 @@ object Warehouse {
       .agg(sort_array(collect_list(struct(col("day"), col("cents")))).as("xs"),
         count(lit(1)).as("n_days"),
         sum(col("cents")).cast(LongType).as("sum_cents"))
+      // explicit init flag (not a sentinel value — a negative first-day
+      // sum is legal with refund rows) and TOWARD-ZERO halving spelled
+      // out so Spark DIV and the oracle's floor `//` cannot diverge on
+      // a negative running sum
       .withColumn("acc", expr(
-        """aggregate(xs, named_struct('y', -1L, 'spikes', 0L), (a, x) ->
+        """aggregate(xs, named_struct('init', 0L, 'y', 0L, 'spikes', 0L), (a, x) ->
              named_struct(
-               'y', CASE WHEN a.y < 0L THEN x.cents ELSE (a.y + x.cents) DIV 2L END,
+               'init', 1L,
+               'y', CASE WHEN a.init = 0L THEN x.cents
+                         WHEN (a.y + x.cents) >= 0L THEN (a.y + x.cents) DIV 2L
+                         ELSE -((-(a.y + x.cents)) DIV 2L) END,
                'spikes', a.spikes +
-                 CASE WHEN a.y >= 0L AND x.cents > 2L * a.y THEN 1L ELSE 0L END))"""))
+                 CASE WHEN a.init = 1L AND x.cents > 2L * a.y THEN 1L ELSE 0L END))"""))
       .select(col("event_type"), col("n_days"), col("sum_cents"),
         col("acc.y").as("ewma_cents"), col("acc.spikes").as("n_spikes"))
       .orderBy("event_type")

@@ -558,7 +558,12 @@ object ManifestTable {
     val files = snapshotFiles(table, v)
     val dvInfo = snapshotDvInfo(table, v)
     val dvs = dvInfo.map(_._1)
-    val dvTargets = dvInfo.flatMap(_._2).distinct.filter(files.toSet).toSet
+    // a legacy DV line with no recorded targets could tombstone ANY
+    // file — poison them all (same conservatism compact() applies)
+    val dvTargets =
+      (dvInfo.filter(_._2.nonEmpty).flatMap(_._2) ++
+        (if (dvInfo.exists(_._2.isEmpty)) files else Seq.empty))
+        .distinct.filter(files.toSet).toSet
     val sig = snapshotMeta(table, v).get("schema")
     val statsBy = files.map(f => f -> statsOf(f)).toMap
     val poisoned = files.filter(f => dvTargets.contains(f) ||
@@ -587,7 +592,8 @@ object ManifestTable {
     val pExprs = cols.flatMap(cc =>
       Seq(min(c(cc)).as(s"pmin_$cc"), max(c(cc)).as(s"pmax_$cc")))
     val pAgg: DataFrame =
-      if (poisoned.isEmpty)
+      if (cols.isEmpty) spark.range(1).toDF("__one") // count-only call
+      else if (poisoned.isEmpty)
         spark.range(1).select(cols.flatMap(cc => Seq(
           lit(null).cast("long").as(s"pmin_$cc"),
           lit(null).cast("long").as(s"pmax_$cc"))): _*)
@@ -1096,69 +1102,47 @@ object ManifestTable {
     val arriving: Option[DataFrame] =
       if (added.isEmpty) None
       else Some(readFiles(spark, added, curDvInfo.map(_._1), sig))
-    // rows newly tombstoned in files that SURVIVE into v: the DV lines
-    // record their targets, so only those files are opened
-    val tombstoned: Option[DataFrame] =
-      if (dvNew.isEmpty) None
-      else {
-        val targets = dvNew.flatMap(_._2).distinct.filter(curFiles.toSet)
-        if (targets.isEmpty) None
-        else {
-          val base = sig.flatMap(sigToSchema) match {
-            case Some(sch) => spark.read.schema(sch).parquet(targets: _*)
-            case None => spark.read.parquet(targets: _*)
-          }
-          val cols = base.columns.toSeq
-          val keyed = base.select(col("*"),
-            col("_metadata.file_path").as("__fp"),
-            col("_metadata.row_index").as("__pos"))
-          val newPairs = spark.read.parquet(dvNew.map(_._1): _*)
-            .select(col("path").as("__fp"), col("pos").as("__pos"))
-          val hit = keyed.join(newPairs, Seq("__fp", "__pos"), "left_semi")
-          // a position an OLDER DV already covered was deleted by an
-          // earlier commit — re-tombstoning is a storage no-op and must
-          // not re-emit the delete
-          val fresh =
-            if (prevDvs.isEmpty) hit
-            else hit.join(
-              spark.read.parquet(prevDvs: _*)
-                .select(col("path").as("__fp"), col("pos").as("__pos")),
-              Seq("__fp", "__pos"), "left_anti")
-          Some(fresh.select(cols.map(col): _*))
-        }
+    // rows whose positions a DV set newly covers (tombstoned) or stops
+    // covering (resurrected — a [[restore]] to a pre-erasure version is
+    // the producer) in files that SURVIVE into v. One shape, two
+    // directions: read the DV set's recorded target files, key the scan
+    // by its own `_metadata` (path, pos), semi-join the set's positions,
+    // then anti-join the positions the CANCELLING side still covers (an
+    // older DV for tombstoning — re-tombstoning is a storage no-op; a
+    // surviving DV for resurrection — still-covered rows stay dead).
+    // Legacy DV lines with NO recorded targets fall back to scanning
+    // every surviving file — the same conservative treatment compact()
+    // gives them; the position semi-join keeps the result exact.
+    def dvDelta(dvSet: Seq[(String, Seq[String])],
+        cancel: Seq[String]): Option[DataFrame] = {
+      if (dvSet.isEmpty) return None
+      val recorded = dvSet.filter(_._2.nonEmpty).flatMap(_._2)
+      val targets =
+        (recorded ++ (if (dvSet.exists(_._2.isEmpty)) curFiles else Seq.empty))
+          .distinct.filter(curFiles.toSet)
+      if (targets.isEmpty) return None
+      val base = sig.flatMap(sigToSchema) match {
+        case Some(sch) => spark.read.schema(sch).parquet(targets: _*)
+        case None => spark.read.parquet(targets: _*)
       }
-    // rows RESURRECTED by this commit dropping a deletion vector while
-    // the tombstoned file survives (a [[restore]] to a pre-erasure
-    // version is the producer): the mirror image of `tombstoned` —
-    // positions the dropped DV covered, minus positions a surviving DV
-    // still covers, read only from the dropped DV's recorded targets
+      val cols = base.columns.toSeq
+      val keyed = base.select(col("*"),
+        col("_metadata.file_path").as("__fp"),
+        col("_metadata.row_index").as("__pos"))
+      val setPairs = spark.read.parquet(dvSet.map(_._1): _*)
+        .select(col("path").as("__fp"), col("pos").as("__pos"))
+      val hit = keyed.join(setPairs, Seq("__fp", "__pos"), "left_semi")
+      val fresh =
+        if (cancel.isEmpty) hit
+        else hit.join(
+          spark.read.parquet(cancel: _*)
+            .select(col("path").as("__fp"), col("pos").as("__pos")),
+          Seq("__fp", "__pos"), "left_anti")
+      Some(fresh.select(cols.map(col): _*))
+    }
+    val tombstoned: Option[DataFrame] = dvDelta(dvNew, prevDvs)
     val dvGone = prevDvInfo.filterNot(d => curDvs.contains(d._1))
-    val resurrected: Option[DataFrame] =
-      if (dvGone.isEmpty) None
-      else {
-        val targets = dvGone.flatMap(_._2).distinct.filter(curFiles.toSet)
-        if (targets.isEmpty) None
-        else {
-          val base = sig.flatMap(sigToSchema) match {
-            case Some(sch) => spark.read.schema(sch).parquet(targets: _*)
-            case None => spark.read.parquet(targets: _*)
-          }
-          val cols = base.columns.toSeq
-          val keyed = base.select(col("*"),
-            col("_metadata.file_path").as("__fp"),
-            col("_metadata.row_index").as("__pos"))
-          val gonePairs = spark.read.parquet(dvGone.map(_._1): _*)
-            .select(col("path").as("__fp"), col("pos").as("__pos"))
-          val hit = keyed.join(gonePairs, Seq("__fp", "__pos"), "left_semi")
-          val fresh =
-            if (curDvs.isEmpty) hit
-            else hit.join(
-              spark.read.parquet(curDvs: _*)
-                .select(col("path").as("__fp"), col("pos").as("__pos")),
-              Seq("__fp", "__pos"), "left_anti")
-          Some(fresh.select(cols.map(col): _*))
-        }
-      }
+    val resurrected: Option[DataFrame] = dvDelta(dvGone, curDvs)
     val arrivingAll: Option[DataFrame] = (arriving, resurrected) match {
       case (Some(a), Some(b)) => Some(a union b)
       case (a, b) => a.orElse(b)

@@ -174,7 +174,7 @@ object StreamOps {
   }
 
   case class DayRev(event_type: String, day: java.sql.Date, cents: Long)
-  case class EwmaState(lastDayMs: Long, y: Long, spikes: Long,
+  case class EwmaState(init: Boolean, lastDayMs: Long, y: Long, spikes: Long,
     nDays: Long, sumCents: Long)
   case class EwmaOut(event_type: String, n_days: Long, sum_cents: Long,
     ewma_cents: Long, n_spikes: Long)
@@ -196,13 +196,16 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (et: String, rows: Iterator[DayRev], state: GroupState[EwmaState]) => {
           var st = state.getOption.getOrElse(
-            EwmaState(Long.MinValue, -1L, 0L, 0L, 0L))
+            EwmaState(init = false, Long.MinValue, 0L, 0L, 0L, 0L))
           rows.toSeq.sortBy(_.day.getTime).foreach { r =>
             require(r.day.getTime > st.lastDayMs,
               s"day-grain rows for $et must roll forward in day order")
-            val y2 = if (st.y < 0) r.cents else (st.y + r.cents) / 2
-            val sp = st.spikes + (if (st.y >= 0 && r.cents > 2 * st.y) 1L else 0L)
-            st = EwmaState(r.day.getTime, y2, sp, st.nDays + 1, st.sumCents + r.cents)
+            // JVM Long division truncates toward zero — already the
+            // batch fold's pinned convention, negative sums included
+            val y2 = if (!st.init) r.cents else (st.y + r.cents) / 2
+            val sp = st.spikes + (if (st.init && r.cents > 2 * st.y) 1L else 0L)
+            st = EwmaState(init = true, r.day.getTime, y2, sp,
+              st.nDays + 1, st.sumCents + r.cents)
           }
           state.update(st)
           Iterator(EwmaOut(et, st.nDays, st.sumCents, st.y, st.spikes))
