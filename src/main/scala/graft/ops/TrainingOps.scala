@@ -38,8 +38,15 @@ object TrainingOps {
     "q_mix_temperature" -> qMixTemperature,
     "q_fold_assign" -> qFoldAssign,
     "q_bpe_fertility" -> qBpeFertility,
-    "q_mix_epochs" -> qMixEpochs
+    "q_mix_epochs" -> qMixEpochs,
+    "q_train_perceptron" -> qTrainPerceptron
   )
+
+  /** Truncate-toward-zero division text (see Features.tdiv — Spark `DIV`
+    * truncates, DuckDB `//` floors; they differ on negative numerators,
+    * and a perceptron's mean gradient goes negative). `b` must be > 0. */
+  private def tdivT(a: String, b: String, op: String): String =
+    s"(CASE WHEN ($a) >= 0 THEN ($a) $op ($b) ELSE -((-($a)) $op ($b)) END)"
 
   /** Shared DuckDB prelude replaying the ITERATIVE learner + fold apply
     * of [[bpeMerges]]/[[bpeNtok]]: a recursive CTE re-learns the 32
@@ -76,7 +83,38 @@ object TrainingOps {
                   chr(3)||chr(2))) AS BIGINT) AS ntok
          FROM documents, ml)"""
 
+  private def perceptronStepSql(k: Int): String = {
+    val dot = (0 to 5).map(j => s"pw.w$j * f.x$j").mkString(" + ")
+    val gs = (0 to 5).map(j => s"COALESCE(SUM(f.y * f.x$j), 0) AS g$j").mkString(", ")
+    val ws = (0 to 5).map(j =>
+      s"pw.w$j + ${tdivT(s"a.g$j", "GREATEST(1, a.n)", "//")} AS w$j").mkString(", ")
+    s"""pa$k AS MATERIALIZED (SELECT count(*) AS n, $gs
+             FROM feats f, pw${k - 1} pw WHERE f.y * ($dot) <= 0),
+        pw$k AS MATERIALIZED (SELECT $ws FROM pw${k - 1} pw, pa$k a)"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_train_perceptron" ->
+      s"""WITH feats AS MATERIALIZED (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+                   CAST(1 AS BIGINT) AS x0,
+                   CAST(LEAST(len(string_split(text, ' ')), 1024) AS BIGINT) AS x1,
+                   CAST(LEAST(length(text) // 8, 1024) AS BIGINT) AS x2,
+                   CAST(LEAST(len(list_distinct(string_split(text, ' '))), 1024) AS BIGINT) AS x3,
+                   CAST(LEAST(length(text) - length(replace(text, 'e', '')), 1024) AS BIGINT) AS x4,
+                   CAST(LEAST(length(text) - length(replace(text, ' ', '')), 1024) AS BIGINT) AS x5
+            FROM documents),
+          pw0 AS (SELECT ${(0 to 5).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")}),
+          ${(1 to 8).map(perceptronStepSql).mkString(",\n")}
+          SELECT kind, idx, val FROM (
+            ${(1 to 8).map(k =>
+              s"SELECT 'err' AS kind, CAST($k AS BIGINT) AS idx, CAST(n AS BIGINT) AS val FROM pa$k")
+              .mkString("\nUNION ALL ")}
+            UNION ALL
+            ${(0 to 5).map(j =>
+              s"SELECT 'w', CAST($j AS BIGINT), CAST(w$j AS BIGINT) FROM pw8")
+              .mkString("\nUNION ALL ")})
+          ORDER BY kind, idx""",
     "q_mix_epochs" ->
       s"""WITH RECURSIVE $bpeLearnSql,
          dt AS (SELECT doc_id, source, ntok FROM tokenized),
@@ -863,4 +901,59 @@ object TrainingOps {
         sum(col("ntok")).as("n_tokens"),
         sum(col("n_chars")).as("sum_chars"))
       .orderBy("fold", "lang")
+
+  /** IN-ENGINE CLASSIFIER TRAINING — a mean-update batch perceptron
+    * learning an English-vs-rest linear separator from six integer
+    * surface features (bias, capped token/char/distinct-token/letter-e/
+    * space counts), 8 synchronous rounds unrolled. Each round is one
+    * corpus pass: broadcast the 1-row weight vector, filter to the
+    * misclassified margin (y·w·x ≤ 0, ties update — deterministic), and
+    * take ONE map-side-combinable aggregate of the per-feature gradient
+    * sums; the update is the MEAN misclassified gradient (toward-zero
+    * division, the [[tdivT]] cross-engine pin), which bounds every
+    * weight by 8·1024 so no fixture or corpus size can overflow the
+    * margin arithmetic. Entirely integer — no sigmoid, no floats — so
+    * the DuckDB oracle replays all 8 rounds exactly and the declared
+    * row hash certifies the whole training trajectory (per-round
+    * misclassification counts) plus the final weights.
+    *
+    * Scale (100 TB): this is textbook distributed full-batch descent —
+    * per round, the corpus shuffles NOTHING (the weight vector
+    * broadcasts; the gradient aggregate combines map-side to 7 longs
+    * per partition). The learned weights are the in-engine quality/
+    * language filter the curation tier then applies as one narrow
+    * projection. */
+  private def qTrainPerceptron(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.documents(s, d).select(
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+      lit(1L).as("x0"),
+      expr("CAST(LEAST(size(split(text, ' ')), 1024) AS BIGINT)").as("x1"),
+      expr("CAST(LEAST(length(text) DIV 8, 1024) AS BIGINT)").as("x2"),
+      expr("CAST(LEAST(size(array_distinct(split(text, ' '))), 1024) AS BIGINT)").as("x3"),
+      expr("CAST(LEAST(length(text) - length(replace(text, 'e', '')), 1024) AS BIGINT)").as("x4"),
+      expr("CAST(LEAST(length(text) - length(replace(text, ' ', '')), 1024) AS BIGINT)").as("x5"))
+      .localCheckpoint()
+    val dot = (0 to 5).map(j => s"w$j * x$j").mkString(" + ")
+    val w0 = s.range(1).select((0 to 5).map(j => lit(0L).as(s"w$j")): _*)
+      .localCheckpoint()
+    val (wf, errs) = (1 to 8).foldLeft((w0, Seq.empty[DataFrame])) {
+      case ((w, es), r) =>
+        val mis = f.crossJoin(broadcast(w)).filter(expr(s"y * ($dot) <= 0"))
+        val aggCols = count(lit(1)).as("n") +:
+          (0 to 5).map(j => coalesce(sum(expr(s"y * x$j")), lit(0L)).as(s"g$j"))
+        val a = mis.agg(aggCols.head, aggCols.tail: _*).localCheckpoint()
+        val nw = w.crossJoin(broadcast(a)).select(
+          (0 to 5).map(j =>
+            expr(s"w$j + ${tdivT(s"g$j", "GREATEST(1L, n)", "DIV")}").as(s"w$j")): _*)
+          .localCheckpoint()
+        (nw, es :+ a.select(lit("err").as("kind"), lit(r.toLong).as("idx"),
+          col("n").cast(LongType).as("val")))
+    }
+    val wRows = wf.select(explode(expr(
+      "array(" + (0 to 5).map(j =>
+        s"named_struct('idx', CAST($j AS BIGINT), 'val', w$j)").mkString(", ") + ")"))
+      .as("p"))
+      .select(lit("w").as("kind"), col("p.idx").as("idx"), col("p.val").as("val"))
+    (errs.reduce(_ unionAll _) unionAll wRows).orderBy("kind", "idx")
+  }
 }

@@ -291,6 +291,9 @@ class PlanSuite extends SparkSuite {
       // the metadata-only aggregate crosses its two 1-row pieces (the
       // tombstone count and the poisoned-file min/max) — broadcast scalars
       "q_table_stats_agg",
+      // perceptron rounds broadcast the 1-row weight vector and the
+      // 1-row gradient aggregate — broadcast scalars per round
+      "q_train_perceptron",
       // link prediction crosses in the same 1-row mean-weight threshold
       // scalar as q_graph_triangles/q_graph_cc
       "q_graph_jaccard",

@@ -6,6 +6,21 @@ import org.apache.spark.sql.functions._
 class TrainingOpsSuite extends SparkSuite {
   import spark.implicits._
 
+  test("perceptron: round 1 starts at all-misclassified, training reduces it, weights bounded") {
+    val out = SparkEntry.queries("q_train_perceptron")(spark, sf0001)
+      .as[(String, Long, Long)].collect().toSeq
+    val errs = out.filter(_._1 == "err").sortBy(_._2).map(_._3)
+    val ws = out.filter(_._1 == "w").map(_._3)
+    assert(errs.size == 8 && ws.size == 6)
+    val n = Tables.documents(spark, sf0001).count()
+    // zero weights give margin 0 for every doc, and ties update
+    assert(errs.head == n, "round 1 must see every doc misclassified")
+    assert(errs.forall(e => e >= 0 && e <= n))
+    assert(errs.last < errs.head, "training must beat the zero-weight start")
+    // the mean update bounds each round's step by the 1024 feature cap
+    assert(ws.forall(w => math.abs(w) <= 8 * 1024))
+  }
+
   test("pack_sequences: bins partition every doc exactly once and respect the budget shape") {
     val out = SparkEntry.queries("q_pack_sequences")(spark, sf0001).cache()
     val nDocs = Tables.documents(spark, sf0001).count()
