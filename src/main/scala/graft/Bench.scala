@@ -16,44 +16,82 @@ object Bench {
     }
   }
 
-  /** Min-of-k steady-state estimate over `once` samples: two samples
-    * normally, a third when the first two disagree by >2× (one
-    * plausibly hit a host stall) OR when even the smaller sample
-    * exceeds 2 s — a slow query's recorded number carries the most
-    * weight in the bench total, and this VM's documented transient
-    * stalls can inflate BOTH of two samples (r6: driver recorded wav
-    * at 4.35 s vs 1.42 s steady-state), so the expensive lines earn an
-    * extra pass to make the per-query figures steady-state, not just
-    * the total.
+  /** Per-query escalation decision after each completed PASS: does the
+    * query need another sample in the next full pass? Mirrors the r9
+    * min-of-k thresholds, now applied between passes:
+    *  - fewer than 2 samples → always (everyone gets two passes);
+    *  - after 2: another pass when the samples disagree by >2× above
+    *    0.5 s (one plausibly hit a host stall), when even the min
+    *    exceeds 2 s (a slow query's figure carries the most weight in
+    *    the total, and this VM's documented stalls can inflate both
+    *    samples), or when the min still exceeds 3× the COMMITTED
+    *    steady-state reference `ref` (bench_detail.json from the
+    *    builder's best run at the same sf; 0.3 s floor so sub-noise
+    *    timings never escalate);
+    *  - after 3: only the reference rule escalates to the fourth;
+    *  - four samples is the cap — a genuine regression must surface,
+    *    not be resampled into oblivion. */
+  def wantsAnotherPass(samples: Seq[Double], ref: Option[Double]): Boolean = {
+    val k = samples.size
+    if (k == 0) return true
+    val m = samples.min
+    def stallVsRef = ref.exists(r => m > 3.0 * r && m > 0.3)
+    if (k < 2) true
+    else if (k == 2)
+      (samples.max > 2.0 * m && samples.max > 0.5) || m > 2.0 || stallVsRef
+    else if (k == 3) stallVsRef
+    else false
+  }
+
+  /** PASS-MIN steady-state sampling: up to `maxPasses` FULL passes over
+    * the still-active query set, the recorded figure being each query's
+    * min ACROSS passes. The pass structure is the point — r9 sampled
+    * each query k back-to-back times, so a host-stall window that
+    * outlasted all k consecutive samples inflated that query's recorded
+    * min unrecoverably (the r9 driver recorded 240.6 s for a surface
+    * three independent runs bound at ~132-175 s, with single queries
+    * 3-46× their steady state). Separating a query's samples by an
+    * entire pass (~a minute of other queries' work) decorrelates them
+    * from any one stall window: for a stall to survive pass-min it
+    * would have to recur at the same query's slot in EVERY pass.
+    * Escalation ([[wantsAnotherPass]]) keeps later passes small — only
+    * still-suspicious queries re-run, so wall-clock stays ~2 full
+    * passes plus a stall-sized tail.
     *
-    * `ref` is the query's COMMITTED steady-state reference (the repo's
-    * checked-in bench_detail.json from the builder's own best run at
-    * the same sf): whenever the running minimum still exceeds 3× that
-    * reference, the sampler escalates — a third, then a fourth pass —
-    * because both early samples plausibly landed in one of this VM's
-    * multi-second stall windows (r8: five untouched queries recorded
-    * 3-10× their independently re-timed steady state). Four samples is
-    * the cap: a genuine regression must still surface, not be resampled
-    * into oblivion. ANY thrown sample fails the query — a stall can
-    * inflate a timing but an exception means the query is broken, and
-    * min-of-k must never average over brokenness. */
-  def minOfK(once: () => Either[String, Double],
-      ref: Option[Double] = None): Either[String, Double] = {
-    def stallVsRef(m: Double): Boolean =
-      ref.exists(r => m > 3.0 * r && m > 0.3)
-    once().flatMap { s1 =>
-      once().flatMap { s2 =>
-        val m2 = math.min(s1, s2)
-        val disagree = math.max(s1, s2) > 2.0 * m2 && math.max(s1, s2) > 0.5
-        if (disagree || m2 > 2.0 || stallVsRef(m2))
-          once().flatMap { s3 =>
-            val m3 = math.min(m2, s3)
-            if (stallVsRef(m3)) once().map(s4 => math.min(m3, s4))
-            else Right(m3)
-          }
-        else Right(m2)
+    * ANY thrown sample fails the query immediately (it drops from later
+    * passes and reports the error): a stall can inflate a timing but an
+    * exception means the query is broken, and pass-min must never
+    * average over brokenness. */
+  def passMin(names: Seq[String],
+      runOne: String => Either[String, Double],
+      refs: Map[String, Double] = Map.empty,
+      maxPasses: Int = 4,
+      onSample: (Int, String, Either[String, Double]) => Unit = (_, _, _) => ())
+      : Map[String, Either[String, Double]] = {
+    require(maxPasses >= 1, "need at least one pass")
+    val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val samp = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    var active = names
+    var pass = 0
+    while (active.nonEmpty && pass < maxPasses) {
+      pass += 1
+      active.foreach { n =>
+        val r = runOne(n)
+        onSample(pass, n, r)
+        r match {
+          case Left(e) => errs(n) = e
+          case Right(s) => samp(n) = samp.getOrElse(n, Nil) :+ s
+        }
       }
+      active = active.filterNot(errs.contains)
+        .filter(n => wantsAnotherPass(samp(n), refs.get(n)))
     }
+    names.map { n =>
+      n -> (errs.get(n) match {
+        case Some(e) => Left(e)
+        case None => Right(samp(n).min)
+      })
+    }.toMap
   }
 
   /** Per-query reference timings from the committed bench_detail.json,
@@ -139,25 +177,24 @@ object Bench {
     // drop any plan-subtree caches the warmup queries persisted, so the
     // timed loop starts from clean storage memory
     spark.catalog.clearCache()
-    // Min-of-k timing: this VM has documented transient 3-10x host stalls
+    // Pass-min timing: this VM has documented transient 3-10x host stalls
     // (r4's driver run recorded 317s for a workload independently verified
-    // at ~79s, with physically implausible outliers like a 37x-inflated
-    // narrow explode). Steady-state per-query cost — what a 2x-vs-baseline
-    // gate means — is the MIN over k passes: a stall only ever inflates a
-    // sample, never deflates it. k=2 normally; a 3rd pass only when the
-    // two samples disagree by >2x (i.e. one of them plausibly hit a stall),
-    // so the added wall-clock stays ~1 pass, not 2.
+    // at ~79s). Steady-state per-query cost — what a 2x-vs-baseline gate
+    // means — is the MIN across full passes over ALL queries: a stall only
+    // ever inflates a sample, and separating a query's samples by a whole
+    // pass means no single stall window can cover both (r9's consecutive
+    // min-of-k provably couldn't recover from a stall outlasting its four
+    // back-to-back samples). See [[passMin]].
     val refs = loadRefs("bench_detail.json", sfDir)
     val sampled: Map[String, Either[String, Double]] =
-      SparkEntry.queries.map { case (name, fn) =>
-        val r = minOfK(() => timeOnce(() => { fn(spark, sfDir).count(); () }),
-          refs.get(name))
-        r match {
-          case Right(sec) => System.err.println(f"[bench] $name $sec%.2fs")
-          case Left(err) => System.err.println(s"[bench] $name FAILED: $err")
-        }
-        name -> r
-      }
+      passMin(
+        SparkEntry.queries.keys.toSeq,
+        n => timeOnce(() => { SparkEntry.queries(n)(spark, sfDir).count(); () }),
+        refs,
+        onSample = (pass, n, r) => r match {
+          case Right(sec) => System.err.println(f"[bench] p$pass $n $sec%.2fs")
+          case Left(err) => System.err.println(s"[bench] p$pass $n FAILED: $err")
+        })
     val errors = sampled.collect { case (k, Left(e)) => k -> e }
     val results = sampled.collect { case (k, Right(v)) => k -> v }
     val total = if (results.nonEmpty) results.values.sum else 0.0

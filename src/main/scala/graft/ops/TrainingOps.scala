@@ -933,27 +933,31 @@ object TrainingOps {
       expr("CAST(LEAST(length(text) - length(replace(text, 'e', '')), 1024) AS BIGINT)").as("x4"),
       expr("CAST(LEAST(length(text) - length(replace(text, ' ', '')), 1024) AS BIGINT)").as("x5"))
       .localCheckpoint()
-    val dot = (0 to 5).map(j => s"w$j * x$j").mkString(" + ")
-    val w0 = s.range(1).select((0 to 5).map(j => lit(0L).as(s"w$j")): _*)
-      .localCheckpoint()
-    val (wf, errs) = (1 to 8).foldLeft((w0, Seq.empty[DataFrame])) {
-      case ((w, es), r) =>
-        val mis = f.crossJoin(broadcast(w)).filter(expr(s"y * ($dot) <= 0"))
-        val aggCols = count(lit(1)).as("n") +:
-          (0 to 5).map(j => coalesce(sum(expr(s"y * x$j")), lit(0L)).as(s"g$j"))
-        val a = mis.agg(aggCols.head, aggCols.tail: _*).localCheckpoint()
-        val nw = w.crossJoin(broadcast(a)).select(
-          (0 to 5).map(j =>
-            expr(s"w$j + ${tdivT(s"g$j", "GREATEST(1L, n)", "DIV")}").as(s"w$j")): _*)
-          .localCheckpoint()
-        (nw, es :+ a.select(lit("err").as("kind"), lit(r.toLong).as("idx"),
-          col("n").cast(LongType).as("val")))
+    // The synchronous-rounds loop holds the MODEL on the driver — 7 longs
+    // — exactly the parameter-server shape of distributed full-batch
+    // descent: per round the weights enter the plan as literals (a
+    // zero-cost broadcast), the corpus pass computes ONE map-side-
+    // combinable aggregate (error count + 6 gradient sums, 7 longs per
+    // partition), and the update is plain driver arithmetic. One Spark
+    // job per round, no localCheckpoint chain, no crossJoins — r9 spent
+    // 8×3 tiny-job round-trips on 1-row DataFrames for the same math.
+    // Scala's Long division truncates toward zero, matching the engine's
+    // DIV/tdivT cross-engine pin, so the trajectory (and the oracle
+    // hash) is bit-identical to the declared SQL replay.
+    val w = Array.fill(6)(0L)
+    val errs = Seq.newBuilder[(String, Long, Long)]
+    for (r <- 1 to 8) {
+      val dot = (0 to 5).map(j => s"${w(j)}L * x$j").mkString(" + ")
+      val aggCols = count(lit(1)).cast(LongType).as("n") +:
+        (0 to 5).map(j => coalesce(sum(expr(s"y * x$j")), lit(0L)).as(s"g$j"))
+      val row = f.filter(expr(s"y * ($dot) <= 0"))
+        .agg(aggCols.head, aggCols.tail: _*).head()
+      val n = row.getLong(0)
+      errs += (("err", r.toLong, n))
+      for (j <- 0 to 5) w(j) += row.getLong(j + 1) / math.max(1L, n)
     }
-    val wRows = wf.select(explode(expr(
-      "array(" + (0 to 5).map(j =>
-        s"named_struct('idx', CAST($j AS BIGINT), 'val', w$j)").mkString(", ") + ")"))
-      .as("p"))
-      .select(lit("w").as("kind"), col("p.idx").as("idx"), col("p.val").as("val"))
-    (errs.reduce(_ unionAll _) unionAll wRows).orderBy("kind", "idx")
+    import s.implicits._
+    (errs.result() ++ (0 to 5).map(j => ("w", j.toLong, w(j))))
+      .toDF("kind", "idx", "val").orderBy("kind", "idx")
   }
 }

@@ -68,7 +68,8 @@ class ManifestStreamSource extends TableProvider {
     val opts = properties.asScala.toMap
     new ManifestStreamTable(ManifestStreamSource.tableOf(opts), schema,
       ignoreDeletes = ManifestStreamSource.flag(opts, "ignoreDeletes"),
-      ignoreChanges = ManifestStreamSource.flag(opts, "ignoreChanges"))
+      ignoreChanges = ManifestStreamSource.flag(opts, "ignoreChanges"),
+      maxFilesPerTrigger = ManifestStreamSource.intOpt(opts, "maxFilesPerTrigger"))
   }
 }
 
@@ -82,6 +83,14 @@ object ManifestStreamSource {
   private[sources] def flag(opts: Map[String, String], name: String): Boolean =
     opts.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
       .exists(_.equalsIgnoreCase("true"))
+
+  private[sources] def intOpt(opts: Map[String, String], name: String): Option[Int] =
+    opts.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+      .map { v =>
+        val n = v.toInt
+        require(n >= 1, s"$name must be >= 1, got $n")
+        n
+      }
 
   /** The table's enforced schema, parsed back from the commit metadata's
     * `name:type` signature — no data file is opened. All fields read as
@@ -159,7 +168,8 @@ object ManifestStreamSource {
 }
 
 private class ManifestStreamTable(table: String, schema: StructType,
-    ignoreDeletes: Boolean, ignoreChanges: Boolean)
+    ignoreDeletes: Boolean, ignoreChanges: Boolean,
+    maxFilesPerTrigger: Option[Int])
   extends Table with SupportsRead {
   override def name(): String = s"manifest_stream($table)"
   override def schema(): StructType = schema
@@ -171,7 +181,8 @@ private class ManifestStreamTable(table: String, schema: StructType,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ManifestMicroBatchStream(table, schema, ignoreDeletes, ignoreChanges)
+          new ManifestMicroBatchStream(table, schema, ignoreDeletes, ignoreChanges,
+            maxFilesPerTrigger)
       }
     }
 }
@@ -183,7 +194,8 @@ private case class VersionOffset(v: Long) extends Offset {
 private case class ManifestFilePartition(path: String) extends InputPartition
 
 private class ManifestMicroBatchStream(table: String, schema: StructType,
-    ignoreDeletes: Boolean, ignoreChanges: Boolean)
+    ignoreDeletes: Boolean, ignoreChanges: Boolean,
+    maxFilesPerTrigger: Option[Int])
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // Trigger.AvailableNow contract: the end offset is FROZEN at prepare
@@ -195,8 +207,56 @@ private class ManifestMicroBatchStream(table: String, schema: StructType,
   override def initialOffset(): Offset = VersionOffset(-1L)
   override def latestOffset(): Offset =
     VersionOffset(availableNowCap.getOrElse(liveHead))
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** ADMISSION CONTROL (`option("maxFilesPerTrigger", n)` — the Delta
+    * source's knob): honor the engine's ReadLimit instead of always
+    * draining allAvailable, so a long backlog (a sink recovering from a
+    * lost checkpoint, a first load of a deep history) arrives in BOUNDED
+    * micro-batches instead of one batch sized like the whole backlog —
+    * at 100 TB the difference between a recovery that spills one
+    * giant batch and one that streams through at steady memory. The
+    * offset is a VERSION, so admission advances version-by-version,
+    * stopping before the version whose files would exceed the budget;
+    * a single oversized commit still admits alone (progress guarantee,
+    * same as Delta's at-least-one-file rule). Versions the op semantics
+    * skip (compact, ignored deletes) add zero files and drain through
+    * for free. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxFiles}
+    val startV = start.asInstanceOf[VersionOffset].v
+    val head = availableNowCap.getOrElse(liveHead)
+    def maxFilesOf(l: ReadLimit): Option[Int] = l match {
+      case mf: ReadMaxFiles => Some(mf.maxFiles())
+      case c: CompositeReadLimit =>
+        c.getReadLimits.toSeq.flatMap(maxFilesOf).minOption
+      case _ => None
+    }
+    VersionOffset(maxFilesOf(limit) match {
+      case Some(budget) => boundedEnd(startV, head, budget)
+      case None => head
+    })
+  }
+
+  /** Largest end version in `(startV, head]` whose cumulative added-file
+    * count stays within `budget` — always at least one version when a
+    * backlog exists. Driver-side, manifest metadata only. */
+  private def boundedEnd(startV: Long, head: Long, budget: Int): Long = {
+    var v = startV
+    var files = 0
+    while (v < head) {
+      val add = ManifestStreamSource.addedFiles(table, v, v + 1,
+        ignoreDeletes, ignoreChanges).size
+      if (v > startV && files + add > budget) return v
+      files += add
+      v += 1
+      if (files >= budget) return v
+    }
+    head
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
   override def reportLatestOffset(): Offset = VersionOffset(liveHead)
   override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)
   override def commit(end: Offset): Unit = ()

@@ -574,11 +574,17 @@ object ManifestTable {
       if (dvs.isEmpty || dvTargets.isEmpty)
         spark.range(1).select(lit(0L).as("tomb"))
       else {
-        val fdf = spark.createDataset(files)(
+        // DV sidecars record `_metadata.file_path` (a file: URI, with
+        // URI escaping); the manifest records plain paths, possibly
+        // RELATIVE for a relative table path. Both sides go through the
+        // same canonicalizer: the manifest side is absolutized and
+        // URI-encoded driver-side (so escaped characters match), and
+        // both sides strip the scheme down to a single leading slash.
+        val canon = files.map(f =>
+          Paths.get(f).toAbsolutePath.normalize.toUri.toString
+            .replaceFirst("^file:/+", "/"))
+        val fdf = spark.createDataset(canon)(
           org.apache.spark.sql.Encoders.STRING).toDF("path")
-        // DV sidecars record `_metadata.file_path` (a file: URI); the
-        // manifest records plain paths — normalize the scheme away
-        // before the membership check
         spark.read.parquet(dvs: _*)
           .select(regexp_replace(c("path"), "^file:/+", "/").as("path"),
             c("pos")).distinct()
@@ -602,10 +608,17 @@ object ManifestTable {
     val outCols = (lit(baseCount) - c("tomb")).as("n_rows") +:
       cols.flatMap { cc =>
         val (mn, mx) = cleanAgg(cc)
+        // the sidecar-range null literal takes the POISONED aggregate's
+        // own output type, not a hardcoded long: a non-INT64 column is
+        // always stats-less (every file poisoned → full fallback scan),
+        // and least/greatest must not mix a long null into, say, a
+        // string MIN — the result stays the documented MIN/MAX for any
+        // orderable type, just without metadata-only speedup
+        val dt = pAgg.schema(s"pmin_$cc").dataType
         Seq(
-          least(lit(mn.map(Long.box).orNull).cast("long"), c(s"pmin_$cc"))
+          least(lit(mn.map(Long.box).orNull).cast(dt), c(s"pmin_$cc"))
             .as(s"min_$cc"),
-          greatest(lit(mx.map(Long.box).orNull).cast("long"), c(s"pmax_$cc"))
+          greatest(lit(mx.map(Long.box).orNull).cast(dt), c(s"pmax_$cc"))
             .as(s"max_$cc"))
       }
     tomb.crossJoin(pAgg).select(outCols: _*)
@@ -778,11 +791,21 @@ object ManifestTable {
     * next version. */
   def restore(table: String, toVersion: Long, maxRetries: Int = 20): Long = {
     val entries = snapshotEntries(table, toVersion) // throws past retention
-    val meta = Map("op" -> "restore", "restoreOf" -> toVersion.toString) ++
-      snapshotMeta(table, toVersion).get("schema").map("schema" -> _)
     var attempt = 0
     while (attempt < maxRetries) {
-      val v = latestVersion(table).getOrElse(-1L) + 1
+      val base = latestVersion(table).getOrElse(-1L)
+      // carry the HIGHEST lastBatchId in play forward (the pre-restore
+      // latest dominates the target's, batch ids being monotone over
+      // versions): [[idempotentAppend]]'s committed() reads only the
+      // latest version's meta, so a restore that dropped the marker
+      // would let a replayed sink batch re-commit already-committed
+      // rows right after the rollback
+      val batchIds = Seq(base, toVersion).filter(_ >= 0)
+        .flatMap(v => snapshotMeta(table, v).get("lastBatchId")).map(_.toLong)
+      val meta = Map("op" -> "restore", "restoreOf" -> toVersion.toString) ++
+        snapshotMeta(table, toVersion).get("schema").map("schema" -> _) ++
+        batchIds.maxOption.map("lastBatchId" -> _.toString)
+      val v = base + 1
       if (publish(table, v, entries, meta)) return v
       attempt += 1
     }
@@ -1113,13 +1136,26 @@ object ManifestTable {
     // Legacy DV lines with NO recorded targets fall back to scanning
     // every surviving file — the same conservative treatment compact()
     // gives them; the position semi-join keeps the result exact.
+    //
+    // The target universe is files present in BOTH snapshots, not just
+    // the current one: a file ADDED at v already contributes ALL its
+    // live rows through `arriving` (with v's DVs applied), so a DV
+    // delta touching an added file would double-emit — concretely, a
+    // restore that drops a stale DV line whose target file also
+    // re-enters the file list would emit that DV's rows twice as
+    // inserts (once via arriving's full read, once via resurrected),
+    // and exceptAll against leaving cancels only one copy. Symmetric
+    // for the tombstoned direction: a commit that adds a file together
+    // with a DV on it must not emit deletes for rows that never
+    // existed in the prior snapshot.
+    val survivors = curFiles.filter(prevFiles.toSet)
     def dvDelta(dvSet: Seq[(String, Seq[String])],
         cancel: Seq[String]): Option[DataFrame] = {
       if (dvSet.isEmpty) return None
       val recorded = dvSet.filter(_._2.nonEmpty).flatMap(_._2)
       val targets =
-        (recorded ++ (if (dvSet.exists(_._2.isEmpty)) curFiles else Seq.empty))
-          .distinct.filter(curFiles.toSet)
+        (recorded ++ (if (dvSet.exists(_._2.isEmpty)) survivors else Seq.empty))
+          .distinct.filter(survivors.toSet)
       if (targets.isEmpty) return None
       val base = sig.flatMap(sigToSchema) match {
         case Some(sch) => spark.read.schema(sch).parquet(targets: _*)
@@ -1198,9 +1234,21 @@ object ManifestTable {
     * already in. */
   def idempotentAppend(spark: SparkSession, table: String, df: DataFrame,
       batchId: Long): Option[Long] = {
-    def committed: Long = latestVersion(table)
-      .flatMap(v => snapshotMeta(table, v).get("lastBatchId")).map(_.toLong)
-      .getOrElse(-1L)
+    // the high-water batch id: newest retained version that recorded
+    // one (latest-first scan, O(1) in the common sink-only history
+    // because every idempotentAppend stamps it; the walk-back covers
+    // interleaved maintenance commits — delete/compact/restore — whose
+    // meta doesn't carry the marker, so a replayed batch can never
+    // re-commit just because a maintenance op ran in between)
+    def committed: Long = {
+      val md = manifestDir(table)
+      if (!Files.isDirectory(md)) return -1L
+      listDir(md)
+        .filter(_.getFileName.toString.matches("v\\d{8}\\.manifest"))
+        .map(versionOf).sorted.reverse.iterator
+        .flatMap(v => snapshotMeta(table, v).get("lastBatchId"))
+        .map(_.toLong).nextOption().getOrElse(-1L)
+    }
     if (committed >= batchId) return None
     enforceSchema(table, df)
     val staged = stage(df, table)

@@ -20,88 +20,115 @@ class BenchTimingSuite extends AnyFunSuite {
     assert(bad.isLeft && bad.swap.toOption.get.startsWith("NullPointerException"))
   }
 
-  test("minOfK: agreeing samples take the min without a third pass") {
-    var calls = 0
-    val samples = Iterator(Right(1.0), Right(1.1))
-    val r = Bench.minOfK(() => { calls += 1; samples.next() })
-    assert(r == Right(1.0) && calls == 2)
+  // --- passMin: pass-structured sampling (k full passes, per-query min
+  // across passes) -------------------------------------------------------
+
+  /** A scripted runner: per-query queues of samples, recording the global
+    * order in which queries were sampled. */
+  private def scripted(script: Map[String, Seq[Either[String, Double]]]) = {
+    val qs = script.map { case (k, v) => k -> scala.collection.mutable.Queue(v: _*) }
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    val run = (n: String) => { order += n; qs(n).dequeue() }
+    (run, order)
   }
 
-  test("minOfK: a >2x disagreement above 0.5s triggers exactly one tiebreak pass") {
-    var calls = 0
-    val samples = Iterator(Right(3.0), Right(1.0), Right(0.9))
-    val r = Bench.minOfK(() => { calls += 1; samples.next() })
-    assert(r == Right(0.9) && calls == 3)
+  test("passMin: samples interleave by PASS — every query once before any query twice") {
+    // the decorrelation property this design exists for: a's two samples
+    // must be separated by b's work, never back-to-back
+    val (run, order) = scripted(Map(
+      "a" -> Seq(Right(1.0), Right(1.1)),
+      "b" -> Seq(Right(0.2), Right(0.21))))
+    val r = Bench.passMin(Seq("a", "b"), run)
+    assert(order.toSeq == Seq("a", "b", "a", "b"))
+    assert(r == Map("a" -> Right(1.0), "b" -> Right(0.2)))
   }
 
-  test("minOfK: sub-0.5s jitter never pays a third pass even at >2x ratio") {
-    var calls = 0
-    val samples = Iterator(Right(0.4), Right(0.1))
-    val r = Bench.minOfK(() => { calls += 1; samples.next() })
-    assert(r == Right(0.1) && calls == 2)
+  test("passMin: agreeing samples stop after two passes") {
+    val (run, order) = scripted(Map("a" -> Seq(Right(1.0), Right(1.1))))
+    assert(Bench.passMin(Seq("a"), run) == Map("a" -> Right(1.0)))
+    assert(order.size == 2)
   }
 
-  test("minOfK: a slow query (min > 2s) escalates to k=3 even when the samples agree") {
-    // both samples could have been inflated by the same host stall — the
-    // expensive lines earn a third pass so per-query figures are
-    // steady-state, not just the total
-    var calls = 0
-    val samples = Iterator(Right(4.3), Right(4.1), Right(2.2))
-    val r = Bench.minOfK(() => { calls += 1; samples.next() })
-    assert(r == Right(2.2) && calls == 3)
+  test("passMin: a >2x disagreement above 0.5s earns exactly one third pass") {
+    val (run, order) = scripted(Map("a" -> Seq(Right(3.0), Right(1.0), Right(0.9))))
+    assert(Bench.passMin(Seq("a"), run) == Map("a" -> Right(0.9)))
+    assert(order.size == 3)
   }
 
-  test("minOfK: agreeing samples at exactly the 2s boundary stay at k=2") {
-    var calls = 0
-    val samples = Iterator(Right(2.0), Right(2.1))
-    val r = Bench.minOfK(() => { calls += 1; samples.next() })
-    assert(r == Right(2.0) && calls == 2)
+  test("passMin: sub-0.5s jitter never pays a third pass even at >2x ratio") {
+    val (run, order) = scripted(Map("a" -> Seq(Right(0.4), Right(0.1))))
+    assert(Bench.passMin(Seq("a"), run) == Map("a" -> Right(0.1)))
+    assert(order.size == 2)
   }
 
-  test("minOfK: ANY thrown sample fails the query — min-of-k never averages over brokenness") {
-    // first sample throws: short-circuit, no more samples
-    var calls = 0
-    val r1 = Bench.minOfK { () => calls += 1; Left("X: broke") }
-    assert(r1 == Left("X: broke") && calls == 1)
-    // second sample throws after a fast success: still an error, and the
-    // fast success must NOT leak out as the query's timing
-    val s2 = Iterator(Right(0.001), Left("Y: broke"))
-    assert(Bench.minOfK(() => s2.next()) == Left("Y: broke"))
-    // tiebreak sample throws
-    val s3 = Iterator[Either[String, Double]](Right(3.0), Right(1.0), Left("Z: broke"))
-    assert(Bench.minOfK(() => s3.next()) == Left("Z: broke"))
+  test("passMin: a slow query (min > 2s) escalates to a third pass even when agreeing") {
+    val (run, order) = scripted(Map("a" -> Seq(Right(4.3), Right(4.1), Right(2.2))))
+    assert(Bench.passMin(Seq("a"), run) == Map("a" -> Right(2.2)))
+    assert(order.size == 3)
   }
 
-  test("minOfK: a sample >3x its committed reference escalates to a third pass") {
-    // both early samples inside one host-stall window: the committed
-    // bench_detail reference says this query runs in 0.2s, so a 0.9s
-    // running min is a stall, not a timing — resample
-    var calls = 0
-    val samples = Iterator(Right(0.9), Right(0.95), Right(0.21))
-    val r = Bench.minOfK(() => { calls += 1; samples.next() }, ref = Some(0.2))
-    assert(r == Right(0.21) && calls == 3)
+  test("passMin: escalation passes re-run ONLY the still-suspicious queries") {
+    // a settles after two passes; b (slow) alone joins pass 3
+    val (run, order) = scripted(Map(
+      "a" -> Seq(Right(0.3), Right(0.31)),
+      "b" -> Seq(Right(4.0), Right(4.1), Right(2.5))))
+    val r = Bench.passMin(Seq("a", "b"), run)
+    assert(order.toSeq == Seq("a", "b", "a", "b", "b"))
+    assert(r == Map("a" -> Right(0.3), "b" -> Right(2.5)))
   }
 
-  test("minOfK: still stalled after the third pass earns exactly one fourth") {
-    var calls = 0
-    val samples = Iterator(Right(0.9), Right(0.95), Right(0.91), Right(0.22))
-    val r = Bench.minOfK(() => { calls += 1; samples.next() }, ref = Some(0.2))
-    assert(r == Right(0.22) && calls == 4)
+  test("passMin: a min >3x its committed reference escalates to a third pass") {
+    val (run, order) = scripted(Map("a" -> Seq(Right(0.9), Right(0.95), Right(0.21))))
+    val r = Bench.passMin(Seq("a"), run, refs = Map("a" -> 0.2))
+    assert(r == Map("a" -> Right(0.21)) && order.size == 3)
   }
 
-  test("minOfK: four samples is the cap — a genuine regression must surface") {
-    var calls = 0
-    val samples = Iterator(Right(0.9), Right(0.95), Right(0.91), Right(0.93))
-    val r = Bench.minOfK(() => { calls += 1; samples.next() }, ref = Some(0.2))
-    assert(r == Right(0.9) && calls == 4,
+  test("passMin: still stalled after the third pass earns exactly one fourth") {
+    val (run, order) = scripted(Map(
+      "a" -> Seq(Right(0.9), Right(0.95), Right(0.91), Right(0.22))))
+    val r = Bench.passMin(Seq("a"), run, refs = Map("a" -> 0.2))
+    assert(r == Map("a" -> Right(0.22)) && order.size == 4)
+  }
+
+  test("passMin: four passes is the cap — a genuine regression must surface") {
+    val (run, order) = scripted(Map(
+      "a" -> Seq(Right(0.9), Right(0.95), Right(0.91), Right(0.93))))
+    val r = Bench.passMin(Seq("a"), run, refs = Map("a" -> 0.2))
+    assert(r == Map("a" -> Right(0.9)) && order.size == 4,
       "a persistent 4.5x-of-reference timing is a regression, not a stall")
   }
 
-  test("minOfK: the reference rule has a 0.3s floor — sub-noise timings never escalate") {
-    var calls = 0
-    val samples = Iterator(Right(0.2), Right(0.21))
-    val r = Bench.minOfK(() => { calls += 1; samples.next() }, ref = Some(0.05))
-    assert(r == Right(0.2) && calls == 2)
+  test("passMin: the reference rule has a 0.3s floor — sub-noise timings never escalate") {
+    val (run, order) = scripted(Map("a" -> Seq(Right(0.2), Right(0.21))))
+    val r = Bench.passMin(Seq("a"), run, refs = Map("a" -> 0.05))
+    assert(r == Map("a" -> Right(0.2)) && order.size == 2)
+  }
+
+  test("passMin: ANY thrown sample fails the query and drops it from later passes") {
+    // throw on pass 1: no second sample ever taken for that query, and a
+    // healthy neighbor is unaffected
+    val (run1, order1) = scripted(Map(
+      "bad" -> Seq(Left("X: broke")),
+      "ok" -> Seq(Right(0.1), Right(0.11))))
+    val r1 = Bench.passMin(Seq("bad", "ok"), run1)
+    assert(r1 == Map("bad" -> Left("X: broke"), "ok" -> Right(0.1)))
+    assert(order1.count(_ == "bad") == 1)
+    // throw on pass 2 after a fast pass-1 success: still an error — the
+    // fast success must NOT leak out as the query's timing
+    val (run2, _) = scripted(Map("a" -> Seq(Right(0.001), Left("Y: broke"))))
+    assert(Bench.passMin(Seq("a"), run2) == Map("a" -> Left("Y: broke")))
+    // throw on an escalation pass
+    val (run3, _) = scripted(Map(
+      "a" -> Seq[Either[String, Double]](Right(3.0), Right(1.0), Left("Z: broke"))))
+    assert(Bench.passMin(Seq("a"), run3) == Map("a" -> Left("Z: broke")))
+  }
+
+  test("passMin: onSample sees every sample with its pass number") {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    val (run, _) = scripted(Map("a" -> Seq(Right(3.0), Right(1.0), Right(0.9))))
+    Bench.passMin(Seq("a"), run,
+      onSample = (p, n, _) => seen += ((p, n)))
+    assert(seen.toSeq == Seq((1, "a"), (2, "a"), (3, "a")))
   }
 
   test("loadRefs: parses the committed detail for the matching sf, ignores other sfs") {

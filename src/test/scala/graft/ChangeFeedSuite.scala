@@ -131,6 +131,35 @@ class ChangeFeedSuite extends SparkSuite {
     }
   }
 
+  test("restore across a CoW rewrite carrying a stale DV must not double-emit") {
+    // The r9-advice sequence: append (v0) → narrow delete (DV on an
+    // original file, v1) → wide delete (CoW rewrites that file, the
+    // stale DV line carried verbatim, v2) → restore to v0 (v3). At v3
+    // the DV drops AND its target file re-enters via `added` — the
+    // resurrection path must not re-emit the DV's positions on top of
+    // arriving's full read of the same file.
+    val t = freshTable()
+    ManifestTable.append(spark, t, rows(0, 1000)) // v0
+    val v1 = ManifestTable.deleteWhere(spark, t, "id", 10, 19) // DV path
+    assert(ManifestTable.snapshotDvs(t, v1).nonEmpty, "precondition: DV erasure")
+    val v2 = ManifestTable.deleteWhere(spark, t, "id", 0, 599) // CoW rewrite
+    assert(ManifestTable.snapshotFiles(t, v2).toSet !=
+      ManifestTable.snapshotFiles(t, v1).toSet, "precondition: rewrite happened")
+    val v3 = ManifestTable.restore(t, 0L)
+    val ch = ManifestTable.readChanges(spark, t, v3 - 1, v3).cache()
+    val ins = ch.filter(col("_change_type") === "insert")
+    // exactly ids 0..599 come back, each ONCE — the dropped stale DV
+    // must not re-emit ids 10..19 a second time
+    assert(ins.count() == 600, s"expected 600 inserts, got ${ins.count()}")
+    assert(ins.groupBy("id").count().filter(col("count") > 1).isEmpty,
+      "no row may be emitted twice as insert")
+    assert(ch.filter(col("_change_type") === "delete").isEmpty)
+    assertReplays(t, v3 - 1, v3)
+    assertReplays(t, -1, v3)
+    ch.unpersist()
+    ()
+  }
+
   test("merge feeds paired update pre/postimages; compact feeds nothing") {
     val t = freshTable()
     ManifestTable.append(spark, t, rows(0, 50))
@@ -371,6 +400,46 @@ class ChangeFeedSuite extends SparkSuite {
     assert(got.count() == 1000, "restart must pick up only the new versions")
     assert(got.select("id").distinct().count() == 1000, "no version may re-emit")
     assert(got.agg(sum("v")).as[Long].head() == (0L until 1000L).map(_ * 2).sum)
+  }
+
+  test("admission control: a version backlog drains in bounded micro-batches") {
+    // 10 one-file versions under option("maxFilesPerTrigger", 2): the
+    // AvailableNow drain must deliver in >=5 bounded micro-batches (not
+    // one backlog-sized batch), emit every row exactly once, and the
+    // engine checkpoint must keep restart semantics intact
+    val t = freshTable()
+    val cp = Files.createTempDirectory("graft-mss-adm-cp").toString
+    val out = Files.createTempDirectory("graft-mss-adm-out").toString + "/sink"
+    for (b <- 0 until 10)
+      ManifestTable.append(spark, t, rows(b * 100L, b * 100L + 100).coalesce(1))
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    def drain(): Int = {
+      val n0 = batches.get()
+      val q = spark.readStream.format("graft.sources.ManifestStreamSource")
+        .option("table", t).option("maxFilesPerTrigger", "2").load()
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          if (df.count() > 0) batches.incrementAndGet()
+          df.write.mode("append").parquet(out); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try assert(q.awaitTermination(120000), "stream did not drain") finally q.stop()
+      batches.get() - n0
+    }
+    val n = drain()
+    assert(n >= 5, s"10 one-file versions under a 2-file budget must take >=5 batches, took $n")
+    val got = spark.read.parquet(out)
+    assert(got.count() == 1000)
+    assert(got.select("id").distinct().count() == 1000, "bounded batches must not re-emit")
+    // restart: three more commits, the second bounded drain picks up
+    // exactly the unconsumed suffix, still in bounded batches
+    for (b <- 10 until 13)
+      ManifestTable.append(spark, t, rows(b * 100L, b * 100L + 100).coalesce(1))
+    val n2 = drain()
+    assert(n2 >= 2, s"3 one-file versions under a 2-file budget must take >=2 batches, took $n2")
+    val all = spark.read.parquet(out)
+    assert(all.count() == 1300 && all.select("id").distinct().count() == 1300,
+      "restart must consume exactly the unconsumed versions, bounded")
   }
 
   test("typed transport: timestamp, date, decimal, and array columns stream exactly") {

@@ -886,4 +886,50 @@ class ManifestTableSuite extends SparkSuite {
     assert(a2._3 == 598L && a2._5 == 1196L, s"max must step past the erased row, got $a2")
     assert(a2.productIterator.toSeq == recompute())
   }
+
+  test("statsAggregate: exact count under a RELATIVE table path (path canonicalization)") {
+    // DV sidecars record absolute file: URIs while a relative table path
+    // puts relative strings in the manifest — the tombstone-count join
+    // must canonicalize both sides or it silently overcounts n_rows
+    val abs = Paths.get(freshTable())
+    val t = Paths.get("").toAbsolutePath.relativize(abs).toString
+    ManifestTable.append(spark, t, range(0, 1000).coalesce(1))
+    val vd = ManifestTable.deleteWhere(spark, t, "id", 10, 19)
+    assert(ManifestTable.snapshotDvs(t, vd).nonEmpty, "precondition: DV path")
+    val n = ManifestTable.statsAggregate(spark, t, Seq.empty)
+      .select(col("n_rows")).as[Long].head()
+    assert(n == 990, s"relative-path tombstones must still subtract, got $n")
+  }
+
+  test("statsAggregate: a non-INT64 column falls back to the scan, not an AnalysisException") {
+    val t = freshTable()
+    ManifestTable.append(spark, t,
+      range(0, 100).withColumn("name", concat(lit("row-"), col("id"))).coalesce(1))
+    val r = ManifestTable.statsAggregate(spark, t, Seq("id", "name"))
+    val row = r.select(col("n_rows"), col("min_id"), col("max_id"),
+      col("min_name"), col("max_name")).as[(Long, Long, Long, String, String)].head()
+    assert(row == ((100L, 0L, 99L, "row-0", "row-99")),
+      s"string min/max must come from the poisoned-file fallback scan, got $row")
+  }
+
+  test("idempotentAppend: batch tracking survives restore and interleaved maintenance") {
+    val t = freshTable()
+    def batch(id: Long) = range(id * 10, id * 10 + 10)
+    assert(ManifestTable.idempotentAppend(spark, t, batch(0), 0L).isDefined)
+    assert(ManifestTable.idempotentAppend(spark, t, batch(1), 1L).isDefined)
+    // a maintenance commit whose meta carries no lastBatchId lands on top
+    val vd = ManifestTable.deleteWhere(spark, t, "id", 0, 0)
+    assert(vd > 1, "precondition: the delete committed a new version")
+    assert(ManifestTable.idempotentAppend(spark, t, batch(1), 1L).isEmpty,
+      "a replay after a maintenance commit must still be skipped")
+    // restore rolls the DATA back but must not forget committed batches
+    val vr = ManifestTable.restore(t, 1L)
+    assert(ManifestTable.snapshotMeta(t, vr).get("lastBatchId").contains("1"),
+      "restore must republish the high-water batch id")
+    assert(ManifestTable.idempotentAppend(spark, t, batch(1), 1L).isEmpty,
+      "a replay right after restore must be skipped")
+    assert(ManifestTable.idempotentAppend(spark, t, batch(2), 2L).isDefined,
+      "a genuinely new batch still lands after restore")
+    assert(ManifestTable.read(spark, t).count() == 30)
+  }
 }
