@@ -1345,6 +1345,35 @@ object Quality {
       require(ManifestTable.idempotentAppend(s, dwd, clean(ch), to).isEmpty,
         "replayed feed range must not commit")
     }
+    // lost-checkpoint recovery through the STREAM source under ADMISSION
+    // CONTROL: rebuild DWD from scratch by draining the whole ODS backlog
+    // with a bounded read limit (maxFilesPerTrigger caps each micro-batch,
+    // so a 100 TB-scale backlog recovers at steady memory instead of one
+    // backlog-sized batch), landing each bounded batch idempotently. The
+    // recovered table must equal the incrementally-built DWD row-for-row
+    // — bounded recovery is exactly-once end-to-end, executed here.
+    val dwd2 = s"$root/dwd2"
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rq = s.readStream.format("graft.sources.ManifestStreamSource")
+      .option("table", ods).option("maxFilesPerTrigger", "2").load()
+      .writeStream.option("checkpointLocation", s"$root/cp_recover")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        nBatches.incrementAndGet()
+        ManifestTable.idempotentAppend(s, dwd2, df
+          .filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"), col("day"),
+            (dec(col("value"), 12, 2) * 100).cast(LongType).as("cents")), id)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try require(rq.awaitTermination(120000), "bounded recovery did not drain")
+    finally rq.stop()
+    require(nBatches.get() >= 2,
+      s"a multi-version backlog under a read limit must take multiple batches, took ${nBatches.get()}")
+    val incr = ManifestTable.read(s, dwd)
+    val recov = ManifestTable.read(s, dwd2)
+    require(incr.exceptAll(recov).unionAll(recov.exceptAll(incr)).isEmpty,
+      "bounded-batch recovery must rebuild DWD exactly")
     ManifestTable.read(s, dws)
       .groupBy(col("event_type"), col("day"))
       .agg(sum(col("cnt")).cast(LongType).as("n_events"),
