@@ -69,6 +69,7 @@ object Quality {
     "q_mv_updates" -> qMvUpdates,
     "q_mv_join" -> qMvJoin,
     "q_table_restore" -> qTableRestore,
+    "q_table_rename" -> qTableRename,
     "q_table_stats_agg" -> qTableStatsAgg,
     "q_table_evolve" -> qTableEvolve,
     "q_warehouse_layers" -> qWarehouseLayers,
@@ -212,6 +213,31 @@ object Quality {
            FROM ec WHERE event_id % 2 = 0 OR event_id % 4 = 3
            GROUP BY 2)
          SELECT * FROM (SELECT * FROM cdf UNION ALL SELECT * FROM fin)
+         ORDER BY part, key""",
+    "q_table_rename" ->
+      """WITH ec AS (
+           SELECT event_id, user_id,
+                  CAST(COALESCE(CAST(value AS DECIMAL(12,2)), 0) * 100 AS BIGINT) AS amount
+           FROM events),
+         ins AS (SELECT * FROM ec WHERE event_id % 2 = 0 OR event_id % 4 = 1),
+         cdf AS (
+           SELECT 'cdf' AS part, 'insert' AS key, count(*) AS n_rows,
+                  CAST(SUM(amount) AS BIGINT) AS sum_amount
+           FROM ins
+           UNION ALL
+           SELECT 'cdf', 'delete', count(*), CAST(SUM(amount) AS BIGINT)
+           FROM ins WHERE amount BETWEEN 0 AND 99),
+         pre AS (
+           SELECT 'v0' AS part, 'cents' AS key, count(*) AS n_rows,
+                  CAST(SUM(amount) AS BIGINT) AS sum_amount
+           FROM ec WHERE event_id % 2 = 0),
+         fin AS (
+           SELECT 'final' AS part, CAST(user_id % 4 AS VARCHAR) AS key,
+                  count(*) AS n_rows, CAST(SUM(amount) AS BIGINT) AS sum_amount
+           FROM ins WHERE amount NOT BETWEEN 0 AND 99
+           GROUP BY 2)
+         SELECT * FROM (SELECT * FROM cdf UNION ALL
+                        SELECT * FROM pre UNION ALL SELECT * FROM fin)
          ORDER BY part, key""",
     "q_mv_join" ->
       """WITH o AS (
@@ -1536,6 +1562,55 @@ object Quality {
         sum(col("cents")).cast(LongType).as("sum_cents"))
       .select(lit("final").as("part"), col("key"), col("n_rows"), col("sum_cents"))
     cdf.unionAll(fin).orderBy("part", "key")
+  }
+
+  /** COLUMN-MAPPING RENAME lifecycle under the oracle gate: append →
+    * RENAME COLUMN (a metadata-only commit — zero files rewritten,
+    * executed-required below) → append under the new logical name →
+    * DELETE WHERE under the new name (stats pruning and the predicate
+    * both resolve through the colmap to the files' unchanged PHYSICAL
+    * column) → one change feed spanning every epoch (the rename is not
+    * a boundary: field ids, physical names, and types are stable, so
+    * the feed emits the whole history in the final logical names) →
+    * the final read plus a pre-rename time travel that still reads the
+    * OLD logical name. The oracle recomputes every census definitionally
+    * from the base events table, so the hash certifies that rename is
+    * pure re-labeling: no row, value, or delete moved.
+    *
+    * Scale (100 TB): rename/drop cost one manifest header each — the
+    * lake's files never move, exactly the production column-mapping
+    * contract ([[graft.sources.ManifestTable.renameColumn]]). */
+  private def qTableRename(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val root = s"${graft.Scratch.dir("graft_rename")}/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val t = s"$root/t"
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      (coalesce(col("value").cast("decimal(12,2)"), lit(0)) * 100)
+        .cast(LongType).as("cents"))
+    ManifestTable.append(s, t, ev.filter(col("event_id") % 2 === 0))  // v0
+    ManifestTable.renameColumn(t, "cents", "amount")                  // v1
+    require(ManifestTable.snapshotFiles(t, 1L).toSet ==
+      ManifestTable.snapshotFiles(t, 0L).toSet, "rename must not rewrite files")
+    ManifestTable.append(s, t, ev.filter(col("event_id") % 4 === 1)
+      .withColumnRenamed("cents", "amount"))                          // v2
+    val vDel = ManifestTable.deleteWhere(s, t, "amount", 0L, 99L)     // v3
+    val cdf = ManifestTable.readChanges(s, t, -1L, vDel)
+      .groupBy(col("_change_type").as("key"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("amount")).cast(LongType).as("sum_amount"))
+      .select(lit("cdf").as("part"), col("key"), col("n_rows"), col("sum_amount"))
+    val pre = ManifestTable.read(s, t, Some(0L))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).cast(LongType).as("sum_amount"))
+      .select(lit("v0").as("part"), lit("cents").as("key"),
+        col("n_rows"), col("sum_amount"))
+    val fin = ManifestTable.read(s, t)
+      .groupBy((col("user_id") % 4).cast(StringType).as("key"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("amount")).cast(LongType).as("sum_amount"))
+      .select(lit("final").as("part"), col("key"), col("n_rows"), col("sum_amount"))
+    cdf.unionAll(pre).unionAll(fin).orderBy("part", "key")
   }
 
   private def qMvJoin(s: SparkSession, d: String): DataFrame = {

@@ -33,6 +33,7 @@ object TextSim {
     "q_dedup_lsh" -> qDedupLsh,
     "q_lsh_recall" -> qLshRecall,
     "q_sim_pq" -> qSimPq,
+    "q_sim_ivfpq" -> qSimIvfPq,
     "q_text_stats" -> qTextStats,
     "q_text_ngram" -> qTextNgram,
     "q_text_langid" -> qTextLangid,
@@ -284,6 +285,83 @@ object TextSim {
                   row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rnk
            FROM ad)
          WHERE rnk <= 5 ORDER BY probe_id, rnk""",
+    "q_sim_ivfpq" ->
+      """WITH exact AS (
+           SELECT qid, nid FROM (
+             SELECT a.vec_id AS qid, b.vec_id AS nid,
+                    row_number() OVER (PARTITION BY a.vec_id
+                      ORDER BY list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+                               b.vec_id) AS rnk
+             FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+             WHERE a.vec_id < 10)
+           WHERE rnk <= 5),
+         cells AS (
+           SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.vec_id AS cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(c.embedding AS DOUBLE[])) DESC,
+                               c.vec_id) AS rn
+             FROM embeddings e JOIN embeddings c ON c.vec_id < 16)
+           WHERE rn = 1),
+         pcells AS (
+           SELECT vec_id AS qid, cid, rn AS crnk FROM (
+             SELECT e.vec_id, c.vec_id AS cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(c.embedding AS DOUBLE[])) DESC,
+                               c.vec_id) AS rn
+             FROM embeddings e JOIN embeddings c ON c.vec_id < 16
+             WHERE e.vec_id < 10)
+           WHERE rn <= 4),
+         cand AS (
+           SELECT p.qid, s.vec_id AS nid, MIN(p.crnk) AS best
+           FROM pcells p JOIN cells s ON p.cid = s.cid AND p.qid <> s.vec_id
+           GROUP BY 1, 2),
+         e AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
+           FROM embeddings),
+         ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+         bs AS (SELECT vec_id, m, list_slice(v, m*8+1, m*8+8) AS bv FROM e CROSS JOIN ms),
+         cents AS (SELECT vec_id AS c, m, bv AS cv FROM bs WHERE vec_id < 16),
+         dists AS (SELECT b.vec_id, b.m, c.c,
+                          CAST(list_sum([ (b.bv[i] - c.cv[i]) * (b.bv[i] - c.cv[i])
+                                          FOR i IN generate_series(1, 8) ]) AS BIGINT) AS dist
+                   FROM bs b JOIN cents c ON b.m = c.m),
+         codes AS (SELECT vec_id, m, c FROM (
+                     SELECT vec_id, m, c,
+                            row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS r
+                     FROM dists) WHERE r = 1),
+         dt AS (SELECT vec_id AS qid, m, c, dist FROM dists WHERE vec_id < 10),
+         ad AS (SELECT c2.qid, c2.nid, c2.best, CAST(SUM(dt.dist) AS BIGINT) AS adist
+                FROM cand c2
+                JOIN codes k ON k.vec_id = c2.nid
+                JOIN dt ON dt.m = k.m AND dt.c = k.c AND dt.qid = c2.qid
+                GROUP BY 1, 2, 3),
+         short AS (
+           SELECT t.nprobe, a.qid, a.nid,
+                  row_number() OVER (PARTITION BY t.nprobe, a.qid
+                    ORDER BY a.adist, a.nid) AS arnk
+           FROM (VALUES (1), (2), (4)) t(nprobe)
+           JOIN ad a ON a.best <= t.nprobe),
+         ranked AS (
+           SELECT s.nprobe, s.qid, s.nid,
+                  row_number() OVER (PARTITION BY s.nprobe, s.qid
+                    ORDER BY list_inner_product(CAST(qa.embedding AS DOUBLE[]),
+                                                CAST(nb.embedding AS DOUBLE[])) DESC,
+                             s.nid) AS rnk
+           FROM short s
+           JOIN embeddings qa ON qa.vec_id = s.qid
+           JOIN embeddings nb ON nb.vec_id = s.nid
+           WHERE s.arnk <= 64)
+         SELECT CAST(t.nprobe AS BIGINT) AS nprobe,
+                CAST(COUNT(ex.qid) AS BIGINT) AS n_hits,
+                CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_possible
+         FROM (VALUES (1), (2), (4)) t(nprobe)
+         LEFT JOIN (SELECT * FROM ranked WHERE rnk <= 5) i ON i.nprobe = t.nprobe
+         LEFT JOIN exact ex ON i.qid = ex.qid AND i.nid = ex.nid
+         GROUP BY t.nprobe ORDER BY nprobe""",
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
                 COUNT(DISTINCT source) AS n_sources,
@@ -723,8 +801,13 @@ object TextSim {
     * per-subspace k-means (the engine's q_cluster_kmeans kernel) —
     * definitional slices keep the oracle exact without a training loop.
     * Recall vs the exact ranking is pinned in OperatorUnitSuite. */
-  private def qSimPq(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The PQ building blocks shared by [[qSimPq]] and [[qSimIvfPq]]:
+    * `dists` = fixed-point squared-L2 per (vector, subspace m, codebook
+    * centroid c) against the definitional codebooks (subspace slices of
+    * the 16 lowest-id vectors), and `codes` = every vector's 8 four-bit
+    * codes (its argmin centroid per subspace). Integer-exact end to end
+    * (×2^20 floor to BIGINT), so both engines agree bit-for-bit. */
+  private def pqParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val eInt = Tables.embeddings(s, d).select(col("vec_id"), expr(
       "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))").as("v"))
     def slices(df: DataFrame, idAs: String, sliceAs: String): DataFrame = df
@@ -741,6 +824,12 @@ object TextSim {
       .groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("dist"), col("c"))).as("mc"))
       .select(col("vec_id"), col("m"), col("mc.c").as("c"))
+    (dists, codes)
+  }
+
+  private def qSimPq(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (dists, codes) = pqParts(s, d)
     // ADC: the probes' per-(m, centroid) distance table is exactly the
     // dists rows of the probe vectors — broadcast-joined onto the codes
     val dt = dists.filter(col("vec_id") < 8)
@@ -754,6 +843,82 @@ object TextSim {
       .select(col("probe_id"), col("rnk").cast(LongType).as("rnk"),
         col("vec_id"), col("adist").cast(LongType).as("adist"))
       .orderBy("probe_id", "rnk")
+  }
+
+  /** IVF×PQ — the FAISS-standard composed index closing the ANN tower:
+    * the coarse quantizer routes (the committed [[ivfCells]] artifact
+    * bucket-joins probes to candidate cells, so a probe touches nprobe
+    * cells' vectors, never the corpus) and PRODUCT QUANTIZATION ranks
+    * (the candidates' 4-byte codes scan through the probe's broadcast
+    * ADC table — no raw vector is read on the serving path). Declared
+    * as the same recall-census discipline as [[qSimRecall]]: recall@5
+    * vs exact kNN per nprobe ∈ {1, 2, 4}, both sides definitional, so
+    * the driver's hash certifies the composed trade-off curve — routing
+    * loss (IVF) and quantization loss (PQ) together.
+    *
+    * Scale (100 TB): per probe the work is |nprobe cells| × 8 code
+    * lookups in a 128-entry broadcast table — memory traffic 4 bytes
+    * per candidate vector (the reason FAISS serves billion-vector
+    * indexes from RAM); the cell artifact and the code table are both
+    * committed, incrementally-maintained ManifestTable shapes. Recall
+    * orderings (monotone in nprobe; ≤ the exact-ranking IVF curve;
+    * above-random floor) are pinned in OperatorUnitSuite. */
+  private def qSimIvfPq(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = knn(probes, emb, 5).select(col("qid"), col("nid"))
+    val cells = ivfCells(s, d).select(col("vec_id").as("nid"), col("cid"))
+    val (dists, codes) = pqParts(s, d)
+    // probe→cell shortlist with rank: one candidate table carries every
+    // nprobe operating point (same shape as qSimRecall)
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ne"))
+    val pc = org.apache.spark.sql.graft.TopK.perGroup(
+        probes.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+          .crossJoin(broadcast(cents))
+          .withColumn("dot", dotExpr),
+        Seq("qid"), Seq(("dot", true), ("cid", false)), 4)
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))))
+      .select(col("qid"), col("cid"), col("crnk"))
+    val cand = pc.join(cells, Seq("cid")).filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid")).agg(min(col("crnk")).as("best"))
+    // ADC scoring of the candidates: codes of the candidate vectors ×
+    // the probes' broadcast distance table — never a raw embedding
+    val dt = dists.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("m"), col("c"), col("dist"))
+    val scored = cand
+      .join(codes.withColumnRenamed("vec_id", "nid"), Seq("nid"))
+      .join(broadcast(dt), Seq("qid", "m", "c"))
+      .groupBy(col("qid"), col("nid"), col("best"))
+      .agg(sum(col("dist")).as("adist"))
+    // REFINE (FAISS's IndexRefine discipline): the ADC scan SHORTLISTS
+    // (top-64 by approximate distance — raw ADC-only top-5 measured 0.28
+    // recall at this codebook geometry and is not even monotone in
+    // nprobe, because new candidates can displace true neighbors through
+    // quantization noise); the shortlist alone re-ranks by exact dot.
+    // Per probe that is 64 raw-vector reads — the corpus still serves
+    // from 4-byte codes.
+    val perNp = Seq(1L, 2L, 4L).map { np =>
+      scored.filter(col("best") <= np)
+        .withColumn("arnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))))
+        .filter(col("arnk") <= 64)
+        .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe")), Seq("qid"))
+        .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
+        .withColumn("dot", dotExpr)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))))
+        .filter(col("rnk") <= 5)
+        .join(exact, Seq("qid", "nid"), "left_semi")
+        .agg(count(lit(1)).cast(LongType).as("n_hits"))
+        .select(lit(np).as("nprobe"), col("n_hits"))
+    }.reduce(_ unionAll _)
+    perNp
+      .crossJoin(broadcast(exact.agg(count(lit(1)).cast(LongType).as("n_possible"))))
+      .select(col("nprobe"), col("n_hits"), col("n_possible"))
+      .orderBy("nprobe")
   }
 
   /** True iff 4-bit band `band` is the LOWEST band whose nibble of

@@ -97,11 +97,13 @@ object ChangeFeed {
     for (v <- (from + 1) to to) {
       val meta = ManifestTable.snapshotMeta(table, v)
       // provably change-free commits (compact/cluster rewrites carry
-      // every row) advance the checkpoint WITHOUT invoking the
-      // consumer: a sink like idempotentAppend would otherwise publish
-      // one empty snapshot version per upstream reorg, inflating the
-      // downstream manifest history for no data
-      val changeFree = meta.get("op").exists(o => o == "compact" || o == "cluster")
+      // every row; rename is metadata-only and the feed rides across it
+      // in the consumer's own schema handling) advance the checkpoint
+      // WITHOUT invoking the consumer: a sink like idempotentAppend
+      // would otherwise publish one empty snapshot version per upstream
+      // reorg, inflating the downstream manifest history for no data
+      val changeFree = meta.get("op").exists(o =>
+        o == "compact" || o == "cluster" || o == "rename")
       if (!changeFree) {
         if (epochBoundary(prevMeta, meta)) {
           val sig = meta("schema")
@@ -121,17 +123,13 @@ object ChangeFeed {
   }
 
   /** True iff a commit rewrote the schema NON-additively relative to
-    * its predecessor (the previous fields are not a prefix of the new
-    * ones) — the epoch boundary [[ManifestTable.readChanges]] rejects
-    * ranges across. Legacy commits without a recorded schema never
-    * bound. */
+    * its predecessor — the epoch boundary [[ManifestTable.readChanges]]
+    * rejects ranges across. Delegates to the field-id-aware prefix rule
+    * ([[ManifestTable.sigPrefixCompatible]]): a RENAME is NOT a boundary
+    * (ids/physical/types unchanged — the feed rides through, emitting
+    * the new logical names from its commit on); a DROP or type change
+    * is. Legacy commits without a recorded schema never bound. */
   private def epochBoundary(prevMeta: Map[String, String],
       meta: Map[String, String]): Boolean =
-    (prevMeta.get("schema"), meta.get("schema")) match {
-      case (Some(prev), Some(cur)) =>
-        val pf = ManifestStreamSource.splitTopLevel(prev)
-        val cf = ManifestStreamSource.splitTopLevel(cur)
-        cf.take(pf.size) != pf
-      case _ => false
-    }
+    !ManifestTable.sigPrefixCompatible(prevMeta, meta)
 }

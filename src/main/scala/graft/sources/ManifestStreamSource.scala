@@ -66,10 +66,12 @@ class ManifestStreamSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = properties.asScala.toMap
-    new ManifestStreamTable(ManifestStreamSource.tableOf(opts), schema,
+    val table = ManifestStreamSource.tableOf(opts)
+    new ManifestStreamTable(table, schema,
       ignoreDeletes = ManifestStreamSource.flag(opts, "ignoreDeletes"),
       ignoreChanges = ManifestStreamSource.flag(opts, "ignoreChanges"),
-      maxFilesPerTrigger = ManifestStreamSource.intOpt(opts, "maxFilesPerTrigger"))
+      maxFilesPerTrigger = ManifestStreamSource.intOpt(opts, "maxFilesPerTrigger"),
+      physByLogical = ManifestStreamSource.physByLogical(table))
   }
 }
 
@@ -114,6 +116,18 @@ object ManifestStreamSource {
     })
   }
 
+  /** Logical→physical column names for a table under COLUMN MAPPING
+    * (renamed/dropped columns store under birth-time physical names —
+    * see [[ManifestTable.renameColumn]]); identity for plain tables.
+    * Snapshot at stream definition: physical names never change, so the
+    * map stays valid for every file the stream will ever read. */
+  private[sources] def physByLogical(table: String): Map[String, String] =
+    (for {
+      sig <- ManifestTable.currentSchema(table)
+      cm <- ManifestTable.currentColMap(table)
+    } yield splitTopLevel(sig).map(_.split(":", 2)(0)).zip(cm.map(_._2)).toMap)
+      .getOrElse(Map.empty)
+
   /** Split a schema signature on commas at bracket depth 0 only
     * (parens and angle brackets both nest in type DDL). */
   private[graft] def splitTopLevel(sig: String): Seq[String] = {
@@ -150,6 +164,10 @@ object ManifestStreamSource {
         // version either way.
         case "append-evolve" => added
         case "compact" | "cluster" => Seq.empty // physical reorg, logical identity
+        // metadata-only schema commits add no files; a stream keeps its
+        // fixed start-time schema either way (restart to adopt a rename;
+        // a dropped column simply stops being projected on restart)
+        case "rename" | "drop-column" => Seq.empty
         case "delete" =>
           if (ignoreDeletes) Seq.empty
           else throw new IllegalStateException(
@@ -169,7 +187,8 @@ object ManifestStreamSource {
 
 private class ManifestStreamTable(table: String, schema: StructType,
     ignoreDeletes: Boolean, ignoreChanges: Boolean,
-    maxFilesPerTrigger: Option[Int])
+    maxFilesPerTrigger: Option[Int],
+    physByLogical: Map[String, String])
   extends Table with SupportsRead {
   override def name(): String = s"manifest_stream($table)"
   override def schema(): StructType = schema
@@ -182,7 +201,7 @@ private class ManifestStreamTable(table: String, schema: StructType,
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ManifestMicroBatchStream(table, schema, ignoreDeletes, ignoreChanges,
-            maxFilesPerTrigger)
+            maxFilesPerTrigger, physByLogical)
       }
     }
 }
@@ -195,7 +214,8 @@ private case class ManifestFilePartition(path: String) extends InputPartition
 
 private class ManifestMicroBatchStream(table: String, schema: StructType,
     ignoreDeletes: Boolean, ignoreChanges: Boolean,
-    maxFilesPerTrigger: Option[Int])
+    maxFilesPerTrigger: Option[Int],
+    physByLogical: Map[String, String])
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // Trigger.AvailableNow contract: the end offset is FROZEN at prepare
@@ -272,12 +292,16 @@ private class ManifestMicroBatchStream(table: String, schema: StructType,
       .map(p => ManifestFilePartition(p): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(schema)
+    new ManifestReaderFactory(schema, physByLogical)
 }
 
-private class ManifestReaderFactory(schema: StructType) extends PartitionReaderFactory {
+private class ManifestReaderFactory(schema: StructType,
+    physByLogical: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[ManifestFilePartition].path
+    // files store PHYSICAL names (identical to logical outside column
+    // mapping); the stream's output schema stays logical
+    val physOf = schema.fields.map(f => physByLogical.getOrElse(f.name, f.name))
     new PartitionReader[InternalRow] {
       private val reader: ParquetReader[Group] =
         ParquetReader.builder[Group](new GroupReadSupport(),
@@ -285,12 +309,12 @@ private class ManifestReaderFactory(schema: StructType) extends PartitionReaderF
       private var rec: Group = _
       override def next(): Boolean = { rec = reader.read(); rec != null }
       override def get(): InternalRow =
-        InternalRow.fromSeq(schema.fields.toSeq.map { f =>
+        InternalRow.fromSeq(schema.fields.toSeq.zip(physOf).map { case (f, pn) =>
           // a pre-evolution file simply lacks evolved fields — null-fill,
           // the same read-time evolution contract as the batch reader
-          if (!rec.getType.containsField(f.name)) null
+          if (!rec.getType.containsField(pn)) null
           else {
-            val idx = rec.getType.getFieldIndex(f.name)
+            val idx = rec.getType.getFieldIndex(pn)
             if (rec.getFieldRepetitionCount(idx) == 0) null
             else ManifestReaderFactory.convert(rec, idx, 0, f.dataType)
           }

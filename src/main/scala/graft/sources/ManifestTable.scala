@@ -65,6 +65,28 @@ object ManifestTable {
     n.stripPrefix("v").stripSuffix(".manifest").toLong
   }
 
+  /** LOG CHECKPOINTING (the Delta `_last_checkpoint` discipline on the
+    * miniature format): version 0 and legacy manifests are FULL entry
+    * lists; every later commit writes a DELTA manifest (`#base=v-1`
+    * header; `+entry` added / `-entry` removed lines) sized by the
+    * CHANGED files, and every CHECKPOINT_EVERY-th commit also
+    * materializes a full `v%08d.checkpoint` sidecar. Reconstruction
+    * walks back at most ~CHECKPOINT_EVERY deltas to the nearest
+    * full/checkpoint base. At 100 TB this is what keeps commit cost
+    * O(changed files): an append to a 10k-file table writes a
+    * 1-file delta, not a 10k-line snapshot (pinned in
+    * ManifestTableSuite), while per-version metadata (`#k=v` headers)
+    * stays complete in every version file so history/meta reads remain
+    * one file. [[expireVersions]] materializes the oldest retained
+    * version before dropping its ancestors, so retention never breaks a
+    * delta chain. */
+  private val CheckpointEvery = 16L
+
+  private def manifestPath(table: String, v: Long): Path =
+    manifestDir(table).resolve(f"v$v%08d.manifest")
+  private def checkpointPath(table: String, v: Long): Path =
+    manifestDir(table).resolve(f"v$v%08d.checkpoint")
+
   /** List a directory's entries, CLOSING the stream — `Files.list`
     * holds an open directory fd until closed, and latestVersion runs on
     * every read and every commit-loop retry, so an unclosed stream leaks
@@ -74,14 +96,37 @@ object ManifestTable {
     try s.iterator().asScala.toSeq finally s.close()
   }
 
-  /** Latest committed version, if any manifest exists. */
+  /** Latest committed version, if any manifest exists. O(1) file probes
+    * in the common case: the `_latest` hint (written best-effort after
+    * every publish) is always AT OR BELOW the true head — the CAS
+    * namespace only moves forward — so probing forward from it finds
+    * the head in (commits since the hint) existence checks instead of a
+    * full directory listing; a directory listing remains only as the
+    * fallback for hint-less legacy tables. */
   def latestVersion(table: String): Option[Long] = {
     val md = manifestDir(table)
     if (!Files.isDirectory(md)) return None
-    val vs = listDir(md)
-      .filter(_.getFileName.toString.matches("v\\d{8}\\.manifest"))
-      .map(versionOf)
-    if (vs.isEmpty) None else Some(vs.max)
+    val hintFile = md.resolve("_latest")
+    val hint: Option[Long] =
+      if (!Files.exists(hintFile)) None
+      else
+        try {
+          val h = new String(Files.readAllBytes(hintFile), "UTF-8").trim.toLong
+          // the hinted version itself may have been expired or the hint
+          // torn — trust it only when its manifest actually exists
+          if (Files.exists(manifestPath(table, h))) Some(h) else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+    hint match {
+      case Some(h) =>
+        var v = h
+        while (Files.exists(manifestPath(table, v + 1))) v += 1
+        Some(v)
+      case None =>
+        val vs = listDir(md)
+          .filter(_.getFileName.toString.matches("v\\d{8}\\.manifest"))
+          .map(versionOf)
+        if (vs.isEmpty) None else Some(vs.max)
+    }
   }
 
   /** Manifest line prefix marking a DELETION-VECTOR sidecar (a parquet
@@ -114,14 +159,137 @@ object ManifestTable {
     (parts.head, parts.tail)
   }
 
+  /** COLUMN MAPPING (the Delta/Iceberg column-mapping discipline): once
+    * a table RENAMEs or DROPs a column, every logical field carries a
+    * STABLE FIELD ID and a fixed PHYSICAL name — the name actually
+    * stored in the parquet files, assigned at column birth and never
+    * changed. Rename re-labels (logical changes; id and physical stay),
+    * drop hides (the field leaves the logical schema; old files keep
+    * the bytes, unreadable through the table). Neither rewrites a data
+    * file — at 100 TB that is the entire point. Tables that never
+    * rename/drop carry no colmap and behave exactly as before
+    * (physical == logical everywhere).
+    *
+    * Meta keys: `colmap` = "id:phys,..." positionally aligned with the
+    * `schema` signature's fields; `maxcolid` = the highest field id
+    * EVER assigned — drops must not free ids, because a later column
+    * re-using a dropped column's physical name would resurrect the
+    * dropped bytes out of old files (new columns under mapping get
+    * physical name `c<freshId>_<name>`, collision-free by id
+    * uniqueness). */
+  private def parseColMap(meta: Map[String, String]): Option[Seq[(Long, String)]] =
+    meta.get("colmap").map(_.split(",").toSeq.map { e =>
+      val Array(id, phys) = e.split(":", 2)
+      (id.toLong, phys)
+    })
+
+  private def colMapLine(cm: Seq[(Long, String)]): String = {
+    cm.foreach { case (_, p) =>
+      require(!p.contains(",") && !p.contains(":"),
+        s"physical column name may not contain ',' or ':': $p")
+    }
+    cm.map { case (id, p) => s"$id:$p" }.mkString(",")
+  }
+
+  /** Identity mapping for a table entering column-mapping mode: ids by
+    * position, physical = the CURRENT logical names (what the existing
+    * files store). */
+  private def synthColMap(fields: Seq[String]): Seq[(Long, String)] =
+    fields.zipWithIndex.map { case (f, i) => ((i + 1).toLong, fieldName(f)) }
+
+  private def fieldName(f: String): String = f.split(":", 2)(0)
+  private def fieldType(f: String): String = f.split(":", 2)(1)
+
+  /** The latest snapshot's logical→physical column mapping, if the
+    * table is in column-mapping mode. */
+  def currentColMap(table: String): Option[Seq[(Long, String)]] =
+    latestVersion(table).flatMap(v => parseColMap(snapshotMeta(table, v)))
+
+  /** Physical column names aligned with the snapshot's schema fields
+    * (None when the table stores logical names directly). */
+  private def physNamesOf(meta: Map[String, String]): Option[Seq[String]] =
+    parseColMap(meta).map(_.map(_._2))
+
+  /** The physical name a logical column is stored under in this
+    * snapshot's files (the logical name itself outside mapping mode, or
+    * for a name not in the schema — e.g. a dropped column — which then
+    * conservatively misses stats lookups). */
+  private def physName(meta: Map[String, String], logical: String): String =
+    (for {
+      sig <- meta.get("schema")
+      cm <- parseColMap(meta)
+      idx = ManifestStreamSource.splitTopLevel(sig).indexWhere(fieldName(_) == logical)
+      if idx >= 0 && idx < cm.size
+    } yield cm(idx)._2).getOrElse(logical)
+
+  /** Meta keys every snapshot-preserving commit must carry forward —
+    * dropping the colmap would flip readers back to logical-name scans
+    * over physically-named files. */
+  private def mapMeta(meta: Map[String, String]): Map[String, String] =
+    meta.view.filterKeys(k => k == "colmap" || k == "maxcolid").toMap
+
+  /** Is `inner`'s schema a column-mapping-aware PREFIX of `outer`'s —
+    * i.e. can a change feed ride from a snapshot with `inner`'s meta to
+    * one with `outer`'s? True iff inner's field ids, physical names, and
+    * types are each a positional prefix of outer's (LOGICAL names are
+    * free to differ — renames ride through; drops and type changes
+    * break the prefix and bound the epoch). Outside mapping mode the
+    * implied identity mapping reduces this to the old name:type prefix
+    * rule; untracked (schema-less) commits never bound. */
+  private[sources] def sigPrefixCompatible(inner: Map[String, String],
+      outer: Map[String, String]): Boolean =
+    (inner.get("schema"), outer.get("schema")) match {
+      case (None, _) | (_, None) => true
+      case (Some(is), Some(os)) =>
+        val inf = ManifestStreamSource.splitTopLevel(is)
+        val onf = ManifestStreamSource.splitTopLevel(os)
+        if (inf.size > onf.size) false
+        else {
+          val iIds = parseColMap(inner).map(_.map(_._1))
+            .getOrElse((1L to inf.size.toLong))
+          val oIds = parseColMap(outer).map(_.map(_._1))
+            .getOrElse((1L to onf.size.toLong))
+          val iPhys = physNamesOf(inner).getOrElse(inf.map(fieldName))
+          val oPhys = physNamesOf(outer).getOrElse(onf.map(fieldName))
+          iIds == oIds.take(iIds.size) &&
+            iPhys == oPhys.take(iPhys.size) &&
+            inf.map(fieldType) == onf.take(inf.size).map(fieldType)
+        }
+    }
+
   /** ALL content entries of a committed snapshot (data files AND
     * deletion-vector lines, comments excluded) — what snapshot-EXTENDING
     * commits (append, streaming append) must carry forward verbatim:
     * dropping a DV line would resurrect its deleted rows. */
   def snapshotEntries(table: String, version: Long): Seq[String] = {
-    val m = manifestDir(table).resolve(f"v$version%08d.manifest")
-    Files.readAllLines(m).asScala.toSeq
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+    // a materialized checkpoint answers in one read; otherwise walk the
+    // delta chain BACK to the nearest full base (≤ ~CheckpointEvery
+    // hops), then fold the deltas forward
+    if (Files.exists(checkpointPath(table, version)))
+      return Files.readAllLines(checkpointPath(table, version)).asScala.toSeq
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+    var v = version
+    var chain = List.empty[Seq[String]] // deltas, oldest first
+    var base: Seq[String] = Seq.empty
+    var done = false
+    while (!done) {
+      val lines = Files.readAllLines(manifestPath(table, v)).asScala.toSeq
+      val content = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+      if (lines.exists(_.startsWith("#base="))) {
+        chain = content :: chain
+        v -= 1
+        if (Files.exists(checkpointPath(table, v))) {
+          base = Files.readAllLines(checkpointPath(table, v)).asScala.toSeq
+            .filter(l => l.nonEmpty && !l.startsWith("#"))
+          done = true
+        }
+      } else { base = content; done = true }
+    }
+    chain.foldLeft(base) { (prev, delta) =>
+      val removes = delta.collect { case l if l.startsWith("-") => l.drop(1) }.toSet
+      val adds = delta.collect { case l if l.startsWith("+") => l.drop(1) }
+      prev.filterNot(removes) ++ adds
+    }
   }
 
   /** The DATA file list of a committed snapshot (metadata and
@@ -162,8 +330,9 @@ object ManifestTable {
   def read(spark: SparkSession, table: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
+    val meta = snapshotMeta(table, v)
     readFiles(spark, snapshotFiles(table, v), snapshotDvs(table, v),
-      snapshotMeta(table, v).get("schema"))
+      meta.get("schema"), physNamesOf(meta))
   }
 
   /** The recorded signature parsed back to a StructType (all fields
@@ -196,10 +365,37 @@ object ManifestTable {
     * production formats' read-time null-fill, without mergeSchema's
     * footer-sampling pass. */
   private def readFiles(spark: SparkSession, files: Seq[String],
-      dvs: Seq[String], sig: Option[String] = None): DataFrame = {
+      dvs: Seq[String], sig: Option[String] = None,
+      phys: Option[Seq[String]] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val df = scanPhysical(spark, files, dvs, sig, phys)
+    (sig.flatMap(sigToSchema), phys) match {
+      case (Some(sch), Some(p)) if files.nonEmpty =>
+        // mapping mode: the scan ran under PHYSICAL names; surface the
+        // snapshot's LOGICAL names to the caller
+        df.select(sch.fields.toSeq.zip(p).map { case (f, pn) =>
+          col(pn).as(f.name)
+        }: _*)
+      case _ => df
+    }
+  }
+
+  /** The scan in the files' own PHYSICAL column names (== logical
+    * outside mapping mode), deletion vectors applied. Rewriting commits
+    * (delete's copy-on-write, compact, cluster) stage THIS shape so data
+    * files stay physically consistent across logical renames. */
+  private def scanPhysical(spark: SparkSession, files: Seq[String],
+      dvs: Seq[String], sig: Option[String], phys: Option[Seq[String]]): DataFrame = {
     import org.apache.spark.sql.functions.col
     if (files.isEmpty) return spark.emptyDataFrame
-    val base = sig.flatMap(sigToSchema) match {
+    val scanSchema = sig.flatMap(sigToSchema).map { sch =>
+      phys match {
+        case Some(p) => org.apache.spark.sql.types.StructType(
+          sch.fields.toSeq.zip(p).map { case (f, pn) => f.copy(name = pn) })
+        case None => sch
+      }
+    }
+    val base = scanSchema match {
       case Some(sch) => spark.read.schema(sch).parquet(files: _*)
       case None => spark.read.parquet(files: _*)
     }
@@ -221,10 +417,19 @@ object ManifestTable {
     * SIDECAR with its INT64 column ranges (harvested from the parquet
     * footer — a metadata-only read), so [[readPruned]] can skip whole
     * files later without touching them. */
-  private def stage(df: DataFrame, table: String): Seq[String] = {
+  private def stage(df: DataFrame, table: String,
+      toPhys: Option[Seq[(String, String)]] = None): Seq[String] = {
+    import org.apache.spark.sql.functions.col
     val id = UUID.randomUUID().toString
     val staging = Paths.get(table, s"staging-$id")
-    df.write.parquet(staging.toString)
+    // mapping mode: the caller's DataFrame is in LOGICAL names; files
+    // always store PHYSICAL names (fixed at column birth), so renames
+    // stay metadata-only
+    val out = toPhys match {
+      case Some(m) => df.select(m.map { case (l, p) => col(l).as(p) }: _*)
+      case None => df
+    }
+    out.write.parquet(staging.toString)
     Files.createDirectories(dataDir(table))
     val moved = listDir(staging)
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -232,8 +437,10 @@ object ManifestTable {
       .map { case (f, i) =>
         val dst = dataDir(table).resolve(s"$id-part-$i.parquet")
         // same '|'/'~dv:' guard as dvLine — every staged path may later
-        // appear as a DV line's target segment
-        require(!dst.toString.contains("|") && !dst.toString.startsWith(DvPrefix),
+        // appear as a DV line's target segment — plus the delta-manifest
+        // markers (+/-), which prefix entry lines in the checkpointed log
+        require(!dst.toString.contains("|") && !dst.toString.startsWith(DvPrefix) &&
+          !dst.toString.startsWith("+") && !dst.toString.startsWith("-"),
           s"table path yields manifest-unsafe data path: $dst")
         Files.move(f, dst, StandardCopyOption.ATOMIC_MOVE)
         dst.toString
@@ -347,16 +554,19 @@ object ManifestTable {
       lo: Long, hi: Long, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
+    val meta = snapshotMeta(table, v)
     val files = snapshotFiles(table, v)
     val dvs = snapshotDvs(table, v)
-    val sig = snapshotMeta(table, v).get("schema")
+    val sig = meta.get("schema")
+    val phys = physNamesOf(meta)
+    val pCol = physName(meta, col) // sidecar stats are physically named
     val live = files.filter { f =>
-      statsOf(f).get(col).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      statsOf(f).get(pCol).forall { case (mn, mx) => mx >= lo && mn <= hi }
     }
     val base =
       if (files.isEmpty) spark.emptyDataFrame
-      else if (live.isEmpty) readFiles(spark, files, Seq.empty, sig).limit(0)
-      else readFiles(spark, live, dvs, sig)
+      else if (live.isEmpty) readFiles(spark, files, Seq.empty, sig, phys).limit(0)
+      else readFiles(spark, live, dvs, sig, phys)
     if (files.isEmpty) base
     else base.filter(base.col(col) >= lo && base.col(col) <= hi)
   }
@@ -377,11 +587,43 @@ object ManifestTable {
     val stamped =
       if (meta.contains("ts")) meta
       else meta + ("ts" -> System.currentTimeMillis().toString)
-    val header = stamped.toSeq.sortBy(_._1).map { case (k, x) => s"#$k=$x" }
-    Files.write(tmp, (header ++ files).mkString("\n").getBytes("UTF-8"))
-    val target = md.resolve(f"v$v%08d.manifest")
+    // delta manifests (every version after 0): entries as +add/-remove
+    // lines against v−1 — the commit writes O(changed files), never the
+    // snapshot. Version 0 is a full list (no base to diff against).
+    val body: Seq[String] =
+      if (v == 0) files
+      else {
+        val prev = snapshotEntries(table, v - 1)
+        val prevSet = prev.toSet
+        val curSet = files.toSet
+        prev.filterNot(curSet).map("-" + _) ++
+          files.filterNot(prevSet).map("+" + _)
+      }
+    val header = (stamped ++ (if (v == 0) Map.empty[String, String]
+      else Map("base" -> (v - 1).toString)))
+      .toSeq.sortBy(_._1).map { case (k, x) => s"#$k=$x" }
+    Files.write(tmp, (header ++ body).mkString("\n").getBytes("UTF-8"))
+    val target = manifestPath(table, v)
     try {
       Files.createLink(target, tmp) // atomic create-if-absent
+      // post-publish, best-effort maintenance (crash-safe: readers never
+      // DEPEND on either — the hint only seeds latestVersion's forward
+      // probe, and a missing checkpoint just lengthens the delta walk):
+      //  - the `_latest` hint makes latestVersion O(1);
+      //  - every CheckpointEvery-th version materializes a full
+      //    checkpoint so reconstruction stays bounded.
+      try {
+        val hint = md.resolve(s".hint-${UUID.randomUUID()}")
+        Files.write(hint, v.toString.getBytes("UTF-8"))
+        Files.move(hint, md.resolve("_latest"), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        if (v > 0 && v % CheckpointEvery == 0) {
+          val cp = md.resolve(s".cp-${UUID.randomUUID()}")
+          Files.write(cp, files.mkString("\n").getBytes("UTF-8"))
+          Files.move(cp, checkpointPath(table, v), StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+      } catch { case scala.util.control.NonFatal(_) => }
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
@@ -463,13 +705,16 @@ object ManifestTable {
     * streaming source treat `cluster` commits exactly like `compact`.
     * Like compact, it is NOT snapshot-dependent-free: on a lost CAS the
     * rewrite recomputes from the fresh snapshot. */
-  def clusterBy(spark: SparkSession, table: String, c1: String, c2: String,
+  def clusterBy(spark: SparkSession, table: String, lc1: String, lc2: String,
       files: Int = 32, maxRetries: Int = 20): Long = {
     import org.apache.spark.sql.functions.{col, lit, shiftright, greatest, least}
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(table).getOrElse(
         throw new IllegalStateException(s"no committed snapshot in $table"))
+      val baseMeta = snapshotMeta(table, base)
+      // stats, scan, and restaged files are all PHYSICAL (see compact)
+      val (c1, c2) = (physName(baseMeta, lc1), physName(baseMeta, lc2))
       val fs = snapshotFiles(table, base)
       val ranges = fs.flatMap(f => Seq(c1, c2).flatMap(c =>
         statsOf(f).get(c).map(c -> _)))
@@ -479,7 +724,8 @@ object ManifestTable {
       }
       val (lo1, hi1) = (bound(c1, _._1, _.min), bound(c1, _._2, _.max))
       val (lo2, hi2) = (bound(c2, _._1, _.min), bound(c2, _._2, _.max))
-      val cur = read(spark, table, Some(base))
+      val cur = scanPhysical(spark, snapshotFiles(table, base),
+        snapshotDvs(table, base), baseMeta.get("schema"), physNamesOf(baseMeta))
       def cell(c: String, lo: Long, hi: Long) = {
         val span = math.max(hi - lo, 1L)
         // equi-width 10-bit cell id; clamp for stats-less files' rows
@@ -495,7 +741,8 @@ object ManifestTable {
       val staged = stage(ordered, table)
       if (publish(table, base + 1, staged,
           Map("op" -> "cluster",
-            "schema" -> schemaSig(cur)))) return base + 1
+            "schema" -> baseMeta.getOrElse("schema", schemaSig(cur))) ++
+            mapMeta(baseMeta))) return base + 1
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
@@ -514,17 +761,20 @@ object ManifestTable {
       version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
+    val meta = snapshotMeta(table, v)
     val files = snapshotFiles(table, v)
     val dvs = snapshotDvs(table, v)
-    val sig = snapshotMeta(table, v).get("schema")
+    val sig = meta.get("schema")
+    val phys = physNamesOf(meta)
+    val (p1, p2) = (physName(meta, c1), physName(meta, c2))
     def live(f: String): Boolean =
-      statsOf(f).get(c1).forall { case (mn, mx) => mx >= lo1 && mn <= hi1 } &&
-        statsOf(f).get(c2).forall { case (mn, mx) => mx >= lo2 && mn <= hi2 }
+      statsOf(f).get(p1).forall { case (mn, mx) => mx >= lo1 && mn <= hi1 } &&
+        statsOf(f).get(p2).forall { case (mn, mx) => mx >= lo2 && mn <= hi2 }
     val kept = files.filter(live)
     val base =
       if (files.isEmpty) spark.emptyDataFrame
-      else if (kept.isEmpty) readFiles(spark, files, Seq.empty, sig).limit(0)
-      else readFiles(spark, kept, dvs, sig)
+      else if (kept.isEmpty) readFiles(spark, files, Seq.empty, sig, phys).limit(0)
+      else readFiles(spark, kept, dvs, sig, phys)
     if (files.isEmpty) base
     else base.filter(base.col(c1) >= lo1 && base.col(c1) <= hi1 &&
       base.col(c2) >= lo2 && base.col(c2) <= hi2)
@@ -555,6 +805,7 @@ object ManifestTable {
       least, greatest, regexp_replace}
     val v = latestVersion(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
+    val meta = snapshotMeta(table, v)
     val files = snapshotFiles(table, v)
     val dvInfo = snapshotDvInfo(table, v)
     val dvs = dvInfo.map(_._1)
@@ -564,10 +815,13 @@ object ManifestTable {
       (dvInfo.filter(_._2.nonEmpty).flatMap(_._2) ++
         (if (dvInfo.exists(_._2.isEmpty)) files else Seq.empty))
         .distinct.filter(files.toSet).toSet
-    val sig = snapshotMeta(table, v).get("schema")
+    val sig = meta.get("schema")
+    val phys = physNamesOf(meta)
+    // sidecar stats key on PHYSICAL names; the caller's cols are logical
+    val pOf = cols.map(cc => cc -> physName(meta, cc)).toMap
     val statsBy = files.map(f => f -> statsOf(f)).toMap
     val poisoned = files.filter(f => dvTargets.contains(f) ||
-      cols.exists(cc => !statsBy(f).contains(cc)))
+      cols.exists(cc => !statsBy(f).contains(pOf(cc))))
     val clean = files.filterNot(poisoned.toSet)
     val baseCount = files.map(statsRowCount).sum
     val tomb: DataFrame =
@@ -592,7 +846,7 @@ object ManifestTable {
           .agg(count(lit(1)).cast("long").as("tomb"))
       }
     val cleanAgg: Map[String, (Option[Long], Option[Long])] = cols.map { cc =>
-      val rs = clean.flatMap(statsBy(_).get(cc))
+      val rs = clean.flatMap(statsBy(_).get(pOf(cc)))
       cc -> (rs.map(_._1).minOption, rs.map(_._2).maxOption)
     }.toMap
     val pExprs = cols.flatMap(cc =>
@@ -603,7 +857,7 @@ object ManifestTable {
         spark.range(1).select(cols.flatMap(cc => Seq(
           lit(null).cast("long").as(s"pmin_$cc"),
           lit(null).cast("long").as(s"pmax_$cc"))): _*)
-      else readFiles(spark, poisoned, dvs, sig)
+      else readFiles(spark, poisoned, dvs, sig, phys)
         .agg(pExprs.head, pExprs.tail: _*)
     val outCols = (lit(baseCount) - c("tomb")).as("n_rows") +:
       cols.flatMap { cc =>
@@ -632,9 +886,11 @@ object ManifestTable {
       version: Option[Long] = None): Int = {
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
+    val meta = snapshotMeta(table, v)
+    val (p1, p2) = (physName(meta, c1), physName(meta, c2))
     snapshotFiles(table, v).count { f =>
-      statsOf(f).get(c1).forall { case (mn, mx) => mx >= lo1 && mn <= hi1 } &&
-        statsOf(f).get(c2).forall { case (mn, mx) => mx >= lo2 && mn <= hi2 }
+      statsOf(f).get(p1).forall { case (mn, mx) => mx >= lo1 && mn <= hi1 } &&
+        statsOf(f).get(p2).forall { case (mn, mx) => mx >= lo2 && mn <= hi2 }
     }
   }
 
@@ -673,6 +929,90 @@ object ManifestTable {
             "write against the new schema")
     }
 
+  /** The logical→physical staging map for a snapshot-extending write
+    * (None outside mapping mode). Physical names never change, so a map
+    * fetched before the commit loop stays valid across CAS retries; a
+    * concurrent rename only moves LOGICAL names, which the loop's
+    * signature reconciliation flags as a conflict. */
+  private def stageMap(table: String): Option[Seq[(String, String)]] =
+    for {
+      v <- latestVersion(table)
+      meta = snapshotMeta(table, v)
+      sig <- meta.get("schema")
+      phys <- physNamesOf(meta)
+    } yield ManifestStreamSource.splitTopLevel(sig).map(fieldName).zip(phys)
+
+  /** RENAME COLUMN — a metadata-only commit (the Delta/Iceberg `ALTER
+    * TABLE RENAME COLUMN` under column mapping): the snapshot's entries
+    * carry VERBATIM (zero data files touched, zero bytes moved), the
+    * schema signature re-labels the field, and the colmap pins the
+    * field's stable id + unchanged PHYSICAL name so every old file
+    * keeps reading. First use switches the table into mapping mode
+    * (ids by position, physical = current logical names). The change
+    * feed rides across a rename (ids/physical/types are unchanged —
+    * [[sigPrefixCompatible]]); time travel before it reads the old
+    * logical names, after it the new. */
+  def renameColumn(table: String, from: String, to: String,
+      maxRetries: Int = 20): Long = {
+    require(to.nonEmpty && !to.contains(":") && !to.contains(",") &&
+      !to.contains("|") && !to.startsWith("~"),
+      s"'$to' is not a signature-safe column name")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(table).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot in $table"))
+      val meta = snapshotMeta(table, base)
+      val sig = meta.getOrElse("schema", throw new IllegalStateException(
+        s"renameColumn requires a schema-tracked table: $table"))
+      val fields = ManifestStreamSource.splitTopLevel(sig)
+      val names = fields.map(fieldName)
+      require(names.contains(from), s"no column '$from' in [$sig]")
+      require(!names.contains(to), s"column '$to' already exists in [$sig]")
+      val cm = parseColMap(meta).getOrElse(synthColMap(fields))
+      val maxId = meta.get("maxcolid").map(_.toLong).getOrElse(cm.map(_._1).max)
+      val newSig = fields.map(f =>
+        if (fieldName(f) == from) s"$to:${fieldType(f)}" else f).mkString(",")
+      if (publish(table, base + 1, snapshotEntries(table, base),
+          Map("op" -> "rename", "schema" -> newSig,
+            "colmap" -> colMapLine(cm), "maxcolid" -> maxId.toString) ++
+            meta.view.filterKeys(_ == "lastBatchId").toMap)) return base + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
+  }
+
+  /** DROP COLUMN — a metadata-only commit: the field leaves the logical
+    * schema and the colmap; its physical bytes stay in the old files,
+    * invisible to every read through the table (and never resurrectable:
+    * field ids are never reused, and post-mapping columns get
+    * id-qualified physical names — see the colmap scaladoc). The change
+    * feed does NOT ride across a drop (the id prefix breaks): it is an
+    * epoch boundary, same as any narrowing evolution. */
+  def dropColumn(table: String, name: String, maxRetries: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(table).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot in $table"))
+      val meta = snapshotMeta(table, base)
+      val sig = meta.getOrElse("schema", throw new IllegalStateException(
+        s"dropColumn requires a schema-tracked table: $table"))
+      val fields = ManifestStreamSource.splitTopLevel(sig)
+      val idx = fields.indexWhere(fieldName(_) == name)
+      require(idx >= 0, s"no column '$name' in [$sig]")
+      require(fields.size > 1, s"cannot drop the only column of $table")
+      val cm = parseColMap(meta).getOrElse(synthColMap(fields))
+      val maxId = meta.get("maxcolid").map(_.toLong).getOrElse(cm.map(_._1).max)
+      val newSig = fields.patch(idx, Nil, 1).mkString(",")
+      if (publish(table, base + 1, snapshotEntries(table, base),
+          Map("op" -> "drop-column", "schema" -> newSig,
+            "colmap" -> colMapLine(cm.patch(idx, Nil, 1)),
+            "maxcolid" -> maxId.toString) ++
+            meta.view.filterKeys(_ == "lastBatchId").toMap)) return base + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
+  }
+
   /** Commit history: (version, operation) for every still-readable
     * manifest, oldest first — the DESCRIBE HISTORY primitive (operations
     * recorded from the first tracked commit on; older manifests report
@@ -693,7 +1033,7 @@ object ManifestTable {
   def append(spark: SparkSession, table: String, df: DataFrame,
       maxRetries: Int = 20): Long = {
     enforceSchema(table, df)
-    val staged = stage(df, table)
+    val staged = stage(df, table, stageMap(table))
     val bring = schemaSig(df)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -703,10 +1043,13 @@ object ManifestTable {
       val prev = base.map(snapshotEntries(table, _)).getOrElse(Seq.empty)
       val v = base.getOrElse(-1L) + 1
       // re-reconcile against the FRESH base every attempt: a lost CAS
-      // may mean a concurrent appendEvolve widened the schema
+      // may mean a concurrent appendEvolve widened the schema; the
+      // colmap/maxcolid carry is re-read fresh for the same reason
       if (publish(table, v, prev ++ staged,
           Map("op" -> "append",
-            "schema" -> reconcileSig(table, bring, allowExtend = false)))) return v
+            "schema" -> reconcileSig(table, bring, allowExtend = false)) ++
+            base.map(b => mapMeta(snapshotMeta(table, b))).getOrElse(Map.empty)))
+        return v
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
@@ -732,17 +1075,45 @@ object ManifestTable {
       require(bf.size > hf.size && bf.take(hf.size) == hf,
         s"appendEvolve must extend the schema: table has [$have], write brings [$bring]")
     }
-    val staged = stage(df, table)
+    // under column mapping the NEW trailing columns get fresh ids and
+    // id-qualified physical names (c<id>_<name>) — unique forever, so a
+    // re-added name can never alias a dropped column's stored bytes
+    val baseMeta = latestVersion(table).map(snapshotMeta(table, _)).getOrElse(Map.empty)
+    val baseCm = parseColMap(baseMeta)
+    val (evolveMeta, toPhys) = baseCm match {
+      case None => (Map.empty[String, String], None)
+      case Some(cm) =>
+        val hf = ManifestStreamSource.splitTopLevel(baseMeta("schema"))
+        val bf = ManifestStreamSource.splitTopLevel(bring)
+        val maxId = baseMeta.get("maxcolid").map(_.toLong).getOrElse(cm.map(_._1).max)
+        val fresh = bf.drop(hf.size).zipWithIndex.map { case (f, i) =>
+          val id = maxId + 1 + i
+          (id, s"c${id}_${fieldName(f)}")
+        }
+        val full = cm ++ fresh
+        (Map("colmap" -> colMapLine(full),
+            "maxcolid" -> (maxId + fresh.size).toString),
+          Some(bf.map(fieldName).zip(full.map(_._2))))
+    }
+    val staged = stage(df, table, toPhys)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(table)
       val prev = base.map(snapshotEntries(table, _)).getOrElse(Seq.empty)
       val v = base.getOrElse(-1L) + 1
       // a lost CAS may mean another evolve landed first: publish the
-      // wider of the two when one extends the other, conflict otherwise
+      // wider of the two when one extends the other, conflict otherwise.
+      // Under column mapping a concurrent schema-moving commit is a hard
+      // conflict (the staged files' physical names were fixed against
+      // the pre-loop colmap) — fail loudly rather than publish a colmap
+      // that misdescribes the staged bytes.
+      val freshCm = base.map(b => snapshotMeta(table, b).get("colmap")).flatten
+      if (baseCm.map(colMapLine) != freshCm) throw new IllegalStateException(
+        s"column mapping of $table moved during appendEvolve — retry the write")
       if (publish(table, v, prev ++ staged,
           Map("op" -> "append-evolve",
-            "schema" -> reconcileSig(table, bring, allowExtend = true)))) return v
+            "schema" -> reconcileSig(table, bring, allowExtend = true)) ++
+            evolveMeta)) return v
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
@@ -802,8 +1173,15 @@ object ManifestTable {
       // rows right after the rollback
       val batchIds = Seq(base, toVersion).filter(_ >= 0)
         .flatMap(v => snapshotMeta(table, v).get("lastBatchId")).map(_.toLong)
+      // maxcolid, like lastBatchId, is a HIGH-WATER mark: restoring to a
+      // pre-evolution version must not roll it back, or a later evolve
+      // could reuse a field id and alias a dropped column's stored bytes
+      val maxColIds = Seq(base, toVersion).filter(_ >= 0)
+        .flatMap(v => snapshotMeta(table, v).get("maxcolid")).map(_.toLong)
       val meta = Map("op" -> "restore", "restoreOf" -> toVersion.toString) ++
         snapshotMeta(table, toVersion).get("schema").map("schema" -> _) ++
+        snapshotMeta(table, toVersion).get("colmap").map("colmap" -> _) ++
+        maxColIds.maxOption.map("maxcolid" -> _.toString) ++
         batchIds.maxOption.map("lastBatchId" -> _.toString)
       val v = base + 1
       if (publish(table, v, entries, meta)) return v
@@ -845,13 +1223,14 @@ object ManifestTable {
           org.apache.spark.sql.functions
             .coalesce(col(s"u.$c"), col(s"t.$c")).as(c)
         }: _*)
-      val staged = stage(merged, table)
+      val staged = stage(merged, table, stageMap(table))
       // the merge KEY rides in the commit meta so the change feed can
       // pair this commit's delete+insert rows back into
       // update_preimage/update_postimage (Delta-parity CDF updates)
       if (publish(table, base + 1, staged,
           Map("op" -> "merge", "mergeKey" -> key,
-            "schema" -> schemaSig(merged)))) return base + 1
+            "schema" -> schemaSig(merged)) ++
+            mapMeta(snapshotMeta(table, base)))) return base + 1
       attempt += 1 // lost the race: recompute against the new snapshot
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
@@ -883,13 +1262,17 @@ object ManifestTable {
     * dropping the old manifests (documented production two-step).
     * Returns the committed version (the base version when no file can
     * contain a match — a provable no-op commits nothing). */
-  def deleteWhere(spark: SparkSession, table: String, column: String,
+  def deleteWhere(spark: SparkSession, table: String, logicalColumn: String,
       lo: Long, hi: Long, maxRetries: Int = 20, dvBelowOverlap: Double = 0.5): Long = {
     import org.apache.spark.sql.functions.{col => c}
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(table).getOrElse(
         throw new IllegalStateException(s"no committed snapshot in $table"))
+      val baseMeta = snapshotMeta(table, base)
+      // stats sidecars and the files themselves store PHYSICAL names;
+      // the caller's predicate column is LOGICAL
+      val column = physName(baseMeta, logicalColumn)
       val files = snapshotFiles(table, base)
       val dvs = snapshotDvs(table, base)
       val oldDvEntries = snapshotEntries(table, base).filter(_.startsWith(DvPrefix))
@@ -923,11 +1306,13 @@ object ManifestTable {
         }
       }
       // rewrite path applies EXISTING DVs first — republishing a
-      // tombstoned row would resurrect it
+      // tombstoned row would resurrect it. The scan, filter, and staged
+      // files all stay in PHYSICAL names: rewrites must keep the files
+      // physically consistent across logical renames.
       val stagedData =
         if (rewriteF.isEmpty) Seq.empty
-        else stage(readFiles(spark, rewriteF, dvs,
-            snapshotMeta(table, base).get("schema"))
+        else stage(scanPhysical(spark, rewriteF, dvs,
+            baseMeta.get("schema"), physNamesOf(baseMeta))
           .filter(!(c(column) >= lo && c(column) <= hi)), table)
       // DV path records (path, pos) of the dying rows from the scan's
       // own `_metadata` — tombstone-sized output, no data file touched.
@@ -947,8 +1332,11 @@ object ManifestTable {
       // subtracts their dying rows reader-side; only rewritten files
       // leave the file list
       if (publish(table, base + 1, keep ++ dvF ++ stagedData ++ dvLines,
-          Map("op" -> "delete", "schema" -> schemaSig(read(spark, table, Some(base))),
-            "dvAdded" -> stagedDv.size.toString))) return base + 1
+          Map("op" -> "delete",
+            "schema" -> baseMeta.getOrElse("schema",
+              schemaSig(read(spark, table, Some(base)))),
+            "dvAdded" -> stagedDv.size.toString) ++ mapMeta(baseMeta)))
+        return base + 1
       attempt += 1 // lost the race: recompute against the new snapshot
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
@@ -985,13 +1373,18 @@ object ManifestTable {
       // the committed signature rides along: after an appendEvolve the
       // affected set can mix schema epochs, and an unsigned scan would
       // take one sample file's schema and silently drop evolved columns
-      // from the rewrite
-      val current = readFiles(spark, affected, dvPaths,
-        snapshotMeta(table, base).get("schema"))
+      // from the rewrite. The rewrite scans AND stages in PHYSICAL
+      // names — a compaction must not bake the current logical labels
+      // into the files (the next rename would otherwise need a rewrite).
+      val baseMeta = snapshotMeta(table, base)
+      val current = scanPhysical(spark, affected, dvPaths,
+        baseMeta.get("schema"), physNamesOf(baseMeta))
       val staged = if (affected.isEmpty) Seq.empty else stage(current, table)
       if (publish(table, base + 1, untouched ++ staged,
           Map("op" -> "compact",
-            "schema" -> schemaSig(read(spark, table, Some(base)))))) return base + 1
+            "schema" -> baseMeta.getOrElse("schema",
+              schemaSig(read(spark, table, Some(base))))) ++
+            mapMeta(baseMeta))) return base + 1
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
@@ -1081,16 +1474,21 @@ object ManifestTable {
       throw new IllegalStateException(s"no committed snapshot in $table"))
     require(-1L <= fromV && fromV <= toV && toV <= latest,
       s"invalid change range ($fromV, $toV] for $table at version $latest")
-    val finalSig = snapshotMeta(table, toV).get("schema")
-    val sigs = (math.max(fromV, 0L) to toV)
-      .flatMap(v => snapshotMeta(table, v).get("schema")).distinct
-    val finalFields = finalSig.map(ManifestStreamSource.splitTopLevel).getOrElse(Seq.empty)
-    require(sigs.forall(s =>
-        ManifestStreamSource.splitTopLevel(s) == finalFields.take(
-          ManifestStreamSource.splitTopLevel(s).size)),
-      s"schema changed non-additively inside the change range ($fromV, $toV]: $sigs — " +
-        "consume each schema epoch separately")
-    val steps = ((fromV + 1) to toV).flatMap(v => changesAt(spark, table, v, finalSig))
+    val finalMeta = snapshotMeta(table, toV)
+    val finalSig = finalMeta.get("schema")
+    val finalPhys = physNamesOf(finalMeta)
+    // compatibility is FIELD-ID-aware ([[sigPrefixCompatible]]): renames
+    // ride through (ids/physical/types unchanged — the changelog emits
+    // in the END version's logical names, Delta CDF's column-mapping
+    // behavior); adds null-fill; drops and type changes bound the epoch
+    (math.max(fromV, 0L) to toV).foreach { v =>
+      require(sigPrefixCompatible(snapshotMeta(table, v), finalMeta),
+        s"schema changed non-additively (or a column was dropped) inside the " +
+          s"change range ($fromV, $toV] of $table — consume each schema epoch " +
+          "separately")
+    }
+    val steps = ((fromV + 1) to toV)
+      .flatMap(v => changesAt(spark, table, v, finalSig, finalPhys))
     if (steps.nonEmpty) steps.reduce(_ union _)
     else read(spark, table, Some(toV)).limit(0)
       .withColumn("_change_type", lit("insert"))
@@ -1101,12 +1499,14 @@ object ManifestTable {
   /** One commit's row-level changes (None when provably change-free):
     * the per-version step of [[readChanges]]. */
   private def changesAt(spark: SparkSession, table: String, v: Long,
-      sig: Option[String]): Option[DataFrame] = {
+      sig: Option[String], phys: Option[Seq[String]]): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{col, lit}
     def tag(df: DataFrame, t: String): DataFrame =
       df.withColumn("_change_type", lit(t)).withColumn("_commit_version", lit(v))
     // compact and cluster commits are PHYSICAL reorganizations that
-    // carry every row — logically change-free by contract
+    // carry every row — logically change-free by contract; rename and
+    // drop-column are metadata-only (entries verbatim) and fall out as
+    // change-free below (no added/removed files, no DV delta)
     if (snapshotMeta(table, v).get("op").exists(o => o == "compact" || o == "cluster"))
       return None
     // every step reads under the RANGE-FINAL signature (prefix-chain
@@ -1124,7 +1524,7 @@ object ManifestTable {
     val dvNew = curDvInfo.filterNot(d => prevDvs.contains(d._1))
     val arriving: Option[DataFrame] =
       if (added.isEmpty) None
-      else Some(readFiles(spark, added, curDvInfo.map(_._1), sig))
+      else Some(readFiles(spark, added, curDvInfo.map(_._1), sig, phys))
     // rows whose positions a DV set newly covers (tombstoned) or stops
     // covering (resurrected — a [[restore]] to a pre-erasure version is
     // the producer) in files that SURVIVE into v. One shape, two
@@ -1157,7 +1557,17 @@ object ManifestTable {
         (recorded ++ (if (dvSet.exists(_._2.isEmpty)) survivors else Seq.empty))
           .distinct.filter(survivors.toSet)
       if (targets.isEmpty) return None
-      val base = sig.flatMap(sigToSchema) match {
+      // scan under PHYSICAL names (what the files store), emit under the
+      // range-final LOGICAL names — same discipline as readFiles
+      val logical = sig.flatMap(sigToSchema)
+      val scanSchema = logical.map { sch =>
+        phys match {
+          case Some(p) => org.apache.spark.sql.types.StructType(
+            sch.fields.toSeq.zip(p).map { case (f, pn) => f.copy(name = pn) })
+          case None => sch
+        }
+      }
+      val base = scanSchema match {
         case Some(sch) => spark.read.schema(sch).parquet(targets: _*)
         case None => spark.read.parquet(targets: _*)
       }
@@ -1174,7 +1584,13 @@ object ManifestTable {
           spark.read.parquet(cancel: _*)
             .select(col("path").as("__fp"), col("pos").as("__pos")),
           Seq("__fp", "__pos"), "left_anti")
-      Some(fresh.select(cols.map(col): _*))
+      Some((logical, phys) match {
+        case (Some(sch), Some(p)) =>
+          fresh.select(sch.fields.toSeq.zip(p).map { case (f, pn) =>
+            col(pn).as(f.name)
+          }: _*)
+        case _ => fresh.select(cols.map(col): _*)
+      })
     }
     val tombstoned: Option[DataFrame] = dvDelta(dvNew, prevDvs)
     val dvGone = prevDvInfo.filterNot(d => curDvs.contains(d._1))
@@ -1185,7 +1601,8 @@ object ManifestTable {
     }
     val leaving: Option[DataFrame] = {
       val removedRows =
-        if (removed.isEmpty) None else Some(readFiles(spark, removed, prevDvs, sig))
+        if (removed.isEmpty) None
+        else Some(readFiles(spark, removed, prevDvs, sig, phys))
       (removedRows, tombstoned) match {
         case (Some(a), Some(b)) => Some(a union b)
         case (a, b) => a.orElse(b)
@@ -1200,7 +1617,21 @@ object ManifestTable {
         // exceptAll cancels them, leaving the true row-level delta
         val ins = n.exceptAll(o)
         val del = o.exceptAll(n)
-        snapshotMeta(table, v).get("mergeKey") match {
+        snapshotMeta(table, v).get("mergeKey").map { k0 =>
+          // the key was recorded in the MERGE version's logical name; a
+          // later rename moves the logical label, but positions are
+          // id-stable across a compatible range (prefix rule), so the
+          // key resolves positionally into the range-final schema
+          (for {
+            vSig <- snapshotMeta(table, v).get("schema")
+            fSig <- sig
+            idx = ManifestStreamSource.splitTopLevel(vSig)
+              .indexWhere(fieldName(_) == k0)
+            if idx >= 0
+            f = ManifestStreamSource.splitTopLevel(fSig)
+            if idx < f.size
+          } yield fieldName(f(idx))).getOrElse(k0)
+        } match {
           case Some(k) =>
             // MERGE commits recorded their key: a key present on BOTH
             // sides of the delta is an update — its old state emits as
@@ -1251,7 +1682,7 @@ object ManifestTable {
     }
     if (committed >= batchId) return None
     enforceSchema(table, df)
-    val staged = stage(df, table)
+    val staged = stage(df, table, stageMap(table))
     val bring = schemaSig(df)
     var attempt = 0
     while (attempt < 20) {
@@ -1262,7 +1693,8 @@ object ManifestTable {
       if (publish(table, v, prev ++ staged,
           Map("lastBatchId" -> batchId.toString,
             "op" -> "streaming-append",
-            "schema" -> reconcileSig(table, bring, allowExtend = false))))
+            "schema" -> reconcileSig(table, bring, allowExtend = false)) ++
+            base.map(b => mapMeta(snapshotMeta(table, b))).getOrElse(Map.empty)))
         return Some(v)
       attempt += 1
     }
@@ -1291,7 +1723,23 @@ object ManifestTable {
       .filter(_.getFileName.toString.matches("v\\d{8}\\.manifest"))
       .sortBy(versionOf)
     val drop = versions.dropRight(keepLast)
-    drop.foreach(Files.deleteIfExists(_))
+    if (drop.isEmpty) return 0
+    // the oldest RETAINED version may be a delta whose chain runs into
+    // the versions about to disappear — materialize it as a checkpoint
+    // FIRST (atomic move; reconstruction still works mid-crash because
+    // nothing was deleted yet), so retention never breaks a delta chain
+    val oldestKept = versionOf(versions(drop.size))
+    if (!Files.exists(checkpointPath(table, oldestKept))) {
+      val entries = snapshotEntries(table, oldestKept)
+      val cp = md.resolve(s".cp-${UUID.randomUUID()}")
+      Files.write(cp, entries.mkString("\n").getBytes("UTF-8"))
+      Files.move(cp, checkpointPath(table, oldestKept),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    drop.foreach { m =>
+      Files.deleteIfExists(checkpointPath(table, versionOf(m)))
+      Files.deleteIfExists(m)
+    }
     drop.size
   }
 
@@ -1311,12 +1759,17 @@ object ManifestTable {
     * files removed. */
   def vacuum(table: String, retentionMs: Long = 10 * 60 * 1000L): Int = {
     val md = manifestDir(table)
+    // every path ANY retained version references: full manifests' and
+    // checkpoints' entry lines plus delta manifests' `+` additions —
+    // removals never matter for a union, so no per-version
+    // reconstruction is needed
     val referenced: Set[String] =
       if (!Files.isDirectory(md)) Set.empty
       else listDir(md)
-        .filter(_.getFileName.toString.matches("v\\d{8}\\.manifest"))
+        .filter(p => p.getFileName.toString.matches("v\\d{8}\\.(manifest|checkpoint)"))
         .flatMap(m => Files.readAllLines(m).asScala)
-        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("-"))
+        .map(l => if (l.startsWith("+")) l.drop(1) else l)
         // a DV line references its sidecar by path WITH appended
         // '|<target>' entries — parse it (not a bare prefix-strip, which
         // would leave the composite string and vacuum a LIVE deletion

@@ -402,6 +402,42 @@ class ChangeFeedSuite extends SparkSuite {
     assert(got.agg(sum("v")).as[Long].head() == (0L until 1000L).map(_ * 2).sum)
   }
 
+  test("the change feed rides across a RENAME; a DROP bounds the epoch") {
+    val t = freshTable()
+    ManifestTable.append(spark, t, rows(0, 100))                    // v0: id,k,v
+    val vr = ManifestTable.renameColumn(t, "v", "w")                // v1: metadata only
+    assert(ManifestTable.snapshotFiles(t, vr).toSet ==
+      ManifestTable.snapshotFiles(t, 0L).toSet, "rename must not touch files")
+    ManifestTable.append(spark, t,
+      rows(100, 150).withColumnRenamed("v", "w"))                   // v2: new logical name
+    val vDel = ManifestTable.deleteWhere(spark, t, "w", 0, 38)      // ids 0..19 (w = 2*id)
+    // one feed across all epochs, emitted in the FINAL logical names
+    val ch = ManifestTable.readChanges(spark, t, -1, vDel).cache()
+    assert(ch.columns.contains("w") && !ch.columns.contains("v"))
+    assert(ch.filter(col("_change_type") === "insert").count() == 150)
+    val del = ch.filter(col("_change_type") === "delete")
+    assert(del.count() == 20 && del.agg(sum("w")).as[Long].head() == (0L until 20L).map(_ * 2).sum)
+    assertReplays(t, -1, vDel)
+    ch.unpersist()
+    // a DROP breaks the id prefix: ranges across it are rejected...
+    val vDrop = ManifestTable.dropColumn(t, "k")
+    assert(intercept[IllegalArgumentException] {
+      ManifestTable.readChanges(spark, t, -1, vDrop)
+    }.getMessage.contains("non-additively"))
+    // ...and the checkpointed drain segments there via onEpochRestart
+    val cp = Files.createTempDirectory("graft-rename-cp").toString
+    var restarts = Seq.empty[Long]
+    var drained = 0L
+    ChangeFeed.availableNow(spark, t, cp,
+      onEpochRestart = Some((_, v) => restarts :+= v)) { (ch2, _, _) =>
+      drained += ch2.filter(col("_change_type") === "insert").count()
+    }
+    assert(restarts == Seq(vDrop), s"the drop alone must bound an epoch, got $restarts")
+    // inserts: 150 (v0+v2 appends) − deletes never re-emit; the boundary
+    // snapshot re-delivers the surviving 130 rows as the new epoch's load
+    assert(drained == 150 + 130, s"got $drained")
+  }
+
   test("admission control: a version backlog drains in bounded micro-batches") {
     // 10 one-file versions under option("maxFilesPerTrigger", 2): the
     // AvailableNow drain must deliver in >=5 bounded micro-batches (not

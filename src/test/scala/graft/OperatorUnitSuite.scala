@@ -376,6 +376,28 @@ class OperatorUnitSuite extends SparkSuite {
       "test precondition: some pairs must first agree above band 0")
   }
 
+  test("q_sim_ivfpq: composed-index recall bounded by the IVF curve, refine recovers nprobe=1 exactly") {
+    def curve(q: String): Map[Long, (Long, Long)] =
+      SparkEntry.queries(q)(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ivf = curve("q_sim_recall")
+    val pq = curve("q_sim_ivfpq")
+    Seq(1L, 2L, 4L).foreach { np =>
+      assert(pq(np)._2 == ivf(np)._2, "both censuses share the exact-kNN denominator")
+      assert(pq(np)._1 <= ivf(np)._1,
+        s"the refine stage re-ranks a SUBSET of IVF's candidates — it cannot hit more (nprobe=$np)")
+    }
+    // at nprobe=1 every cell (~31 vectors at this sf) fits inside the
+    // 64-wide ADC shortlist, so refine degenerates to IVF's exact
+    // ranking — the composed curve must COINCIDE there
+    assert(pq(1L)._1 == ivf(1L)._1,
+      s"refine must recover the exact ranking when the cell fits the shortlist: ${pq(1L)} vs ${ivf(1L)}")
+    // and the full-width operating point keeps high recall (measured
+    // 45/50; random is ~1%)
+    assert(pq(4L)._1 * 10 >= pq(4L)._2 * 8,
+      s"composed recall@5 floor (>= 0.8) at nprobe=4, got ${pq(4L)}")
+  }
+
   test("q_sim_pq: ADC ranking structure + recall against the exact fixed-point ranking") {
     val out = SparkEntry.queries("q_sim_pq")(spark, sf0001).cache()
     // structure: 8 probes x exactly ranks 1..5, adist >= 0 and
