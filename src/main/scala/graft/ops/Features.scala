@@ -392,47 +392,51 @@ object Features {
     * @param emb one column `q: array<long>`, all rows the same length
     * @return `(dim, v_x1000, lambda_x1000)` */
   def pcaTop(emb: DataFrame, rounds: Int): DataFrame = {
-    val n = emb.agg(count(lit(1)).as("n"))
+    val s = emb.sparkSession
+    import s.implicits._
+    // Two distributed passes, then the ITERATION LIVES ON THE DRIVER:
+    // the corpus-sized work is (1) the per-dimension sums and (2) the
+    // 64²-pair explode into one 4096-group map-combinable covariance
+    // aggregate; what comes back is a 64×64 LONG matrix, and 8 rounds of
+    // power iteration on a matrix that small is pure local arithmetic —
+    // the parameter-server shape (same as q_train_perceptron's loop),
+    // replacing r9's per-round matrix-join + localCheckpoint chain whose
+    // cost was tiny-job scheduling, not data. Every operation replicates
+    // the SQL loop's integer arithmetic exactly (toward-zero division
+    // against positive divisors == Scala Long division), so the declared
+    // trajectory and the oracle replay are unchanged bit-for-bit.
     val el = emb.select(posexplode(col("q")).as(Seq("i", "v")))
-    val mu = el.groupBy(col("i")).agg(sum(col("v")).as("sv"))
-      .crossJoin(broadcast(n))
-      .select(col("i"), expr(tdiv("sv", "n")).as("mu"))
-    val muArr = mu.agg(expr(
-      "transform(sort_array(collect_list(struct(i, mu))), p -> p.mu)").as("m"))
-    val pairs = emb.crossJoin(broadcast(muArr))
-      .select(explode(expr(
-        """flatten(transform(q, (x, i) -> transform(q, (y, j) ->
+    val sums = el.groupBy(col("i"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    if (sums.isEmpty)
+      return Seq.empty[(Long, Long, Long)].toDF("dim", "v_x1000", "lambda_x1000")
+    val dims = sums.length
+    val n = sums.head._3 // rows all carry the same-length array
+    val mu: Array[Long] = sums.map(x => x._2 / n)
+    val muLit = mu.mkString("array(", "L, ", "L)")
+    val covRows = emb.select(explode(expr(
+        s"""flatten(transform(q, (x, i) -> transform(q, (y, j) ->
              named_struct('i', i, 'j', j,
-               'p', (x - element_at(m, i + 1)) * (y - element_at(m, j + 1))))))""")).as("e"))
+               'p', (x - element_at($muLit, i + 1)) * (y - element_at($muLit, j + 1))))))""")).as("e"))
       .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
-    val cov = pairs.groupBy(col("i"), col("j")).agg(sum(col("p")).as("sp"))
-      .crossJoin(broadcast(n))
-      .select(col("i"), col("j"), expr(tdiv("sp", "n")).as("c"))
-      .localCheckpoint()
-    def step(v: DataFrame): DataFrame = {
-      val r = cov.join(v.select(col("i").as("j"), col("v")), "j")
-        .groupBy(col("i")).agg(sum(col("c") * col("v")).as("r"))
-      val mx = r.agg(max(abs(col("r"))).as("mx"))
-      r.crossJoin(broadcast(mx))
-        .select(col("i"),
-          expr(s"CAST(CASE WHEN mx = 0 THEN 0 ELSE ${tdiv("r * 1000", "mx")} END AS BIGINT)")
-            .as("v"))
-        .localCheckpoint()
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("sp"))
+      .as[(Int, Int, Long)].collect()
+    val c = Array.ofDim[Long](dims, dims)
+    covRows.foreach { case (i, j, sp) => c(i)(j) = sp / n }
+    var v = Array.fill(dims)(1000L)
+    for (_ <- 1 to rounds) {
+      val r = Array.tabulate(dims)(i => (0 until dims).map(j => c(i)(j) * v(j)).sum)
+      val mx = r.map(math.abs).max
+      v = r.map(x => if (mx == 0) 0L else x * 1000 / mx)
     }
-    val v0 = mu.select(col("i"), lit(1000L).as("v")).localCheckpoint()
-    val v8 = (1 to rounds).foldLeft(v0)((v, _) => step(v))
-    val cv = cov.join(v8.select(col("i").as("j"), col("v")), "j")
-      .groupBy(col("i")).agg(sum(col("c") * col("v")).as("cv"))
-    val lam = cv.join(v8, "i")
-      .agg(sum(col("v") * col("cv")).as("num"), sum(col("v") * col("v")).as("den"))
-      // den = 0 iff the covariance degenerated to zero (constant
-      // corpus) — same guard as the per-round mx = 0 case
-      .select(expr(
-        s"CAST(CASE WHEN den = 0 THEN 0 ELSE ${tdiv("num * 1000", "den")} END AS BIGINT)")
-        .as("lambda_x1000"))
-    v8.crossJoin(broadcast(lam))
-      .select(col("i").cast(LongType).as("dim"), col("v").as("v_x1000"),
-        col("lambda_x1000"))
-      .orderBy("dim")
+    val cv = Array.tabulate(dims)(i => (0 until dims).map(j => c(i)(j) * v(j)).sum)
+    val num = (0 until dims).map(i => v(i) * cv(i)).sum
+    val den = (0 until dims).map(i => v(i) * v(i)).sum
+    // den = 0 iff the covariance degenerated to zero (constant corpus) —
+    // same guard as the per-round mx = 0 case
+    val lam = if (den == 0) 0L else num * 1000 / den
+    (0 until dims).map(i => (i.toLong, v(i), lam))
+      .toDF("dim", "v_x1000", "lambda_x1000").orderBy("dim")
   }
 }

@@ -1014,11 +1014,12 @@ object Quality {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"))
-    Seq((0L, 4L), (4L, 8L), (8L, 12L), (12L, Long.MaxValue)).foreach {
-      case (lo, hi) =>
-        ManifestTable.append(s, t,
+    // order-free ingest slices: one parallel commit wave (see qGdprDv)
+    graft.Parallel.run(
+      Seq((0L, 4L), (4L, 8L), (8L, 12L), (12L, Long.MaxValue)).map {
+        case (lo, hi) => () => ManifestTable.append(s, t,
           ev.filter(col("user_id") >= lo && col("user_id") < hi).coalesce(1))
-    }
+      }: _*)
     ManifestTable.deleteWhere(s, t, "user_id", 7L, 7L)
     ManifestTable.read(s, t)
       .groupBy(col("event_type"))
@@ -1047,11 +1048,14 @@ object Quality {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"))
-    Seq((0L, 4L), (4L, 8L), (8L, 12L), (12L, Long.MaxValue)).foreach {
-      case (lo, hi) =>
-        ManifestTable.append(s, t,
+    // the four user-sliced ingest files land as one parallel wave: the
+    // census below is version-order-free, concurrent appends are exactly
+    // the CAS loop's contract, and the wall-clock is commit I/O
+    graft.Parallel.run(
+      Seq((0L, 4L), (4L, 8L), (8L, 12L), (12L, Long.MaxValue)).map {
+        case (lo, hi) => () => ManifestTable.append(s, t,
           ev.filter(col("user_id") >= lo && col("user_id") < hi).coalesce(1))
-    }
+      }: _*)
     val v1 = ManifestTable.deleteWhere(s, t, "user_id", 3L, 3L)
     val v2 = ManifestTable.deleteWhere(s, t, "user_id", 7L, 7L)
     require(ManifestTable.snapshotDvs(t, v2).size == 2,
@@ -1396,10 +1400,22 @@ object Quality {
     finally rq.stop()
     require(nBatches.get() >= 2,
       s"a multi-version backlog under a read limit must take multiple batches, took ${nBatches.get()}")
-    val incr = ManifestTable.read(s, dwd)
-    val recov = ManifestTable.read(s, dwd2)
-    require(incr.exceptAll(recov).unionAll(recov.exceptAll(incr)).isEmpty,
-      "bounded-batch recovery must rebuild DWD exactly")
+    // row-identical rebuild, compared by MULTISET FINGERPRINT (count +
+    // sum of per-row xxhash64): two narrow map-combinable scans instead
+    // of two exceptAll shuffles over the full layer — the check stays
+    // order-free and multiset-sensitive, the cost stays delta-shaped
+    def fp(df: DataFrame): (Long, java.math.BigDecimal) = {
+      // decimal(38,0) accumulator: full-range xxhash64 values would
+      // overflow a long sum under ANSI arithmetic
+      val r = df.agg(count(lit(1)).cast(LongType),
+        coalesce(sum(xxhash64(col("event_id"), col("event_type"),
+          col("day"), col("cents")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    val (fa, fb) = (fp(ManifestTable.read(s, dwd)), fp(ManifestTable.read(s, dwd2)))
+    require(fa._1 == fb._1 && fa._2.compareTo(fb._2) == 0,
+      s"bounded-batch recovery must rebuild DWD exactly: $fa vs $fb")
     ManifestTable.read(s, dws)
       .groupBy(col("event_type"), col("day"))
       .agg(sum(col("cnt")).cast(LongType).as("n_events"),
@@ -1624,8 +1640,12 @@ object Quality {
       (dec(col("o_totalprice"), 12, 2) * 100).cast(LongType).as("cents"))
     val cust = Tables.customer(s, d).select(
       col("c_custkey").as("ckey"), col("c_mktsegment").as("seg"))
-    ManifestTable.append(s, ordT, ord.filter(col("okey") % 2 === 0)) // ord v0
-    ManifestTable.append(s, custT, cust)                             // cust v0
+    // the two seed tables are independent — stage and commit them in ONE
+    // parallel wave (Spark schedules concurrent actions fine), halving
+    // the lifecycle's setup wall-clock, which is commit I/O, not compute
+    graft.Parallel.run(
+      () => ManifestTable.append(s, ordT, ord.filter(col("okey") % 2 === 0)), // ord v0
+      () => ManifestTable.append(s, custT, cust))                             // cust v0
     // drain both feeds' v0 entries UNCONSUMED: batch 0 below seeds the
     // view from the full v0⋈v0 join-aggregate instead
     ChangeFeed.availableNow(s, ordT, cpO)((_, _, _) => ())
