@@ -70,6 +70,8 @@ object Quality {
     "q_mv_join" -> qMvJoin,
     "q_table_restore" -> qTableRestore,
     "q_table_rename" -> qTableRename,
+    "q_table_clone" -> qTableClone,
+    "q_layout_binpack" -> qLayoutBinpack,
     "q_table_stats_agg" -> qTableStatsAgg,
     "q_table_evolve" -> qTableEvolve,
     "q_warehouse_layers" -> qWarehouseLayers,
@@ -239,6 +241,31 @@ object Quality {
          SELECT * FROM (SELECT * FROM cdf UNION ALL
                         SELECT * FROM pre UNION ALL SELECT * FROM fin)
          ORDER BY part, key""",
+    "q_table_clone" ->
+      """WITH ec AS (
+           SELECT event_id, user_id,
+                  CAST(COALESCE(CAST(value AS DECIMAL(12,2)), 0) * 100 AS BIGINT) AS cents
+           FROM events),
+         src AS (SELECT * FROM ec WHERE event_id % 2 = 0),
+         cl AS (
+           SELECT * FROM src WHERE user_id NOT BETWEEN 0 AND 3
+           UNION ALL
+           SELECT * FROM ec WHERE event_id % 4 = 1),
+         s1 AS (SELECT 'src' AS part, CAST(user_id % 4 AS VARCHAR) AS key,
+                       count(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+                FROM src GROUP BY 2),
+         c1 AS (SELECT 'clone' AS part, CAST(user_id % 4 AS VARCHAR) AS key,
+                       count(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+                FROM cl GROUP BY 2)
+         SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM c1)
+         ORDER BY part, key""",
+    "q_layout_binpack" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows,
+                CAST(SUM(CAST(COALESCE(CAST(value AS DECIMAL(12,2)), 0) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events
+         WHERE (event_id % 16 = 0 AND user_id <> 7)
+            OR event_id % 1024 BETWEEN 1 AND 8
+         GROUP BY 1 ORDER BY key""",
     "q_mv_join" ->
       """WITH o AS (
            SELECT o_custkey AS ckey,
@@ -1627,6 +1654,84 @@ object Quality {
         sum(col("amount")).cast(LongType).as("sum_amount"))
       .select(lit("final").as("part"), col("key"), col("n_rows"), col("sum_amount"))
     cdf.unionAll(pre).unionAll(fin).orderBy("part", "key")
+  }
+
+  /** SHALLOW CLONE lifecycle under the oracle gate: seed a source table,
+    * [[graft.sources.ManifestTable.cloneTable]] it (executed-required:
+    * the clone commit copies ZERO data files — the clone's data/
+    * directory does not even exist afterward), then diverge the CLONE
+    * (a GDPR-style delete plus a fresh ingest wave) and census BOTH
+    * tables. The oracle recomputes both states definitionally, so the
+    * hash certifies isolation in both directions: the source is
+    * untouched by the clone's divergence, and the clone starts from
+    * exactly the cloned snapshot.
+    *
+    * Scale (100 TB): a shallow clone is ONE manifest write whatever the
+    * table size — the dev/test-sandbox and what-if-maintenance idiom of
+    * the production lake formats. */
+  private def qTableClone(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val root = s"${graft.Scratch.dir("graft_clone")}/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val (src, cl) = (s"$root/src", s"$root/clone")
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      (coalesce(col("value").cast("decimal(12,2)"), lit(0)) * 100)
+        .cast(LongType).as("cents"))
+    ManifestTable.append(s, src, ev.filter(col("event_id") % 2 === 0))
+    ManifestTable.cloneTable(src, cl)
+    require(!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(cl, "data")),
+      "a shallow clone must copy zero data files")
+    ManifestTable.deleteWhere(s, cl, "user_id", 0L, 3L)
+    ManifestTable.append(s, cl, ev.filter(col("event_id") % 4 === 1))
+    def census(t: String, part: String) = ManifestTable.read(s, t)
+      .groupBy((col("user_id") % 4).cast(StringType).as("key"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).cast(LongType).as("sum_cents"))
+      .select(lit(part).as("part"), col("key"), col("n_rows"), col("sum_cents"))
+    census(src, "src").unionAll(census(cl, "clone")).orderBy("part", "key")
+  }
+
+  /** SMALL-FILE COMPACTION lifecycle under the oracle gate: a
+    * streaming-ingest-shaped history (one healthy file, a DV erasure on
+    * it, then eight tiny commits) is binpacked by
+    * [[graft.sources.ManifestTable.compactSmall]] — executed-required:
+    * the healthy file carries VERBATIM (same path), the file count
+    * shrinks, and the pre-existing deletion vector survives the pack
+    * untouched. The census comes off the packed snapshot; the oracle
+    * recomputes it definitionally, so the hash proves binpack is a
+    * physical-only reorganization.
+    *
+    * Scale (100 TB): the pack plans from sidecar row counts alone and
+    * rewrites only the small-file tail a streaming sink accretes —
+    * never the lake. */
+  private def qLayoutBinpack(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val root = s"${graft.Scratch.dir("graft_binpack")}/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val t = s"$root/t"
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      (coalesce(col("value").cast("decimal(12,2)"), lit(0)) * 100)
+        .cast(LongType).as("cents"))
+    ManifestTable.append(s, t, ev.filter(col("event_id") % 16 === 0).coalesce(1))
+    val vDv = ManifestTable.deleteWhere(s, t, "user_id", 7L, 7L)
+    require(ManifestTable.snapshotDvs(t, vDv).nonEmpty,
+      "precondition: the single-user erasure takes the DV path")
+    graft.Parallel.run((1L to 8L).map { b =>
+      () => ManifestTable.append(s, t,
+        ev.filter(col("event_id") % 1024 === b).coalesce(1))
+    }: _*)
+    val before = ManifestTable.snapshotFiles(t, ManifestTable.latestVersion(t).get)
+    val bulk = before.maxBy(ManifestTable.statsRowCount)
+    val vp = ManifestTable.compactSmall(s, t, minRows = ManifestTable.statsRowCount(bulk))
+    val after = ManifestTable.snapshotFiles(t, vp)
+    require(after.contains(bulk), "the healthy file must carry verbatim")
+    require(after.size < before.size, "the pack must shrink the file count")
+    require(ManifestTable.snapshotDvs(t, vp).nonEmpty, "the DV must survive the pack")
+    ManifestTable.read(s, t)
+      .groupBy(col("user_id").cast(StringType).as("key"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).cast(LongType).as("sum_cents"))
+      .orderBy("key")
   }
 
   private def qMvJoin(s: SparkSession, d: String): DataFrame = {

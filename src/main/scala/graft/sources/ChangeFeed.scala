@@ -103,7 +103,7 @@ object ChangeFeed {
       // would otherwise publish one empty snapshot version per upstream
       // reorg, inflating the downstream manifest history for no data
       val changeFree = meta.get("op").exists(o =>
-        o == "compact" || o == "cluster" || o == "rename")
+        o == "compact" || o == "cluster" || o == "compact-small" || o == "rename")
       if (!changeFree) {
         if (epochBoundary(prevMeta, meta)) {
           val sig = meta("schema")

@@ -71,6 +71,8 @@ class ManifestStreamSource extends TableProvider {
       ignoreDeletes = ManifestStreamSource.flag(opts, "ignoreDeletes"),
       ignoreChanges = ManifestStreamSource.flag(opts, "ignoreChanges"),
       maxFilesPerTrigger = ManifestStreamSource.intOpt(opts, "maxFilesPerTrigger"),
+      maxRowsPerTrigger = ManifestStreamSource.intOpt(opts, "maxRowsPerTrigger")
+        .map(_.toLong),
       physByLogical = ManifestStreamSource.physByLogical(table))
   }
 }
@@ -163,7 +165,10 @@ object ManifestStreamSource {
         // restarting; the engine checkpoint resumes at the committed
         // version either way.
         case "append-evolve" => added
-        case "compact" | "cluster" => Seq.empty // physical reorg, logical identity
+        // a shallow clone's v0 is the new table's insert-only initial load
+        case "clone" => added
+        case "compact" | "cluster" | "compact-small" =>
+          Seq.empty // physical reorg, logical identity
         // metadata-only schema commits add no files; a stream keeps its
         // fixed start-time schema either way (restart to adopt a rename;
         // a dropped column simply stops being projected on restart)
@@ -188,6 +193,7 @@ object ManifestStreamSource {
 private class ManifestStreamTable(table: String, schema: StructType,
     ignoreDeletes: Boolean, ignoreChanges: Boolean,
     maxFilesPerTrigger: Option[Int],
+    maxRowsPerTrigger: Option[Long],
     physByLogical: Map[String, String])
   extends Table with SupportsRead {
   override def name(): String = s"manifest_stream($table)"
@@ -201,7 +207,7 @@ private class ManifestStreamTable(table: String, schema: StructType,
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ManifestMicroBatchStream(table, schema, ignoreDeletes, ignoreChanges,
-            maxFilesPerTrigger, physByLogical)
+            maxFilesPerTrigger, maxRowsPerTrigger, physByLogical)
       }
     }
 }
@@ -215,6 +221,7 @@ private case class ManifestFilePartition(path: String) extends InputPartition
 private class ManifestMicroBatchStream(table: String, schema: StructType,
     ignoreDeletes: Boolean, ignoreChanges: Boolean,
     maxFilesPerTrigger: Option[Int],
+    maxRowsPerTrigger: Option[Long],
     physByLogical: Map[String, String])
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
@@ -242,41 +249,61 @@ private class ManifestMicroBatchStream(table: String, schema: StructType,
     * skip (compact, ignored deletes) add zero files and drain through
     * for free. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxFiles}
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxFiles, ReadMaxRows}
     val startV = start.asInstanceOf[VersionOffset].v
     val head = availableNowCap.getOrElse(liveHead)
     def maxFilesOf(l: ReadLimit): Option[Int] = l match {
       case mf: ReadMaxFiles => Some(mf.maxFiles())
       case c: CompositeReadLimit =>
-        c.getReadLimits.toSeq.flatMap(maxFilesOf).minOption
+        c.getReadLimits.toSeq.flatMap(maxFilesOf(_)).minOption
       case _ => None
     }
-    VersionOffset(maxFilesOf(limit) match {
-      case Some(budget) => boundedEnd(startV, head, budget)
-      case None => head
+    def maxRowsOf(l: ReadLimit): Option[Long] = l match {
+      case mr: ReadMaxRows => Some(mr.maxRows())
+      case c: CompositeReadLimit =>
+        c.getReadLimits.toSeq.flatMap(maxRowsOf(_)).minOption
+      case _ => None
+    }
+    VersionOffset((maxFilesOf(limit), maxRowsOf(limit)) match {
+      case (None, None) => head
+      case (fb, rb) => boundedEnd(startV, head, fb, rb)
     })
   }
 
   /** Largest end version in `(startV, head]` whose cumulative added-file
-    * count stays within `budget` — always at least one version when a
-    * backlog exists. Driver-side, manifest metadata only. */
-  private def boundedEnd(startV: Long, head: Long, budget: Int): Long = {
+    * count and added-ROW count (stats-sidecar `#rows` per file — still
+    * metadata only) both stay within their budgets — always at least one
+    * version when a backlog exists (Delta's at-least-one-file progress
+    * rule). Driver-side, no data file opened. */
+  private def boundedEnd(startV: Long, head: Long,
+      fileBudget: Option[Int], rowBudget: Option[Long]): Long = {
     var v = startV
     var files = 0
+    var rows = 0L
     while (v < head) {
       val add = ManifestStreamSource.addedFiles(table, v, v + 1,
-        ignoreDeletes, ignoreChanges).size
-      if (v > startV && files + add > budget) return v
-      files += add
+        ignoreDeletes, ignoreChanges)
+      val addRows =
+        if (rowBudget.isEmpty) 0L else add.map(ManifestTable.statsRowCount).sum
+      val over = fileBudget.exists(b => files + add.size > b) ||
+        rowBudget.exists(b => rows + addRows > b)
+      if (v > startV && over) return v
+      files += add.size
+      rows += addRows
       v += 1
-      if (files >= budget) return v
+      if (fileBudget.exists(files >= _) || rowBudget.exists(rows >= _)) return v
     }
     head
   }
 
   override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
-      .getOrElse(ReadLimit.allAvailable())
+    (maxFilesPerTrigger, maxRowsPerTrigger) match {
+      case (Some(f), Some(r)) => ReadLimit.compositeLimit(
+        Array(ReadLimit.maxFiles(f), ReadLimit.maxRows(r)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(r)) => ReadLimit.maxRows(r)
+      case _ => ReadLimit.allAvailable()
+    }
   override def reportLatestOffset(): Offset = VersionOffset(liveHead)
   override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)
   override def commit(end: Offset): Unit = ()

@@ -1013,6 +1013,70 @@ object ManifestTable {
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
   }
 
+  /** SHALLOW CLONE (the production formats' CLONE ... SHALLOW): create
+    * `target` as a brand-new table whose v0 manifest references the
+    * SOURCE snapshot's entries VERBATIM — zero data bytes copied or
+    * read; the stats sidecars travel implicitly (path-adjacent). The
+    * clone then evolves independently: its commits land in its own log,
+    * its new files land in its own data/ directory, and the source
+    * never observes them. Caveat faithful to Delta's: the clone
+    * REFERENCES the source's files, so expiring + vacuuming the source
+    * beyond the cloned version strands the clone — deep-copy via
+    * `overwrite(target, read(source))` when lifetimes must decouple.
+    * Cloning a clone works (entries are just paths). */
+  def cloneTable(source: String, target: String,
+      version: Option[Long] = None): Long = {
+    val v = version.orElse(latestVersion(source)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $source"))
+    require(latestVersion(target).isEmpty, s"clone target $target already exists")
+    val carried = snapshotMeta(source, v).view
+      .filterKeys(k => k == "schema" || k == "colmap" || k == "maxcolid").toMap
+    if (!publish(target, 0L, snapshotEntries(source, v),
+        Map("op" -> "clone", "cloneOf" -> s"$source@$v") ++ carried))
+      throw new IllegalStateException(s"clone target $target already exists")
+    0L
+  }
+
+  /** SMALL-FILE COMPACTION (OPTIMIZE's binpack half, without the
+    * Z-order): rewrite ONLY the data files whose committed row count
+    * (stats sidecar `#rows` — metadata-only planning) is below
+    * `minRows`, coalescing them into `files` consolidated outputs;
+    * every adequately-sized file and every DV line carries VERBATIM.
+    * DV-TARGETED files are excluded from the pack — materializing
+    * tombstones is [[compact]]'s job, and keeping the two maintenance
+    * ops orthogonal keeps each proportional to its own affected set
+    * (at 100 TB the small-file set is the streaming-ingest tail, not
+    * the lake). Logically an identity, so the change feed and the
+    * streaming source skip it like compact/cluster. Returns the base
+    * version when fewer than two files qualify (nothing to pack). */
+  def compactSmall(spark: SparkSession, table: String, minRows: Long,
+      files: Int = 1, maxRetries: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(table).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot in $table"))
+      val baseMeta = snapshotMeta(table, base)
+      val fs = snapshotFiles(table, base)
+      val dvInfo = snapshotDvInfo(table, base)
+      val dvTargets =
+        (dvInfo.filter(_._2.nonEmpty).flatMap(_._2) ++
+          (if (dvInfo.exists(_._2.isEmpty)) fs else Seq.empty)).toSet
+      val small = fs.filter(f => !dvTargets.contains(f) && statsRowCount(f) < minRows)
+      if (small.size <= 1) return base
+      val dvLines = snapshotEntries(table, base).filter(_.startsWith(DvPrefix))
+      val packed = scanPhysical(spark, small, Seq.empty,
+        baseMeta.get("schema"), physNamesOf(baseMeta)).coalesce(files)
+      val staged = stage(packed, table)
+      if (publish(table, base + 1, fs.filterNot(small.toSet) ++ staged ++ dvLines,
+          Map("op" -> "compact-small",
+            "schema" -> baseMeta.getOrElse("schema",
+              schemaSig(read(spark, table, Some(base))))) ++
+            mapMeta(baseMeta))) return base + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
+  }
+
   /** Commit history: (version, operation) for every still-readable
     * manifest, oldest first — the DESCRIBE HISTORY primitive (operations
     * recorded from the first tracked commit on; older manifests report
@@ -1507,7 +1571,8 @@ object ManifestTable {
     // carry every row — logically change-free by contract; rename and
     // drop-column are metadata-only (entries verbatim) and fall out as
     // change-free below (no added/removed files, no DV delta)
-    if (snapshotMeta(table, v).get("op").exists(o => o == "compact" || o == "cluster"))
+    if (snapshotMeta(table, v).get("op").exists(o =>
+        o == "compact" || o == "cluster" || o == "compact-small"))
       return None
     // every step reads under the RANGE-FINAL signature (prefix-chain
     // checked by the caller), so pre-evolution steps null-fill the

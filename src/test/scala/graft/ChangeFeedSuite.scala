@@ -478,6 +478,32 @@ class ChangeFeedSuite extends SparkSuite {
       "restart must consume exactly the unconsumed versions, bounded")
   }
 
+  test("admission control: maxRowsPerTrigger bounds batches by sidecar row counts") {
+    // 6 versions of 100 rows each under option("maxRowsPerTrigger", 250):
+    // the drain must cut version-grain batches of <= 2 full versions
+    // (250-row budget, 100-row versions, at-least-one-version progress)
+    val t = freshTable()
+    val cp = Files.createTempDirectory("graft-mss-rows-cp").toString
+    val out = Files.createTempDirectory("graft-mss-rows-out").toString + "/sink"
+    for (b <- 0 until 6)
+      ManifestTable.append(spark, t, rows(b * 100L, b * 100L + 100).coalesce(1))
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft.sources.ManifestStreamSource")
+      .option("table", t).option("maxRowsPerTrigger", "250").load()
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val n = df.count()
+        if (n > 0) sizes.synchronized { sizes += n }
+        df.write.mode("append").parquet(out); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000), "stream did not drain") finally q.stop()
+    assert(sizes.size >= 3, s"600 rows under a 250-row budget must take >=3 batches, got $sizes")
+    assert(sizes.forall(_ <= 300), s"no batch may exceed the budget rounded up to a version, got $sizes")
+    val got = spark.read.parquet(out)
+    assert(got.count() == 600 && got.select("id").distinct().count() == 600)
+  }
+
   test("typed transport: timestamp, date, decimal, and array columns stream exactly") {
     val t = freshTable()
     val cp = Files.createTempDirectory("graft-mss-typed-cp").toString

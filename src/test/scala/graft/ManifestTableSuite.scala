@@ -461,22 +461,27 @@ class ManifestTableSuite extends SparkSuite {
     assert(sv == (0L until 1000L).map(_ * 3).sum)
   }
 
-  test("model check: random append/overwrite/merge sequences match an in-memory model") {
+  test("model check: random append/overwrite/merge/rename sequences match an in-memory model") {
     // seeded random op sequences against a trivially-correct Map model;
     // every committed version's snapshot is re-read and compared, so a
     // protocol bug anywhere in the stage/commit/read cycle surfaces as
-    // a concrete failing (seed, step)
+    // a concrete failing (seed, step). RENAME is in the op mix: the
+    // value column's logical name flip-flops mid-schedule, so every
+    // later append/merge/overwrite runs against a column-mapped table
+    // (writes land under the ORIGINAL physical name), and an overwrite
+    // resets the mapping — the interleavings a pure rename test misses.
     for (seed <- Seq(7L, 42L)) {
       val rnd = new scala.util.Random(seed)
       val t = freshTable()
       var model = Map.empty[Long, Long]
       var history = Vector.empty[Map[Long, Long]]
       var nextKey = 0L
+      var colName = "v"
       def df(m: Map[Long, Long]) =
-        if (m.isEmpty) spark.range(0).select(col("id"), col("id").as("v"))
-        else m.toSeq.toDF("id", "v")
-      for (step <- 0 until 10) {
-        rnd.nextInt(3) match {
+        if (m.isEmpty) spark.range(0).select(col("id"), col("id").as(colName))
+        else m.toSeq.toDF("id", colName)
+      for (step <- 0 until 12) {
+        rnd.nextInt(4) match {
           case 0 => // append a batch of FRESH keys (keeps the table key-unique)
             val rows = (0 until 1 + rnd.nextInt(20))
               .map(i => (nextKey + i) -> rnd.nextLong(1000)).toMap
@@ -503,12 +508,19 @@ class ManifestTableSuite extends SparkSuite {
               ManifestTable.append(spark, t, df(Map(nextKey -> 1L))); model += nextKey -> 1L
               nextKey += 1
             }
-          case _ => // merge on an empty table degenerates to append
+          case 3 if ManifestTable.latestVersion(t).nonEmpty => // rename flip-flop
+            val to = if (colName == "v") "v2" else "v"
+            ManifestTable.renameColumn(t, colName, to)
+            colName = to // model values unchanged — rename is re-labeling
+          case _ => // merge/rename on an empty table degenerates to append
             ManifestTable.append(spark, t, df(Map(nextKey -> 1L))); model += nextKey -> 1L
             nextKey += 1
         }
         history :+= model
-        val got = ManifestTable.read(spark, t).as[(Long, Long)].collect().toMap
+        val snap = ManifestTable.read(spark, t)
+        assert(snap.columns.toSeq == Seq("id", colName),
+          s"seed=$seed step=$step: logical schema diverged")
+        val got = snap.as[(Long, Long)].collect().toMap
         assert(got == model, s"seed=$seed step=$step: snapshot diverged from model")
       }
       // time travel: every historical version must replay its model state

@@ -219,7 +219,12 @@ class PlanSuite extends SparkSuite {
     // q_sim_recall composes the already-adjudicated q_sim_knn/q_sim_ivf
     // shapes (broadcast probe NLJ, 16-row centroid cross) plus a 1-row
     // n_possible scalar cross
+    // q_sim_ivfpq composes the same shapes: the exact-kNN yardstick
+    // (broadcast probe NLJ), the 16-row centroid cross, and the 1-row
+    // n_possible scalar cross — the candidate/ADC/refine path itself is
+    // all equi-joins
     val byDesign = Set("q_sim_knn", "q_sim_label", "q_sim_ivf", "q_sim_recall",
+      "q_sim_ivfpq",
       "q_dedup_embed", "q_join_cross",
       "q_str_fuzzy", "q_text_heavy", "q_gap_interp",
       "q_text_tfidf", "q_sim_quant", "q_anomaly_iqr", "q_rfm", "q_cluster_kmeans",
