@@ -8,11 +8,18 @@ package graft
 object Parallel {
   def run(fs: (() => Any)*): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration._
     val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try Await.result(Future.sequence(fs.map(f => Future { f(); () })), Duration.Inf)
-    finally pool.shutdown()
-    ()
+    val futs = fs.map(f => Future { f(); () })
+    try {
+      // await EVERY task (bounded) before surfacing the first failure:
+      // fail-fast out of a Future.sequence would leave sibling commits
+      // still running while the caller starts cleanup/retry — a
+      // concurrent-write race the caller never asked for
+      val results = futs.map(fu => scala.util.Try(Await.result(fu, 10.minutes)))
+      results.collectFirst { case scala.util.Failure(e) => throw e }
+      ()
+    } finally pool.shutdown()
   }
 }

@@ -406,13 +406,16 @@ object Features {
     // against positive divisors == Scala Long division), so the declared
     // trajectory and the oracle replay are unchanged bit-for-bit.
     val el = emb.select(posexplode(col("q")).as(Seq("i", "v")))
-    val sums = el.groupBy(col("i"))
-      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
-      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    // the divisor is the ROW count (the r9 SQL loop's emb.agg(count)),
+    // not the exploded-value count — identical for the contract's
+    // same-length arrays, but a null/empty-array row must shift the
+    // mean exactly as it always did
+    val sums = el.groupBy(col("i")).agg(sum(col("v")).as("sv"))
+      .as[(Int, Long)].collect().sortBy(_._1)
     if (sums.isEmpty)
       return Seq.empty[(Long, Long, Long)].toDF("dim", "v_x1000", "lambda_x1000")
     val dims = sums.length
-    val n = sums.head._3 // rows all carry the same-length array
+    val n = emb.count()
     val mu: Array[Long] = sums.map(x => x._2 / n)
     val muLit = mu.mkString("array(", "L, ", "L)")
     val covRows = emb.select(explode(expr(

@@ -71,8 +71,7 @@ class ManifestStreamSource extends TableProvider {
       ignoreDeletes = ManifestStreamSource.flag(opts, "ignoreDeletes"),
       ignoreChanges = ManifestStreamSource.flag(opts, "ignoreChanges"),
       maxFilesPerTrigger = ManifestStreamSource.intOpt(opts, "maxFilesPerTrigger"),
-      maxRowsPerTrigger = ManifestStreamSource.intOpt(opts, "maxRowsPerTrigger")
-        .map(_.toLong),
+      maxRowsPerTrigger = ManifestStreamSource.longOpt(opts, "maxRowsPerTrigger"),
       physByLogical = ManifestStreamSource.physByLogical(table))
   }
 }
@@ -93,6 +92,16 @@ object ManifestStreamSource {
       .map { v =>
         val n = v.toInt
         require(n >= 1, s"$name must be >= 1, got $n")
+        n
+      }
+
+  /** Long-typed option — row budgets can legitimately exceed Int range
+    * at the scales this source targets. */
+  private[sources] def longOpt(opts: Map[String, String], name: String): Option[Long] =
+    opts.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+      .map { v =>
+        val n = v.toLong
+        require(n >= 1L, s"$name must be >= 1, got $n")
         n
       }
 
@@ -147,14 +156,30 @@ object ManifestStreamSource {
   }
 
   /** Data files the commits in `(startV, endV]` make newly visible under
-    * the source's op semantics (driver-side, metadata only). */
+    * the source's op semantics (driver-side, metadata only). The walk is
+    * INCREMENTAL — each version's file list reconstructs once and serves
+    * as the next version's parent — so an N-version backlog costs N+1
+    * snapshot reconstructions, not 2N. */
   private[sources] def addedFiles(table: String, startV: Long, endV: Long,
-      ignoreDeletes: Boolean, ignoreChanges: Boolean): Seq[String] =
+      ignoreDeletes: Boolean, ignoreChanges: Boolean): Seq[String] = {
+    if (endV <= startV) return Seq.empty
+    var prev = if (startV < 0) Set.empty[String]
+      else ManifestTable.snapshotFiles(table, startV).toSet
     ((startV + 1) to endV).flatMap { v =>
+      val cur = ManifestTable.snapshotFiles(table, v)
+      val out = addedForOp(table, v, cur.filterNot(prev),
+        ignoreDeletes, ignoreChanges)
+      prev = cur.toSet
+      out
+    }
+  }
+
+  /** One version's newly-visible files under the op semantics, given the
+    * raw added-file set (shared by the range walk and the admission
+    * walk). */
+  private[sources] def addedForOp(table: String, v: Long, added: => Seq[String],
+      ignoreDeletes: Boolean, ignoreChanges: Boolean): Seq[String] = {
       val op = ManifestTable.snapshotMeta(table, v).getOrElse("op", "unknown")
-      val prev = if (v == 0) Set.empty[String]
-        else ManifestTable.snapshotFiles(table, v - 1).toSet
-      def added = ManifestTable.snapshotFiles(table, v).filterNot(prev)
       op match {
         case "append" | "streaming-append" => added
         // ADD-COLUMN evolution is still an insert-only commit: its files
@@ -280,9 +305,14 @@ private class ManifestMicroBatchStream(table: String, schema: StructType,
     var v = startV
     var files = 0
     var rows = 0L
+    // incremental walk: one snapshot reconstruction per probed version
+    // (the parent set carries forward), same discipline as addedFiles
+    var prev = if (v < 0) Set.empty[String]
+      else ManifestTable.snapshotFiles(table, v).toSet
     while (v < head) {
-      val add = ManifestStreamSource.addedFiles(table, v, v + 1,
-        ignoreDeletes, ignoreChanges)
+      val cur = ManifestTable.snapshotFiles(table, v + 1)
+      val add = ManifestStreamSource.addedForOp(table, v + 1,
+        cur.filterNot(prev), ignoreDeletes, ignoreChanges)
       val addRows =
         if (rowBudget.isEmpty) 0L else add.map(ManifestTable.statsRowCount).sum
       val over = fileBudget.exists(b => files + add.size > b) ||
@@ -291,6 +321,7 @@ private class ManifestMicroBatchStream(table: String, schema: StructType,
       files += add.size
       rows += addRows
       v += 1
+      prev = cur.toSet
       if (fileBudget.exists(files >= _) || rowBudget.exists(rows >= _)) return v
     }
     head

@@ -349,6 +349,28 @@ object ManifestTable {
       }))
     catch { case scala.util.control.NonFatal(_) => None }
 
+  /** The scan-time StructType: the committed logical schema with field
+    * names swapped to the snapshot's PHYSICAL names (identity outside
+    * column-mapping mode). Shared by every path that opens data files —
+    * the batch scan, the CDF's DV delta — so a future mapping change has
+    * exactly one place to land. */
+  private def physSchema(sch: org.apache.spark.sql.types.StructType,
+      phys: Option[Seq[String]]): org.apache.spark.sql.types.StructType =
+    phys match {
+      case Some(p) => org.apache.spark.sql.types.StructType(
+        sch.fields.toSeq.zip(p).map { case (f, pn) => f.copy(name = pn) })
+      case None => sch
+    }
+
+  /** Relabel a physically-named scan back to the logical schema. */
+  private def relabel(df: DataFrame,
+      sch: org.apache.spark.sql.types.StructType, phys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(sch.fields.toSeq.zip(phys).map { case (f, pn) =>
+      col(pn).as(f.name)
+    }: _*)
+  }
+
   /** Scan `files` with the snapshot's deletion vectors applied.
     * Positions come from the scan itself (`_metadata.row_index` — the
     * generated metadata column, no stored row ids needed; valid because
@@ -373,9 +395,7 @@ object ManifestTable {
       case (Some(sch), Some(p)) if files.nonEmpty =>
         // mapping mode: the scan ran under PHYSICAL names; surface the
         // snapshot's LOGICAL names to the caller
-        df.select(sch.fields.toSeq.zip(p).map { case (f, pn) =>
-          col(pn).as(f.name)
-        }: _*)
+        relabel(df, sch, p)
       case _ => df
     }
   }
@@ -388,13 +408,7 @@ object ManifestTable {
       dvs: Seq[String], sig: Option[String], phys: Option[Seq[String]]): DataFrame = {
     import org.apache.spark.sql.functions.col
     if (files.isEmpty) return spark.emptyDataFrame
-    val scanSchema = sig.flatMap(sigToSchema).map { sch =>
-      phys match {
-        case Some(p) => org.apache.spark.sql.types.StructType(
-          sch.fields.toSeq.zip(p).map { case (f, pn) => f.copy(name = pn) })
-        case None => sch
-      }
-    }
+    val scanSchema = sig.flatMap(sigToSchema).map(physSchema(_, phys))
     val base = scanSchema match {
       case Some(sch) => spark.read.schema(sch).parquet(files: _*)
       case None => spark.read.parquet(files: _*)
@@ -574,7 +588,8 @@ object ManifestTable {
   /** Publish `files` as version `v` — the CAS. True iff this committer
     * won the version. */
   private def publish(table: String, v: Long, files: Seq[String],
-      meta: Map[String, String] = Map.empty): Boolean = {
+      meta: Map[String, String] = Map.empty,
+      prevEntries: Option[Seq[String]] = None): Boolean = {
     val md = manifestDir(table)
     Files.createDirectories(md)
     val tmp = md.resolve(s".tmp-${UUID.randomUUID()}")
@@ -590,10 +605,13 @@ object ManifestTable {
     // delta manifests (every version after 0): entries as +add/-remove
     // lines against v−1 — the commit writes O(changed files), never the
     // snapshot. Version 0 is a full list (no base to diff against).
+    // Snapshot-extending callers pass the v−1 entries they already
+    // reconstructed for the commit itself (`prevEntries`) so the diff
+    // never re-walks the delta chain a second time per attempt.
     val body: Seq[String] =
       if (v == 0) files
       else {
-        val prev = snapshotEntries(table, v - 1)
+        val prev = prevEntries.getOrElse(snapshotEntries(table, v - 1))
         val prevSet = prev.toSet
         val curSet = files.toSet
         prev.filterNot(curSet).map("-" + _) ++
@@ -972,10 +990,12 @@ object ManifestTable {
       val maxId = meta.get("maxcolid").map(_.toLong).getOrElse(cm.map(_._1).max)
       val newSig = fields.map(f =>
         if (fieldName(f) == from) s"$to:${fieldType(f)}" else f).mkString(",")
-      if (publish(table, base + 1, snapshotEntries(table, base),
+      val entries = snapshotEntries(table, base)
+      if (publish(table, base + 1, entries,
           Map("op" -> "rename", "schema" -> newSig,
             "colmap" -> colMapLine(cm), "maxcolid" -> maxId.toString) ++
-            meta.view.filterKeys(_ == "lastBatchId").toMap)) return base + 1
+            meta.view.filterKeys(_ == "lastBatchId").toMap,
+          prevEntries = Some(entries))) return base + 1
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
@@ -1003,11 +1023,13 @@ object ManifestTable {
       val cm = parseColMap(meta).getOrElse(synthColMap(fields))
       val maxId = meta.get("maxcolid").map(_.toLong).getOrElse(cm.map(_._1).max)
       val newSig = fields.patch(idx, Nil, 1).mkString(",")
-      if (publish(table, base + 1, snapshotEntries(table, base),
+      val entries = snapshotEntries(table, base)
+      if (publish(table, base + 1, entries,
           Map("op" -> "drop-column", "schema" -> newSig,
             "colmap" -> colMapLine(cm.patch(idx, Nil, 1)),
             "maxcolid" -> maxId.toString) ++
-            meta.view.filterKeys(_ == "lastBatchId").toMap)) return base + 1
+            meta.view.filterKeys(_ == "lastBatchId").toMap,
+          prevEntries = Some(entries))) return base + 1
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
@@ -1071,7 +1093,7 @@ object ManifestTable {
           Map("op" -> "compact-small",
             "schema" -> baseMeta.getOrElse("schema",
               schemaSig(read(spark, table, Some(base))))) ++
-            mapMeta(baseMeta))) return base + 1
+            mapMeta(baseMeta), prevEntries = Some(fs ++ dvLines))) return base + 1
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
@@ -1112,7 +1134,8 @@ object ManifestTable {
       if (publish(table, v, prev ++ staged,
           Map("op" -> "append",
             "schema" -> reconcileSig(table, bring, allowExtend = false)) ++
-            base.map(b => mapMeta(snapshotMeta(table, b))).getOrElse(Map.empty)))
+            base.map(b => mapMeta(snapshotMeta(table, b))).getOrElse(Map.empty),
+          prevEntries = Some(prev)))
         return v
       attempt += 1
     }
@@ -1177,7 +1200,7 @@ object ManifestTable {
       if (publish(table, v, prev ++ staged,
           Map("op" -> "append-evolve",
             "schema" -> reconcileSig(table, bring, allowExtend = true)) ++
-            evolveMeta)) return v
+            evolveMeta, prevEntries = Some(prev))) return v
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
@@ -1399,7 +1422,8 @@ object ManifestTable {
           Map("op" -> "delete",
             "schema" -> baseMeta.getOrElse("schema",
               schemaSig(read(spark, table, Some(base)))),
-            "dvAdded" -> stagedDv.size.toString) ++ mapMeta(baseMeta)))
+            "dvAdded" -> stagedDv.size.toString) ++ mapMeta(baseMeta),
+          prevEntries = Some(files ++ oldDvEntries)))
         return base + 1
       attempt += 1 // lost the race: recompute against the new snapshot
     }
@@ -1625,13 +1649,7 @@ object ManifestTable {
       // scan under PHYSICAL names (what the files store), emit under the
       // range-final LOGICAL names — same discipline as readFiles
       val logical = sig.flatMap(sigToSchema)
-      val scanSchema = logical.map { sch =>
-        phys match {
-          case Some(p) => org.apache.spark.sql.types.StructType(
-            sch.fields.toSeq.zip(p).map { case (f, pn) => f.copy(name = pn) })
-          case None => sch
-        }
-      }
+      val scanSchema = logical.map(physSchema(_, phys))
       val base = scanSchema match {
         case Some(sch) => spark.read.schema(sch).parquet(targets: _*)
         case None => spark.read.parquet(targets: _*)
@@ -1650,10 +1668,7 @@ object ManifestTable {
             .select(col("path").as("__fp"), col("pos").as("__pos")),
           Seq("__fp", "__pos"), "left_anti")
       Some((logical, phys) match {
-        case (Some(sch), Some(p)) =>
-          fresh.select(sch.fields.toSeq.zip(p).map { case (f, pn) =>
-            col(pn).as(f.name)
-          }: _*)
+        case (Some(sch), Some(p)) => relabel(fresh, sch, p)
         case _ => fresh.select(cols.map(col): _*)
       })
     }
@@ -1731,19 +1746,25 @@ object ManifestTable {
   def idempotentAppend(spark: SparkSession, table: String, df: DataFrame,
       batchId: Long): Option[Long] = {
     // the high-water batch id: newest retained version that recorded
-    // one (latest-first scan, O(1) in the common sink-only history
-    // because every idempotentAppend stamps it; the walk-back covers
-    // interleaved maintenance commits — delete/compact/restore — whose
-    // meta doesn't carry the marker, so a replayed batch can never
-    // re-commit just because a maintenance op ran in between)
+    // one. Walk back from the head (O(1) via the _latest hint, one meta
+    // read in the common sink-only history because every
+    // idempotentAppend stamps the marker); the walk covers interleaved
+    // maintenance commits — delete/compact/restore — whose meta doesn't
+    // carry it, so a replayed batch can never re-commit just because a
+    // maintenance op ran in between. An expired (missing) manifest ends
+    // the walk: nothing older can be read anyway.
     def committed: Long = {
-      val md = manifestDir(table)
-      if (!Files.isDirectory(md)) return -1L
-      listDir(md)
-        .filter(_.getFileName.toString.matches("v\\d{8}\\.manifest"))
-        .map(versionOf).sorted.reverse.iterator
-        .flatMap(v => snapshotMeta(table, v).get("lastBatchId"))
-        .map(_.toLong).nextOption().getOrElse(-1L)
+      var v = latestVersion(table).getOrElse(-1L)
+      while (v >= 0) {
+        val b =
+          try snapshotMeta(table, v).get("lastBatchId")
+          catch { case _: java.nio.file.NoSuchFileException => return -1L }
+        b match {
+          case Some(x) => return x.toLong
+          case None => v -= 1
+        }
+      }
+      -1L
     }
     if (committed >= batchId) return None
     enforceSchema(table, df)
@@ -1759,7 +1780,8 @@ object ManifestTable {
           Map("lastBatchId" -> batchId.toString,
             "op" -> "streaming-append",
             "schema" -> reconcileSig(table, bring, allowExtend = false)) ++
-            base.map(b => mapMeta(snapshotMeta(table, b))).getOrElse(Map.empty)))
+            base.map(b => mapMeta(snapshotMeta(table, b))).getOrElse(Map.empty),
+          prevEntries = Some(prev)))
         return Some(v)
       attempt += 1
     }
