@@ -404,6 +404,27 @@ class InvariantSuite extends SparkSuite {
     assert(growth > 5.0, s"10x corpus should grow pairs ~10x, got $growth")
   }
 
+  test("scale probe: IVF-routed candidate work grows linearly at 10x corpus size") {
+    // q_sim_ivfpq's serving path: a probe touches only its nprobe cells'
+    // members, so candidate rows per probe grow with CELL population
+    // (~n/16), never with n² — the routing property the composed index
+    // inherits from IVF. Measure the executed candidate count with a
+    // synthetic 16-cell assignment at 1x and 10x.
+    def cand(n: Int): Long = {
+      val cells = spark.range(n).select(col("id").as("nid"), (col("id") % 16).as("cid"))
+      val pc = spark.range(10).select(col("id").as("qid"),
+        explode(expr("sequence(0, 3)")).as("x"))
+        .select(col("qid"), ((col("qid") + col("x")) % 16).as("cid"))
+      pc.join(cells, Seq("cid")).filter(col("qid") =!= col("nid")).count()
+    }
+    val c1 = cand(1600)
+    val c10 = cand(16000)
+    val growth = c10.toDouble / c1
+    assert(growth < 20.0,
+      s"cell-routed candidates must be ~linear (all-pairs would be ~100x): c1=$c1 c10=$c10 growth=$growth")
+    assert(growth > 5.0, s"10x corpus should grow candidates ~10x, got $growth")
+  }
+
   test("scale probe: LSH band-bucket histogram grows linearly per bucket at 10x") {
     // sign-LSH buckets (16 per band) must stay BALANCED as the corpus
     // grows: every bucket's load scales ~10x, so per-band candidate work

@@ -1014,6 +1014,34 @@ class ManifestTableSuite extends SparkSuite {
     assert(sa == ((150L, 7L, 7L)), s"got $sa")
   }
 
+  test("shallow clone: zero-copy creation, two-way isolation, vacuum never crosses tables") {
+    val t = freshTable()
+    ManifestTable.append(spark, t, range(0, 100).coalesce(1))
+    val cl = freshTable() + "/clone"
+    ManifestTable.cloneTable(t, cl)
+    // zero copy: the clone has no data directory of its own yet
+    assert(!Files.isDirectory(Paths.get(cl, "data")))
+    assert(ManifestTable.read(spark, cl).count() == 100)
+    // divergence is invisible to the source, and vice versa
+    ManifestTable.deleteWhere(spark, cl, "id", 0L, 49L)
+    ManifestTable.append(spark, t, range(100, 120).coalesce(1))
+    assert(ManifestTable.read(spark, cl).count() == 50)
+    assert(ManifestTable.read(spark, t).count() == 120)
+    // vacuum on either table never touches the other's files: the clone
+    // still reads after both vacuums, including rows served from the
+    // SOURCE's files
+    assert(ManifestTable.vacuum(t, 0) == 0)
+    assert(ManifestTable.vacuum(cl, 0) == 0)
+    assert(ManifestTable.read(spark, cl).count() == 50)
+    assert(ManifestTable.read(spark, cl).agg(sum(col("v"))).as[Long].head() ==
+      (50L until 100L).map(_ * 2).sum)
+    // cloning an existing table refuses; cloning a clone works
+    intercept[IllegalArgumentException] { ManifestTable.cloneTable(t, cl) }
+    val cl2 = freshTable() + "/clone2"
+    ManifestTable.cloneTable(cl, cl2)
+    assert(ManifestTable.read(spark, cl2).count() == 50)
+  }
+
   test("idempotentAppend: batch tracking survives restore and interleaved maintenance") {
     val t = freshTable()
     def batch(id: Long) = range(id * 10, id * 10 + 10)
