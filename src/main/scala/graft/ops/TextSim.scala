@@ -801,38 +801,49 @@ object TextSim {
     * per-subspace k-means (the engine's q_cluster_kmeans kernel) —
     * definitional slices keep the oracle exact without a training loop.
     * Recall vs the exact ranking is pinned in OperatorUnitSuite. */
-  /** The PQ building blocks shared by [[qSimPq]] and [[qSimIvfPq]]:
-    * `dists` = fixed-point squared-L2 per (vector, subspace m, codebook
-    * centroid c) against the definitional codebooks (subspace slices of
-    * the 16 lowest-id vectors), and `codes` = every vector's 8 four-bit
-    * codes (its argmin centroid per subspace). Integer-exact end to end
-    * (×2^20 floor to BIGINT), so both engines agree bit-for-bit. */
-  private def pqParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val eInt = Tables.embeddings(s, d).select(col("vec_id"), expr(
-      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))").as("v"))
-    def slices(df: DataFrame, idAs: String, sliceAs: String): DataFrame = df
-      .select(col("vec_id").as(idAs), col("v"),
-        explode(array((0 until 8).map(lit): _*)).as("m"))
+  /** Fixed-point integer subspace slices of `vecs`: one row per
+    * (vector, subspace m) carrying the 8-dim slice, components scaled
+    * by 2^20 and floored to BIGINT (exact IEEE, both engines agree). */
+  private def pqSlices(vecs: DataFrame, idAs: String, sliceAs: String): DataFrame =
+    vecs.select(col("vec_id").as(idAs), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))").as("v"))
+      .select(col(idAs), col("v"), explode(array((0 until 8).map(lit): _*)).as("m"))
       .select(col(idAs), col("m"), expr("slice(v, m * 8 + 1, 8)").as(sliceAs))
-    val cents = slices(eInt.filter(col("vec_id") < 16), "c", "cv")
-    val bs = slices(eInt, "vec_id", "bv")
-    // squared L2 per (vector, subspace, centroid) — integer-exact fold
-    val dists = bs.join(broadcast(cents), Seq("m"))
+
+  /** Fixed-point squared-L2 of `vecs` against the DEFINITIONAL codebooks
+    * (subspace slices of the corpus's 16 lowest-id vectors) — one row
+    * per (vector, subspace m, centroid c). Integer-exact fold. */
+  private def pqDists(s: SparkSession, d: String, vecs: DataFrame): DataFrame = {
+    val cents = pqSlices(Tables.embeddings(s, d).filter(col("vec_id") < 16), "c", "cv")
+    pqSlices(vecs, "vec_id", "bv").join(broadcast(cents), Seq("m"))
       .withColumn("dist", expr(
         "aggregate(zip_with(bv, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-    val codes = dists
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("dist"), col("c"))).as("mc"))
-      .select(col("vec_id"), col("m"), col("mc.c").as("c"))
-    (dists, codes)
   }
+
+  /** The COMMITTED PQ-code artifact (EmbeddingIndex over ManifestTable —
+    * the same lifecycle as lsh_sigs/ivf_cells): every vector's 8
+    * four-bit codes (argmin codebook centroid per subspace), built cold
+    * once, served from the committed snapshot on every later run, and
+    * extended incrementally for new vectors only. At 100 TB this IS the
+    * index the ADC scan serves from RAM — 4 bytes per vector — and the
+    * artifact's fidelity to the definitional encoding is exactly what
+    * the declared queries' oracle hashes certify. */
+  private def pqCodes(s: SparkSession, d: String): DataFrame =
+    graft.sources.EmbeddingIndex.refresh(
+      s, graft.sources.EmbeddingIndex.tableFor(d, "pq_codes"),
+      Tables.embeddings(s, d), "vec_id")(in =>
+      pqDists(s, d, in)
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("dist"), col("c"))).as("mc"))
+        .select(col("vec_id"), col("m"), col("mc.c").as("c")))
 
   private def qSimPq(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (dists, codes) = pqParts(s, d)
-    // ADC: the probes' per-(m, centroid) distance table is exactly the
-    // dists rows of the probe vectors — broadcast-joined onto the codes
-    val dt = dists.filter(col("vec_id") < 8)
+    val codes = pqCodes(s, d)
+    // ADC: the probes' per-(m, centroid) distance table — probe-sized,
+    // recomputed per query (8 probes × 128 rows), broadcast onto the
+    // committed code artifact
+    val dt = pqDists(s, d, Tables.embeddings(s, d).filter(col("vec_id") < 8))
       .select(col("vec_id").as("probe_id"), col("m"), col("c"), col("dist"))
     val ad = codes.join(broadcast(dt), Seq("m", "c"))
       .groupBy(col("probe_id"), col("vec_id"))
@@ -869,7 +880,7 @@ object TextSim {
     val probes = emb.filter(col("vec_id") < 10)
     val exact = knn(probes, emb, 5).select(col("qid"), col("nid"))
     val cells = ivfCells(s, d).select(col("vec_id").as("nid"), col("cid"))
-    val (dists, codes) = pqParts(s, d)
+    val codes = pqCodes(s, d)
     // probe→cell shortlist with rank: one candidate table carries every
     // nprobe operating point (same shape as qSimRecall)
     val cents = emb.filter(col("vec_id") < 16)
@@ -884,9 +895,10 @@ object TextSim {
       .select(col("qid"), col("cid"), col("crnk"))
     val cand = pc.join(cells, Seq("cid")).filter(col("qid") =!= col("nid"))
       .groupBy(col("qid"), col("nid")).agg(min(col("crnk")).as("best"))
-    // ADC scoring of the candidates: codes of the candidate vectors ×
-    // the probes' broadcast distance table — never a raw embedding
-    val dt = dists.filter(col("vec_id") < 10)
+    // ADC scoring of the candidates: the COMMITTED codes of the
+    // candidate vectors × the probes' broadcast distance table — never
+    // a raw embedding on the scan side
+    val dt = pqDists(s, d, probes)
       .select(col("vec_id").as("qid"), col("m"), col("c"), col("dist"))
     val scored = cand
       .join(codes.withColumnRenamed("vec_id", "nid"), Seq("nid"))
