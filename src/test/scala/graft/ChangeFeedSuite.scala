@@ -438,6 +438,36 @@ class ChangeFeedSuite extends SparkSuite {
     assert(drained == 150 + 130, s"got $drained")
   }
 
+  test("the stream source reads across a RENAME via physical-name lookups") {
+    // files written BEFORE a rename store the old physical name; a
+    // stream defined AFTER the rename carries the new logical schema —
+    // the reader must resolve each field through the colmap's immutable
+    // physical name, or every pre-rename file would stream as nulls.
+    // (A RESTARTED stream re-infers the latest schema — the documented
+    // adopt-by-restart contract — so both file generations surface
+    // under the new logical label.)
+    val t = freshTable()
+    ManifestTable.append(spark, t, rows(0, 100))            // files store v
+    ManifestTable.renameColumn(t, "v", "w")
+    ManifestTable.append(spark, t,
+      rows(100, 150).withColumnRenamed("v", "w"))           // files still store v (physical)
+    val cp = Files.createTempDirectory("graft-mss-ren-cp").toString
+    val out = Files.createTempDirectory("graft-mss-ren-out").toString + "/sink"
+    val q = spark.readStream.format("graft.sources.ManifestStreamSource")
+      .option("table", t).load()
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000), "stream did not drain") finally q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.columns.toSeq.sorted == Seq("id", "k", "w"))
+    assert(got.count() == 150 && got.select("id").distinct().count() == 150)
+    assert(got.agg(sum("w")).as[Long].head() == (0L until 150L).map(_ * 2).sum,
+      "both file generations must stream their values under the new logical label")
+  }
+
   test("admission control: a version backlog drains in bounded micro-batches") {
     // 10 one-file versions under option("maxFilesPerTrigger", 2): the
     // AvailableNow drain must deliver in >=5 bounded micro-batches (not
