@@ -9,7 +9,10 @@ object Parallel {
   def run(fs: (() => Any)*): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size)
+    // daemon threads: a task wedged past its timeout must not pin the
+    // JVM open after the failure propagates to the caller
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size,
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val futs = fs.map(f => Future { f(); () })
     try {
@@ -18,7 +21,13 @@ object Parallel {
       // still running while the caller starts cleanup/retry — a
       // concurrent-write race the caller never asked for
       val results = futs.map(fu => scala.util.Try(Await.result(fu, 10.minutes)))
-      results.collectFirst { case scala.util.Failure(e) => throw e }
+      results.collectFirst { case scala.util.Failure(e) =>
+        // a sibling may still be RUNNING (it timed out, or it is slower
+        // than the failed one): interrupt it before the caller starts
+        // cleanup/retry, instead of letting it race the recovery
+        pool.shutdownNow()
+        throw e
+      }
       ()
     } finally pool.shutdown()
   }

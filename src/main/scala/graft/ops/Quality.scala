@@ -61,6 +61,7 @@ object Quality {
     "q_mv_incr" -> qMvIncr,
     "q_gdpr_erasure" -> qGdprErasure,
     "q_gdpr_dv" -> qGdprDv,
+    "q_gdpr_string" -> qGdprString,
     "q_table_cdf" -> qTableCdf,
     "q_table_cdf_merge" -> qTableCdfMerge,
     "q_scd2_cdf" -> qScd2Cdf,
@@ -99,6 +100,11 @@ object Quality {
       """SELECT event_type, count(*) AS n_events,
                 COUNT(DISTINCT user_id) AS n_users
          FROM events WHERE user_id <> 3 AND user_id <> 7
+         GROUP BY 1 ORDER BY 1""",
+    "q_gdpr_string" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE source <> 'src7'
          GROUP BY 1 ORDER BY 1""",
     "q_table_cdf" ->
       """SELECT * FROM (
@@ -1104,6 +1110,57 @@ object Quality {
     require(mor.exceptAll(materialized).unionAll(materialized.exceptAll(mor))
       .isEmpty, "merge-on-read and compacted reads must agree")
     materialized
+  }
+
+  /** GDPR erasure keyed on a STRING column, full lifecycle under the
+    * oracle gate — the round-11 generalization of file skipping and
+    * lake predicates beyond integer surrogates: ingest lands in four
+    * lexicographically-sliced files (each with a TIGHT truncated
+    * string range in its `.stats` sidecar), a single-source erasure
+    * (`source = 'src7'` — the by-email/by-uuid shape real corpora
+    * erase on) goes through
+    * [[graft.sources.ManifestTable.deleteWhereString]], and the plan
+    * REQUIRES what the production formats promise: only ONE file's
+    * string range overlaps the key (string-stats pruning), the delete
+    * lands as a DELETION VECTOR (zero data files rewritten — the
+    * commit writes tombstones proportional to the erased source, not
+    * the corpus), and the post-erasure census comes off the
+    * merge-on-read snapshot. At 100 TB a string-keyed erasure without
+    * this rewrites every file; with it, the lake stands still. */
+  private def qGdprString(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val t = s"${graft.Scratch.dir("graft_gdpr_str")}/" +
+      s"sf${d.replaceAll("[^A-Za-z0-9.]", "_")}_docs"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    // four lexicographic source slices (src0 < src1 < src10 < … <
+    // src19 < src2 < …, UTF-8 order), one parallel commit wave; each
+    // file's sidecar then carries a tight disjoint string range
+    graft.Parallel.run(
+      Seq(("", Some("src13")), ("src13", Some("src17")),
+        ("src17", Some("src5")), ("src5", None)).map { case (lo, hi) =>
+        () => ManifestTable.append(s, t,
+          docs.filter(col("source") >= lo &&
+            hi.map(col("source") < _).getOrElse(lit(true))).coalesce(1))
+      }: _*)
+    val v0 = ManifestTable.latestVersion(t).get
+    // string-stats pruning must isolate the key's file NEIGHBORHOOD
+    // before any data file opens — the whole point of truncated
+    // string min/max in the sidecars
+    require(ManifestTable.prunedFileCountString(t, "source", "src7", "src7") == 1,
+      "string stats must prune the erasure to one file")
+    val v = ManifestTable.deleteWhereString(s, t, "source", "src7", "src7")
+    require(ManifestTable.snapshotDvs(t, v).size == 1,
+      "a string-keyed erasure must take the DV path")
+    require(ManifestTable.snapshotFiles(t, v).toSet ==
+      ManifestTable.snapshotFiles(t, v0).toSet,
+      "string-keyed DV deletes must not rewrite any data file")
+    ManifestTable.read(s, t)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy("lang")
   }
 
   /** CHANGE DATA FEED under the oracle gate: run a full table lifecycle

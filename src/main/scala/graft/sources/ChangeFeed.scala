@@ -80,9 +80,21 @@ object ChangeFeed {
     * before the boundary stay checkpointed, so supplying the handler
     * and re-draining resumes exactly at the boundary. ADD-COLUMN
     * evolution ([[ManifestTable.appendEvolve]]) is NOT a boundary —
-    * the feed rides through it in the final schema. */
+    * the feed rides through it in the final schema.
+    *
+    * RENAME commits are change-free (no rows move) but NOT
+    * invisible: every later batch arrives under the NEW logical column
+    * names, so a schema-pinned consumer (an idempotentAppend sink
+    * table, a typed downstream job) would fail mid-drain with no hook
+    * to adapt. `onSchemaRelabel(newSchemaSig, v)` fires AT the rename
+    * version — after the last old-named batch, before the first
+    * new-named one — so the consumer can rename its downstream column
+    * (or re-derive its projection) and the drain continues; without a
+    * handler the rename still skips silently, preserving the historic
+    * contract for consumers that do not pin names. */
   def availableNow(spark: SparkSession, table: String, checkpoint: String,
-      onEpochRestart: Option[(String, Long) => Unit] = None)
+      onEpochRestart: Option[(String, Long) => Unit] = None,
+      onSchemaRelabel: Option[(String, Long) => Unit] = None)
       (process: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
     import org.apache.spark.sql.functions.lit
     val from = lastProcessed(checkpoint)
@@ -104,6 +116,10 @@ object ChangeFeed {
       // reorg, inflating the downstream manifest history for no data
       val changeFree = meta.get("op").exists(o =>
         o == "compact" || o == "cluster" || o == "compact-small" || o == "rename")
+      // a rename delivers no rows but re-labels every later batch's
+      // columns — give name-pinned consumers their adaptation hook
+      if (meta.get("op").contains("rename"))
+        onSchemaRelabel.foreach(_(meta("schema"), v))
       if (!changeFree) {
         if (epochBoundary(prevMeta, meta)) {
           val sig = meta("schema")

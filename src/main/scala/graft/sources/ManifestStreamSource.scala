@@ -190,8 +190,21 @@ object ManifestStreamSource {
         // restarting; the engine checkpoint resumes at the committed
         // version either way.
         case "append-evolve" => added
-        // a shallow clone's v0 is the new table's insert-only initial load
-        case "clone" => added
+        // a shallow clone's v0 is the new table's insert-only initial
+        // load — UNLESS the cloned snapshot carried deletion vectors:
+        // the per-file stream reader never applies DVs, so emitting the
+        // files verbatim would resurrect the source's tombstoned rows
+        // as inserts (batch read and the ChangeFeed apply them). Same
+        // contract as a delete commit: skip with ignoreDeletes, or
+        // consume the row-level truth via readChanges/ChangeFeed.
+        case "clone" =>
+          if (ManifestTable.snapshotDvs(table, v).isEmpty) added
+          else if (ignoreDeletes) Seq.empty
+          else throw new IllegalStateException(
+            s"commit v$v of $table is a CLONE carrying deletion vectors — " +
+              "an insert-only stream would resurrect its tombstoned rows; " +
+              "set ignoreDeletes=true to skip it, or consume row-level " +
+              "changes via ManifestTable.readChanges/ChangeFeed")
         case "compact" | "cluster" | "compact-small" =>
           Seq.empty // physical reorg, logical identity
         // metadata-only schema commits add no files; a stream keeps its

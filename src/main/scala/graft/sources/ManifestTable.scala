@@ -224,9 +224,15 @@ object ManifestTable {
 
   /** Meta keys every snapshot-preserving commit must carry forward —
     * dropping the colmap would flip readers back to logical-name scans
-    * over physically-named files. */
+    * over physically-named files, and dropping the `lastBatchId`
+    * high-water mark would make [[idempotentAppend]]'s committed() walk
+    * O(versions) across any maintenance-only history (and is what keeps
+    * a replayed sink batch from re-committing after maintenance ran).
+    * Callers that SET one of these keys themselves must put their
+    * explicit value AFTER the carry in the `++` (right side wins). */
   private def mapMeta(meta: Map[String, String]): Map[String, String] =
-    meta.view.filterKeys(k => k == "colmap" || k == "maxcolid").toMap
+    meta.view.filterKeys(k =>
+      k == "colmap" || k == "maxcolid" || k == "lastBatchId").toMap
 
   /** Is `inner`'s schema a column-mapping-aware PREFIX of `outer`'s —
     * i.e. can a change feed ride from a snapshot with `inner`'s meta to
@@ -465,21 +471,83 @@ object ManifestTable {
     moved
   }
 
+  /** Typed per-column file statistics: a LONG range (INT64/INT32
+    * physical — bigints, timestamps-as-micros, dates-as-days, ints) or
+    * a STRING range (BINARY/UTF8, TRUNCATED at [[StrStatLen]] chars
+    * with the upper bound bumped past the truncation so it stays a
+    * valid bound — the Delta/Iceberg truncated-string-stats
+    * discipline). `exact` marks whether both endpoints are the verbatim
+    * column extremes: PRUNING is sound either way (the range always
+    * contains every value), but metadata-only AGGREGATES may only trust
+    * exact endpoints ([[statsAggregate]] re-reads inexact files). */
+  sealed trait ColStat
+  final case class LongStat(lo: Long, hi: Long) extends ColStat
+  final case class StrStat(lo: String, hi: String, exact: Boolean) extends ColStat
+
+  private val StrStatLen = 64
+
+  /** UTF-8 byte-order comparison (parquet's unsigned-lexicographic
+    * BINARY ordering, which is also Spark's UTF8String ordering) — Java
+    * String's UTF-16 comparison disagrees above the BMP, so string
+    * stats must never fold through compareTo. */
+  private[sources] def utf8Lte(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
+  private def utf8Min(a: String, b: String): String = if (utf8Lte(a, b)) a else b
+  private def utf8Max(a: String, b: String): String = if (utf8Lte(a, b)) b else a
+
+  /** A valid UPPER bound for a string truncated to `len` chars: the
+    * prefix with its last bumpable char incremented and the tail
+    * dropped — strictly greater (in UTF-8 order) than every string
+    * sharing the prefix. Chars at/above the surrogate floor are never
+    * bumped (the increment could land inside the surrogate range and
+    * produce an unencodable string); None when nothing can be bumped —
+    * the caller then stores no upper bound for the column. */
+  private def truncUpper(s: String, len: Int): Option[String] = {
+    val p = s.substring(0, len)
+    var i = len - 1
+    while (i >= 0) {
+      val c = p.charAt(i)
+      if (c < 0xD7FF.toChar)
+        return Some(p.substring(0, i) + (c + 1).toChar)
+      i -= 1
+    }
+    None
+  }
+
   /** Write the `.stats` sidecar for a staged data file: one line per
-    * INT64 column, `name=min..max`. Immutable like the data file it
-    * describes, and it travels implicitly through append/merge/overwrite
-    * because it shares the file's path. (At 100 TB the harvest comes
-    * from the WRITE TASKS' accumulated statistics instead of a footer
-    * round-trip, as in the production formats — the stored shape and
-    * the pruning consumer are identical.) */
+    * stats-bearing column — `name=min..max` for long ranges (the
+    * legacy shape, still read by every old sidecar's parser), and
+    * `name=s64:<base64 min>..<base64 max>..<e|t>` for string ranges
+    * (base64 keeps arbitrary values newline/separator-safe; the final
+    * flag records endpoint exactness). Immutable like the data file it
+    * describes, and it travels implicitly through append/merge/
+    * overwrite because it shares the file's path. (At 100 TB the
+    * harvest comes from the WRITE TASKS' accumulated statistics instead
+    * of a footer round-trip, as in the production formats — the stored
+    * shape and the pruning consumer are identical.) */
   private def harvestStats(file: String): Unit = {
-    val stats = footerStats(file)
+    val b64 = java.util.Base64.getEncoder
+    val stats = footerStatsTyped(file)
     // the row count rides in the sidecar too (`#rows=N`) so
     // metadata-only aggregates ([[statsAggregate]]) never re-open
     // footers; legacy sidecars without it fall back per file
     val head = s"#rows=${footerRowCount(file)}"
-    val lines = head +: stats.toSeq.sortBy(_._1)
-      .map { case (c, (lo, hi)) => s"$c=$lo..$hi" }
+    val lines = head +: stats.toSeq.sortBy(_._1).map {
+      case (c, LongStat(lo, hi)) => s"$c=$lo..$hi"
+      case (c, StrStat(lo, hi, exact)) =>
+        val eLo = b64.encodeToString(lo.getBytes("UTF-8"))
+        val eHi = b64.encodeToString(hi.getBytes("UTF-8"))
+        s"$c=s64:$eLo..$eHi..${if (exact) "e" else "t"}"
+    }
     Files.write(Paths.get(file + ".stats"),
       lines.mkString("\n").getBytes("UTF-8"))
   }
@@ -496,34 +564,77 @@ object ManifestTable {
     else footerRowCount(file)
   }
 
-  /** INT64 column [min, max] ranges from a parquet FOOTER — metadata
-    * only, no row reads. Columns with no non-null statistics are
-    * omitted (absent ⇒ the file cannot be pruned on that column). */
-  def footerStats(file: String): Map[String, (Long, Long)] = {
+  /** Column [min, max] ranges from a parquet FOOTER — metadata only, no
+    * row reads. INT64 and INT32 physical columns (bigints, ints,
+    * timestamps, dates) yield [[LongStat]]; UTF8-annotated BINARY
+    * columns (strings) yield [[StrStat]], truncated at [[StrStatLen]]
+    * chars with the upper endpoint bumped to stay a valid bound.
+    * Columns with no non-null statistics are omitted (absent ⇒ the
+    * file cannot be pruned on that column). */
+  def footerStatsTyped(file: String): Map[String, ColStat] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = new org.apache.hadoop.conf.Configuration()
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
-      val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val longs = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      // strings fold UNTRUNCATED across row groups first (truncating
+      // per group then folding could pick a bumped per-group upper
+      // bound as the "min"); one truncation applies at the end
+      val strs = scala.collection.mutable.Map.empty[String, (String, String)]
       r.getFooter.getBlocks.asScala.foreach { b =>
         b.getColumns.asScala.foreach { c =>
           val st = c.getStatistics
-          if (st != null && st.hasNonNullValue &&
-              c.getPrimitiveType.getPrimitiveTypeName ==
-                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64) {
-            val lo = st.genericGetMin.asInstanceOf[java.lang.Long].longValue
-            val hi = st.genericGetMax.asInstanceOf[java.lang.Long].longValue
-            acc.updateWith(c.getPath.toDotString) {
-              case Some((a, b2)) => Some((math.min(a, lo), math.max(b2, hi)))
-              case None => Some((lo, hi))
-            }
+          val pt = c.getPrimitiveType
+          if (st != null && st.hasNonNullValue) pt.getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT64 =>
+              val lo = st.genericGetMin.asInstanceOf[java.lang.Long].longValue
+              val hi = st.genericGetMax.asInstanceOf[java.lang.Long].longValue
+              longs.updateWith(c.getPath.toDotString) {
+                case Some((a, b2)) => Some((math.min(a, lo), math.max(b2, hi)))
+                case None => Some((lo, hi))
+              }
+            case PrimitiveTypeName.INT32 =>
+              val lo = st.genericGetMin.asInstanceOf[java.lang.Integer].longValue
+              val hi = st.genericGetMax.asInstanceOf[java.lang.Integer].longValue
+              longs.updateWith(c.getPath.toDotString) {
+                case Some((a, b2)) => Some((math.min(a, lo), math.max(b2, hi)))
+                case None => Some((lo, hi))
+              }
+            case PrimitiveTypeName.BINARY
+                if pt.getLogicalTypeAnnotation ==
+                  LogicalTypeAnnotation.stringType() =>
+              val lo = st.genericGetMin
+                .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+              val hi = st.genericGetMax
+                .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+              strs.updateWith(c.getPath.toDotString) {
+                case Some((a, b2)) => Some((utf8Min(a, lo), utf8Max(b2, hi)))
+                case None => Some((lo, hi))
+              }
+            case _ => ()
           }
         }
       }
-      acc.toMap
+      val strStats = strs.flatMap { case (c, (lo, hi)) =>
+        val loT = if (lo.length > StrStatLen) lo.substring(0, StrStatLen) else lo
+        val hiT: Option[String] =
+          if (hi.length > StrStatLen) truncUpper(hi, StrStatLen) else Some(hi)
+        // no bumpable upper bound ⇒ no sound range to store at all
+        hiT.map(h => c -> (StrStat(loT, h,
+          exact = (loT eq lo) && h == hi): ColStat))
+      }
+      longs.view.mapValues(r => LongStat(r._1, r._2): ColStat).toMap ++ strStats
     } finally r.close()
   }
+
+  /** The long-range subset of [[footerStatsTyped]] — the historic
+    * INT64-centric view, kept for callers that prune on integer
+    * surrogates only (now also covering INT32-backed ints and dates). */
+  def footerStats(file: String): Map[String, (Long, Long)] =
+    footerStatsTyped(file).collect { case (c, LongStat(lo, hi)) => c -> (lo, hi) }
 
   /** A data file's ROW COUNT from its parquet footer — metadata only.
     * Used to exempt provably-empty files from conservative rewrites:
@@ -537,24 +648,43 @@ object ManifestTable {
     try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
   }
 
-  /** A committed data file's column ranges: the sidecar when present
-    * (one tiny read — the manifest-adjacent stats a log-store format
-    * keeps), else the parquet footer (correct fallback for files staged
-    * before sidecars existed). */
-  def statsOf(file: String): Map[String, (Long, Long)] = {
+  /** A committed data file's typed column ranges: the sidecar when
+    * present (one tiny read — the manifest-adjacent stats a log-store
+    * format keeps), else the parquet footer (correct fallback for files
+    * staged before sidecars existed). Unparseable lines are skipped —
+    * absent stats only cost pruning, never correctness. */
+  def statsTypedOf(file: String): Map[String, ColStat] = {
     val sc = Paths.get(file + ".stats")
-    if (Files.exists(sc)) {
-      Files.readAllLines(sc).asScala.flatMap { l =>
-        l.split("=", 2) match {
-          case Array(c, range) => range.split("\\.\\.", 2) match {
-            case Array(lo, hi) => Some(c -> (lo.toLong, hi.toLong))
+    if (!Files.exists(sc)) return footerStatsTyped(file)
+    val b64 = java.util.Base64.getDecoder
+    Files.readAllLines(sc).asScala.flatMap { l =>
+      l.split("=", 2) match {
+        case Array(c, range) if !l.startsWith("#") =>
+          if (range.startsWith("s64:"))
+            range.stripPrefix("s64:").split("\\.\\.", 3) match {
+              case Array(eLo, eHi, flag) =>
+                try Some(c -> (StrStat(
+                  new String(b64.decode(eLo), "UTF-8"),
+                  new String(b64.decode(eHi), "UTF-8"),
+                  exact = flag == "e"): ColStat))
+                catch { case scala.util.control.NonFatal(_) => None }
+              case _ => None
+            }
+          else range.split("\\.\\.", 2) match {
+            case Array(lo, hi) =>
+              try Some(c -> (LongStat(lo.toLong, hi.toLong): ColStat))
+              catch { case _: NumberFormatException => None }
             case _ => None
           }
-          case _ => None
-        }
-      }.toMap
-    } else footerStats(file)
+        case _ => None
+      }
+    }.toMap
   }
+
+  /** The long-range subset of [[statsTypedOf]] — the historic view for
+    * integer-keyed pruning callers. */
+  def statsOf(file: String): Map[String, (Long, Long)] =
+    statsTypedOf(file).collect { case (c, LongStat(lo, hi)) => c -> (lo, hi) }
 
   /** DATA-SKIPPING read: the snapshot restricted to `col ∈ [lo, hi]`,
     * opening ONLY the data files whose stored [min, max] range overlaps
@@ -583,6 +713,57 @@ object ManifestTable {
       else readFiles(spark, live, dvs, sig, phys)
     if (files.isEmpty) base
     else base.filter(base.col(col) >= lo && base.col(col) <= hi)
+  }
+
+  /** STRING-predicate data-skipping read: the snapshot restricted to
+    * `col ∈ [lo, hi]` (UTF-8 binary order — Spark's own string
+    * ordering), opening ONLY the data files whose stored truncated
+    * string range overlaps the predicate. The truncated bounds are
+    * sound by construction (min is a prefix ⇒ ≤ every value; max is
+    * bumped past the truncation ⇒ ≥ every value), files without string
+    * stats for `col` are conservatively kept, and the exact predicate
+    * re-applies after the prune, so the result equals
+    * `read().filter(...)` regardless of stats quality. Equality prune
+    * (`lo == hi`) is the GDPR-by-key shape: a user/email/uuid-keyed
+    * read opens the key's file neighborhood, not the lake. */
+  def readPrunedString(spark: SparkSession, table: String, col: String,
+      lo: String, hi: String, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    val meta = snapshotMeta(table, v)
+    val files = snapshotFiles(table, v)
+    val dvs = snapshotDvs(table, v)
+    val sig = meta.get("schema")
+    val phys = physNamesOf(meta)
+    val pCol = physName(meta, col)
+    val live = files.filter { f =>
+      statsTypedOf(f).get(pCol) match {
+        case Some(StrStat(mn, mx, _)) => utf8Lte(lo, mx) && utf8Lte(mn, hi)
+        case _ => true // no string stats: cannot prune
+      }
+    }
+    val base =
+      if (files.isEmpty) spark.emptyDataFrame
+      else if (live.isEmpty) readFiles(spark, files, Seq.empty, sig, phys).limit(0)
+      else readFiles(spark, live, dvs, sig, phys)
+    if (files.isEmpty) base
+    else base.filter(base.col(col) >= lo && base.col(col) <= hi)
+  }
+
+  /** Files a string-pruned read would open — [[readPrunedString]]'s
+    * planning step exposed for layout diagnostics and in-plan pins. */
+  def prunedFileCountString(table: String, col: String,
+      lo: String, hi: String, version: Option[Long] = None): Int = {
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    val meta = snapshotMeta(table, v)
+    val pCol = physName(meta, col)
+    snapshotFiles(table, v).count { f =>
+      statsTypedOf(f).get(pCol) match {
+        case Some(StrStat(mn, mx, _)) => utf8Lte(lo, mx) && utf8Lte(mn, hi)
+        case _ => true
+      }
+    }
   }
 
   /** Publish `files` as version `v` — the CAS. True iff this committer
@@ -809,13 +990,15 @@ object ManifestTable {
     *    counts once; DV sidecars are delta-sized parquet and the only
     *    Spark scan in the common case.
     *  - `min_<c>` / `max_<c>` come from the sidecar ranges of CLEAN
-    *    files (no DV targets them, stats present for the column). A
-    *    DV'd or stats-less file is POISONED for min/max — its extreme
-    *    row might be tombstoned / unknown — so EXACTLY those files are
-    *    re-read merge-on-read and folded in. At 100 TB an erasure
-    *    poisons a user-sized file set while the lake's min/max still
-    *    answer from metadata; NULLs need no care because parquet stats
-    *    and SQL MIN/MAX both ignore them.
+    *    files (no DV targets them, stats present for the column, and —
+    *    for STRING columns — endpoint-exact: a truncated [[StrStat]]
+    *    bound contains the extremes without naming them). A DV'd,
+    *    stats-less, or truncation-inexact file is POISONED for min/max
+    *    — its extreme row might be tombstoned / unknown — so EXACTLY
+    *    those files are re-read merge-on-read and folded in. At 100 TB
+    *    an erasure poisons a user-sized file set while the lake's
+    *    min/max still answer from metadata; NULLs need no care because
+    *    parquet stats and SQL MIN/MAX both ignore them.
     * Returns one row: `n_rows`, then `min_<c>`, `max_<c>` per col. */
   def statsAggregate(spark: SparkSession, table: String,
       cols: Seq[String]): DataFrame = {
@@ -837,9 +1020,26 @@ object ManifestTable {
     val phys = physNamesOf(meta)
     // sidecar stats key on PHYSICAL names; the caller's cols are logical
     val pOf = cols.map(cc => cc -> physName(meta, cc)).toMap
-    val statsBy = files.map(f => f -> statsOf(f)).toMap
+    val statsBy = files.map(f => f -> statsTypedOf(f)).toMap
+    // a stat is aggregate-trustworthy when its endpoints are the actual
+    // file extremes: always for long ranges, only untruncated for
+    // strings — and only when the whole COLUMN carries ONE stat type
+    // across the snapshot (mixed types can only arise across a
+    // type-changing rewrite; poisoning every file then falls back to
+    // the exact Spark scan instead of folding incomparable ranges)
+    val statTypeOf: Map[String, Option[Class[_]]] = cols.map { cc =>
+      val ts = files.flatMap(f => statsBy(f).get(pOf(cc))).map(_.getClass).distinct
+      cc -> (if (ts.size == 1) Some(ts.head) else None)
+    }.toMap
+    def exactStat(f: String, cc: String): Option[ColStat] =
+      statsBy(f).get(pOf(cc))
+        .filter(st => statTypeOf(cc).contains(st.getClass))
+        .filter {
+          case StrStat(_, _, exact) => exact
+          case _ => true
+        }
     val poisoned = files.filter(f => dvTargets.contains(f) ||
-      cols.exists(cc => !statsBy(f).contains(pOf(cc))))
+      cols.exists(cc => exactStat(f, cc).isEmpty))
     val clean = files.filterNot(poisoned.toSet)
     val baseCount = files.map(statsRowCount).sum
     val tomb: DataFrame =
@@ -863,35 +1063,64 @@ object ManifestTable {
           .join(fdf, Seq("path"), "left_semi")
           .agg(count(lit(1)).cast("long").as("tomb"))
       }
-    val cleanAgg: Map[String, (Option[Long], Option[Long])] = cols.map { cc =>
-      val rs = clean.flatMap(statsBy(_).get(pOf(cc)))
-      cc -> (rs.map(_._1).minOption, rs.map(_._2).maxOption)
+    // fold the clean files' ranges per column, typed: long ranges fold
+    // arithmetically, exact string ranges fold in UTF-8 order (the same
+    // ordering Spark's string MIN/MAX uses); a column whose clean stats
+    // MIX types folds to nothing (its files then all sit in `poisoned`
+    // by the exactStat filter applied per column — mixing can only
+    // happen across a type-changing rewrite, which is an epoch boundary
+    // everywhere else in the format too)
+    val cleanAgg: Map[String, (Option[Any], Option[Any])] = cols.map { cc =>
+      val rs = clean.flatMap(f => exactStat(f, cc))
+      val folded: (Option[Any], Option[Any]) =
+        if (rs.isEmpty) (None, None)
+        else if (rs.forall(_.isInstanceOf[LongStat])) {
+          val ls = rs.collect { case LongStat(lo, hi) => (lo, hi) }
+          (Some(ls.map(_._1).min), Some(ls.map(_._2).max))
+        } else if (rs.forall(_.isInstanceOf[StrStat])) {
+          val ss = rs.collect { case StrStat(lo, hi, _) => (lo, hi) }
+          (Some(ss.map(_._1).reduce(utf8Min)), Some(ss.map(_._2).reduce(utf8Max)))
+        } else (None, None)
+      cc -> folded
     }.toMap
     val pExprs = cols.flatMap(cc =>
       Seq(min(c(cc)).as(s"pmin_$cc"), max(c(cc)).as(s"pmax_$cc")))
+    // with nothing poisoned the null placeholders must still carry each
+    // column's REAL type (from the recorded schema signature) — a
+    // hardcoded long would make the later `.cast(dt)` nullify a string
+    // column's folded sidecar min/max
+    val declaredType: String => org.apache.spark.sql.types.DataType = {
+      val bySig = sig.flatMap(sigToSchema)
+        .map(sch => sch.fields.map(f => f.name -> f.dataType).toMap)
+        .getOrElse(Map.empty[String, org.apache.spark.sql.types.DataType])
+      cc => bySig.getOrElse(cc, org.apache.spark.sql.types.LongType)
+    }
     val pAgg: DataFrame =
       if (cols.isEmpty) spark.range(1).toDF("__one") // count-only call
       else if (poisoned.isEmpty)
         spark.range(1).select(cols.flatMap(cc => Seq(
-          lit(null).cast("long").as(s"pmin_$cc"),
-          lit(null).cast("long").as(s"pmax_$cc"))): _*)
+          lit(null).cast(declaredType(cc)).as(s"pmin_$cc"),
+          lit(null).cast(declaredType(cc)).as(s"pmax_$cc"))): _*)
       else readFiles(spark, poisoned, dvs, sig, phys)
         .agg(pExprs.head, pExprs.tail: _*)
     val outCols = (lit(baseCount) - c("tomb")).as("n_rows") +:
       cols.flatMap { cc =>
         val (mn, mx) = cleanAgg(cc)
-        // the sidecar-range null literal takes the POISONED aggregate's
-        // own output type, not a hardcoded long: a non-INT64 column is
-        // always stats-less (every file poisoned → full fallback scan),
+        // the sidecar-range literal takes the POISONED aggregate's own
+        // output type, not a hardcoded one: a stats-less column type
+        // (doubles, nested) poisons every file → full fallback scan,
         // and least/greatest must not mix a long null into, say, a
         // string MIN — the result stays the documented MIN/MAX for any
-        // orderable type, just without metadata-only speedup
+        // orderable type, just without metadata-only speedup. Folded
+        // values are boxed Longs or Strings, both lit()-able.
         val dt = pAgg.schema(s"pmin_$cc").dataType
+        def asLit(v: Option[Any]) = lit(v.map {
+          case l: Long => Long.box(l)
+          case other => other
+        }.orNull)
         Seq(
-          least(lit(mn.map(Long.box).orNull).cast(dt), c(s"pmin_$cc"))
-            .as(s"min_$cc"),
-          greatest(lit(mx.map(Long.box).orNull).cast(dt), c(s"pmax_$cc"))
-            .as(s"max_$cc"))
+          least(asLit(mn).cast(dt), c(s"pmin_$cc")).as(s"min_$cc"),
+          greatest(asLit(mx).cast(dt), c(s"pmax_$cc")).as(s"max_$cc"))
       }
     tomb.crossJoin(pAgg).select(outCols: _*)
   }
@@ -1198,8 +1427,13 @@ object ManifestTable {
       if (baseCm.map(colMapLine) != freshCm) throw new IllegalStateException(
         s"column mapping of $table moved during appendEvolve — retry the write")
       if (publish(table, v, prev ++ staged,
-          Map("op" -> "append-evolve",
-            "schema" -> reconcileSig(table, bring, allowExtend = true)) ++
+          // lastBatchId carries (fresh per attempt — a stale carry could
+          // mask a concurrently-committed higher batch id); colmap/
+          // maxcolid come from evolveMeta, computed for THIS evolution
+          base.map(b => snapshotMeta(table, b).view
+            .filterKeys(_ == "lastBatchId").toMap).getOrElse(Map.empty) ++
+            Map("op" -> "append-evolve",
+              "schema" -> reconcileSig(table, bring, allowExtend = true)) ++
             evolveMeta, prevEntries = Some(prev))) return v
       attempt += 1
     }
@@ -1222,9 +1456,15 @@ object ManifestTable {
     val staged = stage(df, table)
     var attempt = 0
     while (attempt < maxRetries) {
-      val v = latestVersion(table).getOrElse(-1L) + 1
+      val base = latestVersion(table)
+      val v = base.getOrElse(-1L) + 1
+      // the sink high-water mark survives an overwrite (it guards batch
+      // REPLAY, which an overwrite of the data does not reset); colmap
+      // does NOT carry — the overwrite's own files store df's names
       if (publish(table, v, staged,
-          Map("op" -> "overwrite", "schema" -> schemaSig(df)))) return v
+          base.map(b => snapshotMeta(table, b).view
+            .filterKeys(_ == "lastBatchId").toMap).getOrElse(Map.empty) ++
+            Map("op" -> "overwrite", "schema" -> schemaSig(df)))) return v
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
@@ -1350,7 +1590,72 @@ object ManifestTable {
     * Returns the committed version (the base version when no file can
     * contain a match — a provable no-op commits nothing). */
   def deleteWhere(spark: SparkSession, table: String, logicalColumn: String,
-      lo: Long, hi: Long, maxRetries: Int = 20, dvBelowOverlap: Double = 0.5): Long = {
+      lo: Long, hi: Long, maxRetries: Int = 20, dvBelowOverlap: Double = 0.5): Long =
+    deleteWhereCore(spark, table, logicalColumn,
+      // COPY-ON-WRITE vs MERGE-ON-READ, chosen per file from committed
+      // stats alone (no data read): the predicate's overlap fraction of
+      // the file's [min, max] span estimates how much of the file dies.
+      // A file losing most of its range is rewritten (a DV that
+      // tombstones half a file just moves the rewrite to every reader);
+      // a file grazed by the predicate — the scattered-GDPR-key case
+      // that made copy-on-write rewrite the lake — gets positional
+      // tombstones instead.
+      classify = {
+        case LongStat(mn, mx) =>
+          if (!(mx >= lo && mn <= hi)) FileKeep
+          else {
+            val span = math.max(mx - mn + 1, 1L).toDouble
+            val ov = math.max(math.min(hi, mx) - math.max(lo, mn) + 1, 0L).toDouble
+            if (ov / span >= dvBelowOverlap) FileRewrite else FileDv
+          }
+        case _ => FileRewrite // typed-mismatch stats: conservative
+      },
+      pred = c => c >= lo && c <= hi,
+      maxRetries = maxRetries)
+
+  /** [[deleteWhere]] on a STRING predicate `column ∈ [lo, hi]` (UTF-8
+    * binary order; pass `lo == hi` for the equality shape) — the
+    * GDPR-by-email/uuid and retention-by-string-key erasure the
+    * production formats serve from truncated string stats. File-level
+    * pruning reads the committed [[StrStat]] ranges (truncation-sound:
+    * the stored bounds always contain every value); non-overlapping
+    * files carry into the new manifest VERBATIM — never read, never
+    * rewritten. Overlapping stats-bearing files take the DELETION
+    * VECTOR path unconditionally: a string key has no meaningful span
+    * fraction (the long overload's COW heuristic needs arithmetic
+    * overlap), and the string-keyed erasure is precisely the
+    * scattered-key case DVs exist for. Files with no string stats for
+    * `column` are conservatively rewritten, so the result is exact
+    * regardless of stats coverage. Same snapshot-dependent commit loop
+    * as the long overload. */
+  def deleteWhereString(spark: SparkSession, table: String, logicalColumn: String,
+      lo: String, hi: String, maxRetries: Int = 20): Long =
+    deleteWhereCore(spark, table, logicalColumn,
+      classify = {
+        case StrStat(mn, mx, _) =>
+          if (utf8Lte(lo, mx) && utf8Lte(mn, hi)) FileDv else FileKeep
+        case _ => FileRewrite // typed-mismatch stats: conservative
+      },
+      pred = c => c >= lo && c <= hi,
+      maxRetries = maxRetries)
+
+  private val FileKeep = 0
+  private val FileRewrite = 1
+  private val FileDv = 2
+
+  /** The shared snapshot-dependent DELETE commit loop: `classify` maps
+    * a hit-candidate file's committed stat for the predicate column to
+    * keep / copy-on-write rewrite / deletion-vector, `pred` builds the
+    * delete predicate over the PHYSICAL column. Stats-less files are
+    * conservatively rewritten UNLESS the footer proves them empty
+    * (empty files never get min/max stats and provably contain no
+    * match — rewriting one would also trip callers asserting "DV
+    * deletes rewrite nothing"). See [[deleteWhere]] for the full
+    * contract. */
+  private def deleteWhereCore(spark: SparkSession, table: String,
+      logicalColumn: String, classify: ColStat => Int,
+      pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      maxRetries: Int): Long = {
     import org.apache.spark.sql.functions.{col => c}
     var attempt = 0
     while (attempt < maxRetries) {
@@ -1363,35 +1668,16 @@ object ManifestTable {
       val files = snapshotFiles(table, base)
       val dvs = snapshotDvs(table, base)
       val oldDvEntries = snapshotEntries(table, base).filter(_.startsWith(DvPrefix))
-      val (hit, keep) = files.partition { f =>
-        statsOf(f).get(column) match {
-          case Some((mn, mx)) => mx >= lo && mn <= hi
-          // stats-less file: conservatively a hit UNLESS the footer says
-          // it holds zero rows (empty files never get min/max stats and
-          // provably contain no match — rewriting one would also trip
-          // callers asserting "DV deletes rewrite nothing")
-          case None => footerRowCount(f) > 0
-        }
+      val classified: Seq[(String, Int)] = files.map { f =>
+        f -> (statsTypedOf(f).get(column) match {
+          case Some(st) => classify(st)
+          case None => if (footerRowCount(f) > 0) FileRewrite else FileKeep
+        })
       }
-      if (hit.isEmpty) return base
-      // COPY-ON-WRITE vs MERGE-ON-READ, chosen per file from committed
-      // stats alone (no data read): the predicate's overlap fraction of
-      // the file's [min, max] span estimates how much of the file dies.
-      // A file losing most of its range is rewritten (a DV that
-      // tombstones half a file just moves the rewrite to every reader);
-      // a file grazed by the predicate — the scattered-GDPR-key case
-      // that made copy-on-write rewrite the lake — gets positional
-      // tombstones instead. Files with no stats are conservatively
-      // rewritten (exact either way).
-      val (rewriteF, dvF) = hit.partition { f =>
-        statsOf(f).get(column) match {
-          case Some((mn, mx)) =>
-            val span = math.max(mx - mn + 1, 1L).toDouble
-            val ov = math.max(math.min(hi, mx) - math.max(lo, mn) + 1, 0L).toDouble
-            ov / span >= dvBelowOverlap
-          case None => true
-        }
-      }
+      val keep = classified.collect { case (f, FileKeep) => f }
+      val rewriteF = classified.collect { case (f, FileRewrite) => f }
+      val dvF = classified.collect { case (f, FileDv) => f }
+      if (rewriteF.isEmpty && dvF.isEmpty) return base
       // rewrite path applies EXISTING DVs first — republishing a
       // tombstoned row would resurrect it. The scan, filter, and staged
       // files all stay in PHYSICAL names: rewrites must keep the files
@@ -1400,7 +1686,7 @@ object ManifestTable {
         if (rewriteF.isEmpty) Seq.empty
         else stage(scanPhysical(spark, rewriteF, dvs,
             baseMeta.get("schema"), physNamesOf(baseMeta))
-          .filter(!(c(column) >= lo && c(column) <= hi)), table)
+          .filter(!pred(c(column))), table)
       // DV path records (path, pos) of the dying rows from the scan's
       // own `_metadata` — tombstone-sized output, no data file touched.
       // Re-tombstoning a position an older DV already covers is
@@ -1408,7 +1694,7 @@ object ManifestTable {
       val stagedDv =
         if (dvF.isEmpty) Seq.empty
         else stage(spark.read.parquet(dvF: _*)
-          .filter(c(column) >= lo && c(column) <= hi)
+          .filter(pred(c(column)))
           .select(c("_metadata.file_path").as("path"),
             c("_metadata.row_index").as("pos")), table)
       // old DV lines carry VERBATIM (keeping their recorded targets);
@@ -1776,11 +2062,14 @@ object ManifestTable {
       val base = latestVersion(table)
       val prev = base.map(snapshotEntries(table, _)).getOrElse(Seq.empty)
       val v = base.getOrElse(-1L) + 1
-      if (publish(table, v, prev ++ staged,
-          Map("lastBatchId" -> batchId.toString,
-            "op" -> "streaming-append",
-            "schema" -> reconcileSig(table, bring, allowExtend = false)) ++
-            base.map(b => mapMeta(snapshotMeta(table, b))).getOrElse(Map.empty),
+      // carry FIRST, explicit keys after: mapMeta now carries the base's
+      // lastBatchId, and this commit's own (higher) batch id must win
+      if (publish(table, v,
+          prev ++ staged,
+          base.map(b => mapMeta(snapshotMeta(table, b))).getOrElse(Map.empty) ++
+            Map("lastBatchId" -> batchId.toString,
+              "op" -> "streaming-append",
+              "schema" -> reconcileSig(table, bring, allowExtend = false)),
           prevEntries = Some(prev)))
         return Some(v)
       attempt += 1

@@ -913,15 +913,79 @@ class ManifestTableSuite extends SparkSuite {
     assert(n == 990, s"relative-path tombstones must still subtract, got $n")
   }
 
-  test("statsAggregate: a non-INT64 column falls back to the scan, not an AnalysisException") {
+  test("statsAggregate: strings answer from sidecars; a stats-less type falls back to the scan") {
     val t = freshTable()
     ManifestTable.append(spark, t,
-      range(0, 100).withColumn("name", concat(lit("row-"), col("id"))).coalesce(1))
-    val r = ManifestTable.statsAggregate(spark, t, Seq("id", "name"))
-    val row = r.select(col("n_rows"), col("min_id"), col("max_id"),
+      range(0, 100).withColumn("name", concat(lit("row-"), col("id")))
+        .withColumn("score", col("id").cast("double") / 7.0).coalesce(1))
+    // strings now carry exact sidecar ranges — the string min/max is
+    // metadata-only, zero data files open
+    val rs = ManifestTable.statsAggregate(spark, t, Seq("id", "name"))
+    assert(rs.inputFiles.isEmpty,
+      s"string stats must answer metadata-only, read ${rs.inputFiles.toSeq}")
+    val rowS = rs.select(col("n_rows"), col("min_id"), col("max_id"),
       col("min_name"), col("max_name")).as[(Long, Long, Long, String, String)].head()
-    assert(row == ((100L, 0L, 99L, "row-0", "row-99")),
-      s"string min/max must come from the poisoned-file fallback scan, got $row")
+    assert(rowS == ((100L, 0L, 99L, "row-0", "row-99")), s"got $rowS")
+    // a DOUBLE column has no harvested stats: it poisons its file and
+    // the answer comes from the exact fallback scan — never an error
+    val rd = ManifestTable.statsAggregate(spark, t, Seq("id", "score"))
+    val rowD = rd.select(col("n_rows"), col("min_id"), col("max_id"),
+      col("min_score"), col("max_score")).as[(Long, Long, Long, Double, Double)].head()
+    assert(rowD == ((100L, 0L, 99L, 0.0, 99.0 / 7.0)),
+      s"double min/max must come from the poisoned-file fallback scan, got $rowD")
+  }
+
+  test("deleteWhereString: non-overlapping files carry verbatim; the hit file takes the DV path") {
+    val t = freshTable()
+    // three lexicographically disjoint slices, one file each
+    for (g <- Seq("alpha", "mike", "zulu"))
+      ManifestTable.append(spark, t,
+        spark.range(0, 50).select(col("id"),
+          concat(lit(g + "-user-"), col("id") % 10).as("owner")).coalesce(1))
+    val before = ManifestTable.snapshotFiles(t, ManifestTable.latestVersion(t).get)
+    // string-stats pruning: only the 'mike' slice can contain the key
+    assert(ManifestTable.prunedFileCountString(t, "owner",
+      "mike-user-3", "mike-user-3") == 1)
+    val v = ManifestTable.deleteWhereString(spark, t, "owner",
+      "mike-user-3", "mike-user-3")
+    assert(ManifestTable.snapshotFiles(t, v).toSet == before.toSet,
+      "a string-keyed DV delete must not rewrite any data file")
+    assert(ManifestTable.snapshotDvs(t, v).size == 1, "one DV sidecar expected")
+    // the DV's recorded targets are exactly the hit file — compaction
+    // stays proportional to the affected neighborhood
+    val targets = ManifestTable.snapshotDvInfo(t, v).flatMap(_._2).toSet
+    assert(targets.size == 1 && targets.subsetOf(before.toSet))
+    val left = ManifestTable.read(spark, t)
+    assert(left.count() == 145, "5 of 150 rows carried owner mike-user-3")
+    assert(left.filter(col("owner") === "mike-user-3").count() == 0)
+    // pruned read == filtered read, and it opens only overlapping files
+    val pruned = ManifestTable.readPrunedString(spark, t, "owner", "zulu-", "zulu-~")
+    assert(pruned.inputFiles.length <= 2, // the zulu data file (+ nothing else)
+      s"string prune must skip disjoint slices, got ${pruned.inputFiles.toSeq}")
+    assert(pruned.count() ==
+      left.filter(col("owner") >= "zulu-" && col("owner") <= "zulu-~").count())
+  }
+
+  test("truncated string stats stay SOUND bounds: pruning never drops a match, aggregates re-read") {
+    val t = freshTable()
+    val longPrefix = "x" * 80 // > the 64-char truncation cutoff
+    ManifestTable.append(spark, t,
+      spark.range(0, 20).select(col("id"),
+        concat(lit(longPrefix), col("id")).as("k")).coalesce(1))
+    ManifestTable.append(spark, t,
+      spark.range(0, 20).select(col("id"), concat(lit("short-"), col("id")).as("k"))
+        .coalesce(1))
+    // the long-key file's range is truncated but must still CONTAIN
+    // every value: an equality read on a long key finds its row
+    val key = longPrefix + "7"
+    val got = ManifestTable.readPrunedString(spark, t, "k", key, key)
+    assert(got.count() == 1, "truncated bounds must keep the match")
+    // and the truncated file is NOT trusted for exact min/max — the
+    // aggregate re-reads it (inputFiles nonempty) yet stays exact
+    val agg = ManifestTable.statsAggregate(spark, t, Seq("k"))
+    assert(agg.inputFiles.nonEmpty, "truncated stats must poison the file")
+    val (mn, mx) = agg.select(col("min_k"), col("max_k")).as[(String, String)].head()
+    assert(mn == "short-0" && mx == longPrefix + "9", s"got ($mn, $mx)")
   }
 
   test("delta manifest log: commit cost is O(changed files); checkpoints bound reconstruction") {
