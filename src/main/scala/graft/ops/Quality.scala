@@ -62,6 +62,7 @@ object Quality {
     "q_gdpr_erasure" -> qGdprErasure,
     "q_gdpr_dv" -> qGdprDv,
     "q_gdpr_string" -> qGdprString,
+    "q_backfill_manifest" -> qBackfillManifest,
     "q_table_cdf" -> qTableCdf,
     "q_table_cdf_merge" -> qTableCdfMerge,
     "q_scd2_cdf" -> qScd2Cdf,
@@ -106,6 +107,15 @@ object Quality {
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE source <> 'src7'
          GROUP BY 1 ORDER BY 1""",
+    "q_backfill_manifest" ->
+      """WITH ec AS (
+           SELECT event_id, event_type,
+                  CAST(COALESCE(CAST(value AS DECIMAL(12,2)), 0) * 100 AS BIGINT)
+                    + CASE WHEN event_type = 'click' THEN 7 ELSE 0 END AS cents
+           FROM events)
+         SELECT event_type, count(*) AS n_events,
+                CAST(SUM(cents) AS BIGINT) AS sum_cents
+         FROM ec GROUP BY 1 ORDER BY 1""",
     "q_table_cdf" ->
       """SELECT * FROM (
            SELECT CAST(0 AS BIGINT) AS v, 'insert' AS ctype, count(*) AS n_rows,
@@ -1161,6 +1171,61 @@ object Quality {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("sum_chars"))
       .orderBy("lang")
+  }
+
+  /** TRANSACTIONAL PARTITION BACKFILL under the oracle gate — the
+    * round-11 manifest-partition surface exercised end-to-end: three
+    * ingest waves land PARTITIONED by event_type (value-pure files,
+    * partition value in the file name —
+    * [[graft.sources.ManifestTable.appendPartitioned]]), then the
+    * click partition is recomputed from source with a correction and
+    * swapped in atomically via
+    * [[graft.sources.ManifestTable.overwritePartition]] — the
+    * `INSERT OVERWRITE ... PARTITION` backfill idiom, transactionalized.
+    * The plan REQUIRES the partition economics the production layouts
+    * promise: partition planning is a manifest string match (the click
+    * partition's file count is known without opening anything), the
+    * backfill's manifest diff removes ONLY click-marked files (every
+    * other partition carries verbatim — zero reads, zero rewrites),
+    * and a partition-pruned read of an untouched partition opens no
+    * foreign files. At 100 TB a daily backfill rewrites its day, not
+    * the lake. */
+  private def qBackfillManifest(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val t = s"${graft.Scratch.dir("graft_backfill_mf")}/" +
+      s"sf${d.replaceAll("[^A-Za-z0-9.]", "_")}_events"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+      (coalesce(col("value").cast("decimal(12,2)"), lit(0)) * 100)
+        .cast("long").as("cents"))
+    for (b <- 0L to 2L)
+      ManifestTable.appendPartitioned(s, t,
+        ev.filter(col("event_id") % 3 === b).coalesce(1), "event_type")
+    // partition planning is manifest-only: three waves → three
+    // click-marked files, counted without opening a single one
+    require(ManifestTable.partitionFileCount(t, "click") == 3,
+      "partition planning must see one click file per ingest wave")
+    val vPre = ManifestTable.latestVersion(t).get
+    // the backfill: recompute click from source with corrected cents
+    val corrected = ev.filter(col("event_type") === "click")
+      .withColumn("cents", col("cents") + 7).coalesce(1)
+    val v = ManifestTable.overwritePartition(s, t, "click", corrected)
+    // the commit's manifest diff touches ONLY the click partition
+    val removed = ManifestTable.snapshotFiles(t, vPre).toSet --
+      ManifestTable.snapshotFiles(t, v).toSet
+    require(removed.nonEmpty &&
+      removed.forall(f => ManifestTable.partitionValueOf(f).contains("click")),
+      "a partition overwrite must replace exactly its own partition's files")
+    // untouched partitions plan zero foreign files
+    val pruned = ManifestTable.readPartition(s, t, "signup")
+    require(pruned.inputFiles.forall(f =>
+      ManifestTable.partitionValueOf(f).contains("signup")),
+      "a partition-pruned read must open no foreign partition's file")
+    ManifestTable.read(s, t)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).cast("long").as("sum_cents"))
+      .orderBy("event_type")
   }
 
   /** CHANGE DATA FEED under the oracle gate: run a full table lifecycle

@@ -232,7 +232,8 @@ object ManifestTable {
     * explicit value AFTER the carry in the `++` (right side wins). */
   private def mapMeta(meta: Map[String, String]): Map[String, String] =
     meta.view.filterKeys(k =>
-      k == "colmap" || k == "maxcolid" || k == "lastBatchId").toMap
+      k == "colmap" || k == "maxcolid" || k == "lastBatchId" ||
+        k == "partcol").toMap
 
   /** Is `inner`'s schema a column-mapping-aware PREFIX of `outer`'s —
     * i.e. can a change feed ride from a snapshot with `inner`'s meta to
@@ -1470,6 +1471,227 @@ object ManifestTable {
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
   }
 
+  /** PARTITION COLUMNS on the manifest format (the Hive-partitioned
+    * layout, transactionalized): a partitioned table records its
+    * partition column in commit meta (`partcol`) and each data file's
+    * partition VALUE in the file NAME (`<uuid>-pv-<hex(value)>-part-N
+    * .parquet` — hex keeps arbitrary values path-safe), so partition
+    * planning is a pure string match over the manifest's entry list:
+    * O(partitions present), ZERO file opens, before stats pruning even
+    * starts. This is what makes `overwrite partition` (backfill),
+    * per-partition reads, and partition-wise maintenance cheap at
+    * 100 TB — the idioms Hive layouts get from directories, carried by
+    * the manifest instead so they stay ACID. Files written by
+    * non-partition-aware ops (compact/cluster rewrites pack across
+    * partitions) carry no marker and are conservatively kept by every
+    * partition-pruned plan; correctness never depends on markers
+    * because the exact predicate re-applies after the prune. */
+  private val PvMarker = "-pv-([0-9a-f]*)-".r
+
+  private def hexEnc(s: String): String =
+    s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+  private def hexDec(h: String): String = {
+    val bytes = h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    new String(bytes, "UTF-8")
+  }
+
+  /** The partition value recorded in a data file's name, if any.
+    * ("pv" is not hex and "part" is not hex, so the marker can never
+    * collide with the UUID prefix or the part suffix.) */
+  def partitionValueOf(path: String): Option[String] =
+    PvMarker.findFirstMatchIn(Paths.get(path).getFileName.toString)
+      .map(m => hexDec(m.group(1)))
+
+  /** Hive-style %XX unescape for partition directory names (Spark
+    * escapes `/`, `:` etc. when writing `__gpv=<value>` dirs). */
+  private def unescapePartDir(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          s.substring(i + 1, i + 3).matches("[0-9A-Fa-f]{2}")) {
+        sb += Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar
+        i += 3
+      } else { sb += c; i += 1 }
+    }
+    sb.result()
+  }
+
+  /** Stage `df` split by `pcol` into value-pure data files, each named
+    * with its partition value marker. One DISTRIBUTED write
+    * (`partitionBy` on a duplicated shadow column, so the data files
+    * KEEP the partition column — reading a leaf file stays
+    * self-contained, unlike Hive layouts that drop it); the move+stats
+    * walk is per-file metadata work. Null partition values are
+    * rejected (the reserved Hive null-dir would round-trip as a
+    * string). */
+  private def stagePartitioned(df: DataFrame, table: String, pcol: String,
+      toPhys: Option[Seq[(String, String)]]): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val id = UUID.randomUUID().toString
+    val staging = Paths.get(table, s"staging-$id")
+    val mapped = toPhys match {
+      case Some(m) => df.select(m.map { case (l, p) => col(l).as(p) }: _*)
+      case None => df
+    }
+    val pPhys = toPhys.flatMap(_.collectFirst { case (l, p) if l == pcol => p })
+      .getOrElse(pcol)
+    mapped.withColumn("__gpv", col(pPhys).cast("string"))
+      .write.partitionBy("__gpv").parquet(staging.toString)
+    Files.createDirectories(dataDir(table))
+    val moved = listDir(staging)
+      .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith("__gpv="))
+      .flatMap { d =>
+        val raw = unescapePartDir(d.getFileName.toString.stripPrefix("__gpv="))
+        require(raw != "__HIVE_DEFAULT_PARTITION__",
+          s"partition column $pcol may not be null")
+        val tag = hexEnc(raw)
+        listDir(d).filter(_.getFileName.toString.endsWith(".parquet"))
+          .zipWithIndex.map { case (f, i) =>
+            val dst = dataDir(table).resolve(s"$id-pv-$tag-part-$i.parquet")
+            require(!dst.toString.contains("|") && !dst.toString.startsWith(DvPrefix) &&
+              !dst.toString.startsWith("+") && !dst.toString.startsWith("-"),
+              s"table path yields manifest-unsafe data path: $dst")
+            Files.move(f, dst, StandardCopyOption.ATOMIC_MOVE)
+            dst.toString
+          }
+      }
+    listDir(staging).foreach { d =>
+      if (Files.isDirectory(d)) listDir(d).foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(d)
+    }
+    Files.deleteIfExists(staging)
+    moved.foreach(harvestStats)
+    moved
+  }
+
+  /** The table's recorded partition column, if it was ever written
+    * through [[appendPartitioned]]. */
+  def partitionColumn(table: String): Option[String] =
+    latestVersion(table).flatMap(v => snapshotMeta(table, v).get("partcol"))
+
+  /** Append `df` PARTITIONED by `pcol`: data files land value-pure with
+    * their partition value in the file name, and the commit records the
+    * partition column — from then on partition-valued planning
+    * ([[readPartition]], [[overwritePartition]]) is a manifest string
+    * match. Same optimistic commit loop (and blind-append rebase
+    * discipline — staged files republish verbatim on a lost CAS) as
+    * [[append]]; schema and partition column are enforced against the
+    * table's recorded ones. */
+  def appendPartitioned(spark: SparkSession, table: String, df: DataFrame,
+      pcol: String, maxRetries: Int = 20): Long = {
+    require(df.columns.contains(pcol), s"no partition column '$pcol' in the write")
+    partitionColumn(table).foreach(have => require(have == pcol,
+      s"$table is partitioned by '$have', write brings '$pcol'"))
+    enforceSchema(table, df)
+    val staged = stagePartitioned(df, table, pcol, stageMap(table))
+    val bring = schemaSig(df)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(table)
+      val prev = base.map(snapshotEntries(table, _)).getOrElse(Seq.empty)
+      val v = base.getOrElse(-1L) + 1
+      if (publish(table, v, prev ++ staged,
+          base.map(b => mapMeta(snapshotMeta(table, b))).getOrElse(Map.empty) ++
+            Map("op" -> "append", "partcol" -> pcol,
+              "schema" -> reconcileSig(table, bring, allowExtend = false)),
+          prevEntries = Some(prev)))
+        return v
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
+  }
+
+  /** Data files of the snapshot carrying `value`'s marker, plus (when
+    * `conservative`) files with NO marker — rewrite outputs that may
+    * hold any partition's rows. */
+  private def partitionSplit(table: String, version: Long, value: String)
+      : (Seq[String], Seq[String]) = {
+    val files = snapshotFiles(table, version)
+    files.partition(f => partitionValueOf(f) match {
+      case Some(v) => v == value
+      case None => true // unmarked: conservatively in scope
+    })
+  }
+
+  /** Partition-pruned read: `WHERE pcol = value` planned as a string
+    * match over the manifest entry list — zero file opens, O(entries)
+    * planning. Unmarked files (cross-partition rewrite outputs) are
+    * conservatively kept and the exact predicate re-applies, so the
+    * result equals `read().filter(...)` for any layout history. */
+  def readPartition(spark: SparkSession, table: String, value: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    val meta = snapshotMeta(table, v)
+    val pcol = meta.getOrElse("partcol", throw new IllegalStateException(
+      s"$table records no partition column"))
+    val (inScope, _) = partitionSplit(table, v, value)
+    val sig = meta.get("schema")
+    val phys = physNamesOf(meta)
+    val base =
+      if (inScope.isEmpty)
+        readFiles(spark, snapshotFiles(table, v), Seq.empty, sig, phys).limit(0)
+      else readFiles(spark, inScope, snapshotDvs(table, v), sig, phys)
+    base.filter(base.col(pcol) === value)
+  }
+
+  /** Files a partition-pruned read would open — for layout pins. */
+  def partitionFileCount(table: String, value: String,
+      version: Option[Long] = None): Int = {
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    partitionSplit(table, v, value)._1.size
+  }
+
+  /** TRANSACTIONAL PARTITION OVERWRITE (`INSERT OVERWRITE ...
+    * PARTITION (pcol = value)` — the backfill primitive): replace
+    * exactly the files carrying `value`'s marker with `df`, atomically;
+    * every other partition's files carry VERBATIM (never read, never
+    * rewritten — the manifest diff is the partition's own files). `df`
+    * must be value-pure (checked with one pass over the INPUT batch,
+    * which is partition-sized, not table-sized). Unmarked
+    * (cross-partition rewrite) files in the snapshot make the
+    * overwrite AMBIGUOUS — they may hold rows of this partition — so
+    * the call refuses rather than silently double-counting; run it on
+    * partition-disciplined tables (or recompute the layout first). A
+    * lost CAS re-derives the entry list from the fresh snapshot and
+    * republishes the SAME staged files — metadata-only retry, no
+    * recompute (the staged payload is base-independent by
+    * construction). */
+  def overwritePartition(spark: SparkSession, table: String, value: String,
+      df: DataFrame, maxRetries: Int = 20): Long = {
+    import org.apache.spark.sql.functions.col
+    val pcol = partitionColumn(table).getOrElse(throw new IllegalStateException(
+      s"$table records no partition column"))
+    enforceSchema(table, df)
+    require(df.filter(col(pcol).isNull || col(pcol) =!= value).isEmpty,
+      s"overwritePartition($value) requires every row to carry $pcol = $value")
+    val staged = stagePartitioned(df, table, pcol, stageMap(table))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(table).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot in $table"))
+      val baseMeta = snapshotMeta(table, base)
+      val (replaced, carried) = partitionSplit(table, base, value)
+      val ambiguous = replaced.filter(partitionValueOf(_).isEmpty)
+      require(ambiguous.isEmpty,
+        s"$table holds ${ambiguous.size} unmarked (cross-partition) files — " +
+          "an exact partition overwrite is ambiguous; compact per-partition first")
+      val dvLines = snapshotEntries(table, base).filter(_.startsWith(DvPrefix))
+      if (publish(table, base + 1, carried ++ staged ++ dvLines,
+          Map("op" -> "overwrite-partition", "partcol" -> pcol,
+            "partvalue" -> value,
+            "schema" -> baseMeta.getOrElse("schema", schemaSig(df))) ++
+            mapMeta(baseMeta),
+          prevEntries = Some(snapshotEntries(table, base))))
+        return base + 1
+      attempt += 1 // lost the race: re-derive the list, same staged files
+    }
+    throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
+  }
+
   /** RESTORE — roll the table back to `toVersion` as a NEW commit (the
     * production lake formats' RESTORE): the new manifest carries the
     * restored version's entries VERBATIM (data files, deletion vectors,
@@ -1643,6 +1865,15 @@ object ManifestTable {
   private val FileRewrite = 1
   private val FileDv = 2
 
+  /** A delete attempt's computed-and-staged work, kept across CAS
+    * losses so a provably-disjoint winner lets the loser REBASE (
+    * re-publish the same staged files on the new base) instead of
+    * recomputing — see [[deleteWhereCore]]. */
+  private final case class DeleteWork(base: Long, baseSig: Option[String],
+      baseColMap: Option[String], files: Seq[String],
+      oldDvEntries: Seq[String], rewriteF: Seq[String], dvF: Seq[String],
+      stagedData: Seq[String], stagedDv: Seq[String])
+
   /** The shared snapshot-dependent DELETE commit loop: `classify` maps
     * a hit-candidate file's committed stat for the predicate column to
     * keep / copy-on-write rewrite / deletion-vector, `pred` builds the
@@ -1651,13 +1882,42 @@ object ManifestTable {
     * (empty files never get min/max stats and provably contain no
     * match — rewriting one would also trip callers asserting "DV
     * deletes rewrite nothing"). See [[deleteWhere]] for the full
-    * contract. */
+    * contract.
+    *
+    * CONFLICT-AWARE RETRY (the Delta commit-rebase discipline, not just
+    * its recompute fallback): losing the CAS no longer always redoes
+    * the work. The loser classifies the winner's commit against its own
+    * read/write set; when the two provably don't conflict —
+    *  - the winner REMOVED none of the files this delete rewrites or
+    *    tombstones (a winner rewriting them means our staged complement
+    *    / positional tombstones describe dead files),
+    *  - every file the winner ADDED is stats-disjoint from the
+    *    predicate (a blind append of non-matching data — the common
+    *    many-writers case; a winner file that MIGHT contain a match
+    *    must be re-scanned),
+    *  - the winner added no deletion vectors targeting our rewrite set
+    *    (our complement was computed under the old DV set and would
+    *    resurrect the winner's tombstones),
+    *  - and the schema signature / column mapping did not move —
+    * the loser RE-PUBLISHES its already-staged files onto the winner's
+    * entry list: a metadata-only retry, no scan, no re-stage. At 100 TB
+    * with many streaming writers this is what keeps contention from
+    * turning large deletes into recompute livelock. A genuine conflict
+    * falls back to the historic full recompute (the staged files of the
+    * lost attempt become vacuum-able orphans, as before). */
   private def deleteWhereCore(spark: SparkSession, table: String,
       logicalColumn: String, classify: ColStat => Int,
       pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       maxRetries: Int): Long = {
     import org.apache.spark.sql.functions.{col => c}
+    // the file-level decision, shared by first compute and rebase check
+    def classifyFile(column: String)(f: String): Int =
+      statsTypedOf(f).get(column) match {
+        case Some(st) => classify(st)
+        case None => if (footerRowCount(f) > 0) FileRewrite else FileKeep
+      }
     var attempt = 0
+    var work: Option[DeleteWork] = None
     while (attempt < maxRetries) {
       val base = latestVersion(table).getOrElse(
         throw new IllegalStateException(s"no committed snapshot in $table"))
@@ -1666,52 +1926,81 @@ object ManifestTable {
       // the caller's predicate column is LOGICAL
       val column = physName(baseMeta, logicalColumn)
       val files = snapshotFiles(table, base)
-      val dvs = snapshotDvs(table, base)
       val oldDvEntries = snapshotEntries(table, base).filter(_.startsWith(DvPrefix))
-      val classified: Seq[(String, Int)] = files.map { f =>
-        f -> (statsTypedOf(f).get(column) match {
-          case Some(st) => classify(st)
-          case None => if (footerRowCount(f) > 0) FileRewrite else FileKeep
-        })
+
+      val attemptWork: Option[DeleteWork] = work match {
+        case Some(w) =>
+          // lost the CAS with staged work in hand: rebase if disjoint
+          val removedSince = w.files.filterNot(files.toSet)
+          val addedSince = files.filterNot(w.files.toSet)
+          val newDvLines = oldDvEntries.filterNot(w.oldDvEntries.toSet)
+          val newDvTargets = newDvLines.map(parseDvLine).flatMap {
+            case (_, ts) if ts.nonEmpty => ts
+            case _ => files // legacy target-less DV: could hit anything
+          }.toSet
+          val disjoint =
+            baseMeta.get("schema") == w.baseSig &&
+            baseMeta.get("colmap") == w.baseColMap &&
+            removedSince.forall(f =>
+              !w.rewriteF.contains(f) && !w.dvF.contains(f)) &&
+            addedSince.forall(f => classifyFile(column)(f) == FileKeep) &&
+            w.rewriteF.forall(f => !newDvTargets.contains(f))
+          if (disjoint)
+            Some(w.copy(base = base, files = files, oldDvEntries = oldDvEntries))
+          else None // genuine conflict: recompute below
+        case None => None
       }
-      val keep = classified.collect { case (f, FileKeep) => f }
-      val rewriteF = classified.collect { case (f, FileRewrite) => f }
-      val dvF = classified.collect { case (f, FileDv) => f }
-      if (rewriteF.isEmpty && dvF.isEmpty) return base
-      // rewrite path applies EXISTING DVs first — republishing a
-      // tombstoned row would resurrect it. The scan, filter, and staged
-      // files all stay in PHYSICAL names: rewrites must keep the files
-      // physically consistent across logical renames.
-      val stagedData =
-        if (rewriteF.isEmpty) Seq.empty
-        else stage(scanPhysical(spark, rewriteF, dvs,
-            baseMeta.get("schema"), physNamesOf(baseMeta))
-          .filter(!pred(c(column))), table)
-      // DV path records (path, pos) of the dying rows from the scan's
-      // own `_metadata` — tombstone-sized output, no data file touched.
-      // Re-tombstoning a position an older DV already covers is
-      // harmless (anti-join semantics), so the raw scan suffices.
-      val stagedDv =
-        if (dvF.isEmpty) Seq.empty
-        else stage(spark.read.parquet(dvF: _*)
-          .filter(pred(c(column)))
-          .select(c("_metadata.file_path").as("path"),
-            c("_metadata.row_index").as("pos")), table)
+
+      val thisWork: DeleteWork = attemptWork.getOrElse {
+        val dvs = oldDvEntries.map(parseDvLine(_)._1)
+        val classified: Seq[(String, Int)] = files.map(f => f -> classifyFile(column)(f))
+        val rewriteF = classified.collect { case (f, FileRewrite) => f }
+        val dvF = classified.collect { case (f, FileDv) => f }
+        if (rewriteF.isEmpty && dvF.isEmpty) return base
+        // rewrite path applies EXISTING DVs first — republishing a
+        // tombstoned row would resurrect it. The scan, filter, and
+        // staged files all stay in PHYSICAL names: rewrites must keep
+        // the files physically consistent across logical renames.
+        val stagedData =
+          if (rewriteF.isEmpty) Seq.empty
+          else stage(scanPhysical(spark, rewriteF, dvs,
+              baseMeta.get("schema"), physNamesOf(baseMeta))
+            .filter(!pred(c(column))), table)
+        // DV path records (path, pos) of the dying rows from the scan's
+        // own `_metadata` — tombstone-sized output, no data file
+        // touched. Re-tombstoning a position an older DV already covers
+        // is harmless (anti-join semantics), so the raw scan suffices.
+        val stagedDv =
+          if (dvF.isEmpty) Seq.empty
+          else stage(spark.read.parquet(dvF: _*)
+            .filter(pred(c(column)))
+            .select(c("_metadata.file_path").as("path"),
+              c("_metadata.row_index").as("pos")), table)
+        DeleteWork(base, baseMeta.get("schema"), baseMeta.get("colmap"),
+          files, oldDvEntries, rewriteF, dvF, stagedData, stagedDv)
+      }
+      work = Some(thisWork)
+
       // old DV lines carry VERBATIM (keeping their recorded targets);
       // each new sidecar records the files it tombstones so compaction
-      // can stay proportional to the affected files
-      val dvLines = oldDvEntries ++ stagedDv.map(p => dvLine(p, dvF))
+      // can stay proportional to the affected files. On a rebase the
+      // BASE's current entry list (the winner's) is the carry set.
+      val keep = files.filterNot(f =>
+        thisWork.rewriteF.contains(f) || thisWork.dvF.contains(f))
+      val dvLines = oldDvEntries ++
+        thisWork.stagedDv.map(p => dvLine(p, thisWork.dvF))
       // tombstoned files carry into the new manifest VERBATIM — the DV
       // subtracts their dying rows reader-side; only rewritten files
       // leave the file list
-      if (publish(table, base + 1, keep ++ dvF ++ stagedData ++ dvLines,
+      if (publish(table, base + 1,
+          keep ++ thisWork.dvF.filter(files.toSet) ++ thisWork.stagedData ++ dvLines,
           Map("op" -> "delete",
             "schema" -> baseMeta.getOrElse("schema",
               schemaSig(read(spark, table, Some(base)))),
-            "dvAdded" -> stagedDv.size.toString) ++ mapMeta(baseMeta),
+            "dvAdded" -> thisWork.stagedDv.size.toString) ++ mapMeta(baseMeta),
           prevEntries = Some(files ++ oldDvEntries)))
         return base + 1
-      attempt += 1 // lost the race: recompute against the new snapshot
+      attempt += 1 // lost the race: rebase or recompute on the next spin
     }
     throw new IllegalStateException(s"lost the commit race $maxRetries times on $table")
   }

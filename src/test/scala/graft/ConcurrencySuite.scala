@@ -162,4 +162,66 @@ class ConcurrencySuite extends SparkSuite {
       Future.sequence((0 until 200).map(s => Future(runSchedule(s)))), 20.minutes)
     finally pool.shutdown()
   }
+
+  test("concurrent blind appends stage exactly once: no orphans, final state is the multiset union") {
+    import java.nio.file.Files
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft-blind-appends").toString
+    val n = 8
+    val pool = Executors.newFixedThreadPool(n)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence((0 until n).map { i =>
+      Future {
+        ManifestTable.append(spark, t,
+          (0 until 50).map(j => (i * 1000L + j, i.toLong)).toDF("id", "w")
+            .coalesce(1))
+      }
+    }), 5.minutes)
+    finally pool.shutdown()
+    // every committer won some version; each staged its file EXACTLY
+    // once — a lost CAS rebases the already-staged file onto the new
+    // base, so no attempt ever leaves an orphan behind
+    assert(ManifestTable.latestVersion(t).contains((n - 1).toLong))
+    assert(ManifestTable.vacuum(t, retentionMs = 0L) == 0,
+      "blind appends must never re-stage on a lost CAS")
+    val got = ManifestTable.read(spark, t).as[(Long, Long)].collect().sorted
+    val want = (0 until n).flatMap(i =>
+      (0 until 50).map(j => (i * 1000L + j, i.toLong))).sorted
+    assert(got.toSeq == want, s"${got.length} rows vs ${want.size}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+  }
+
+  test("delete rebases across disjoint winners: staged work re-publishes, never recomputes") {
+    // one narrow DV-path delete races 7 blind appends of data whose
+    // stats are DISJOINT from the predicate: every lost CAS must take
+    // the rebase path (metadata-only retry). The observable: a
+    // recompute re-stages its DV sidecar/rewrite output, stranding the
+    // lost attempt's files — so zero vacuum-able orphans proves no
+    // recompute happened, however the race interleaved.
+    import java.nio.file.Files
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft-delete-rebase").toString
+    ManifestTable.append(spark, t,
+      (0 until 100).map(j => (j.toLong, 0L)).toDF("id", "w").coalesce(1))
+    val n = 8
+    val pool = Executors.newFixedThreadPool(n)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence((0 until n).map { i =>
+      Future {
+        if (i == 0) ManifestTable.deleteWhere(spark, t, "id", 5L, 5L)
+        else ManifestTable.append(spark, t,
+          (0 until 20).map(j => (10000L + i * 100L + j, i.toLong))
+            .toDF("id", "w").coalesce(1))
+      }
+    }), 5.minutes)
+    finally pool.shutdown()
+    assert(ManifestTable.vacuum(t, retentionMs = 0L) == 0,
+      "a delete losing to stats-disjoint appends must rebase, not recompute")
+    val got = ManifestTable.read(spark, t)
+    assert(got.count() == 99L + 7 * 20)
+    assert(got.filter(org.apache.spark.sql.functions.col("id") === 5L).count() == 0)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+  }
 }

@@ -966,6 +966,46 @@ class ManifestTableSuite extends SparkSuite {
       left.filter(col("owner") >= "zulu-" && col("owner") <= "zulu-~").count())
   }
 
+  test("partitioned manifest: value-pure files, pruned planning, exact overwrite, conservative unmarked") {
+    val t = freshTable()
+    def batch(lo: Long, n: Long) = spark.range(lo, lo + n)
+      .select(col("id"), concat(lit("p"), col("id") % 3).as("pt")).coalesce(1)
+    ManifestTable.appendPartitioned(spark, t, batch(0, 30), "pt")
+    ManifestTable.appendPartitioned(spark, t, batch(30, 30), "pt")
+    // planning is a manifest string match: 2 files per partition value
+    for (p <- Seq("p0", "p1", "p2"))
+      assert(ManifestTable.partitionFileCount(t, p) == 2, s"partition $p")
+    // a partition read opens only its own files and equals the filter
+    val r = ManifestTable.readPartition(spark, t, "p1")
+    assert(r.inputFiles.forall(f =>
+      ManifestTable.partitionValueOf(f).contains("p1")))
+    assert(r.count() == ManifestTable.read(spark, t)
+      .filter(col("pt") === "p1").count())
+    // exact overwrite: only p1's files leave the manifest
+    val before = ManifestTable.snapshotFiles(t, ManifestTable.latestVersion(t).get)
+    val v = ManifestTable.overwritePartition(spark, t, "p1",
+      batch(0, 60).filter(col("pt") === "p1").withColumn("id", col("id") + 1000))
+    val after = ManifestTable.snapshotFiles(t, v)
+    val gone = before.toSet -- after.toSet
+    assert(gone.nonEmpty &&
+      gone.forall(f => ManifestTable.partitionValueOf(f).contains("p1")))
+    assert(ManifestTable.read(spark, t).filter(col("pt") === "p1")
+      .agg(min(col("id"))).as[Long].head() >= 1000L)
+    // plain appends interleave fine and partcol survives maintenance
+    ManifestTable.append(spark, t, batch(100, 5)) // unmarked files
+    assert(ManifestTable.partitionColumn(t).contains("pt"))
+    // unmarked files are conservatively IN SCOPE for reads (exact
+    // filter re-applies) and make an exact overwrite refuse
+    val r2 = ManifestTable.readPartition(spark, t, "p2")
+    assert(r2.count() == ManifestTable.read(spark, t)
+      .filter(col("pt") === "p2").count())
+    val err = intercept[IllegalArgumentException] {
+      ManifestTable.overwritePartition(spark, t, "p2", batch(0, 3)
+        .filter(col("pt") === "p2"))
+    }
+    assert(err.getMessage.contains("unmarked"))
+  }
+
   test("truncated string stats stay SOUND bounds: pruning never drops a match, aggregates re-read") {
     val t = freshTable()
     val longPrefix = "x" * 80 // > the 64-char truncation cutoff
