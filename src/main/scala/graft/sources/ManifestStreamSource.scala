@@ -67,11 +67,16 @@ class ManifestStreamSource extends TableProvider {
       properties: util.Map[String, String]): Table = {
     val opts = properties.asScala.toMap
     val table = ManifestStreamSource.tableOf(opts)
+    // feature gate at stream definition: an unsupported table feature
+    // must fail the query plan, not misread micro-batches later
+    ManifestTable.latestVersion(table).foreach(v =>
+      ManifestTable.requireSupported(table, v, ManifestTable.snapshotMeta(table, v)))
     new ManifestStreamTable(table, schema,
       ignoreDeletes = ManifestStreamSource.flag(opts, "ignoreDeletes"),
       ignoreChanges = ManifestStreamSource.flag(opts, "ignoreChanges"),
       maxFilesPerTrigger = ManifestStreamSource.intOpt(opts, "maxFilesPerTrigger"),
       maxRowsPerTrigger = ManifestStreamSource.longOpt(opts, "maxRowsPerTrigger"),
+      maxBytesPerTrigger = ManifestStreamSource.longOpt(opts, "maxBytesPerTrigger"),
       physByLogical = ManifestStreamSource.physByLogical(table))
   }
 }
@@ -232,6 +237,7 @@ private class ManifestStreamTable(table: String, schema: StructType,
     ignoreDeletes: Boolean, ignoreChanges: Boolean,
     maxFilesPerTrigger: Option[Int],
     maxRowsPerTrigger: Option[Long],
+    maxBytesPerTrigger: Option[Long],
     physByLogical: Map[String, String])
   extends Table with SupportsRead {
   override def name(): String = s"manifest_stream($table)"
@@ -245,7 +251,7 @@ private class ManifestStreamTable(table: String, schema: StructType,
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ManifestMicroBatchStream(table, schema, ignoreDeletes, ignoreChanges,
-            maxFilesPerTrigger, maxRowsPerTrigger, physByLogical)
+            maxFilesPerTrigger, maxRowsPerTrigger, maxBytesPerTrigger, physByLogical)
       }
     }
 }
@@ -260,6 +266,7 @@ private class ManifestMicroBatchStream(table: String, schema: StructType,
     ignoreDeletes: Boolean, ignoreChanges: Boolean,
     maxFilesPerTrigger: Option[Int],
     maxRowsPerTrigger: Option[Long],
+    maxBytesPerTrigger: Option[Long],
     physByLogical: Map[String, String])
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
@@ -302,22 +309,30 @@ private class ManifestMicroBatchStream(table: String, schema: StructType,
         c.getReadLimits.toSeq.flatMap(maxRowsOf(_)).minOption
       case _ => None
     }
-    VersionOffset((maxFilesOf(limit), maxRowsOf(limit)) match {
-      case (None, None) => head
-      case (fb, rb) => boundedEnd(startV, head, fb, rb)
+    // the BYTE budget (`maxBytesPerTrigger` — the knob Delta users set
+    // most) has no ReadLimit carrier type in the engine API, so it
+    // rides the stream's own option and applies in every admission
+    // decision, including under ReadAllAvailable
+    VersionOffset((maxFilesOf(limit), maxRowsOf(limit), maxBytesPerTrigger) match {
+      case (None, None, None) => head
+      case (fb, rb, bb) => boundedEnd(startV, head, fb, rb, bb)
     })
   }
 
   /** Largest end version in `(startV, head]` whose cumulative added-file
-    * count and added-ROW count (stats-sidecar `#rows` per file — still
-    * metadata only) both stay within their budgets — always at least one
-    * version when a backlog exists (Delta's at-least-one-file progress
-    * rule). Driver-side, no data file opened. */
+    * count, added-ROW count (stats-sidecar `#rows` per file), and
+    * added-BYTE size (on-disk file size — the sibling of the sizes the
+    * sidecars already sit next to) all stay within their budgets —
+    * always at least one version when a backlog exists (Delta's
+    * at-least-one-file progress rule). Driver-side metadata only, no
+    * data file opened. */
   private def boundedEnd(startV: Long, head: Long,
-      fileBudget: Option[Int], rowBudget: Option[Long]): Long = {
+      fileBudget: Option[Int], rowBudget: Option[Long],
+      byteBudget: Option[Long]): Long = {
     var v = startV
     var files = 0
     var rows = 0L
+    var bytes = 0L
     // incremental walk: one snapshot reconstruction per probed version
     // (the parent set carries forward), same discipline as addedFiles
     var prev = if (v < 0) Set.empty[String]
@@ -328,14 +343,23 @@ private class ManifestMicroBatchStream(table: String, schema: StructType,
         cur.filterNot(prev), ignoreDeletes, ignoreChanges)
       val addRows =
         if (rowBudget.isEmpty) 0L else add.map(ManifestTable.statsRowCount).sum
+      val addBytes =
+        if (byteBudget.isEmpty) 0L
+        else add.map { f =>
+          try java.nio.file.Files.size(java.nio.file.Paths.get(f))
+          catch { case _: java.io.IOException => 0L }
+        }.sum
       val over = fileBudget.exists(b => files + add.size > b) ||
-        rowBudget.exists(b => rows + addRows > b)
+        rowBudget.exists(b => rows + addRows > b) ||
+        byteBudget.exists(b => bytes + addBytes > b)
       if (v > startV && over) return v
       files += add.size
       rows += addRows
+      bytes += addBytes
       v += 1
       prev = cur.toSet
-      if (fileBudget.exists(files >= _) || rowBudget.exists(rows >= _)) return v
+      if (fileBudget.exists(files >= _) || rowBudget.exists(rows >= _) ||
+        byteBudget.exists(bytes >= _)) return v
     }
     head
   }

@@ -338,8 +338,29 @@ object ManifestTable {
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
     val meta = snapshotMeta(table, v)
+    requireSupported(table, v, meta)
     readFiles(spark, snapshotFiles(table, v), snapshotDvs(table, v),
       meta.get("schema"), physNamesOf(meta))
+  }
+
+  /** The reader features THIS implementation understands. A snapshot
+    * whose recorded `features` set exceeds it fails fast with the
+    * feature named, instead of misreading (the Delta
+    * unsupported-table-feature contract): e.g. a hypothetical reader
+    * without `colmap` would otherwise scan physically-named files
+    * under logical names and silently return nulls. */
+  private val ReaderFeatures = Set("colmap", "dv", "partition")
+
+  private[sources] def requireSupported(table: String, version: Long,
+      meta: Map[String, String]): Unit = {
+    val unknown = meta.get("features")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+      .filterNot(ReaderFeatures)
+    if (unknown.nonEmpty) throw new IllegalStateException(
+      s"$table v$version requires unsupported table feature(s) " +
+        s"[${unknown.mkString(", ")}] — this reader implements " +
+        s"[${ReaderFeatures.toSeq.sorted.mkString(", ")}]; upgrade the reader " +
+        "rather than risk misreading the snapshot")
   }
 
   /** The recorded signature parsed back to a StructType (all fields
@@ -781,9 +802,31 @@ object ManifestTable {
     // and multi-host clock views of the same store (the reason Delta
     // moved to in-commit timestamps). versionAsOf reads this, falling
     // back to mtime only for pre-tracking manifests.
-    val stamped =
+    val stamped0 =
       if (meta.contains("ts")) meta
       else meta + ("ts" -> System.currentTimeMillis().toString)
+    // PROTOCOL FEATURE GATING (the Delta reader-features discipline):
+    // every commit records the MONOTONE union of the features the table
+    // has ever used (`#features=a,b`), derived here so no caller can
+    // forget one — column mapping, deletion vectors, partition markers.
+    // Readers check the set against what they implement and fail FAST
+    // with the feature name instead of misreading (e.g. scanning
+    // physically-named files under logical names). Monotone because a
+    // feature's artifacts may persist in RETAINED older versions even
+    // after the live snapshot stops using it.
+    val prevFeatures: Set[String] =
+      if (v == 0) Set.empty
+      else try snapshotMeta(table, v - 1).get("features")
+          .map(_.split(",").toSet.filter(_.nonEmpty)).getOrElse(Set.empty)
+        catch { case scala.util.control.NonFatal(_) => Set.empty }
+    val usedNow =
+      (if (stamped0.contains("colmap")) Set("colmap") else Set.empty) ++
+        (if (files.exists(_.startsWith(DvPrefix))) Set("dv") else Set.empty) ++
+        (if (stamped0.contains("partcol")) Set("partition") else Set.empty)
+    val allFeatures = prevFeatures ++ usedNow
+    val stamped =
+      if (allFeatures.isEmpty) stamped0
+      else stamped0 + ("features" -> allFeatures.toSeq.sorted.mkString(","))
     // delta manifests (every version after 0): entries as +add/-remove
     // lines against v−1 — the commit writes O(changed files), never the
     // snapshot. Version 0 is a full list (no base to diff against).
@@ -2138,6 +2181,7 @@ object ManifestTable {
     require(-1L <= fromV && fromV <= toV && toV <= latest,
       s"invalid change range ($fromV, $toV] for $table at version $latest")
     val finalMeta = snapshotMeta(table, toV)
+    requireSupported(table, toV, finalMeta)
     val finalSig = finalMeta.get("schema")
     val finalPhys = physNamesOf(finalMeta)
     // compatibility is FIELD-ID-aware ([[sigPrefixCompatible]]): renames

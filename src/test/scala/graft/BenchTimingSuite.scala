@@ -142,4 +142,26 @@ class BenchTimingSuite extends AnyFunSuite {
       "a detail recorded at another sf must not gate this run's samples")
     assert(Bench.loadRefs("/nonexistent/detail.json", "/root/testdata/sf0.1").isEmpty)
   }
+
+  test("mergeRefs: per-query min against the previous committed reference (monotone refs)") {
+    val prev = Map("q_a" -> 0.48, "q_b" -> 2.00, "q_gone" -> 1.00)
+    val fresh = Map("q_a" -> 1.14, "q_b" -> 1.50, "q_new" -> 0.30)
+    val merged = Bench.mergeRefs(fresh, prev)
+    // a stall-inflated fresh figure never loosens the reference
+    assert(merged("q_a") == 0.48)
+    // a genuinely faster run ratchets the reference down
+    assert(merged("q_b") == 1.50)
+    // new queries enter at their measured figure; removed queries drop
+    assert(merged("q_new") == 0.30)
+    assert(!merged.contains("q_gone"))
+  }
+
+  test("refSfOf: reads the recorded sf so a dev-scale run can refuse the overwrite") {
+    val f = java.nio.file.Files.createTempFile("graft-bench-detail", ".json")
+    java.nio.file.Files.write(f,
+      """{"metric":"total","value":1.0,"queries":{},"sf":"/root/testdata/sf0.1"}"""
+        .getBytes("UTF-8"))
+    assert(Bench.refSfOf(f.toString).contains("/root/testdata/sf0.1"))
+    assert(Bench.refSfOf("/nonexistent/detail.json").isEmpty)
+  }
 }

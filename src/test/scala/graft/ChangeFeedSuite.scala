@@ -534,6 +534,47 @@ class ChangeFeedSuite extends SparkSuite {
     assert(got.count() == 600 && got.select("id").distinct().count() == 600)
   }
 
+  test("admission control: maxBytesPerTrigger bounds batches by on-disk file size") {
+    // 10 one-file versions under a byte cap sized to ~2 files: the
+    // AvailableNow drain must cut the backlog into >=4 micro-batches,
+    // emit every row exactly once, and keep checkpoint restart intact
+    val t = freshTable()
+    val cp = Files.createTempDirectory("graft-mss-bytes-cp").toString
+    val out = Files.createTempDirectory("graft-mss-bytes-out").toString + "/sink"
+    for (b <- 0 until 10)
+      ManifestTable.append(spark, t, rows(b * 100L, b * 100L + 100).coalesce(1))
+    val oneFile = java.nio.file.Paths.get(
+      ManifestTable.snapshotFiles(t, ManifestTable.latestVersion(t).get).head)
+    val cap = java.nio.file.Files.size(oneFile) * 2 + 16 // ~2 files' bytes
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    def drain(): Int = {
+      val n0 = batches.get()
+      val q = spark.readStream.format("graft.sources.ManifestStreamSource")
+        .option("table", t).option("maxBytesPerTrigger", cap.toString).load()
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          if (df.count() > 0) batches.incrementAndGet()
+          df.write.mode("append").parquet(out); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try assert(q.awaitTermination(120000), "stream did not drain") finally q.stop()
+      batches.get() - n0
+    }
+    val n = drain()
+    assert(n >= 4, s"10 similar files under a ~2-file byte cap must take >=4 batches, took $n")
+    val got = spark.read.parquet(out)
+    assert(got.count() == 1000)
+    assert(got.select("id").distinct().count() == 1000, "bounded batches must not re-emit")
+    // restart: two more commits; the next drain consumes exactly the
+    // unconsumed suffix, still byte-bounded
+    for (b <- 10 until 12)
+      ManifestTable.append(spark, t, rows(b * 100L, b * 100L + 100).coalesce(1))
+    drain()
+    val all = spark.read.parquet(out)
+    assert(all.count() == 1200 && all.select("id").distinct().count() == 1200,
+      "restart must consume exactly the unconsumed versions under the byte cap")
+  }
+
   test("typed transport: timestamp, date, decimal, and array columns stream exactly") {
     val t = freshTable()
     val cp = Files.createTempDirectory("graft-mss-typed-cp").toString

@@ -966,6 +966,47 @@ class ManifestTableSuite extends SparkSuite {
       left.filter(col("owner") >= "zulu-" && col("owner") <= "zulu-~").count())
   }
 
+  test("feature gating: commits record used features monotonically; unknown features fail fast") {
+    val t = freshTable()
+    ManifestTable.append(spark, t, range(0, 100).coalesce(1))
+    // a plain table records no features — old readers stay compatible
+    assert(!ManifestTable.snapshotMeta(t, 0L).contains("features"))
+    // first DV delete flips the dv feature on; a later append carries it
+    val vd = ManifestTable.deleteWhere(spark, t, "id", 10, 12)
+    assert(ManifestTable.snapshotDvs(t, vd).nonEmpty, "precondition: DV path")
+    assert(ManifestTable.snapshotMeta(t, vd).get("features").exists(_.contains("dv")))
+    val va = ManifestTable.append(spark, t, range(100, 110).coalesce(1))
+    assert(ManifestTable.snapshotMeta(t, va).get("features").exists(_.contains("dv")),
+      "features are monotone: later commits carry the union forward")
+    // rename switches colmap on and the feature set records it
+    val vr = ManifestTable.renameColumn(t, "v", "w")
+    assert(ManifestTable.snapshotMeta(t, vr).get("features")
+      .exists(f => f.contains("colmap") && f.contains("dv")))
+    // a synthetic FUTURE feature in a hand-written commit: every read
+    // path fails fast, naming the feature — never a silent misread
+    val head = ManifestTable.latestVersion(t).get
+    val headMeta = ManifestTable.snapshotMeta(t, head)
+    val entries = ManifestTable.snapshotEntries(t, head)
+    val futureV = head + 1
+    Files.write(Paths.get(t, "manifests", f"v$futureV%08d.manifest"),
+      (Seq("#features=timetravel2,dv,colmap", "#op=append",
+        s"#schema=${headMeta("schema")}", s"#colmap=${headMeta("colmap")}",
+        s"#ts=${System.currentTimeMillis()}") ++ entries)
+        .mkString("\n").getBytes("UTF-8"))
+    val err = intercept[IllegalStateException] {
+      ManifestTable.read(spark, t).count()
+    }
+    assert(err.getMessage.contains("timetravel2"),
+      s"the unknown feature must be named, got: ${err.getMessage}")
+    val errS = intercept[IllegalStateException] {
+      spark.readStream.format("graft.sources.ManifestStreamSource")
+        .option("table", t).load()
+    }
+    assert(errS.getMessage.contains("timetravel2"))
+    // time travel to the pre-feature version still works
+    assert(ManifestTable.read(spark, t, Some(head)).count() == 107)
+  }
+
   test("partitioned manifest: value-pure files, pruned planning, exact overwrite, conservative unmarked") {
     val t = freshTable()
     def batch(lo: Long, n: Long) = spark.range(lo, lo + n)
