@@ -1884,28 +1884,38 @@ object Quality {
       joined.groupBy(col("seg"))
         .agg(sum(col("sgn") * col("cents")).cast(LongType).as("d_cents"),
           sum(col("sgn")).cast(LongType).as("d_rows"))
+    val custV0 = ManifestTable.latestVersion(custT).get
     ManifestTable.idempotentAppend(s, mv,
       partial(ManifestTable.read(s, ordT).withColumn("sgn", lit(1L))
         .join(ManifestTable.read(s, custT), "ckey")), batchId = 0L)
-    // wave 1 (orders side): bump cents on the surviving %4==0 rows and
-    // MERGE-insert the fresh %4==1 rows → ord v1
-    ManifestTable.merge(s, ordT,
-      ord.filter(col("okey") % 4 === 0 || col("okey") % 4 === 1)
-        .select(col("okey"), col("ckey"), (col("cents") + 7L).as("cents")),
-      "okey")
+    // the two source-side merges touch DIFFERENT tables — one parallel
+    // commit wave. Correctness of the delta algebra does not depend on
+    // their order because each drain below joins its delta against the
+    // OTHER table's PINNED version (Δord ⋈ cust@v0, then ord@latest ⋈
+    // Δcust): the classic two-table IVM bracketing ord_v1⋈cust_v1 =
+    // ord_v0⋈cust_v0 + Δord⋈cust_v0 + ord_v1⋈Δcust, with no
+    // double-counted Δord⋈Δcust term. The drains themselves stay
+    // sequential — idempotentAppend is a single-writer contract.
+    graft.Parallel.run(
+      // orders side: bump cents on the surviving %4==0 rows and
+      // MERGE-insert the fresh %4==1 rows → ord v1
+      () => ManifestTable.merge(s, ordT,
+        ord.filter(col("okey") % 4 === 0 || col("okey") % 4 === 1)
+          .select(col("okey"), col("ckey"), (col("cents") + 7L).as("cents")),
+        "okey"),
+      // customer side: reassign every 5th customer's segment —
+      // pure update_preimage/update_postimage pairs → cust v1
+      () => ManifestTable.merge(s, custT,
+        cust.filter(col("ckey") % 5 === 0)
+          .select(col("ckey"), lit("REASSIGNED").as("seg")),
+        "ckey"))
     ChangeFeed.availableNow(s, ordT, cpO) { (ch, _, toV) =>
       ManifestTable.idempotentAppend(s, mv,
         partial(signed(ch).select(col("ckey"), col("cents"), col("sgn"))
-          .join(ManifestTable.read(s, custT), "ckey")),
+          .join(ManifestTable.read(s, custT, Some(custV0)), "ckey")),
         batchId = 2 * toV)
       ()
     }
-    // wave 2 (customer side): reassign every 5th customer's segment —
-    // pure update_preimage/update_postimage pairs → cust v1
-    ManifestTable.merge(s, custT,
-      cust.filter(col("ckey") % 5 === 0)
-        .select(col("ckey"), lit("REASSIGNED").as("seg")),
-      "ckey")
     ChangeFeed.availableNow(s, custT, cpC) { (ch, _, toV) =>
       ManifestTable.idempotentAppend(s, mv,
         partial(ManifestTable.read(s, ordT)

@@ -1341,9 +1341,19 @@ object ManifestTable {
     * tombstones is [[compact]]'s job, and keeping the two maintenance
     * ops orthogonal keeps each proportional to its own affected set
     * (at 100 TB the small-file set is the streaming-ingest tail, not
-    * the lake). Logically an identity, so the change feed and the
-    * streaming source skip it like compact/cluster. Returns the base
-    * version when fewer than two files qualify (nothing to pack). */
+    * the lake).
+    *
+    * PARTITION-AWARE: small files carrying a partition-value marker
+    * pack WITHIN their partition and the packed outputs keep the
+    * marker (staged through the same partitioned writer), so binpack
+    * maintenance never degrades partition planning — the manifest
+    * string match, [[readPartition]]'s pruning, and
+    * [[overwritePartition]]'s exactness all survive compaction. A
+    * marked partition packs only when it has ≥2 small files; unmarked
+    * small files pack together as before. Logically an identity, so
+    * the change feed and the streaming source skip it like
+    * compact/cluster. Returns the base version when nothing
+    * qualifies. */
   def compactSmall(spark: SparkSession, table: String, minRows: Long,
       files: Int = 1, maxRetries: Int = 20): Long = {
     var attempt = 0
@@ -1357,12 +1367,29 @@ object ManifestTable {
         (dvInfo.filter(_._2.nonEmpty).flatMap(_._2) ++
           (if (dvInfo.exists(_._2.isEmpty)) fs else Seq.empty)).toSet
       val small = fs.filter(f => !dvTargets.contains(f) && statsRowCount(f) < minRows)
-      if (small.size <= 1) return base
+      val pcol = baseMeta.get("partcol")
+      val (marked0, unmarked) =
+        small.partition(f => pcol.isDefined && partitionValueOf(f).isDefined)
+      // pack a marked partition only when it actually consolidates
+      val marked = marked0.groupBy(f => partitionValueOf(f).get)
+        .filter(_._2.size >= 2).values.flatten.toSeq
+      val packUnmarked = if (unmarked.size >= 2) unmarked else Seq.empty
+      if (marked.isEmpty && packUnmarked.isEmpty) return base
+      val toPack = marked ++ packUnmarked
       val dvLines = snapshotEntries(table, base).filter(_.startsWith(DvPrefix))
-      val packed = scanPhysical(spark, small, Seq.empty,
-        baseMeta.get("schema"), physNamesOf(baseMeta)).coalesce(files)
-      val staged = stage(packed, table)
-      if (publish(table, base + 1, fs.filterNot(small.toSet) ++ staged ++ dvLines,
+      val sig = baseMeta.get("schema")
+      val phys = physNamesOf(baseMeta)
+      val stagedMarked =
+        if (marked.isEmpty) Seq.empty
+        else stagePartitioned(
+          scanPhysical(spark, marked, Seq.empty, sig, phys).coalesce(files),
+          table, physName(baseMeta, pcol.get), toPhys = None)
+      val stagedPlain =
+        if (packUnmarked.isEmpty) Seq.empty
+        else stage(scanPhysical(spark, packUnmarked, Seq.empty, sig, phys)
+          .coalesce(files), table)
+      if (publish(table, base + 1,
+          fs.filterNot(toPack.toSet) ++ stagedMarked ++ stagedPlain ++ dvLines,
           Map("op" -> "compact-small",
             "schema" -> baseMeta.getOrElse("schema",
               schemaSig(read(spark, table, Some(base))))) ++

@@ -308,6 +308,169 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** SESSION FINALIZATION BY INACTIVITY TIMER — the genre's canonical
+    * KeyedProcessFunction shape (ValueState + MapState +
+    * registerEventTimeTimer + onTimer) on the v2 API's full public
+    * surface, the part the earlier processors left unexercised:
+    * event-time TIMERS (`handleExpiredTimer` emits the finished
+    * session when the watermark passes last-event + gap) and COMPOSITE
+    * state (a MapState census of event types feeding the session's
+    * top_type). State cells carry no TTL — the engine rejects TTL
+    * outside TimeMode.ProcessingTime ([[TtlDedupProcessor]] exercises
+    * that surface); abandoned-key hygiene here is the timer itself,
+    * which always fires and clears.
+    * Gaps ARRIVING inside one batch close sessions inline from the
+    * input path; only inactivity closures wait for the timer. Exactly
+    * one armed timer per key (re-armed per batch via
+    * listTimers/deleteTimer — the rearm discipline every Flink onTimer
+    * port needs). */
+  case class SessAgg(start_ms: Long, end_ms: Long, n: Long, cents: Long)
+  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+    n_events: Long, cents: Long, top_type: String)
+
+  class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvRow, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var agg: ValueState[SessAgg] = _
+    @transient private var byType: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      agg = getHandle.getValueState[SessAgg]("agg",
+        Encoders.product[SessAgg], TTLConfig.NONE)
+      byType = getHandle.getMapState[String, Long]("byType",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+    private def topType(m: Iterable[(String, Long)]): String =
+      if (m.isEmpty) "" else m.maxBy { case (t, n) => (n, t) }._1
+    override def handleInputRows(key: Long, rows: Iterator[EvRow],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      // iterator order after the shuffle is not guaranteed: sort by
+      // (event time, id) so in-batch gap closure is deterministic
+      val sorted = rows.toSeq.sortBy(r => (r.t.getTime, r.event_id))
+      var cur: Option[SessAgg] = if (agg.exists()) Some(agg.get()) else None
+      val types = scala.collection.mutable.Map.empty[String, Long]
+      if (cur.isDefined) byType.iterator().foreach { case (t, n) => types(t) = n }
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      sorted.foreach { r =>
+        val ms = r.t.getTime
+        cur match {
+          case Some(a) if ms - a.end_ms > gapMs =>
+            // the gap arrived WITH the data: close inline, start fresh
+            out += SessionOut(key, a.start_ms, a.end_ms, a.n, a.cents,
+              topType(types))
+            types.clear()
+            cur = Some(SessAgg(ms, ms, 1L, r.valueCents))
+          case Some(a) =>
+            cur = Some(SessAgg(a.start_ms, math.max(a.end_ms, ms),
+              a.n + 1, a.cents + r.valueCents))
+          case None =>
+            cur = Some(SessAgg(ms, ms, 1L, r.valueCents))
+        }
+        types(r.event_type) = types.getOrElse(r.event_type, 0L) + 1L
+      }
+      // persist the open tail and re-arm THE one inactivity timer
+      cur.foreach { a =>
+        agg.update(a)
+        byType.clear()
+        types.foreach { case (t, n) => byType.updateValue(t, n) }
+        getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+        getHandle.registerTimer(a.end_ms + gapMs)
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      // inactivity closure: the watermark passed last-event + gap
+      if (!agg.exists()) return Iterator.empty
+      val a = agg.get()
+      val finished = SessionOut(key, a.start_ms, a.end_ms, a.n, a.cents,
+        topType(byType.iterator().toSeq))
+      agg.clear(); byType.clear()
+      Iterator(finished)
+    }
+  }
+
+  /** Event-time sessionization with inactivity timers on
+    * `transformWithState` — input must carry a watermark on `t`. */
+  def sessionsByTimer(ev: Dataset[EvRow], gapMs: Long): Dataset[SessionOut] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .transformWithState(
+        new SessionTimerProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** PER-KEY TTL STATE — the remaining v2-API surface: a first-seen
+    * dedup whose per-key "seen" marker AGES OUT of the state store
+    * after `ttl` of processing time (the production guard that keeps a
+    * forever-growing key space — URLs, uuids — from growing state
+    * forever; after expiry the key would re-emit, which is the
+    * documented at-least-once trade every TTL'd dedup makes). The
+    * engine requires TimeMode.ProcessingTime for TTL, which is why the
+    * event-time session processor cannot carry it. Tests size `ttl`
+    * far beyond their runtime, pinning the API path and exactly-once
+    * behavior within the horizon. */
+  class TtlDedupProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvRow, EvRow] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var seen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen",
+        Encoders.scalaLong, TTLConfig(ttl))
+    override def handleInputRows(key: Long, rows: Iterator[EvRow],
+        timerValues: TimerValues): Iterator[EvRow] = {
+      if (seen.exists() || rows.isEmpty) Iterator.empty
+      else {
+        seen.update(1L)
+        // first by (event time, id): deterministic under shuffle order
+        Iterator(rows.minBy(r => (r.t.getTime, r.event_id)))
+      }
+    }
+  }
+
+  /** First-seen-per-user dedup with TTL'd state — see
+    * [[TtlDedupProcessor]]. */
+  def firstSeenTtl(ev: Dataset[EvRow], ttl: java.time.Duration): Dataset[EvRow] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .transformWithState(
+        new TtlDedupProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+
+  /** Driver-side spec of [[sessionsByTimer]] for the equivalence suite:
+    * the same (time, id)-ordered gap fold per user, in plain Scala. */
+  def sessionsSpec(rows: Seq[EvRow], gapMs: Long): Set[SessionOut] = {
+    rows.groupBy(_.user_id).flatMap { case (uid, rs) =>
+      val sorted = rs.sortBy(r => (r.t.getTime, r.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur: Option[SessAgg] = None
+      val types = scala.collection.mutable.Map.empty[String, Long]
+      def close(a: SessAgg): Unit = {
+        out += SessionOut(uid, a.start_ms, a.end_ms, a.n, a.cents,
+          if (types.isEmpty) "" else types.maxBy { case (t, n) => (n, t) }._1)
+        types.clear()
+      }
+      sorted.foreach { r =>
+        val ms = r.t.getTime
+        cur match {
+          case Some(a) if ms - a.end_ms > gapMs =>
+            close(a); cur = Some(SessAgg(ms, ms, 1L, r.valueCents))
+          case Some(a) =>
+            cur = Some(SessAgg(a.start_ms, math.max(a.end_ms, ms),
+              a.n + 1, a.cents + r.valueCents))
+          case None => cur = Some(SessAgg(ms, ms, 1L, r.valueCents))
+        }
+        types(r.event_type) = types.getOrElse(r.event_type, 0L) + 1L
+      }
+      cur.foreach(close)
+      out
+    }.toSet
+  }
+
   /** Batch analog of the stateful op: the final per-user state equals the
     * grouped aggregate (exactly-once contract). */
   def purchaseTotalsBatch(ev: DataFrame): DataFrame =

@@ -1032,6 +1032,24 @@ class ManifestTableSuite extends SparkSuite {
       gone.forall(f => ManifestTable.partitionValueOf(f).contains("p1")))
     assert(ManifestTable.read(spark, t).filter(col("pt") === "p1")
       .agg(min(col("id"))).as[Long].head() >= 1000L)
+    // partition-aware binpack: small files pack WITHIN partitions and
+    // the packed outputs KEEP their markers, so planning and exact
+    // overwrites survive maintenance
+    val nBefore = ManifestTable.read(spark, t).count()
+    val vc = ManifestTable.compactSmall(spark, t, minRows = 1000000L)
+    assert(vc > v, "everything here is small — binpack must commit")
+    for (p <- Seq("p0", "p2"))
+      assert(ManifestTable.partitionFileCount(t, p) == 1, s"packed $p")
+    assert(ManifestTable.snapshotFiles(t, vc).forall(f =>
+      ManifestTable.partitionValueOf(f).isDefined),
+      "binpack outputs must keep partition markers")
+    assert(ManifestTable.read(spark, t).count() == nBefore)
+    val v2b = ManifestTable.overwritePartition(spark, t, "p0",
+      batch(0, 30).filter(col("pt") === "p0"))
+    assert((ManifestTable.snapshotFiles(t, v2b - 1).toSet --
+      ManifestTable.snapshotFiles(t, v2b).toSet)
+      .forall(f => ManifestTable.partitionValueOf(f).contains("p0")),
+      "exact overwrite must still work after binpack")
     // plain appends interleave fine and partcol survives maintenance
     ManifestTable.append(spark, t, batch(100, 5)) // unmarked files
     assert(ManifestTable.partitionColumn(t).contains("pt"))

@@ -146,6 +146,85 @@ class StreamBatchEquivSuite extends SparkSuite {
     }
   }
 
+  test("transformWithState timers + TTL + MapState: inactivity sessions == gap-fold spec") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gapMs = 6L * 3600 * 1000
+      def toRow(e: Ev) = StreamOps.EvRow(
+        e.event_id, e.user_id, e.event_type, math.round(e.value * 100), e.t)
+      val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+      val q = StreamOps.sessionsByTimer(
+          ms.toDS().map(toRow).withWatermark("t", "0 seconds"), gapMs)
+        .writeStream.format("memory").queryName("t_sess_timer")
+        .outputMode("append").start()
+      try {
+        // event-time-ordered replay: in-batch gaps close inline, the
+        // batch-boundary and tail sessions close by TIMER as the
+        // watermark passes end + gap
+        chunks(rowsByTime).foreach { c => ms.addData(c); q.processAllAvailable() }
+        // two sentinel batches: the first advances event time far past
+        // every open session's timer, the second makes the engine run
+        // one more micro-batch UNDER that watermark so the timers fire
+        val far = rowsByTime.map(_.t.getTime).max + 10 * gapMs
+        ms.addData(Seq(Ev(-1L, -1L, "x", 0.0, new Timestamp(far))))
+        q.processAllAvailable()
+        ms.addData(Seq(Ev(-2L, -1L, "x", 0.0, new Timestamp(far + 1))))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("t_sess_timer")
+        .filter(col("user_id") >= 0)
+        .as[StreamOps.SessionOut].collect().toSet
+      val want = StreamOps.sessionsSpec(rowsByTime.map(toRow), gapMs)
+      assert(got == want && want.size > rowsByTime.map(_.user_id).distinct.size,
+        s"got ${got.size} sessions, spec ${want.size}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("transformWithState TTL'd state (ProcessingTime): first-seen dedup == batch within the TTL horizon") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def toRow(e: Ev) = StreamOps.EvRow(
+        e.event_id, e.user_id, e.event_type, math.round(e.value * 100), e.t)
+      val wantUsers = batchEvents.select("user_id").distinct().as[Long].collect().toSet
+      val ms = MemoryStream(Encoders.product[Ev], spark.sqlContext)
+      val q = StreamOps.firstSeenTtl(
+          ms.toDS().map(toRow), java.time.Duration.ofHours(1))
+        .writeStream.format("memory").queryName("t_ttl_dedup")
+        .outputMode("append").start()
+      try {
+        // ProcessingTime-mode TWS runs CONTINUOUS micro-batches (the
+        // engine keeps triggering so TTL/processing-time advances), so
+        // processAllAvailable never latches — feed the chunks and POLL
+        // the sink for the expected census instead
+        chunks(rowsByArrival).foreach(ms.addData(_))
+        val deadline = System.currentTimeMillis() + 120000
+        while (spark.table("t_ttl_dedup").count() < wantUsers.size &&
+          System.currentTimeMillis() < deadline) Thread.sleep(500)
+      } finally q.stop()
+      // within the TTL horizon the dedup is exactly-once: one row per
+      // user, full user census — regardless of how the continuous
+      // trigger sliced the three chunks into batches
+      val got = spark.table("t_ttl_dedup").as[StreamOps.EvRow].collect()
+      assert(got.map(_.user_id).distinct.length == got.length,
+        "TTL'd first-seen state must emit each user exactly once")
+      assert(got.map(_.user_id).toSet == wantUsers)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming CDC compaction (transformWithState latest-wins, RocksDB): final view == batch compaction") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
