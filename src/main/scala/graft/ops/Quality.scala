@@ -75,6 +75,7 @@ object Quality {
     "q_table_clone" -> qTableClone,
     "q_layout_binpack" -> qLayoutBinpack,
     "q_table_stats_agg" -> qTableStatsAgg,
+    "q_stats_agg_string" -> qStatsAggString,
     "q_table_evolve" -> qTableEvolve,
     "q_warehouse_layers" -> qWarehouseLayers,
     "q_quality_gopher" -> qQualityGopher
@@ -107,6 +108,12 @@ object Quality {
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE source <> 'src7'
          GROUP BY 1 ORDER BY 1""",
+    "q_stats_agg_string" ->
+      """SELECT count(*) AS n_rows,
+                min(lang) AS min_lang, max(lang) AS max_lang,
+                CAST(min(n_chars) AS BIGINT) AS min_n_chars,
+                CAST(max(n_chars) AS BIGINT) AS max_n_chars
+         FROM documents WHERE source <> 'src7'""",
     "q_backfill_manifest" ->
       """WITH ec AS (
            SELECT event_id, event_type,
@@ -1701,6 +1708,46 @@ object Quality {
     ManifestTable.append(s, t, ev.filter(col("event_id") % 3 === 1).repartition(4))
     ManifestTable.deleteWhere(s, t, "user_id", 2L, 3L)
     ManifestTable.statsAggregate(s, t, Seq("user_id", "cents"))
+  }
+
+  /** METADATA-ONLY AGGREGATES OVER STRING COLUMNS under the oracle
+    * gate — the round-11 typed-stats surface driver-checked end to
+    * end: three lexicographically-sliced ingest files, then
+    * `statsAggregate` answers count + string MIN/MAX + long MIN/MAX
+    * from the `.stats` sidecars alone (REQUIRED in-plan: zero input
+    * files before any erasure). A string-keyed DV erasure then poisons
+    * exactly one file, and the post-erasure aggregate — what the
+    * oracle hashes — re-reads ONLY that file merge-on-read while every
+    * clean file still answers from metadata. At 100 TB this is the
+    * lakehouse "answer it from the log" fast path holding for the
+    * string columns real corpora actually key on. */
+  private def qStatsAggString(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val t = s"${graft.Scratch.dir("graft_statsagg_str")}/" +
+      s"sf${d.replaceAll("[^A-Za-z0-9.]", "_")}_docs"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    graft.Parallel.run(
+      Seq(("", Some("src15")), ("src15", Some("src4")),
+        ("src4", None)).map { case (lo, hi) =>
+        () => ManifestTable.append(s, t,
+          docs.filter(col("source") >= lo &&
+            hi.map(col("source") < _).getOrElse(lit(true))).coalesce(1))
+      }: _*)
+    // clean table: string AND long extremes straight from sidecars —
+    // the plan opens ZERO data files
+    val pre = ManifestTable.statsAggregate(s, t, Seq("lang", "n_chars"))
+    require(pre.inputFiles.isEmpty,
+      s"clean string/long stats must answer metadata-only, read " +
+        s"${pre.inputFiles.length} files")
+    ManifestTable.deleteWhereString(s, t, "source", "src7", "src7")
+    // the erasure poisons exactly its one DV'd file; clean files still
+    // answer from metadata
+    val post = ManifestTable.statsAggregate(s, t, Seq("lang", "n_chars"))
+    require(post.inputFiles.length <= 2, // the poisoned file + its DV sidecar
+      s"only the DV-poisoned file may re-open, got ${post.inputFiles.length}")
+    post
   }
 
   private def qTableRestore(s: SparkSession, d: String): DataFrame = {

@@ -77,6 +77,9 @@ class ManifestStreamSource extends TableProvider {
       maxFilesPerTrigger = ManifestStreamSource.intOpt(opts, "maxFilesPerTrigger"),
       maxRowsPerTrigger = ManifestStreamSource.longOpt(opts, "maxRowsPerTrigger"),
       maxBytesPerTrigger = ManifestStreamSource.longOpt(opts, "maxBytesPerTrigger"),
+      partitionValue = opts.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("partitionValue") => v
+      },
       physByLogical = ManifestStreamSource.physByLogical(table))
   }
 }
@@ -238,6 +241,7 @@ private class ManifestStreamTable(table: String, schema: StructType,
     maxFilesPerTrigger: Option[Int],
     maxRowsPerTrigger: Option[Long],
     maxBytesPerTrigger: Option[Long],
+    partitionValue: Option[String],
     physByLogical: Map[String, String])
   extends Table with SupportsRead {
   override def name(): String = s"manifest_stream($table)"
@@ -251,7 +255,8 @@ private class ManifestStreamTable(table: String, schema: StructType,
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ManifestMicroBatchStream(table, schema, ignoreDeletes, ignoreChanges,
-            maxFilesPerTrigger, maxRowsPerTrigger, maxBytesPerTrigger, physByLogical)
+            maxFilesPerTrigger, maxRowsPerTrigger, maxBytesPerTrigger,
+            partitionValue, physByLogical)
       }
     }
 }
@@ -267,6 +272,7 @@ private class ManifestMicroBatchStream(table: String, schema: StructType,
     maxFilesPerTrigger: Option[Int],
     maxRowsPerTrigger: Option[Long],
     maxBytesPerTrigger: Option[Long],
+    partitionValue: Option[String],
     physByLogical: Map[String, String])
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
@@ -380,11 +386,32 @@ private class ManifestMicroBatchStream(table: String, schema: StructType,
     availableNowCap = Some(liveHead)
   }
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    ManifestStreamSource.addedFiles(table,
-        start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v,
-        ignoreDeletes, ignoreChanges)
-      .map(p => ManifestFilePartition(p): InputPartition).toArray
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val added = ManifestStreamSource.addedFiles(table,
+      start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v,
+      ignoreDeletes, ignoreChanges)
+    // PARTITION-SCOPED STREAM (`option("partitionValue", v)`): only the
+    // partition's value-pure files plan — a manifest string match, so a
+    // one-partition consumer of a wide feed reads exactly its slice of
+    // each commit (at 100 TB: a per-tenant/per-day subscriber costs its
+    // tenant's bytes, not the firehose). The reader has no row filter,
+    // so an UNMARKED added file (a cross-partition rewrite output)
+    // cannot be represented — fail loudly rather than leak foreign
+    // rows; maintenance that preserves markers (partition-aware
+    // binpack) never trips this.
+    val scoped = partitionValue match {
+      case None => added
+      case Some(v) =>
+        added.foreach(f => if (ManifestTable.partitionValueOf(f).isEmpty)
+          throw new IllegalStateException(
+            s"$f carries no partition marker — a partition-scoped stream " +
+              "cannot represent unmarked files; keep the table " +
+              "partition-disciplined (appendPartitioned / partition-aware " +
+              "compaction) or drop the partitionValue option"))
+        added.filter(f => ManifestTable.partitionValueOf(f).contains(v))
+    }
+    scoped.map(p => ManifestFilePartition(p): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(schema, physByLogical)

@@ -97,6 +97,26 @@ class ChangeFeedSuite extends SparkSuite {
     assertReplays(t, v - 1, v)
   }
 
+  test("a partition overwrite feeds the replaced partition's delta; untouched partitions are silent") {
+    val t = freshTable()
+    def part(lo: Long, n: Long) = spark.range(lo, lo + n)
+      .select(col("id"), concat(lit("p"), col("id") % 2).as("pt")).coalesce(1)
+    ManifestTable.appendPartitioned(spark, t, part(0, 20), "pt")   // v0
+    ManifestTable.appendPartitioned(spark, t, part(20, 20), "pt")  // v1
+    val v = ManifestTable.overwritePartition(spark, t, "p0",
+      part(0, 40).filter(col("pt") === "p0").withColumn("id", col("id") + 500))
+    val ch = ManifestTable.readChanges(spark, t, v - 1, v)
+    // only p0 rows move: the old p0 rows leave, the backfilled arrive,
+    // and p1 — carried verbatim — contributes NOTHING to the changelog
+    assert(ch.filter(col("pt") === "p1").count() == 0,
+      "untouched partitions must be change-free")
+    assert(ch.filter(col("_change_type") === "delete").count() == 20)
+    assert(ch.filter(col("_change_type") === "insert")
+      .agg(min(col("id"))).as[Long].head() >= 500L)
+    assertReplays(t, v - 1, v)
+    assertReplays(t, -1L, v)
+  }
+
   test("restore rolls back as a new commit; the feed resurrects DV-erased rows") {
     val t = freshTable()
     ManifestTable.append(spark, t, rows(0, 1000)) // v0
@@ -532,6 +552,47 @@ class ChangeFeedSuite extends SparkSuite {
     assert(sizes.forall(_ <= 300), s"no batch may exceed the budget rounded up to a version, got $sizes")
     val got = spark.read.parquet(out)
     assert(got.count() == 600 && got.select("id").distinct().count() == 600)
+  }
+
+  test("partition-scoped stream: only the subscribed partition's files plan; unmarked files fail loudly") {
+    val t = freshTable()
+    val cp = Files.createTempDirectory("graft-mss-part-cp").toString
+    val out = Files.createTempDirectory("graft-mss-part-out").toString + "/sink"
+    def part(lo: Long, n: Long) = spark.range(lo, lo + n)
+      .select(col("id"), concat(lit("p"), col("id") % 2).as("pt")).coalesce(1)
+    ManifestTable.appendPartitioned(spark, t, part(0, 100), "pt")
+    ManifestTable.appendPartitioned(spark, t, part(100, 100), "pt")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.ManifestStreamSource")
+        .option("table", t).option("partitionValue", "p1").load()
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try assert(q.awaitTermination(120000), "stream did not drain") finally q.stop()
+    }
+    drain()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 100 && got.filter(col("pt") =!= "p1").count() == 0,
+      "a partition-scoped stream must emit exactly its partition's rows")
+    // restart consumes only the new commit's p1 slice
+    ManifestTable.appendPartitioned(spark, t, part(200, 50), "pt")
+    drain()
+    assert(spark.read.parquet(out).count() == 125)
+    // an unmarked file in a consumed commit cannot be represented
+    ManifestTable.append(spark, t, part(300, 4))
+    val q2 = spark.readStream.format("graft.sources.ManifestStreamSource")
+      .option("table", t).option("partitionValue", "p1").load()
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (df: DataFrame, _: Long) => df.count(); () }
+      .trigger(Trigger.AvailableNow()).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination(120000)
+    }
+    assert(err.getMessage.contains("partition marker") ||
+      String.valueOf(err.getCause).contains("partition marker"))
+    q2.stop()
   }
 
   test("admission control: maxBytesPerTrigger bounds batches by on-disk file size") {
