@@ -294,8 +294,9 @@ class PlanSuite extends SparkSuite {
       // plus the mean-weight backbone threshold
       "q_text_textrank",
       // the metadata-only aggregate crosses its two 1-row pieces (the
-      // tombstone count and the poisoned-file min/max) — broadcast scalars
-      "q_table_stats_agg",
+      // tombstone count and the poisoned-file min/max) — broadcast
+      // scalars; the string variant is the same statsAggregate shape
+      "q_table_stats_agg", "q_stats_agg_string",
       // perceptron rounds broadcast the 1-row weight vector and the
       // 1-row gradient aggregate — broadcast scalars per round
       "q_train_perceptron",
