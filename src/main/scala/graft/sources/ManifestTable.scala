@@ -948,6 +948,30 @@ object ManifestTable {
     * streaming source treat `cluster` commits exactly like `compact`.
     * Like compact, it is NOT snapshot-dependent-free: on a lost CAS the
     * rewrite recomputes from the fresh snapshot. */
+  /** Order-preserving LONG fingerprint of a string: its first 7 UTF-8
+    * bytes big-endian, zero-padded — `a ≤ b (UTF-8) ⇒ fp(a) ≤ fp(b)`,
+    * so equi-width cells over fingerprints respect string order. Seven
+    * bytes keep the value positive and inside conv()'s exact range;
+    * strings sharing a 7-byte prefix land in one cell, which only
+    * costs clustering RESOLUTION, never correctness. */
+  private def strFp(s: String): Long = {
+    val b = s.getBytes("UTF-8")
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L); i += 1 }
+    v
+  }
+
+  /** [[strFp]] as a codegen'd Column: hex the UTF-8 bytes, take the
+    * first 14 hex chars RIGHT-padded with '0' (padding, not
+    * truncating, keeps short strings order-consistent with long
+    * ones), parse base-16. */
+  private def strFpCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{conv, encode, hex, lit, rpad, substring}
+    conv(rpad(substring(hex(encode(c, "UTF-8")), 1, 14), 14, "0"), 16, 10)
+      .cast("long")
+  }
+
   def clusterBy(spark: SparkSession, table: String, lc1: String, lc2: String,
       files: Int = 32, maxRetries: Int = 20): Long = {
     import org.apache.spark.sql.functions.{col, lit, shiftright, greatest, least}
@@ -959,23 +983,47 @@ object ManifestTable {
       // stats, scan, and restaged files are all PHYSICAL (see compact)
       val (c1, c2) = (physName(baseMeta, lc1), physName(baseMeta, lc2))
       val fs = snapshotFiles(table, base)
-      val ranges = fs.flatMap(f => Seq(c1, c2).flatMap(c =>
-        statsOf(f).get(c).map(c -> _)))
-      def bound(c: String, f: ((Long, Long)) => Long, agg: Seq[Long] => Long): Long = {
-        val xs = ranges.collect { case (`c`, r) => f(r) }
-        if (xs.isEmpty) 0L else agg(xs)
+      // an AXIS is (long lo, long hi, long-valued Column): LONG ranges
+      // map directly; a column whose stats are uniformly STRING ranges
+      // maps through the order-preserving fingerprint (committed
+      // sidecar bounds + row values through the same mapping), so
+      // Z-ordering works over string dimensions — the layout a
+      // string-keyed corpus (URL, source, uuid) actually wants. Mixed
+      // or absent stats degrade to a constant axis (clustering quality
+      // only; the rewrite stays an identity either way).
+      def axis(c: String): (Long, Long, org.apache.spark.sql.Column, Boolean) = {
+        val sts = fs.flatMap(f => statsTypedOf(f).get(c))
+        val strs = sts.collect { case s: StrStat => s }
+        if (sts.nonEmpty && strs.size == sts.size) {
+          val lo = strs.map(_.lo).reduce(utf8Min)
+          val hi = strs.map(_.hi).reduce(utf8Max)
+          (strFp(lo), strFp(hi), strFpCol(col(c)), true)
+        } else {
+          val ls = sts.collect { case LongStat(a, b) => (a, b) }
+          (ls.map(_._1).minOption.getOrElse(0L),
+            ls.map(_._2).maxOption.getOrElse(0L), col(c), false)
+        }
       }
-      val (lo1, hi1) = (bound(c1, _._1, _.min), bound(c1, _._2, _.max))
-      val (lo2, hi2) = (bound(c2, _._1, _.min), bound(c2, _._2, _.max))
+      val (lo1, hi1, e1, s1) = axis(c1)
+      val (lo2, hi2, e2, s2) = axis(c2)
       val cur = scanPhysical(spark, snapshotFiles(table, base),
         snapshotDvs(table, base), baseMeta.get("schema"), physNamesOf(baseMeta))
-      def cell(c: String, lo: Long, hi: Long) = {
+      def cell(e: org.apache.spark.sql.Column, lo: Long, hi: Long,
+          isStr: Boolean) = {
         val span = math.max(hi - lo, 1L)
-        // equi-width 10-bit cell id; clamp for stats-less files' rows
-        greatest(lit(0L), least(lit(1023L),
-          (col(c) - lit(lo)) * 1024L / lit(span + 1)))
+        // equi-width 10-bit cell id; clamp for stats-less files' rows.
+        // Fingerprint axes span up to 2^56, where the historic
+        // multiply-then-divide form would overflow (x*1024 past 2^63)
+        // — they divide by a precomputed step instead; the long form
+        // stays bit-identical for existing integer layouts.
+        if (isStr) {
+          val step = math.max((span + 1 + 1023) / 1024, 1L)
+          greatest(lit(0L), least(lit(1023L), (e - lit(lo)) / lit(step)))
+        } else
+          greatest(lit(0L), least(lit(1023L),
+            (e - lit(lo)) * 1024L / lit(span + 1)))
       }
-      val (b1, b2) = (cell(c1, lo1, hi1), cell(c2, lo2, hi2))
+      val (b1, b2) = (cell(e1, lo1, hi1, s1), cell(e2, lo2, hi2, s2))
       val z = (0 until 10).map { i =>
         shiftright(b1, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
           shiftright(b2, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))

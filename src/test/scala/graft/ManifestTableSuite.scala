@@ -966,6 +966,33 @@ class ManifestTableSuite extends SparkSuite {
       left.filter(col("owner") >= "zulu-" && col("owner") <= "zulu-~").count())
   }
 
+  test("clusterBy over a STRING dimension: per-file string ranges tighten, pruned reads stay exact") {
+    val t = freshTable()
+    // one shuffled ingest: every file spans the whole key space, so a
+    // single-key string prune must open every file
+    val rowsDf = spark.range(0, 2000).select(
+      concat(lit("key-"), lpad((col("id") * 37 % 50).cast("string"), 3, "0"))
+        .as("k"),
+      col("id").as("v"))
+    ManifestTable.append(spark, t, rowsDf.repartition(8))
+    val preOpen = ManifestTable.prunedFileCountString(t, "k", "key-007", "key-007")
+    assert(preOpen == 8, s"shuffled layout must be unprunable, opened $preOpen")
+    val want = ManifestTable.read(spark, t)
+      .filter(col("k") === "key-007").agg(sum(col("v"))).as[Long].head()
+    // Z-order with the string key as one dimension: the rewrite maps k
+    // through the order-preserving fingerprint; committed string stats
+    // then carry tight per-file ranges
+    ManifestTable.clusterBy(spark, t, "k", "v", files = 8)
+    val postOpen = ManifestTable.prunedFileCountString(t, "k", "key-007", "key-007")
+    assert(postOpen < 8, s"string clustering must tighten ranges, opened $postOpen")
+    // pruned read == full filter, exactly (pruning is never allowed to
+    // change results, clustered or not)
+    val got = ManifestTable.readPrunedString(spark, t, "k", "key-007", "key-007")
+      .agg(sum(col("v"))).as[Long].head()
+    assert(got == want)
+    assert(ManifestTable.read(spark, t).count() == 2000, "clusterBy is an identity")
+  }
+
   test("feature gating: commits record used features monotonically; unknown features fail fast") {
     val t = freshTable()
     ManifestTable.append(spark, t, range(0, 100).coalesce(1))
