@@ -14,6 +14,12 @@ object Engine {
     * check-then-append on extraOptimizations would otherwise race and
     * register a rule twice. */
   def init(spark: SparkSession): Unit = synchronized {
+    // INT96 timestamps (Spark's parquet default) carry NO min/max
+    // statistics, so every timestamp column would be unprunable and
+    // retention-by-time would rewrite the lake. TIMESTAMP_MICROS is the
+    // production-format encoding: INT64 physical, footer stats present,
+    // [[graft.sources.ManifestTable]] harvests them like any long.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteDotProduct

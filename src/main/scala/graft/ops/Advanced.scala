@@ -716,41 +716,45 @@ object Advanced {
     val cnt = core.unionAll(tails).groupBy(col("f"), col("t"))
       .agg(count(lit(1)).as("n"))
     val tot = cnt.groupBy(col("f")).agg(sum(col("n")).as("tot"))
-    val p = cnt.join(tot, "f")
+    // The transition matrix is |channel-states|² — bounded by the
+    // event-type VOCABULARY (plus start/conv/null), not the data. The
+    // events-scale work (sequencing, transition counting) stays
+    // distributed above; the 6-step removal-effect power iteration
+    // over this ≤~100-row matrix runs on the driver in the SAME Long
+    // arithmetic the oracle's SQL recurrence uses (p*u DIV 1e6,
+    // nonnegative throughout — truncating and floor division agree).
+    // The distributed fold this replaces paid 6 checkpointed joins of
+    // metadata-sized frames — pure job-scheduling overhead at any sf.
+    val p: Map[(String, String), Long] = cnt.join(tot, "f")
       .select(col("f"), col("t"), expr(s"n * $SCALE DIV tot").as("p"))
-      .localCheckpoint()
-    val keys = p.select(col("f").as("rm")).distinct()
-      .filter(col("rm") =!= "start")
-      .unionAll(Seq("__base__").toDF("rm")).localCheckpoint()
-    val states = p.select(col("f").as("st"))
-      .union(p.select(col("t").as("st"))).distinct().localCheckpoint()
-    val grid = states.crossJoin(broadcast(keys))
-    val pk = p.crossJoin(broadcast(keys)).localCheckpoint()
-    val u0 = grid.select(col("rm"), col("st"),
-      when(col("st") === "conv", lit(SCALE)).otherwise(lit(0L)).as("u"))
-    def step(u: DataFrame): DataFrame = {
-      val prop = pk
-        .join(u.select(col("rm"), col("st").as("t"), col("u")), Seq("rm", "t"))
-        .groupBy(col("rm"), col("f").as("st"))
-        .agg(sum(col("p") * col("u")).as("raw"))
-        .select(col("rm"), col("st"), expr(s"raw DIV $SCALE").as("mv"))
-      grid.join(prop, Seq("rm", "st"), "left")
-        .select(col("rm"), col("st"),
-          when(col("st") === "conv", lit(SCALE))
-            .when(col("st") === "null" || col("st") === col("rm"), lit(0L))
-            .otherwise(coalesce(col("mv"), lit(0L))).as("u"))
-        .localCheckpoint()
-    }
-    val u6 = (1 to 6).foldLeft(u0.localCheckpoint())((u, _) => step(u))
-    val res = u6.filter(col("st") === "start")
-      .select(col("rm"), col("u"))
-    val base = res.filter(col("rm") === "__base__")
-      .select(col("u").as("base_x1e6"))
-    res.filter(col("rm") =!= "__base__")
-      .crossJoin(broadcast(base))
-      .select(col("rm").as("channel"), col("u").as("removal_x1e6"),
-        col("base_x1e6"),
-        (col("base_x1e6") - col("u")).as("effect_x1e6"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val states: Seq[String] = p.keysIterator
+      .flatMap { case (f, t) => Iterator(f, t) }.toSeq.distinct
+    val keys: Seq[String] = (p.keysIterator.map(_._1).toSeq.distinct
+      .filterNot(_ == "start")) :+ "__base__"
+    // u(rm)(st): the conversion mass reachable from st with channel rm
+    // removed; rm = __base__ removes nothing
+    def step(rm: String, u: Map[String, Long]): Map[String, Long] =
+      states.map { st =>
+        st -> (if (st == "conv") SCALE
+        else if (st == "null" || st == rm) 0L
+        else {
+          val raw = p.iterator.collect {
+            case ((f, t), pv) if f == st => pv * u.getOrElse(t, 0L)
+          }.sum
+          raw / SCALE
+        })
+      }.toMap
+    val u0: Map[String, Long] =
+      states.map(st => st -> (if (st == "conv") SCALE else 0L)).toMap
+    val removal: Map[String, Long] = keys.map { rm =>
+      rm -> (1 to 6).foldLeft(u0)((u, _) => step(rm, u))
+        .getOrElse("start", 0L)
+    }.toMap
+    val base = removal("__base__")
+    keys.filterNot(_ == "__base__").sorted
+      .map(rm => (rm, removal(rm), base, base - removal(rm)))
+      .toDF("channel", "removal_x1e6", "base_x1e6", "effect_x1e6")
       .orderBy("channel")
   }
 

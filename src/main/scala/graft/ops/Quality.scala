@@ -62,6 +62,7 @@ object Quality {
     "q_gdpr_erasure" -> qGdprErasure,
     "q_gdpr_dv" -> qGdprDv,
     "q_gdpr_string" -> qGdprString,
+    "q_retention_date" -> qRetentionDate,
     "q_backfill_manifest" -> qBackfillManifest,
     "q_table_cdf" -> qTableCdf,
     "q_table_cdf_merge" -> qTableCdfMerge,
@@ -107,6 +108,18 @@ object Quality {
       """SELECT lang, count(*) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE source <> 'src7'
+         GROUP BY 1 ORDER BY 1""",
+    "q_retention_date" ->
+      """WITH o AS (
+           SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS d,
+                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    AS cents
+           FROM orders)
+         SELECT o_orderstatus, count(*) AS n_orders,
+                CAST(SUM(cents) AS BIGINT) AS sum_cents
+         FROM o
+         WHERE d >= DATE '1997-01-01'
+           AND NOT (d BETWEEN DATE '1997-06-01' AND DATE '1997-06-30')
          GROUP BY 1 ORDER BY 1""",
     "q_stats_agg_string" ->
       """SELECT count(*) AS n_rows,
@@ -1178,6 +1191,74 @@ object Quality {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("sum_chars"))
       .orderBy("lang")
+  }
+
+  /** RETENTION EXPIRY keyed on a DATE column, full lifecycle under the
+    * oracle gate — the date half of generalizing lake predicates
+    * beyond integer surrogates (the string half is [[qGdprString]]):
+    * ingest lands in four year-ranged files (each with a tight INT32
+    * days-since-epoch range in its `.stats` sidecar), then the
+    * standard retention two-step runs through
+    * [[graft.sources.ManifestTable.deleteWhereDate]]:
+    *  1. "purge everything before the cutoff" — the predicate CONTAINS
+    *     the oldest file's whole date range, and the file's sidecar
+    *     proves zero nulls, so the commit DROPS it from the manifest
+    *     without reading a row (required in-plan: one file leaves, no
+    *     file arrives, no deletion vector is written — the commit is a
+    *     manifest edit, which is what lets a 100 TB lake expire a day
+    *     per day instead of rewriting itself);
+    *  2. a mid-range correction window — the predicate grazes one
+    *     file (~4 % of its span), so it takes the DELETION-VECTOR
+    *     path, files standing (required in-plan).
+    * The census reads merge-on-read; the oracle recomputes both
+    * deletes definitionally from the base orders table. */
+  private def qRetentionDate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ManifestTable
+    import java.time.LocalDate
+    val t = s"${graft.Scratch.dir("graft_retention_date")}/" +
+      s"sf${d.replaceAll("[^A-Za-z0-9.]", "_")}_orders"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val ords = Tables.orders(s, d).select(
+      col("o_orderstatus"),
+      col("o_orderdate").cast("date").as("o_date"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("cents"))
+    // four year-ranged ingest files, one parallel commit wave; each
+    // sidecar then carries a tight disjoint days-since-epoch range
+    val slices = Seq(("1995-01-01", Some("1997-01-01")),
+      ("1997-01-01", Some("1999-01-01")), ("1999-01-01", Some("2001-01-01")),
+      ("2001-01-01", None))
+    graft.Parallel.run(slices.map { case (lo, hi) =>
+      () => ManifestTable.append(s, t,
+        ords.filter(col("o_date") >= lit(lo).cast("date") &&
+          hi.map(col("o_date") < lit(_).cast("date")).getOrElse(lit(true)))
+          .coalesce(1))
+    }: _*)
+    val v0 = ManifestTable.latestVersion(t).get
+    // date-stats pruning must isolate the expiring range to one file
+    // before any data file opens
+    require(ManifestTable.prunedFileCountDate(t, "o_date",
+      LocalDate.of(1995, 1, 1), LocalDate.of(1996, 12, 31)) == 1,
+      "date stats must prune the retention window to one file")
+    val v1 = ManifestTable.deleteWhereDate(s, t, "o_date",
+      LocalDate.of(1995, 1, 1), LocalDate.of(1996, 12, 31))
+    val f0 = ManifestTable.snapshotFiles(t, v0).toSet
+    val f1 = ManifestTable.snapshotFiles(t, v1).toSet
+    require(f1.subsetOf(f0) && (f0 -- f1).size == 1,
+      "expiring a stats-contained file must drop it and stage nothing")
+    require(ManifestTable.snapshotDvs(t, v1).isEmpty,
+      "a whole-file retention expiry must not write deletion vectors")
+    val v2 = ManifestTable.deleteWhereDate(s, t, "o_date",
+      LocalDate.of(1997, 6, 1), LocalDate.of(1997, 6, 30))
+    require(ManifestTable.snapshotDvs(t, v2).size == 1,
+      "a grazing date window must take the DV path")
+    require(ManifestTable.snapshotFiles(t, v2).toSet == f1,
+      "a DV date delete must not rewrite any data file")
+    ManifestTable.read(s, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).cast("long").as("sum_cents"))
+      .orderBy("o_orderstatus")
   }
 
   /** TRANSACTIONAL PARTITION BACKFILL under the oracle gate — the

@@ -420,9 +420,10 @@ object ManifestTable {
     import org.apache.spark.sql.functions.col
     val df = scanPhysical(spark, files, dvs, sig, phys)
     (sig.flatMap(sigToSchema), phys) match {
-      case (Some(sch), Some(p)) if files.nonEmpty =>
-        // mapping mode: the scan ran under PHYSICAL names; surface the
-        // snapshot's LOGICAL names to the caller
+      case (Some(sch), Some(p)) =>
+        // mapping mode: the scan ran under PHYSICAL names (including
+        // the zero-file empty frame, which carries the physical
+        // schema); surface the snapshot's LOGICAL names to the caller
         relabel(df, sch, p)
       case _ => df
     }
@@ -435,7 +436,15 @@ object ManifestTable {
   private def scanPhysical(spark: SparkSession, files: Seq[String],
       dvs: Seq[String], sig: Option[String], phys: Option[Seq[String]]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    if (files.isEmpty) return spark.emptyDataFrame
+    // a zero-file snapshot (e.g. a retention delete that DROPPED every
+    // file) must still serve the committed schema — a schema-less
+    // empty frame breaks typed consumers downstream
+    if (files.isEmpty)
+      return sig.flatMap(sigToSchema).map(physSchema(_, phys)) match {
+        case Some(sch) => spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+        case None => spark.emptyDataFrame
+      }
     val scanSchema = sig.flatMap(sigToSchema).map(physSchema(_, phys))
     val base = scanSchema match {
       case Some(sch) => spark.read.schema(sch).parquet(files: _*)
@@ -563,7 +572,16 @@ object ManifestTable {
     // metadata-only aggregates ([[statsAggregate]]) never re-open
     // footers; legacy sidecars without it fall back per file
     val head = s"#rows=${footerRowCount(file)}"
-    val lines = head +: stats.toSeq.sortBy(_._1).map {
+    // per-column NULL counts (`#nulls:<b64 col>=N`) make full-file
+    // predicate containment actionable: a retention delete may DROP a
+    // file metadata-only iff min/max prove every VALUE dies AND the
+    // null count proves no null row (which never matches the
+    // predicate) would survive. Unknown counts are simply absent —
+    // absent only costs the drop optimization, never correctness.
+    val nulls = footerNullCounts(file).toSeq.sortBy(_._1).map {
+      case (c, n) => s"#nulls:${b64.encodeToString(c.getBytes("UTF-8"))}=$n"
+    }
+    val lines = (head +: nulls) ++ stats.toSeq.sortBy(_._1).map {
       case (c, LongStat(lo, hi)) => s"$c=$lo..$hi"
       case (c, StrStat(lo, hi, exact)) =>
         val eLo = b64.encodeToString(lo.getBytes("UTF-8"))
@@ -670,6 +688,53 @@ object ManifestTable {
     try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
   }
 
+  /** Per-column NULL counts from a parquet FOOTER — metadata only. A
+    * column appears ONLY when every row group recorded a null count
+    * (parquet statistics may omit it), so a present entry is exact and
+    * an absent one means "unknown — assume nulls". */
+  def footerNullCounts(file: String): Map[String, Long] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val sums = scala.collection.mutable.Map.empty[String, Long]
+      val unknown = scala.collection.mutable.Set.empty[String]
+      r.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString
+          val st = c.getStatistics
+          if (st == null || !st.isNumNullsSet || st.getNumNulls < 0)
+            unknown += name
+          else sums.updateWith(name) {
+            case Some(n) => Some(n + st.getNumNulls)
+            case None => Some(st.getNumNulls)
+          }
+        }
+      }
+      (sums -- unknown).toMap
+    } finally r.close()
+  }
+
+  /** A committed file's null count for one physical column: the
+    * `#nulls:` sidecar line when present, else the footer (files staged
+    * before sidecars carried null counts). `None` = unknown — callers
+    * must then assume the column MAY hold nulls. */
+  def statsNullCount(file: String, column: String): Option[Long] = {
+    val sc = Paths.get(file + ".stats")
+    if (!Files.exists(sc)) return footerNullCounts(file).get(column)
+    val lines = Files.readAllLines(sc).asScala
+    // a sidecar written before null harvesting has no #nulls: lines at
+    // all — fall back to the footer; one written after records every
+    // KNOWN column, so a missing line there means genuinely unknown
+    if (!lines.exists(_.startsWith("#nulls:")))
+      return footerNullCounts(file).get(column)
+    val key = "#nulls:" + java.util.Base64.getEncoder
+      .encodeToString(column.getBytes("UTF-8")) + "="
+    lines.find(_.startsWith(key)).flatMap(l =>
+      scala.util.Try(l.stripPrefix(key).toLong).toOption)
+  }
+
   /** A committed data file's typed column ranges: the sidecar when
     * present (one tiny read — the manifest-adjacent stats a log-store
     * format keeps), else the parquet footer (correct fallback for files
@@ -770,6 +835,52 @@ object ManifestTable {
       else readFiles(spark, live, dvs, sig, phys)
     if (files.isEmpty) base
     else base.filter(base.col(col) >= lo && base.col(col) <= hi)
+  }
+
+  /** DATE-predicate data-skipping read: [[readPruned]] over a DATE
+    * column — the committed INT32 days-since-epoch ranges prune at the
+    * file level, the exact predicate re-applies as DATE literals (no
+    * implicit cast), so the result equals `read().filter(...)`
+    * regardless of stats coverage. The time-travel retention-read
+    * shape: "last 30 days" opens the last 30 days' files. */
+  def readPrunedDate(spark: SparkSession, table: String, col: String,
+      lo: java.time.LocalDate, hi: java.time.LocalDate,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    val meta = snapshotMeta(table, v)
+    val files = snapshotFiles(table, v)
+    val dvs = snapshotDvs(table, v)
+    val sig = meta.get("schema")
+    val phys = physNamesOf(meta)
+    val pCol = physName(meta, col)
+    val (loD, hiD) = (lo.toEpochDay, hi.toEpochDay)
+    val live = files.filter { f =>
+      statsOf(f).get(pCol).forall { case (mn, mx) => mx >= loD && mn <= hiD }
+    }
+    val base =
+      if (files.isEmpty) spark.emptyDataFrame
+      else if (live.isEmpty) readFiles(spark, files, Seq.empty, sig, phys).limit(0)
+      else readFiles(spark, live, dvs, sig, phys)
+    if (files.isEmpty) base
+    else base.filter(base.col(col) >= lit(java.sql.Date.valueOf(lo)) &&
+      base.col(col) <= lit(java.sql.Date.valueOf(hi)))
+  }
+
+  /** Files a date-pruned read would open — [[readPrunedDate]]'s
+    * planning step exposed for layout diagnostics and in-plan pins. */
+  def prunedFileCountDate(table: String, col: String,
+      lo: java.time.LocalDate, hi: java.time.LocalDate,
+      version: Option[Long] = None): Int = {
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    val meta = snapshotMeta(table, v)
+    val pCol = physName(meta, col)
+    val (loD, hiD) = (lo.toEpochDay, hi.toEpochDay)
+    snapshotFiles(table, v).count { f =>
+      statsOf(f).get(pCol).forall { case (mn, mx) => mx >= loD && mn <= hiD }
+    }
   }
 
   /** Files a string-pruned read would open — [[readPrunedString]]'s
@@ -1940,18 +2051,67 @@ object ManifestTable {
       // a file grazed by the predicate — the scattered-GDPR-key case
       // that made copy-on-write rewrite the lake — gets positional
       // tombstones instead.
-      classify = {
-        case LongStat(mn, mx) =>
-          if (!(mx >= lo && mn <= hi)) FileKeep
-          else {
-            val span = math.max(mx - mn + 1, 1L).toDouble
-            val ov = math.max(math.min(hi, mx) - math.max(lo, mn) + 1, 0L).toDouble
-            if (ov / span >= dvBelowOverlap) FileRewrite else FileDv
-          }
-        case _ => FileRewrite // typed-mismatch stats: conservative
-      },
+      classify = longRangeClassify(lo, hi, dvBelowOverlap),
       pred = c => c >= lo && c <= hi,
       maxRetries = maxRetries)
+
+  /** The shared long-range delete classification: disjoint → keep;
+    * stats-CONTAINED (every value provably dies) → DROP candidate — the
+    * retention-purge economics where expiring a whole old file is a
+    * manifest edit, never a read ([[deleteWhereCore]] demotes the drop
+    * to a rewrite unless the file's null count proves no null row — a
+    * row the predicate never matches — would survive); partial overlap
+    * → the COW-vs-DV span heuristic. Dates and timestamps ride the
+    * same shape on their epoch-day / epoch-micro encodings. */
+  private def longRangeClassify(lo: Long, hi: Long,
+      dvBelowOverlap: Double): ColStat => Int = {
+    case LongStat(mn, mx) =>
+      if (!(mx >= lo && mn <= hi)) FileKeep
+      else if (lo <= mn && mx <= hi) FileDrop
+      else {
+        val span = math.max(mx - mn + 1, 1L).toDouble
+        val ov = math.max(math.min(hi, mx) - math.max(lo, mn) + 1, 0L).toDouble
+        if (ov / span >= dvBelowOverlap) FileRewrite else FileDv
+      }
+    case _ => FileRewrite // typed-mismatch stats: conservative
+  }
+
+  /** [[deleteWhere]] on a DATE predicate `column ∈ [lo, hi]` — the
+    * retention-expiry primitive ("purge everything before the cutoff")
+    * over a DATE column. Classification folds the committed INT32
+    * days-since-epoch ranges through the long machinery; the exact
+    * predicate compares DATE literals so the rewrite/DV scan never
+    * relies on an implicit cast. A file whose whole date range falls
+    * inside the predicate (the standard retention shape: yesterday's
+    * ingest dies whole) is DROPPED from the manifest without being
+    * read, provided its stats prove zero nulls. */
+  def deleteWhereDate(spark: SparkSession, table: String, logicalColumn: String,
+      lo: java.time.LocalDate, hi: java.time.LocalDate,
+      maxRetries: Int = 20, dvBelowOverlap: Double = 0.5): Long =
+    deleteWhereCore(spark, table, logicalColumn,
+      classify = longRangeClassify(lo.toEpochDay, hi.toEpochDay, dvBelowOverlap),
+      pred = c => c >= org.apache.spark.sql.functions.lit(
+          java.sql.Date.valueOf(lo)) &&
+        c <= org.apache.spark.sql.functions.lit(java.sql.Date.valueOf(hi)),
+      maxRetries = maxRetries)
+
+  /** [[deleteWhere]] on a TIMESTAMP predicate `column ∈ [lo, hi]`
+    * (instants, microsecond precision — parquet TIMESTAMP(MICROS)
+    * physical INT64): the event-time retention twin of
+    * [[deleteWhereDate]], same stats fold, same whole-file drop. */
+  def deleteWhereTimestamp(spark: SparkSession, table: String,
+      logicalColumn: String, lo: java.time.Instant, hi: java.time.Instant,
+      maxRetries: Int = 20, dvBelowOverlap: Double = 0.5): Long = {
+    def micros(i: java.time.Instant): Long =
+      math.addExact(math.multiplyExact(i.getEpochSecond, 1000000L),
+        i.getNano / 1000L)
+    deleteWhereCore(spark, table, logicalColumn,
+      classify = longRangeClassify(micros(lo), micros(hi), dvBelowOverlap),
+      pred = c => c >= org.apache.spark.sql.functions.lit(
+          java.sql.Timestamp.from(lo)) &&
+        c <= org.apache.spark.sql.functions.lit(java.sql.Timestamp.from(hi)),
+      maxRetries = maxRetries)
+  }
 
   /** [[deleteWhere]] on a STRING predicate `column ∈ [lo, hi]` (UTF-8
     * binary order; pass `lo == hi` for the equality shape) — the
@@ -1972,6 +2132,12 @@ object ManifestTable {
       lo: String, hi: String, maxRetries: Int = 20): Long =
     deleteWhereCore(spark, table, logicalColumn,
       classify = {
+        // full containment may DROP the file (subject to the core's
+        // null-count demotion) — but only off EXACT endpoints: a
+        // truncated bound contains every value without being attained,
+        // so containment under it is unprovable
+        case StrStat(mn, mx, exact)
+            if exact && utf8Lte(lo, mn) && utf8Lte(mx, hi) => FileDrop
         case StrStat(mn, mx, _) =>
           if (utf8Lte(lo, mx) && utf8Lte(mn, hi)) FileDv else FileKeep
         case _ => FileRewrite // typed-mismatch stats: conservative
@@ -1982,6 +2148,7 @@ object ManifestTable {
   private val FileKeep = 0
   private val FileRewrite = 1
   private val FileDv = 2
+  private val FileDrop = 3 // whole file provably dies: manifest-only removal
 
   /** A delete attempt's computed-and-staged work, kept across CAS
     * losses so a provably-disjoint winner lets the loser REBASE (
@@ -1990,7 +2157,7 @@ object ManifestTable {
   private final case class DeleteWork(base: Long, baseSig: Option[String],
       baseColMap: Option[String], files: Seq[String],
       oldDvEntries: Seq[String], rewriteF: Seq[String], dvF: Seq[String],
-      stagedData: Seq[String], stagedDv: Seq[String])
+      dropF: Seq[String], stagedData: Seq[String], stagedDv: Seq[String])
 
   /** The shared snapshot-dependent DELETE commit loop: `classify` maps
     * a hit-candidate file's committed stat for the predicate column to
@@ -2031,7 +2198,14 @@ object ManifestTable {
     // the file-level decision, shared by first compute and rebase check
     def classifyFile(column: String)(f: String): Int =
       statsTypedOf(f).get(column) match {
-        case Some(st) => classify(st)
+        case Some(st) => classify(st) match {
+          // a DROP is sound only when the file provably holds no null
+          // in the predicate column (a null row never matches and must
+          // survive); unknown or nonzero null count demotes to the
+          // rewrite path, which keeps exactly the surviving rows
+          case FileDrop if !statsNullCount(f, column).contains(0L) => FileRewrite
+          case k => k
+        }
         case None => if (footerRowCount(f) > 0) FileRewrite else FileKeep
       }
     var attempt = 0
@@ -2059,6 +2233,9 @@ object ManifestTable {
           val disjoint =
             baseMeta.get("schema") == w.baseSig &&
             baseMeta.get("colmap") == w.baseColMap &&
+            // a winner removing a planned-drop file is harmless (the
+            // drop is already done); removing a rewrite/DV target
+            // invalidates the staged complement/tombstones
             removedSince.forall(f =>
               !w.rewriteF.contains(f) && !w.dvF.contains(f)) &&
             addedSince.forall(f => classifyFile(column)(f) == FileKeep) &&
@@ -2074,16 +2251,23 @@ object ManifestTable {
         val classified: Seq[(String, Int)] = files.map(f => f -> classifyFile(column)(f))
         val rewriteF = classified.collect { case (f, FileRewrite) => f }
         val dvF = classified.collect { case (f, FileDv) => f }
-        if (rewriteF.isEmpty && dvF.isEmpty) return base
+        val dropF = classified.collect { case (f, FileDrop) => f }
+        if (rewriteF.isEmpty && dvF.isEmpty && dropF.isEmpty) return base
         // rewrite path applies EXISTING DVs first — republishing a
         // tombstoned row would resurrect it. The scan, filter, and
         // staged files all stay in PHYSICAL names: rewrites must keep
         // the files physically consistent across logical renames.
+        // NULL-SAFE survivor filter: a null predicate key makes
+        // `pred` NULL, and `filter(!NULL)` drops the row — which would
+        // silently erase null-keyed rows from every rewritten file.
+        // Deletes keep exactly the rows where the predicate is NOT
+        // TRUE (SQL DELETE semantics), so nulls coalesce to survive.
         val stagedData =
           if (rewriteF.isEmpty) Seq.empty
           else stage(scanPhysical(spark, rewriteF, dvs,
               baseMeta.get("schema"), physNamesOf(baseMeta))
-            .filter(!pred(c(column))), table)
+            .filter(!org.apache.spark.sql.functions.coalesce(
+              pred(c(column)), org.apache.spark.sql.functions.lit(false))), table)
         // DV path records (path, pos) of the dying rows from the scan's
         // own `_metadata` — tombstone-sized output, no data file
         // touched. Re-tombstoning a position an older DV already covers
@@ -2095,7 +2279,7 @@ object ManifestTable {
             .select(c("_metadata.file_path").as("path"),
               c("_metadata.row_index").as("pos")), table)
         DeleteWork(base, baseMeta.get("schema"), baseMeta.get("colmap"),
-          files, oldDvEntries, rewriteF, dvF, stagedData, stagedDv)
+          files, oldDvEntries, rewriteF, dvF, dropF, stagedData, stagedDv)
       }
       work = Some(thisWork)
 
@@ -2104,7 +2288,8 @@ object ManifestTable {
       // can stay proportional to the affected files. On a rebase the
       // BASE's current entry list (the winner's) is the carry set.
       val keep = files.filterNot(f =>
-        thisWork.rewriteF.contains(f) || thisWork.dvF.contains(f))
+        thisWork.rewriteF.contains(f) || thisWork.dvF.contains(f) ||
+          thisWork.dropF.contains(f))
       val dvLines = oldDvEntries ++
         thisWork.stagedDv.map(p => dvLine(p, thisWork.dvF))
       // tombstoned files carry into the new manifest VERBATIM — the DV

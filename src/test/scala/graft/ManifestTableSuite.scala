@@ -966,6 +966,94 @@ class ManifestTableSuite extends SparkSuite {
       left.filter(col("owner") >= "zulu-" && col("owner") <= "zulu-~").count())
   }
 
+  test("retention drop: a stats-contained file leaves the manifest unread; CDF still emits its deletes") {
+    val t = freshTable()
+    // three disjoint long-keyed files: [0,999] [1000,1999] [2000,2999]
+    (0 until 3).foreach { r =>
+      ManifestTable.append(spark, t,
+        spark.range(r * 1000L, r * 1000L + 1000L).toDF("k").repartition(1))
+    }
+    val v0 = ManifestTable.latestVersion(t).get
+    val before = ManifestTable.snapshotFiles(t, v0)
+    // the predicate CONTAINS the middle file's whole range: the commit
+    // must DROP it — no staged file, no DV, no data read
+    val v = ManifestTable.deleteWhere(spark, t, "k", 1000L, 1999L)
+    val after = ManifestTable.snapshotFiles(t, v)
+    assert(after.toSet.subsetOf(before.toSet) && before.size - after.size == 1,
+      "a contained file must leave the manifest with nothing staged")
+    assert(ManifestTable.snapshotDvs(t, v).isEmpty,
+      "a whole-file drop must not write deletion vectors")
+    assert(ManifestTable.read(spark, t).count() == 2000L)
+    // time travel: the dropped file still serves the old snapshot
+    assert(ManifestTable.read(spark, t, Some(v0)).count() == 3000L)
+    // the change feed reads the DROPPED file (its only remaining
+    // consumer) and emits every row as a delete for this commit
+    val ch = ManifestTable.readChanges(spark, t, v - 1, v)
+    assert(ch.filter(col("_change_type") === "delete").count() == 1000L)
+    assert(ch.filter(col("_change_type") =!= "delete").count() == 0L)
+  }
+
+  test("retention drop soundness: a null-bearing contained file is demoted to a rewrite, nulls survive") {
+    val t = freshTable()
+    // one file whose NON-NULL range [100, 199] the predicate fully
+    // contains, but which also carries null keys — min/max alone would
+    // license a drop that erases the null rows
+    val df = spark.range(0, 120).select(
+      when(col("id") < 100, col("id") + 100L).otherwise(lit(null)).as("k"),
+      col("id").as("payload"))
+    ManifestTable.append(spark, t, df.coalesce(1))
+    val before = ManifestTable.snapshotFiles(t, ManifestTable.latestVersion(t).get)
+    val v = ManifestTable.deleteWhere(spark, t, "k", 100L, 199L)
+    val after = ManifestTable.snapshotFiles(t, v)
+    assert(!after.contains(before.head),
+      "a null-bearing file must take the rewrite path, not the drop")
+    val left = ManifestTable.read(spark, t)
+    assert(left.count() == 20L, "the 20 null-key rows must survive")
+    assert(left.filter(col("k").isNotNull).count() == 0L)
+  }
+
+  test("deleteWhereDate / deleteWhereTimestamp: temporal predicates prune, drop, and stay exact") {
+    import java.time.LocalDate
+    val t = freshTable()
+    // two files: 1995 dates and 1997 dates, as genuine DATE columns
+    for (y <- Seq(1995, 1997))
+      ManifestTable.append(spark, t,
+        spark.range(0, 100).select(
+          date_add(lit(java.sql.Date.valueOf(s"$y-01-01")),
+            (col("id") % 300).cast("int")).as("d"),
+          col("id").as("v")).coalesce(1))
+    assert(ManifestTable.prunedFileCountDate(t, "d",
+      LocalDate.of(1995, 1, 1), LocalDate.of(1995, 12, 31)) == 1)
+    // retention: everything before 1996 dies — whole-file drop
+    val v = ManifestTable.deleteWhereDate(spark, t, "d",
+      LocalDate.of(1995, 1, 1), LocalDate.of(1995, 12, 31))
+    assert(ManifestTable.snapshotDvs(t, v).isEmpty &&
+      ManifestTable.snapshotFiles(t, v).size == 1)
+    assert(ManifestTable.read(spark, t).count() == 100L)
+    // pruned date read == filtered read
+    val pr = ManifestTable.readPrunedDate(spark, t, "d",
+      LocalDate.of(1997, 1, 1), LocalDate.of(1997, 3, 1))
+    assert(pr.count() == ManifestTable.read(spark, t)
+      .filter(col("d") <= lit(java.sql.Date.valueOf("1997-03-01"))).count())
+    // timestamp twin: one hour per row from an instant-based epoch; a
+    // grazing one-day window takes the DV path and stays exact
+    val t2 = freshTable()
+    val epoch0 = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    ManifestTable.append(spark, t2,
+      spark.range(0, 1000).select(
+        timestamp_seconds(lit(epoch0) + col("id") * 3600L).as("ts"),
+        col("id").as("v")).coalesce(1))
+    val lo = java.time.Instant.parse("2024-01-02T00:00:00Z")
+    val hi = java.time.Instant.parse("2024-01-02T23:59:59Z")
+    val vt = ManifestTable.deleteWhereTimestamp(spark, t2, "ts", lo, hi)
+    assert(ManifestTable.snapshotDvs(t2, vt).size == 1,
+      "a grazing timestamp window must take the DV path")
+    // rows 24..47 (the 24 hours of Jan 2) die
+    assert(ManifestTable.read(spark, t2).count() == 976L)
+    assert(ManifestTable.read(spark, t2)
+      .filter(col("v") >= 24 && col("v") <= 47).count() == 0L)
+  }
+
   test("clusterBy over a STRING dimension: per-file string ranges tighten, pruned reads stay exact") {
     val t = freshTable()
     // one shuffled ingest: every file spans the whole key space, so a

@@ -14,6 +14,9 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+    // INT64-micros timestamps so parquet footers carry timestamp stats
+    // (INT96 has none) — same setting Engine.init applies in production
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .getOrCreate()
 
   val sf0001 = "/root/testdata/sf0.001"
