@@ -58,6 +58,78 @@ object DevPhase {
           t(s"s$i footerRowCount x${files.size}")(files.foreach(ManifestTable.footerRowCount))
           t(s"s$i footerNullCounts x${files.size}")(files.foreach(ManifestTable.footerNullCounts))
         }
+      case "mvjoin" =>
+        import graft.sources.{ChangeFeed, ManifestTable}
+        for (i <- 1 to 2) {
+          val root = s"${graft.Scratch.dir(s"dev_mvj_$i")}/x"
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+          val (ordT, custT, mv) = (s"$root/ord", s"$root/cust", s"$root/mv")
+          val (cpO, cpC) = (s"$root/cpo", s"$root/cpc")
+          val ord = Tables.orders(spark, d).select(
+            col("o_orderkey").as("okey"), col("o_custkey").as("ckey"),
+            (col("o_totalprice").cast("decimal(12,2)") * 100).cast(LongType).as("cents"))
+          val cust = Tables.customer(spark, d).select(
+            col("c_custkey").as("ckey"), col("c_mktsegment").as("seg"))
+          t(s"m$i seed wave")(graft.Parallel.run(
+            () => ManifestTable.append(spark, ordT, ord.filter(col("okey") % 2 === 0)),
+            () => ManifestTable.append(spark, custT, cust)))
+          t(s"m$i drain v0")({
+            ChangeFeed.availableNow(spark, ordT, cpO)((_, _, _) => ())
+            ChangeFeed.availableNow(spark, custT, cpC)((_, _, _) => ())
+          })
+          def signed(ch: org.apache.spark.sql.DataFrame) = ch.withColumn("sgn",
+            when(col("_change_type").isin("insert", "update_postimage"), 1L).otherwise(-1L))
+          def partial(j: org.apache.spark.sql.DataFrame) =
+            j.groupBy(col("seg"))
+              .agg(sum(col("sgn") * col("cents")).cast(LongType).as("d_cents"),
+                sum(col("sgn")).cast(LongType).as("d_rows"))
+          val custV0 = ManifestTable.latestVersion(custT).get
+          t(s"m$i batch0")(ManifestTable.idempotentAppend(spark, mv,
+            partial(ManifestTable.read(spark, ordT).withColumn("sgn", lit(1L))
+              .join(ManifestTable.read(spark, custT), "ckey")), batchId = 0L))
+          t(s"m$i merge wave")(graft.Parallel.run(
+            () => ManifestTable.merge(spark, ordT,
+              ord.filter(col("okey") % 4 === 0 || col("okey") % 4 === 1)
+                .select(col("okey"), col("ckey"), (col("cents") + 7L).as("cents")), "okey"),
+            () => ManifestTable.merge(spark, custT,
+              cust.filter(col("ckey") % 5 === 0)
+                .select(col("ckey"), lit("REASSIGNED").as("seg")), "ckey")))
+          t(s"m$i drain ord")(ChangeFeed.availableNow(spark, ordT, cpO) { (ch, _, toV) =>
+            ManifestTable.idempotentAppend(spark, mv,
+              partial(signed(ch).select(col("ckey"), col("cents"), col("sgn"))
+                .join(ManifestTable.read(spark, custT, Some(custV0)), "ckey")),
+              batchId = 2 * toV); ()
+          })
+          t(s"m$i drain cust")(ChangeFeed.availableNow(spark, custT, cpC) { (ch, _, toV) =>
+            ManifestTable.idempotentAppend(spark, mv,
+              partial(ManifestTable.read(spark, ordT)
+                .join(signed(ch).select(col("ckey"), col("seg"), col("sgn")), "ckey")),
+              batchId = 2 * toV + 1); ()
+          })
+          t(s"m$i final read")(ManifestTable.read(spark, mv)
+            .groupBy(col("seg"))
+            .agg(sum(col("d_cents")).cast(LongType).as("sum_cents"),
+              sum(col("d_rows")).cast(LongType).as("n_rows"))
+            .filter(col("n_rows") > 0).orderBy("seg").count())
+        }
+      case "cdf" =>
+        import graft.sources.ManifestTable
+        for (i <- 1 to 2) {
+          val tdir = s"${graft.Scratch.dir(s"dev_cdf_$i")}/x"
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tdir))
+          val ev = Tables.events(spark, d)
+            .select(col("event_id"), col("user_id"), col("event_type"))
+          for (b <- 0L to 2L)
+            t(s"c$i append$b")(ManifestTable.append(spark, tdir, ev.filter(col("event_id") % 3 === b)))
+          t(s"c$i delete1")(ManifestTable.deleteWhere(spark, tdir, "user_id", 3L, 3L))
+          val vDel = t(s"c$i delete2")(ManifestTable.deleteWhere(spark, tdir, "user_id", 7L, 7L))
+          val vC = t(s"c$i compact")(ManifestTable.compact(spark, tdir))
+          t(s"c$i census")(ManifestTable.readChanges(spark, tdir, -1L, vC)
+            .groupBy(col("_commit_version").as("v"), col("_change_type").as("ctype"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("event_id")).cast(LongType).as("sum_id"))
+            .orderBy("v", "ctype").count())
+        }
       case other => println(s"unknown phase target $other")
     }
     spark.stop()

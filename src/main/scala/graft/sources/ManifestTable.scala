@@ -2602,8 +2602,8 @@ object ManifestTable {
       case (Some(n), Some(o)) =>
         // copy-on-write SURVIVORS appear on both sides — multiset
         // exceptAll cancels them, leaving the true row-level delta
-        val ins = n.exceptAll(o)
-        val del = o.exceptAll(n)
+        lazy val ins = n.exceptAll(o)
+        lazy val del = o.exceptAll(n)
         snapshotMeta(table, v).get("mergeKey").map { k0 =>
           // the key was recorded in the MERGE version's logical name; a
           // later rename moves the logical label, but positions are
@@ -2629,12 +2629,44 @@ object ManifestTable {
             // delta-sized on both sides (never the snapshot); an
             // update that left the row byte-identical cancelled above
             // and correctly emits nothing.
-            val updKeys = ins.select(col(k)).intersect(del.select(col(k)))
-            Some(
-              tag(ins.join(updKeys, Seq(k), "left_anti"), "insert") union
-              tag(ins.join(updKeys, Seq(k), "left_semi"), "update_postimage") union
-              tag(del.join(updKeys, Seq(k), "left_anti"), "delete") union
-              tag(del.join(updKeys, Seq(k), "left_semi"), "update_preimage"))
+            //
+            // One fused plan instead of exceptAll×2 + intersect + four
+            // semi/anti joins (guide §2.4 — the historic shape paid
+            // 6-8 exchanges where two suffice). Spark itself rewrites
+            // EXCEPT ALL to union(+1/−1) → sum per row-value → filter
+            // → replicate; both exceptAlls share the same union, so ONE
+            // aggregate computes the signed multiset delta (__diff > 0 ⇔
+            // an n.exceptAll(o) copy, < 0 ⇔ o.exceptAll(n)), and the
+            // update-vs-insert/delete split becomes one key-partitioned
+            // window over the delta-sized change set instead of four
+            // joins against an intersect. Null merge keys keep the
+            // legacy equi-join semantics (never classified updates —
+            // an equi semi-join on a null key matched nothing).
+            import org.apache.spark.sql.functions.{abs, array_repeat, explode, max, sum, when}
+            import org.apache.spark.sql.expressions.Window
+            val cols = n.columns.toSeq
+            val signedRows = n.withColumn("__side", lit(1L))
+              .unionAll(o.withColumn("__side", lit(-1L)))
+            val delta = signedRows.groupBy(cols.map(col): _*)
+              .agg(sum(col("__side")).as("__diff"))
+              .filter(col("__diff") =!= 0L)
+            val byKey = Window.partitionBy(col(k))
+            val isUpd = col(k).isNotNull &&
+              max(when(col("__diff") > 0L, 1L).otherwise(0L)).over(byKey) === 1L &&
+              max(when(col("__diff") < 0L, 1L).otherwise(0L)).over(byKey) === 1L
+            val classified = delta
+              .withColumn("_change_type",
+                when(col("__diff") > 0L,
+                  when(isUpd, lit("update_postimage")).otherwise(lit("insert")))
+                  .otherwise(
+                    when(isUpd, lit("update_preimage")).otherwise(lit("delete"))))
+              .withColumn("_commit_version", lit(v))
+              // replicate multiset copies (|__diff| is the surviving
+              // multiplicity — rarely > 1, but exactness is the contract)
+              .withColumn("__copy",
+                explode(array_repeat(lit(1), abs(col("__diff")).cast("int"))))
+            Some(classified.select(
+              (cols.map(col) :+ col("_change_type") :+ col("_commit_version")): _*))
           case None =>
             Some(tag(ins, "insert") union tag(del, "delete"))
         }
