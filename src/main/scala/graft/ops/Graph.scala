@@ -558,7 +558,8 @@ object Graph {
     * @return `(node, core_deg)` — members of the k-core with their
     *         within-core degree
     */
-  def kcore(adj: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kcore(adj: DataFrame, k: Int, rounds: Int,
+      vertices: Option[DataFrame] = None): DataFrame = {
     def within(vs: DataFrame): DataFrame =
       adj.join(vs.select(col("node").as("va")), col("v") === col("va"))
         .join(vs.select(col("node").as("vb")), col("nb") === col("vb"))
@@ -569,8 +570,11 @@ object Graph {
     // measured 4 s at sf0.001 in Catalyst alone). The survivor set is
     // vertex-sized, so localCheckpoint per round keeps every plan
     // 2-joins deep for pennies of storage — the same lineage-bounding
-    // call the PageRank edge derivation makes.
-    val v0 = adj.select(col("v").as("node")).distinct().localCheckpoint()
+    // call the PageRank edge derivation makes. Callers peeling the SAME
+    // graph at several k values pass the checkpointed vertex set once
+    // (`vertices`) instead of paying the distinct per k.
+    val v0 = vertices.getOrElse(
+      adj.select(col("v").as("node")).distinct().localCheckpoint())
     val core = (1 to rounds).foldLeft(v0) { (vs, _) =>
       within(vs).filter(col("deg") >= k).select(col("v").as("node"))
         .localCheckpoint()
@@ -595,9 +599,20 @@ object Graph {
       .select("a", "b").localCheckpoint()
     val adj = u.select(col("a").as("v"), col("b").as("nb"))
       .unionAll(u.select(col("b").as("v"), col("a").as("nb")))
-    val k2 = kcore(adj, 2, 5)
+    // the two peels share one checkpointed vertex set, and their round
+    // chains (5 eager, tiny localCheckpoint jobs each) run CONCURRENTLY
+    // — the peel depths are independent and each round's job leaves
+    // most of the session idle, so overlapping the chains halves the
+    // driver-side round-trip wall-clock (guide §2.6: overlap
+    // independent jobs to back-fill the tail)
+    val v0 = adj.select(col("v").as("node")).distinct().localCheckpoint()
+    val cores = new Array[DataFrame](2)
+    graft.Parallel.run(
+      () => { cores(0) = kcore(adj, 2, 5, Some(v0)) },
+      () => { cores(1) = kcore(adj, 3, 5, Some(v0)) })
+    val k2 = cores(0)
       .select(lit(2).as("k"), col("node"), col("core_deg"))
-    val k3 = kcore(adj, 3, 5)
+    val k3 = cores(1)
       .select(lit(3).as("k"), col("node"), col("core_deg"))
     k2.unionAll(k3)
       .select(col("k"), col("node").as("nationkey"), col("core_deg"))

@@ -1019,9 +1019,26 @@ object TextSim {
         .select("v1", "v2").localCheckpoint()
     }
     val truthM = truth.withColumn("hit", lit(1))
+    // ONE signature aggregate serves every band width: pack the 64 bits
+    // into a single long per vector (exact two's-complement: each plane
+    // contributes a distinct power of two), then each width-w band value
+    // is a bit-slice `(sig >>> band*w) & (2^w−1)` — identical to the
+    // historic per-width `sum(bit << (p % w))` aggregate, but the three
+    // width-keyed groupBy shuffles of the 640k-row bit table collapse
+    // into one 10k-row signature exchange plus per-width explodes
+    // (guide §2.3/§2.4: aggregate once, derive the rest without a
+    // shuffle).
+    val sigs = bits.groupBy(col("vec_id"))
+      .agg(sum(expr("bit * shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))")).as("sig"))
+      .localCheckpoint()
     val perW = Seq(4, 8, 16).map { w =>
-      val bands = bits.groupBy(col("vec_id"), expr(s"p DIV $w").as("band"))
-        .agg(sum(expr(s"bit * shiftleft(CAST(1 AS BIGINT), CAST(p % $w AS INT))")).as("v"))
+      val mask = (1L << w) - 1
+      val bands = sigs.select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${64 / w - 1}),
+              b -> struct(CAST(b AS BIGINT) AS band,
+                          shiftrightunsigned(sig, b * $w) & ${mask}L AS v))"""))
+        .as("bv"))
+        .select(col("vec_id"), col("bv.band"), col("bv.v"))
       // one pass counts candidates AND caught pairs: the truth side is
       // sample-sized, broadcast-joined onto the deduped candidate stream
       bands.filter(col("vec_id") < 500)
