@@ -1134,7 +1134,11 @@ object Quality {
     val mor = census(ManifestTable.read(s, t))
     val vC = ManifestTable.compact(s, t)
     require(ManifestTable.snapshotDvs(t, vC).isEmpty, "compact must clear DVs")
-    val materialized = census(ManifestTable.read(s, t))
+    // the materialized census is consumed twice (the agreement check and
+    // the declared result) — checkpoint the |event_type|-sized aggregate
+    // so the compacted table scans ONCE instead of re-aggregating for
+    // each consumer; the checkpoint is group-count-bounded at any scale
+    val materialized = census(ManifestTable.read(s, t)).localCheckpoint()
     // tombstone read == materialized read, enforced in the executed plan
     // (except-both-ways is empty), then the materialized census ships
     require(mor.exceptAll(materialized).unionAll(materialized.exceptAll(mor))
@@ -1650,7 +1654,13 @@ object Quality {
           lit(java.math.BigDecimal.ZERO))).head()
       (r.getLong(0), r.getDecimal(1))
     }
-    val (fa, fb) = (fp(ManifestTable.read(s, dwd)), fp(ManifestTable.read(s, dwd2)))
+    // the two layer fingerprints are independent scans — one parallel
+    // wave (guide §2.6), halving the comparison's wall-clock
+    val fps = new Array[(Long, java.math.BigDecimal)](2)
+    graft.Parallel.run(
+      () => { fps(0) = fp(ManifestTable.read(s, dwd)) },
+      () => { fps(1) = fp(ManifestTable.read(s, dwd2)) })
+    val (fa, fb) = (fps(0), fps(1))
     require(fa._1 == fb._1 && fa._2.compareTo(fb._2) == 0,
       s"bounded-batch recovery must rebuild DWD exactly: $fa vs $fb")
     ManifestTable.read(s, dws)
