@@ -130,6 +130,91 @@ object DevPhase {
               sum(col("event_id")).cast(LongType).as("sum_id"))
             .orderBy("v", "ctype").count())
         }
+      case "basket" =>
+        for (i <- 1 to 3) {
+          val t0 = System.nanoTime()
+          val baskets = Tables.lineitem(spark, d)
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+            .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
+            .localCheckpoint()
+          println(f"[phase] b$i ckpt: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+          val t1 = System.nanoTime()
+          SparkEntry.queries("q_basket_lift")(spark, d).count()
+          println(f"[phase] b$i full: ${(System.nanoTime() - t1) / 1e9}%.3f s")
+        }
+      case "layers" =>
+        import graft.sources.{ChangeFeed, ManifestTable}
+        for (i <- 1 to 2) {
+          val root = s"${graft.Scratch.dir(s"dev_layers_$i")}/x"
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+          val ods = s"$root/ods"; val dwd = s"$root/dwd"; val dws = s"$root/dws"
+          val ev = Tables.events(spark, d).select(
+            col("event_id"), col("event_type"), col("user_id"), col("value"),
+            dayofmonth(col("t")).cast(LongType).as("day"))
+          def clean(ch: org.apache.spark.sql.DataFrame) = ch
+            .filter(col("_change_type") === "insert")
+            .filter(col("value").isNotNull)
+            .select(col("event_id"), col("event_type"), col("day"),
+              (col("value").cast("decimal(12,2)") * 100).cast(LongType).as("cents"))
+          def partial(ch: org.apache.spark.sql.DataFrame) = ch
+            .filter(col("_change_type") === "insert")
+            .groupBy(col("event_type"), col("day"))
+            .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"),
+              max(col("cents")).as("max_cents"))
+          for (b <- 0L to 2L) {
+            t(s"l$i append$b")(ManifestTable.append(spark, ods, ev.filter(col("event_id") % 3 === b)))
+            t(s"l$i drain ods->dwd $b")(ChangeFeed.availableNow(spark, ods, s"$root/cp_dwd") { (ch, _, to) =>
+              ManifestTable.idempotentAppend(spark, dwd, clean(ch), to); ()
+            })
+            t(s"l$i drain dwd->dws $b")(ChangeFeed.availableNow(spark, dwd, s"$root/cp_dws") { (ch, _, to) =>
+              ManifestTable.idempotentAppend(spark, dws, partial(ch), to); ()
+            })
+          }
+          t(s"l$i replay")(ChangeFeed.availableNow(spark, ods, s"$root/cp_replay") { (ch, _, to) =>
+            require(ManifestTable.idempotentAppend(spark, dwd, clean(ch), to).isEmpty)
+          })
+          val dwd2 = s"$root/dwd2"
+          t(s"l$i stream recover")({
+            val rq = spark.readStream.format("graft.sources.ManifestStreamSource")
+              .option("table", ods).option("maxFilesPerTrigger", "2").load()
+              .writeStream.option("checkpointLocation", s"$root/cp_recover")
+              .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+                ManifestTable.idempotentAppend(spark, dwd2, df
+                  .filter(col("value").isNotNull)
+                  .select(col("event_id"), col("event_type"), col("day"),
+                    (col("value").cast("decimal(12,2)") * 100).cast(LongType).as("cents")), id)
+                ()
+              }
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+            try require(rq.awaitTermination(120000)) finally rq.stop()
+          })
+          def fp(df: org.apache.spark.sql.DataFrame) =
+            df.agg(count(lit(1)).cast(LongType),
+              coalesce(sum(xxhash64(col("event_id"), col("event_type"),
+                col("day"), col("cents")).cast("decimal(38,0)")),
+                lit(java.math.BigDecimal.ZERO))).head()
+          t(s"l$i fingerprints")(graft.Parallel.run(
+            () => fp(ManifestTable.read(spark, dwd)),
+            () => fp(ManifestTable.read(spark, dwd2))))
+          t(s"l$i final read")(ManifestTable.read(spark, dws)
+            .groupBy(col("event_type"), col("day"))
+            .agg(sum(col("cnt")).cast(LongType).as("n_events"))
+            .count())
+        }
+      case "ivfpq" =>
+        for (i <- 1 to 2) {
+          t(s"i$i full")(SparkEntry.queries("q_sim_ivfpq")(spark, d).count())
+        }
+        val embs = Tables.embeddings(spark, d)
+        val probes = embs.filter(col("vec_id") < 10)
+        for (i <- 1 to 2) {
+          t(s"i$i knn")(graft.ops.TextSim.knn(probes, embs, 5).count())
+          t(s"i$i knn+ckpt")(graft.ops.TextSim.knn(probes, embs, 5)
+            .select(col("qid"), col("nid")).localCheckpoint().count())
+          t(s"i$i ivfCells refresh")(graft.ops.TextSim.ivfCells(spark, d).count())
+          t(s"i$i pqCodes refresh")(graft.ops.TextSim.pqCodes(spark, d).count())
+          t(s"i$i pqDists(probes)")(graft.ops.TextSim.pqDists(spark, d, probes).count())
+        }
       case other => println(s"unknown phase target $other")
     }
     spark.stop()

@@ -10,8 +10,12 @@ object Parallel {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
     // daemon threads: a task wedged past its timeout must not pin the
-    // JVM open after the failure propagates to the caller
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size,
+    // JVM open after the failure propagates to the caller. Pool CAPPED at
+    // 32: callers pass per-file waves (a large staged batch is hundreds
+    // of ~15 ms footer reads) and one thread per task would burst
+    // hundreds of threads for no extra I/O parallelism
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(fs.size, 32)),
       (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val futs = fs.map(f => Future { f(); () })

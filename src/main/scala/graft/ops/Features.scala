@@ -319,7 +319,15 @@ object Features {
       .groupBy(col("fold"), col("category"))
       .agg(count(lit(1)).as("n_f"), sum(col("cents")).as("s_f"))
     val wCat = Window.partitionBy(col("category"))
-    val wAll = Window.partitionBy()
+    // constant partition key instead of a bare global window: identical
+    // semantics over this |folds|·|cats| (~25-row) aggregate, but an
+    // EMPTY partition spec makes WindowExec log a "No Partition Defined
+    // ... serious performance degradation" warning on EVERY run —
+    // Verify's logs drowned in it (r11 verdict item 9). The constant
+    // key routes all rows to one partition exactly like the global
+    // window did, minus the noise; the input is aggregate-sized by
+    // construction, never a scale hazard.
+    val wAll = Window.partitionBy(lit(0))
     perFold
       .withColumn("n_c", sum(col("n_f")).over(wCat))
       .withColumn("s_c", sum(col("s_f")).over(wCat))
@@ -394,39 +402,55 @@ object Features {
   def pcaTop(emb: DataFrame, rounds: Int): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    // Two distributed passes, then the ITERATION LIVES ON THE DRIVER:
-    // the corpus-sized work is (1) the per-dimension sums and (2) the
-    // 64²-pair explode into one 4096-group map-combinable covariance
-    // aggregate; what comes back is a 64×64 LONG matrix, and 8 rounds of
-    // power iteration on a matrix that small is pure local arithmetic —
-    // the parameter-server shape (same as q_train_perceptron's loop),
-    // replacing r9's per-round matrix-join + localCheckpoint chain whose
-    // cost was tiny-job scheduling, not data. Every operation replicates
-    // the SQL loop's integer arithmetic exactly (toward-zero division
-    // against positive divisors == Scala Long division), so the declared
-    // trajectory and the oracle replay are unchanged bit-for-bit.
-    val el = emb.select(posexplode(col("q")).as(Seq("i", "v")))
-    // the divisor is the ROW count (the r9 SQL loop's emb.agg(count)),
-    // not the exploded-value count — identical for the contract's
-    // same-length arrays, but a null/empty-array row must shift the
-    // mean exactly as it always did
-    val sums = el.groupBy(col("i")).agg(sum(col("v")).as("sv"))
-      .as[(Int, Long)].collect().sortBy(_._1)
-    if (sums.isEmpty)
+    // ONE distributed pass, then the ITERATION LIVES ON THE DRIVER: the
+    // native GramSumsAgg accumulates row count, per-(dim, length) sums
+    // and the raw Gram matrix in a single scan (guide §2.3 — the
+    // historic shape was THREE corpus jobs: a per-dim-sum collect, a
+    // count, and a 64²-struct explode into a 4096-group hash aggregate;
+    // the explode manufactured D² rows per vector just to sum them).
+    // The CENTERED covariance follows by exact integer algebra:
+    //   Σ_R (x_i−μ_i)(x_j−μ_j)
+    //     = G_ij − μ_j·S_i|R − μ_i·S_j|R + |R|·μ_i·μ_j
+    // over the contributing row set R (rows long enough to carry both
+    // dims — recovered exactly from the length histogram / per-length
+    // sums, so ragged inputs reproduce the historic explode semantics
+    // bit-for-bit; equivalence is pinned in FeaturesSuite). μ stays the
+    // truncated per-dim mean with the ROW-count divisor (null/empty
+    // rows shift the mean exactly as they always did), and every
+    // division is Scala Long division — toward-zero, the oracle's DIV.
+    // 8 rounds of power iteration on a 64×64 LONG matrix are pure local
+    // arithmetic — the parameter-server shape (same as
+    // q_train_perceptron's loop).
+    import org.apache.spark.sql.graft.Bridge
+    val momAgg = Bridge.column(
+      graft.expr.GramSumsAgg(Bridge.expression(col("q"))).toAggregateExpression())
+    val row = emb.agg(momAgg.as("m")).select(
+      col("m.n"), col("m.hist"), col("m.sl"), col("m.gram")).head()
+    val n = row.getLong(0)
+    val hist = row.getSeq[Long](1).toArray
+    val slF = row.getSeq[Long](2).toArray
+    val gramF = row.getSeq[Long](3).toArray
+    val dims = hist.length
+    if (dims == 0)
       return Seq.empty[(Long, Long, Long)].toDF("dim", "v_x1000", "lambda_x1000")
-    val dims = sums.length
-    val n = emb.count()
-    val mu: Array[Long] = sums.map(x => x._2 / n)
-    val muLit = mu.mkString("array(", "L, ", "L)")
-    val covRows = emb.select(explode(expr(
-        s"""flatten(transform(q, (x, i) -> transform(q, (y, j) ->
-             named_struct('i', i, 'j', j,
-               'p', (x - element_at($muLit, i + 1)) * (y - element_at($muLit, j + 1))))))""")).as("e"))
-      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
-      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("sp"))
-      .as[(Int, Int, Long)].collect()
+    // suffix sums over length: rows long enough to carry dim k and
+    // beyond — rsuf(i)(k) = Σ x_i over rows of length > k; msuf(k) =
+    // #rows of length > k
+    val msuf = new Array[Long](dims + 1)
+    val rsuf = Array.ofDim[Long](dims, dims + 1)
+    for (l <- dims - 1 to 0 by -1) {
+      msuf(l) = msuf(l + 1) + hist(l)
+      var i = 0
+      while (i < dims) { rsuf(i)(l) = rsuf(i)(l + 1) + slF(i * dims + l); i += 1 }
+    }
+    val mu: Array[Long] = Array.tabulate(dims)(i => rsuf(i)(0) / n)
     val c = Array.ofDim[Long](dims, dims)
-    covRows.foreach { case (i, j, sp) => c(i)(j) = sp / n }
+    for (i <- 0 until dims; j <- 0 until dims) {
+      val k = math.max(i, j)
+      val sp = gramF(i * dims + j) - mu(j) * rsuf(i)(k) - mu(i) * rsuf(j)(k) +
+        msuf(k) * mu(i) * mu(j)
+      c(i)(j) = sp / n
+    }
     var v = Array.fill(dims)(1000L)
     for (_ <- 1 to rounds) {
       val r = Array.tabulate(dims)(i => (0 until dims).map(j => c(i)(j) * v(j)).sum)

@@ -673,6 +673,7 @@ object Warehouse {
       }
     }
     val feats = pngs.mapPartitions { it =>
+      graft.multimodal.Multimodal.memOnlyStreams // no disk-backed stream cache
       it.map { case (_, source, payload) =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         (source, img.getWidth.toLong, img.getHeight.toLong,
@@ -777,6 +778,7 @@ object Warehouse {
       // was pure allocation overhead; reset() restores the writer for
       // the next asset. The encode work itself (palette quantization per
       // frame) is the irreducible floor.
+      graft.multimodal.Multimodal.memOnlyStreams // no disk-backed stream cache
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       it.map { case (id, source) =>
         val n = (2 + id % 6).toInt
@@ -807,6 +809,7 @@ object Warehouse {
     }
     val feats = gifs.mapPartitions { it =>
       // ONE reader per partition, reset per asset — same amortization
+      graft.multimodal.Multimodal.memOnlyStreams // no disk-backed stream cache
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       it.map { case (_, source, payload) =>
         reader.reset()

@@ -2642,9 +2642,18 @@ object ManifestTable {
             // joins against an intersect. Null merge keys keep the
             // legacy equi-join semantics (never classified updates —
             // an equi semi-join on a null key matched nothing).
-            import org.apache.spark.sql.functions.{abs, array_repeat, explode, max, sum, when}
+            import org.apache.spark.sql.functions.{abs, array_repeat, explode, max, raise_error, sum, when}
             import org.apache.spark.sql.expressions.Window
             val cols = n.columns.toSeq
+            // the working columns below are appended with withColumn — a
+            // user table already carrying one of these names would get it
+            // silently REPLACED, corrupting the change classification.
+            // Reject loudly instead (the historic exceptAll shape added
+            // no pre-tag columns, so this is new surface, not a break).
+            val reserved = Seq("__side", "__diff", "__copy").filter(cols.contains)
+            require(reserved.isEmpty,
+              s"change-feed derivation reserves working column names " +
+                s"${reserved.mkString(", ")}; rename the table column(s)")
             val signedRows = n.withColumn("__side", lit(1L))
               .unionAll(o.withColumn("__side", lit(-1L)))
             val delta = signedRows.groupBy(cols.map(col): _*)
@@ -2662,9 +2671,18 @@ object ManifestTable {
                     when(isUpd, lit("update_preimage")).otherwise(lit("delete"))))
               .withColumn("_commit_version", lit(v))
               // replicate multiset copies (|__diff| is the surviving
-              // multiplicity — rarely > 1, but exactness is the contract)
+              // multiplicity — rarely > 1, but exactness is the contract).
+              // The int cast would WRAP silently past Int.MaxValue and
+              // array_repeat would then drop rows — fail loudly instead
+              // (theoretical scale, but exactness is the stated contract)
               .withColumn("__copy",
-                explode(array_repeat(lit(1), abs(col("__diff")).cast("int"))))
+                explode(array_repeat(lit(1),
+                  when(abs(col("__diff")) <= lit(Int.MaxValue.toLong),
+                    abs(col("__diff")))
+                    .otherwise(raise_error(lit(
+                      "change-feed multiplicity exceeds Int.MaxValue"))
+                      .cast("long"))
+                    .cast("int"))))
             Some(classified.select(
               (cols.map(col) :+ col("_change_type") :+ col("_commit_version")): _*))
           case None =>

@@ -62,6 +62,53 @@ class FeaturesSuite extends SparkSuite {
     assert(got.map(_._3).distinct.length == 1 && got.head._3 > 0)
   }
 
+  test("pcaTop kernel: one-pass GramSumsAgg matches the historic explode algebra on ragged/null input") {
+    // the r12 one-pass moment aggregate must reproduce the OLD
+    // three-job formulation (posexplode per-dim sums with ROW-count
+    // divisor; centered 64²-explode covariance over rows carrying both
+    // dims) bit-for-bit — including null rows (count toward n, emit
+    // nothing), empty arrays (likewise) and RAGGED lengths (a pair
+    // (i,j) sums only over rows long enough to carry both dims)
+    import graft.ops.Features
+    import spark.implicits._
+    val rows: Seq[Option[Seq[Long]]] = Seq(
+      Some(Seq(3L, -7L, 11L, 2L)),
+      Some(Seq(-4L, 5L)),           // ragged: shorter
+      None,                         // null row: counts toward n only
+      Some(Seq.empty[Long]),        // empty: counts toward n only
+      Some(Seq(9L, 0L, -2L, 6L)),
+      Some(Seq(1L, 2L, 3L)))        // ragged: mid-length
+    val df = rows.map(Tuple1(_)).toDF("q")
+    val got = Features.pcaTop(df, rounds = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // reference: the historic algebra, computed directly
+    val present = rows.flatten.filter(_.nonEmpty)
+    val n = rows.size.toLong
+    val dims = present.map(_.size).max
+    val mu = Array.tabulate(dims)(i =>
+      present.filter(_.size > i).map(_(i)).sum / n)
+    val c = Array.ofDim[Long](dims, dims)
+    for (i <- 0 until dims; j <- 0 until dims) {
+      val contrib = present.filter(r => r.size > i && r.size > j)
+      c(i)(j) = contrib.map(r => (r(i) - mu(i)) * (r(j) - mu(j))).sum / n
+    }
+    var v = Array.fill(dims)(1000L)
+    for (_ <- 1 to 8) {
+      val r = Array.tabulate(dims)(i => (0 until dims).map(j => c(i)(j) * v(j)).sum)
+      val mx = r.map(math.abs).max
+      v = r.map(x => if (mx == 0) 0L else x * 1000 / mx)
+    }
+    val cv = Array.tabulate(dims)(i => (0 until dims).map(j => c(i)(j) * v(j)).sum)
+    val num = (0 until dims).map(i => v(i) * cv(i)).sum
+    val den = (0 until dims).map(i => v(i) * v(i)).sum
+    val lam = if (den == 0) 0L else num * 1000 / den
+    assert(got.length == dims)
+    (0 until dims).foreach { i =>
+      assert(got(i)._2 == v(i), s"dim $i eigenvector component")
+      assert(got(i)._3 == lam, s"dim $i Rayleigh quotient")
+    }
+  }
+
   test("index_inverted: postings are sorted, bounded at 8, and df >= postings length") {
     val out = SparkEntry.queries("q_index_inverted")(spark, sf0001).cache()
     val rows = out.collect()
