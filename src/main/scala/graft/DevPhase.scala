@@ -130,6 +130,13 @@ object DevPhase {
               sum(col("event_id")).cast(LongType).as("sum_id"))
             .orderBy("v", "ctype").count())
         }
+      case "rfmplan" =>
+        val df = SparkEntry.queries("q_rfm")(spark, d)
+        df.count()
+        val p = df.queryExecution.executedPlan.toString()
+        println("=== executed plan ===")
+        p.linesIterator.filter(l => l.contains("Window") || l.contains("windowspec"))
+          .foreach(println)
       case "basket" =>
         for (i <- 1 to 3) {
           val t0 = System.nanoTime()

@@ -42,8 +42,25 @@ object Dist {
   def fencesX(df: DataFrame, groupCols: Seq[String], valueCol: String,
       fences: Seq[Fence]): DataFrame = {
     val keyCols = groupCols.map(col)
-    val wOrd = Window.partitionBy(keyCols: _*).orderBy(col(valueCol))
-    val wAll = Window.partitionBy(keyCols: _*)
+    // global fences (no group columns) partition the window by a CONSTANT
+    // instead of leaving the spec empty: identical semantics (the input
+    // here is the distinct-VALUE table, distribution-sized, and lands in
+    // one partition either way), but an empty partition spec makes
+    // WindowExec log its "No Partition Defined … serious performance
+    // degradation" warning on every run — the flood that drowned
+    // Verify's logs (r11 verdict item 9; q_rfm alone calls this thrice).
+    // The key must be NON-FOLDABLE — a bare literal is constant-folded
+    // out of the spec, and coalesce(v*0, 0) folds too once the optimizer
+    // proves v non-null (count(*)-derived columns) — and NULL-SAFE.
+    // pmod(xxhash64(v), 1) is both: always 0 (xxhash64 never returns
+    // null; pmod(x, 1) = 0), a column-dependent expression no
+    // simplification rule touches, and one hash per row of a
+    // distribution-sized table.
+    val wKeys =
+      if (groupCols.isEmpty) Seq(pmod(xxhash64(col(valueCol)), lit(1L)))
+      else keyCols
+    val wOrd = Window.partitionBy(wKeys: _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(wKeys: _*)
     val ranked = df.groupBy(keyCols :+ col(valueCol): _*).agg(count(lit(1)).as("cnt"))
       .withColumn("hi_rank", sum(col("cnt")).over(wOrd)) // ranks [lo_rank, hi_rank)
       .withColumn("lo_rank", col("hi_rank") - col("cnt"))

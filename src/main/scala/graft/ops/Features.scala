@@ -323,11 +323,11 @@ object Features {
     // semantics over this |folds|·|cats| (~25-row) aggregate, but an
     // EMPTY partition spec makes WindowExec log a "No Partition Defined
     // ... serious performance degradation" warning on EVERY run —
-    // Verify's logs drowned in it (r11 verdict item 9). The constant
-    // key routes all rows to one partition exactly like the global
-    // window did, minus the noise; the input is aggregate-sized by
-    // construction, never a scale hazard.
-    val wAll = Window.partitionBy(lit(0))
+    // Verify's logs drowned in it (r11 verdict item 9). The key must be
+    // NON-FOLDABLE — a literal (or any expression the optimizer proves
+    // constant) is folded back out of the spec; pmod(xxhash64(fold), 1)
+    // is always 0 and survives (the Dist.fencesX discipline).
+    val wAll = Window.partitionBy(pmod(xxhash64(col("fold")), lit(1L)))
     perFold
       .withColumn("n_c", sum(col("n_f")).over(wCat))
       .withColumn("s_c", sum(col("s_f")).over(wCat))

@@ -245,17 +245,28 @@ object Joins {
       .select("r_name", "n_name")
       .orderBy("r_name", "n_name")
 
-  /** Non-equi (theta) self-join: pairs of lines within an order. The equi
-    * part (l_orderkey) carries the shuffle; the `<` predicate is evaluated
-    * post-match, so work stays bounded per order key at any scale. */
-  private def qJoinTheta(s: SparkSession, d: String): DataFrame = {
-    val a = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber").as("ln_a"))
-    val b = Tables.lineitem(s, d).select(col("l_orderkey").as("ok_b"), col("l_linenumber").as("ln_b"))
-    a.join(b, col("l_orderkey") === col("ok_b") && col("ln_a") < col("ln_b"))
+  /** Non-equi (theta) pair count: pairs of lines within an order with
+    * ln_a < ln_b. EXECUTED as the counting identity instead of the
+    * self-join (guide §2.4 — the historic shape scanned and shuffled the
+    * fact table twice to enumerate pairs it only ever counted): with
+    * per-(order, linenumber) multiplicities c, the strict-< pair count
+    * is Σ_{la<lb} c_la·c_lb = (n² − Σc²) / 2, n = Σc — exact for
+    * duplicate linenumbers ((l_orderkey, l_linenumber) is NOT unique in
+    * the fixtures), always even-divisible, and an order with no
+    * qualifying pair (single line, or all lines sharing one number)
+    * drops via the pairs > 0 filter exactly like the join emitted no
+    * row. One scan, two map-combinable aggregates; equivalence to the
+    * self-join form is pinned in OperatorUnitSuite. At 100 TB the
+    * self-join's per-order pair blow-up (quadratic in basket size)
+    * never happens — the identity is the whole point. */
+  private def qJoinTheta(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("pairs"))
+      .agg(expr("(sum(c) * sum(c) - sum(c * c)) DIV 2").as("pairs"))
+      .filter(col("pairs") > 0)
       .orderBy("l_orderkey")
-  }
 
   /** As-of join (genre: Flink temporal table join): for each order, the
     * latest strictly-earlier order of the same customer, deterministic

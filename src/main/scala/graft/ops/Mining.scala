@@ -678,8 +678,16 @@ object Mining {
     val firstSeen = dd.groupBy(col("tok")).agg(min(col("decile")).as("decile"))
     val perDecile = firstSeen.groupBy(col("decile")).agg(count(lit(1)).as("n_new"))
     perDecile
+      // constant partition key (not a bare global window): identical
+      // semantics over this ≤10-row decile table, but an empty partition
+      // spec triggers WindowExec's warning flood on every run. The key
+      // must be NON-FOLDABLE — a literal (or any expression the
+      // optimizer can prove constant) is folded back out of the spec;
+      // pmod(xxhash64(decile), 1) is always 0 and survives (the
+      // Dist.fencesX discipline)
       .withColumn("vocab_cum",
         sum(col("n_new")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(xxhash64(col("decile")), lit(1L)))
           .orderBy(col("decile"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .select(col("decile"), col("n_new").cast(LongType).as("n_new"),
@@ -1060,9 +1068,13 @@ object Mining {
     val u = Graph.meanWeightBackbone(
         prs.select(col("w").as("src"), col("nx").as("dst"), lit(1L).as("w")))
       .select(col("a"), col("b"), col("w").as("cnt")).localCheckpoint()
+    // vid stays LAZY: it derives from the already-checkpointed backbone
+    // (vocabulary-sized), so its two consumers (the pagerank vertex set
+    // and the final report join) recompute a tiny distinct instead of
+    // paying one more eager checkpoint job round-trip
     val vid = u.select(col("a").as("word")).union(u.select(col("b").as("word")))
       .distinct()
-      .select(col("word"), hid(col("word")).as("id")).localCheckpoint()
+      .select(col("word"), hid(col("word")).as("id"))
     // weight SATURATION at 2^20: the pagerank kernel's per-edge
     // contribution is r·w with r up to the 10^12 mass, so an uncapped
     // web-scale stop-word pair count (10^9+) would overflow int64 —

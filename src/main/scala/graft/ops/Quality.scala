@@ -1119,30 +1119,55 @@ object Quality {
         case (lo, hi) => () => ManifestTable.append(s, t,
           ev.filter(col("user_id") >= lo && col("user_id") < hi).coalesce(1))
       }: _*)
-    val v1 = ManifestTable.deleteWhere(s, t, "user_id", 3L, 3L)
-    val v2 = ManifestTable.deleteWhere(s, t, "user_id", 7L, 7L)
+    // the two single-user erasures tombstone DISJOINT files (the
+    // user-sliced layout puts user 3 and user 7 in different files), so
+    // they land as one parallel wave (§2.6) — deleteWhere's CAS rebase
+    // path re-reconciles the loser against the winner's committed DV
+    // without recomputing, and the post-wave snapshot is identical in
+    // either commit order
+    val v0 = ManifestTable.latestVersion(t).get
+    val vDel = new Array[Long](2)
+    graft.Parallel.run(
+      () => vDel(0) = ManifestTable.deleteWhere(s, t, "user_id", 3L, 3L),
+      () => vDel(1) = ManifestTable.deleteWhere(s, t, "user_id", 7L, 7L))
+    val v2 = math.max(vDel(0), vDel(1))
     require(ManifestTable.snapshotDvs(t, v2).size == 2,
       "scattered single-user deletes must take the DV path")
     require(ManifestTable.snapshotFiles(t, v2).toSet ==
-      ManifestTable.snapshotFiles(t, v1 - 1).toSet,
+      ManifestTable.snapshotFiles(t, v0).toSet,
       "DV deletes must not rewrite any data file")
     val census = (df: org.apache.spark.sql.DataFrame) => df
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("event_type")
-    val mor = census(ManifestTable.read(s, t))
+    val mor = census(ManifestTable.read(s, t)) // files pinned pre-compact
     val vC = ManifestTable.compact(s, t)
     require(ManifestTable.snapshotDvs(t, vC).isEmpty, "compact must clear DVs")
-    // the materialized census is consumed twice (the agreement check and
-    // the declared result) — checkpoint the |event_type|-sized aggregate
-    // so the compacted table scans ONCE instead of re-aggregating for
-    // each consumer; the checkpoint is group-count-bounded at any scale
-    val materialized = census(ManifestTable.read(s, t)).localCheckpoint()
-    // tombstone read == materialized read, enforced in the executed plan
-    // (except-both-ways is empty), then the materialized census ships
-    require(mor.exceptAll(materialized).unionAll(materialized.exceptAll(mor))
-      .isEmpty, "merge-on-read and compacted reads must agree")
+    // tombstone read == compacted read, both censuses as MULTISET
+    // FINGERPRINTS (count + order-free xxhash64 sum — the
+    // q_warehouse_layers discipline): the merge-on-read census and the
+    // compacted-census checkpoint are independent scans, so they run as
+    // one parallel wave (§2.6) instead of a checkpoint job followed by
+    // an except-both-ways job. The checkpointed |event_type|-sized
+    // census is the declared result either way.
+    def fpOf(df: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)).cast(LongType),
+        coalesce(sum(xxhash64(col("event_type"), col("n_events"),
+          col("n_users")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    val fps = new Array[(Long, java.math.BigDecimal)](2)
+    var materialized: DataFrame = null
+    graft.Parallel.run(
+      () => fps(0) = fpOf(mor),
+      () => {
+        materialized = census(ManifestTable.read(s, t)).localCheckpoint()
+        fps(1) = fpOf(materialized)
+      })
+    require(fps(0)._1 == fps(1)._1 && fps(0)._2.compareTo(fps(1)._2) == 0,
+      s"merge-on-read and compacted reads must agree: ${fps(0)} vs ${fps(1)}")
     materialized
   }
 
@@ -1290,9 +1315,14 @@ object Quality {
     val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
       (coalesce(col("value").cast("decimal(12,2)"), lit(0)) * 100)
         .cast("long").as("cents"))
-    for (b <- 0L to 2L)
-      ManifestTable.appendPartitioned(s, t,
-        ev.filter(col("event_id") % 3 === b).coalesce(1), "event_type")
+    // the three ingest waves are order-free (no version literal is
+    // pinned downstream; the partition file census and the final
+    // aggregate are set-valued) — one parallel commit wave (§2.6), the
+    // CAS retry loop serializing the manifest appends
+    graft.Parallel.run((0L to 2L).map { b =>
+      () => ManifestTable.appendPartitioned(s, t,
+        ev.filter(col("event_id") % 3 === b).coalesce(1), "event_type"): Any
+    }: _*)
     // partition planning is manifest-only: three waves → three
     // click-marked files, counted without opening a single one
     require(ManifestTable.partitionFileCount(t, "click") == 3,

@@ -669,4 +669,25 @@ class OperatorUnitSuite extends SparkSuite {
     assert(tail._4 / kTot > tail._2 / nTot, "tail share must grow")
     out.unpersist()
   }
+
+  test("q_join_theta counting identity equals the theta self-join (dup linenumbers included)") {
+    // the r12 rewrite counts strict-< pairs per order as (n² − Σc²)/2
+    // over per-(order, linenumber) multiplicities; it must reproduce the
+    // historic self-join row-for-row — including duplicate linenumbers
+    // ((l_orderkey, l_linenumber) is NOT unique in the fixtures) and the
+    // absence of zero-pair orders (the join emitted no row for them)
+    val li = Tables.lineitem(spark, sf0001)
+    val a = li.select(col("l_orderkey"), col("l_linenumber").as("ln_a"))
+    val b = li.select(col("l_orderkey").as("ok_b"), col("l_linenumber").as("ln_b"))
+    val joined = a.join(b, col("l_orderkey") === col("ok_b") && col("ln_a") < col("ln_b"))
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("pairs"))
+    val got = SparkEntry.queries("q_join_theta")(spark, sf0001)
+    assert(got.exceptAll(joined).unionAll(joined.exceptAll(got)).isEmpty,
+      "counting identity must equal the self-join multiset")
+    // sanity: duplicate linenumbers actually occur in the fixture, so
+    // the dup-aware term is exercised, not vacuous
+    val dups = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+    assert(dups > 0, "fixture must carry duplicate (order, linenumber) rows")
+  }
 }

@@ -328,12 +328,19 @@ class PlanSuite extends SparkSuite {
     // window + super-bucket theta join (StreamingAnalogs.bucketPrefixMax),
     // no declared query may move all rows to a single WindowExec
     // partition.
-    // A physical Window with an empty partition spec renders as
-    // 'Window [...], [], [...]' — the middle bracket pair is the partition.
+    // Checked on the TREE, not the rendering: a Window with an empty
+    // partition spec OMITS the partition bracket entirely (it does not
+    // render as '[], [...]'), which is how the historic string match
+    // missed the Dist.fencesX / q_text_vocab_growth global windows for
+    // five rounds. sparkPlan (post-optimizer, pre-AQE) also catches a
+    // constant partition key the optimizer folded back out.
     val global = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val phys = SparkEntry.queries(name)(spark, sf0001)
-        .queryExecution.executedPlan.toString()
-      phys.linesIterator.exists(l => l.contains("Window [") && l.contains("], [], ["))
+        .queryExecution.sparkPlan
+      phys.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }.nonEmpty
     }
     assert(global.isEmpty, s"unpartitioned windows in: $global")
   }
